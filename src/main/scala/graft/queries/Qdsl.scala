@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared column helpers for oracle-checked queries.
+  *
+  * Oracle determinism strategy (see core/GQuery.scala): all monetary inputs
+  * are 2-decimal doubles, so we cast to DECIMAL(12,2) before arithmetic.
+  * Decimal math is exact and engine-independent; the final CAST to DOUBLE
+  * rounds the same exact decimal on both engines (IEEE round-half-even),
+  * giving bit-identical doubles for the driver's hash compare.
+  *
+  * Precision budget: (12,2)*(12,2) -> (25,4); cast to (14,4) then *(12,2)
+  * -> (27,6); SUM adds 10 digits of headroom -> still < 38 on both Spark
+  * and DuckDB, so no engine ever overflows or silently rescales.
+  */
+object Qdsl {
+  /** Exact 2-decimal view of a monetary double column. */
+  def dec(c: Column): Column = c.cast("decimal(12,2)")
+  def dec(name: String): Column = dec(col(name))
+
+  /** one minus a 2-decimal column, still exact decimal. */
+  def oneMinus(c: Column): Column = lit(1).cast("decimal(12,2)") - dec(c)
+  def onePlus(c: Column): Column = lit(1).cast("decimal(12,2)") + dec(c)
+
+  /** ep * (1 - disc) as exact decimal, re-tightened for further products. */
+  def discPrice(ep: Column, disc: Column): Column =
+    (dec(ep) * oneMinus(disc)).cast("decimal(14,4)")
+
+  /** Exact decimal sum surfaced as a bit-stable double. */
+  def sumDec(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Deterministic average: exact-decimal sum divided by count, both
+    * engines perform the identical double division. */
+  def avgDec(c: Column): Column =
+    sum(dec(c)).cast("double") / count(c).cast("double")
+
+  /** Epoch milliseconds of a timestamp column. Testdata parquet loads as
+    * TIMESTAMP_NTZ in Spark 4; the session runs in UTC, so casting through
+    * LTZ yields the same instant DuckDB's `epoch_ms` computes. */
+  def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
+
+  /** Split free text into non-empty whitespace-separated tokens.
+    * Mirrors DuckDB `list_filter(string_split(text, ' '), w -> w != '')`. */
+  def words(c: Column): Column = filter(split(c, " "), w => w =!= "")
+
+  /** Portable 60-bit hash: first 15 hex chars of md5, parsed base-16.
+    * DuckDB mirror: CAST('0x' || substring(md5(s),1,15) AS BIGINT).
+    * 60 bits keeps the value positive and leaves headroom for modular
+    * arithmetic (a*h+b with a,b < 1e9 under BIGINT). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** The same hash reduced mod p (p = 1e9+7) for affine re-hashing. */
+  val P: Long = 1000000007L
+  def hashMod(c: Column): Column = hash60(c) % P
+}

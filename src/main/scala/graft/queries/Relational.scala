@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, Tables}
+import Qdsl._
+
+/** Relational operator suite over the TPC-H-ish testdata: scan + filter +
+  * project + hash/broadcast join + semi join + aggregate + window + set ops
+  * + global sort + top-k. Each query is declarative DataFrame code so
+  * Catalyst gets predicate pushdown / column pruning / join selection for
+  * free; `BenchSpec` asserts the interesting plan shapes.
+  *
+  * Reference capabilities covered (SURVEY.md §2): SumValuesReduceFunction
+  * (q1/q16), GrepMapFunction-style selective filters (q6), sort operator
+  * (q_sort_global — phase 1/2 range-partition + sort), top-k (absent in the
+  * reference, free in Spark), joins (reference fakes them via tagged-union
+  * shuffles, see §2.7 — here they are real joins).
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: the canonical groupBy-sum over the
+    * largest table. Partial (map-side) aggregation makes this one narrow
+    * shuffle of ~6 groups regardless of input scale. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumDec(col("l_quantity")).as("sum_qty"),
+        sumDec(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum((discPrice(col("l_extendedprice"), col("l_discount")) *
+          onePlus(col("l_tax"))).cast("decimal(27,6)"))
+          .cast("double").as("sum_charge"),
+        avgDec(col("l_quantity")).as("avg_qty"),
+        avgDec(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  private val pricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(14,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6-style forecast revenue: a highly selective scan whose three
+    * predicates must all reach the parquet reader as pushed filters. */
+  def selectiveRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(25,4)"))
+        .cast("double").as("revenue"))
+
+  private val selectiveRevenueSql =
+    """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q3-style shipping priority: broadcast(customer-filter) ⋈ orders
+    * ⋈ lineitem, aggregate, top-10. The customer side is small after the
+    * segment filter, so Catalyst broadcasts it; the top-k is a
+    * TakeOrderedAndProject (no global sort materialization). */
+  def topkOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"), epochMs(col("o_orderdate")).as("o_date_ms"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val topkOrdersSql =
+    """SELECT l_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(14,4))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1999-01-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q4-style order-priority count: left-semi join (EXISTS) against
+    * lineitem with a non-equi residual condition. */
+  def orderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-07-01")))
+    val l = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  private val orderPrioritySql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q5-style local-supplier revenue: five-way join where every
+    * dimension (supplier/customer/nation/region) broadcasts and only
+    * lineitem⋈orders shuffles. */
+  def nationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+  }
+
+  private val nationRevenueSql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(14,4))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  /** Per-brand part statistics: multi-aggregate with distinct count. */
+  def partStats(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        countDistinct(col("p_type")).as("n_types"),
+        min(col("p_retailprice")).as("min_price"),
+        max(col("p_retailprice")).as("max_price"),
+        avgDec(col("p_retailprice")).as("avg_price"),
+        sum(col("p_size").cast("long")).as("sum_size"))
+
+  private val partStatsSql =
+    """SELECT p_brand, COUNT(*) AS n_parts, COUNT(DISTINCT p_type) AS n_types,
+      |  MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(p_retailprice) AS DOUBLE) AS avg_price,
+      |  SUM(CAST(p_size AS BIGINT)) AS sum_size
+      |FROM part GROUP BY p_brand""".stripMargin
+
+  /** Window top-3 orders per customer by totalprice (row_number with a
+    * unique tie-break, so fully deterministic). */
+  def windowTop3(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+  }
+
+  private val windowTop3Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t WHERE rn <= 3""".stripMargin
+
+  /** Set operations: customers active in both 1996 and 1997 (INTERSECT)
+    * and customers active in 1996 only (EXCEPT), tagged and unioned. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    def active(year: Int) = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit(f"$year-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit(f"${year + 1}-01-01")))
+      .select(col("o_custkey"))
+    val both = active(1996).intersect(active(1997))
+      .select(lit("both").as("tag"), col("o_custkey"))
+    val only96 = active(1996).except(active(1997))
+      .select(lit("only96").as("tag"), col("o_custkey"))
+    both.union(only96)
+  }
+
+  private val setOpsSql =
+    """WITH a96 AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+      |     a97 AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+      |SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM a96 INTERSECT SELECT o_custkey FROM a97) t1
+      |UNION ALL
+      |SELECT 'only96' AS tag, o_custkey FROM (SELECT o_custkey FROM a96 EXCEPT SELECT o_custkey FROM a97) t2""".stripMargin
+
+  /** Global sort of lineitem — the GraySort-shaped capability on testdata.
+    * `orderBy` = sample-based range partitioning (the reference's phase 0,
+    * main.cc:56-357) + per-partition sort (phase 2), picked automatically
+    * by Spark's RangePartitioner/Tungsten sort. */
+  def sortGlobal(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"), epochMs(col("l_shipdate")).as("l_ship_ms"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val sortGlobalSql =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+      |  l_extendedprice, l_returnflag, epoch_ms(l_shipdate) AS l_ship_ms
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** JSON property extraction over the events stream table (regexp-based so
+    * the oracle needs no DuckDB JSON extension). */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), col("value"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sumDec(col("value")).as("sum_value"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  private val jsonExtractSql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type, value,
+      |        CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+      |      FROM events) t
+      |GROUP BY event_type""".stripMargin
+
+  val defs: Seq[GQuery] = Seq(
+    GQuery("q1_pricing_summary", pricingSummary, Some(pricingSummarySql), headline = true),
+    GQuery("q6_selective_revenue", selectiveRevenue, Some(selectiveRevenueSql)),
+    GQuery("q3_topk_orders", topkOrders, Some(topkOrdersSql), headline = true),
+    GQuery("q4_order_priority", orderPriority, Some(orderPrioritySql)),
+    GQuery("q5_nation_revenue", nationRevenue, Some(nationRevenueSql), headline = true),
+    GQuery("q2_part_stats", partStats, Some(partStatsSql)),
+    GQuery("q7_window_top3", windowTop3, Some(windowTop3Sql)),
+    GQuery("q8_setops", setOps, Some(setOpsSql)),
+    GQuery("q_sort_global", sortGlobal, Some(sortGlobalSql), headline = true),
+    GQuery("q_json_extract", jsonExtract, Some(jsonExtractSql)))
+}

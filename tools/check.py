@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs each oracle SQL in DuckDB over the testdata tables and compares it to
+the parquet Verify dumped for the same query name. Strict compare: rows
+sorted, columns sorted by name, exact equality (floats compared bitwise,
+with a fallback report of max abs diff so near-misses are diagnosable).
+
+Usage: python3 tools/check.py <sfdir> <verify_outdir> [query ...]
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        return v
+    if hasattr(v, "timestamp"):  # datetime
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except Exception:
+        pass
+    return v
+
+def key(row):
+    return tuple((str(type(v)), str(v)) for v in row)
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        qdir = f"{outdir}/{name}"
+        if not os.path.isdir(qdir):
+            print(f"[MISS] {name}: no spark output dir"); n_bad += 1; continue
+        try:
+            exp = con.sql(sql)
+            exp_cols = list(exp.columns)
+            exp_rows = exp.fetchall()
+        except Exception as e:
+            print(f"[ORACLE-ERR] {name}: {e}"); n_bad += 1; continue
+        try:
+            got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+            got_cols = list(got.columns)
+            got_rows = got.fetchall()
+        except Exception as e:
+            print(f"[READ-ERR] {name}: {e}"); n_bad += 1; continue
+        if sorted(exp_cols) != sorted(got_cols):
+            print(f"[COLS] {name}: oracle={sorted(exp_cols)} spark={sorted(got_cols)}")
+            n_bad += 1; continue
+        # reorder both to sorted column order
+        eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
+        gidx = [got_cols.index(c) for c in sorted(got_cols)]
+        erows = sorted([tuple(norm(r[i]) for i in eidx) for r in exp_rows], key=key)
+        grows = sorted([tuple(norm(r[i]) for i in gidx) for r in got_rows], key=key)
+        if len(erows) != len(grows):
+            print(f"[NROWS] {name}: oracle={len(erows)} spark={len(grows)}")
+            n_bad += 1; continue
+        bad = None; maxdiff = 0.0
+        for a, b in zip(erows, grows):
+            if a == b: continue
+            # float near-miss diagnosis
+            diffs = []
+            okish = True
+            for x, y in zip(a, b):
+                if x == y: continue
+                if isinstance(x, float) and isinstance(y, float) and \
+                   math.isfinite(x) and math.isfinite(y):
+                    diffs.append(abs(x - y)); okish = False
+                else:
+                    okish = False
+            if diffs: maxdiff = max(maxdiff, max(diffs))
+            if not okish and bad is None:
+                bad = (a, b)
+        if bad:
+            print(f"[DIFF] {name}: rows={len(erows)} maxfloatdiff={maxdiff:.3e}")
+            print(f"    oracle: {bad[0]}")
+            print(f"    spark : {bad[1]}")
+            n_bad += 1
+        else:
+            print(f"[OK]   {name} rows={len(erows)}")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} bad")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
