@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   val registry: Seq[GQuery] = GQuery.registry(
-    Relational.defs)
+    Relational.defs,
+    ThemisOps.defs)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,56 @@
+package graft.api
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Row}
+import org.apache.spark.sql.functions.col
+
+/** The reference's reducer contract — `reduce(key, iterator, writer)` over
+  * one key group of a sorted partition, values ordered by an optional
+  * secondary key, emitting any number of records (SURVEY.md §2.3;
+  * reference `mapreduce/workers/reducer/Reducer.cc:94-101`,
+  * `ReduceKVPairIterator.cc:16-102`) — re-expressed Spark-first:
+  *
+  *   repartition(key) + sortWithinPartitions(key, secondary…) +
+  *   mapPartitions(run-length group scan)
+  *
+  * One shuffle, no per-group state on the driver, groups never leave the
+  * executor. Group rows are buffered (the reference's iterator is
+  * resettable/two-pass, so callers expect re-iterable values — matching
+  * `ReduceKVPairIterator::reset`); callers with giant groups should
+  * pre-aggregate first, as the reference's phase 3 does.
+  */
+object SortedGroups {
+
+  /** Run `f(keyRow, groupRows)` over each key group. `keyCols` drive the
+    * shuffle; `orderCols` are the secondary sort within each group. */
+  def flatMapSortedGroups[O: Encoder](
+      df: DataFrame, keyCols: Seq[String], orderCols: Seq[String])(
+      f: (Row, Seq[Row]) => Iterator[O]): Dataset[O] = {
+    val sorted = df
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+    val names = sorted.columns
+    val kpos = keyCols.map(c => names.indexOf(c))
+    require(kpos.forall(_ >= 0), s"key columns $keyCols not all in ${names.mkString(",")}")
+    // value equality that works for binary keys too (Array[Byte] has
+    // reference equality under Seq.==)
+    def keyOf(r: Row): Seq[Any] = kpos.map(r.get(_) match {
+      case b: Array[Byte] => b.toSeq
+      case v => v
+    })
+    sorted.mapPartitions { it =>
+      new Iterator[Iterator[O]] {
+        private val buf = it.buffered
+        def hasNext: Boolean = buf.hasNext
+        def next(): Iterator[O] = {
+          val first = buf.head
+          val key = keyOf(first)
+          val group = new ArrayBuffer[Row]()
+          while (buf.hasNext && keyOf(buf.head) == key) group += buf.next()
+          f(first, group.toSeq)
+        }
+      }.flatten
+    }
+  }
+}

@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Row}
+import org.apache.spark.sql.functions._
+
+import graft.api.SortedGroups
+import graft.core.{GQuery, Tables}
+import Qdsl._
+
+/** The reference's user-visible MapReduce function library re-expressed as
+  * declarative Spark plans (SURVEY.md §2.2/§2.3). Each query names the
+  * reference operator it covers in its Scaladoc; the map-side combining the
+  * reference hand-rolls (`AggregatingHashCounter.h:15-130`) is Spark's
+  * partial hash aggregation, so every groupBy below ships only partial
+  * aggregates through the shuffle.
+  */
+object ThemisOps {
+
+  /** WordCount(+Combining) (`WordCountMapFunction.cc:74-114`,
+    * `WordCountReduceFunction.cc:6-35`): tokenize → explode → count.
+    * Flows as scan → generate → partial agg → 1 shuffle → final agg. */
+  def wordCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private val wordCountSql =
+    """SELECT word, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(list_filter(string_split(text, ' '), w -> w != '')) AS word
+      |  FROM documents) t
+      |GROUP BY word""".stripMargin
+
+  /** NGram (`NGramMapFunction.cc:9-51`): sliding word window → count.
+    * The window is built with array higher-order functions, so it stays
+    * inside whole-stage codegen (no UDF). */
+  def ngramCount(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val grams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(s, dir)
+      .select(explode(grams).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  private val ngramCountSql =
+    """SELECT ngram, COUNT(*) AS cnt FROM (
+      |  SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS ngram
+      |  FROM (SELECT list_filter(string_split(text, ' '), w -> w != '') AS ws
+      |        FROM documents) d) t
+      |GROUP BY ngram""".stripMargin
+
+  /** InvertedIndex (`InvertedIndexMapFunction.cc:12-49`,
+    * `InvertedIndexReduceFunction.cc:6-45`): word → posting-list stats.
+    * The reference concatenates postings after a two-pass group scan; the
+    * aggregate form ships constant-size state per word instead of the
+    * full posting list (what you want at 100 TB — the full list variant is
+    * collect_list, demonstrated in tests). */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("tf"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
+  private val invertedIndexSql =
+    """SELECT word, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS tf,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM (SELECT doc_id,
+      |        unnest(list_filter(string_split(text, ' '), w -> w != '')) AS word
+      |      FROM documents) t
+      |GROUP BY word""".stripMargin
+
+  /** Grep (`GrepMapFunction.cc:15-22`): selective substring filter. The
+    * predicate pushes to the scan; output order-free. */
+  def grep(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("text").contains("merge sort"))
+      .select(col("doc_id"), col("n_chars"),
+        locate("merge sort", col("text")).as("pos"))
+
+  private val grepSql =
+    """SELECT doc_id, n_chars, strpos(text, 'merge sort') AS pos
+      |FROM documents WHERE text LIKE '%merge sort%'""".stripMargin
+
+  /** TupleLengthCounter (`TupleLengthCounterMapFunction.cc:9-43`): length
+    * histograms over the corpus — one row per (metric, bucket). */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val chars = d.select(lit("chars").as("metric"),
+      (length(col("text")).cast("long") / 50).cast("long").as("bucket"))
+    val tokens = d.select(lit("tokens").as("metric"),
+      (size(words(col("text"))).cast("long") / 10).cast("long").as("bucket"))
+    chars.union(tokens).groupBy(col("metric"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  private val lengthHistogramSql =
+    """SELECT metric, bucket, COUNT(*) AS cnt FROM (
+      |  SELECT 'chars' AS metric, length(text) // 50 AS bucket FROM documents
+      |  UNION ALL
+      |  SELECT 'tokens' AS metric,
+      |    len(list_filter(string_split(text, ' '), w -> w != '')) // 10 AS bucket
+      |  FROM documents) t
+      |GROUP BY metric, bucket""".stripMargin
+
+  /** CountDuplicateKeys (`CountDuplicateKeysReduceFunction.cc:4-26`):
+    * emit keys appearing more than once. */
+  def dupKeys(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("value"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  private val dupKeysSql =
+    """SELECT value, COUNT(*) AS n FROM events GROUP BY value HAVING COUNT(*) > 1""".stripMargin
+
+  /** SumValues (`SumValuesReduceFunction.cc:7-38`): per-key value sums over
+    * the event stream, keyed by user. */
+  def sumValues(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sumDec(col("value")).as("sum_value"),
+        count(lit(1)).as("n_events"))
+
+  private val sumValuesSql =
+    """SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Gap-based sessionization — the Spark-native `session_window` form of
+    * `ClickLogSessionSummarizerReduceFunction.cc` (which is span-based; see
+    * [[sessionizeThemis]] for the bit-parity variant). Batch session_window
+    * here; the identical plan runs under Structured Streaming (see
+    * graft.streaming.SessionStream). Gap = 6h; a new session starts when
+    * the inter-event gap is >= the window gap (session_window windows are
+    * end-exclusive). */
+  def sessionizeGap(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        min(epochMs(col("ts"))).as("start_ms"),
+        max(epochMs(col("ts"))).as("end_ms"),
+        sumDec(col("value")).as("sum_value"))
+      .select(col("user_id"), col("start_ms"), col("end_ms"),
+        col("n_events"), col("sum_value"))
+
+  private val sessionizeGapSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+      |m AS (
+      |  SELECT user_id, ms, value,
+      |    CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) >= 21600000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, ms, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
+  /** Bit-parity Themis sessionization
+    * (`ClickLogSessionSummarizerReduceFunction.cc:10-65`): a session closes
+    * when the NEXT event's span from session *start* reaches the threshold
+    * (not the idle gap) — stateful scan over each user's time-sorted events
+    * via the sorted-group reducer contract (SortedGroups). Not expressible
+    * as single-pass ANSI SQL window functions (the boundary is recursive),
+    * so no DuckDB oracle: covered by ThemisOpsSpec against a reference
+    * in-memory implementation. */
+  def sessionizeThemis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val threshold = 6L * 3600 * 1000 // ms
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), epochMs(col("ts")).as("ms"), col("event_type"))
+    SortedGroups.flatMapSortedGroups[(Long, Long, Long, Long, String, String)](
+      e, Seq("user_id"), Seq("ms", "event_type")) { (keyRow, rows) =>
+      val user = keyRow.getLong(0)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, String, String)]
+      var start = -1L; var last = -1L; var n = 0L
+      var firstTy = ""; var lastTy = ""
+      for (r <- rows) {
+        val ms = r.getLong(1); val ty = r.getString(2)
+        if (start < 0) { start = ms; firstTy = ty; n = 0 }
+        else if (ms - start >= threshold) {
+          out += ((user, start, last, n, firstTy, lastTy))
+          start = ms; firstTy = ty; n = 0
+        }
+        last = ms; lastTy = ty; n += 1
+      }
+      if (start >= 0) out += ((user, start, last, n, firstTy, lastTy))
+      out.iterator
+    }.toDF("user_id", "start_ms", "end_ms", "n_events", "first_type", "last_type")
+  }
+
+  val defs: Seq[GQuery] = Seq(
+    GQuery("q_wordcount", wordCount, Some(wordCountSql), headline = true),
+    GQuery("q_ngram", ngramCount, Some(ngramCountSql)),
+    GQuery("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
+    GQuery("q_grep", grep, Some(grepSql)),
+    GQuery("q_length_hist", lengthHistogram, Some(lengthHistogramSql)),
+    GQuery("q_dup_keys", dupKeys, Some(dupKeysSql)),
+    GQuery("q_sum_values", sumValues, Some(sumValuesSql)),
+    GQuery("q_sessionize_gap", sessionizeGap, Some(sessionizeGapSql), headline = true),
+    GQuery("q_sessionize_themis", sessionizeThemis, None))
+}
