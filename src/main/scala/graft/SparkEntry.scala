@@ -15,7 +15,11 @@ object SparkEntry {
 
   val registry: Seq[GQuery] = GQuery.registry(
     Relational.defs,
-    ThemisOps.defs)
+    ThemisOps.defs,
+    TextPipeline.defs,
+    Similarity.defs,
+    Iterative.defs,
+    SortOps.defs)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

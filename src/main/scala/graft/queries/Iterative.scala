@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, Tables}
+
+/** Iterative dataflows — the reference's chained-job pattern
+  * (`job_spec_generators/pagerank.py:16-39`, `utils.py:71-79
+  * run_in_sequence`; `KMeansMapFunction.cc` / `KMeansReduceFunction.cc`)
+  * re-expressed as driver-side Scala loops over DataFrames, which is the
+  * Spark-native equivalent of Themis's sequenced jobs: each iteration is
+  * one shuffle stage, and the loop lives on the driver, not in the data.
+  *
+  * Both queries use *scaled-integer* arithmetic (ranks ×1e6, embedding
+  * coords ×1e6) so every iteration is exact and the DuckDB oracle matches
+  * bit-for-bit regardless of aggregation order. (At extreme scale the
+  * rank sums stay < 2^63 for graphs up to ~1e9 nodes; beyond that, switch
+  * the rank column to double — the integer form exists for deterministic
+  * verification.)
+  */
+object Iterative {
+
+  /** PageRank, 3 power iterations, damping 0.85, over the bipartite
+    * part↔supplier graph from lineitem (both directions, so every node
+    * has out-edges — no dangling mass). Node ids are namespaced:
+    * part → 2k, supplier → 2k+1.
+    *
+    * Per iteration: one equi-join rank⋈edges + one hash aggregation —
+    * exactly the tagged-union-through-shuffle the reference emulates in
+    * `PageRankMapFunction.cc:8-43`/`PageRankReduceFunction.cc:6-64`, but
+    * as a real join. The edge list (with out-degree pre-joined) is cached
+    * across iterations. */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val edges = base.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .union(base.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val edgesD = edges.join(deg, "src").persist()
+    try {
+      var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+      for (_ <- 1 to 3) {
+        ranks = edgesD.join(ranks, col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("rank DIV d")).as("contrib"))
+          .select(col("dst").as("node"),
+            expr("150000 + (850000 * contrib) DIV 1000000").as("rank"))
+      }
+      // materialize before unpersisting the cached edge list
+      ranks.localCheckpoint(eager = true)
+    } finally edgesD.unpersist()
+  }
+
+  private val pagerankSql = {
+    def iter(prev: String, out: String) =
+      s"""$out AS (
+        |  SELECT dst AS node, 150000 + (850000 * contrib) // 1000000 AS rank FROM (
+        |    SELECT e.dst, SUM(r.rank // e.d) AS contrib
+        |    FROM ed e JOIN $prev r ON e.src = r.node GROUP BY e.dst) t)""".stripMargin
+    s"""WITH base AS (
+      |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |edges AS (
+      |  SELECT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM base
+      |  UNION ALL
+      |  SELECT l_suppkey*2+1 AS src, l_partkey*2 AS dst FROM base),
+      |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+      |ed AS (SELECT e.src, e.dst, d.d FROM edges e JOIN deg d ON e.src = d.src),
+      |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+      |${iter("r0", "r1")},
+      |${iter("r1", "r2")},
+      |${iter("r2", "r3")}
+      |SELECT node, rank FROM r3""".stripMargin
+  }
+
+  /** Two Lloyd iterations of k-means (k = 10, centers seeded from the
+    * first 10 vectors), in the exploded-dimension relational form:
+    * points live as (vec_id, dim, value) rows, centroid update is a
+    * (cid, dim) hash aggregation with integer mean (sum DIV n), distance
+    * is a (vec_id, cid) aggregation. All shuffles are hash-partitioned
+    * aggregations/joins — nothing is collected to the driver, and each
+    * iteration's centroid table (k×64 rows) broadcasts in the reassign
+    * join. Exact integer math throughout. */
+  def kmeansIter2(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000).cast("long"))))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"), col("col").as("x"))
+    val c0 = pts.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("dim"), col("x").as("cx"))
+
+    def assign(centers: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      pts.join(broadcast(centers), "dim")
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+    }
+    def recenter(asg: DataFrame): DataFrame =
+      pts.join(asg, "vec_id")
+        .groupBy(col("cid"), col("dim"))
+        .agg(expr("SUM(x) DIV COUNT(*)").as("cx"))
+
+    val a2 = assign(recenter(assign(c0)))
+    a2.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_points"), sum(col("vec_id")).as("sum_vec_id"))
+  }
+
+  private val kmeansIter2Sql =
+    """WITH pts AS (
+      |  SELECT vec_id, t.dim, CAST(floor(CAST(embedding[t.dim] AS DOUBLE) * 1000000) AS BIGINT) AS x
+      |  FROM embeddings CROSS JOIN range(1, 65) t(dim)),
+      |c0 AS (SELECT vec_id AS cid, dim, x AS cx FROM pts WHERE vec_id < 10),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT p.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY p.vec_id
+      |                         ORDER BY SUM((p.x-c.cx)*(p.x-c.cx)), c.cid) AS rn
+      |    FROM pts p JOIN c0 c ON p.dim = c.dim
+      |    GROUP BY p.vec_id, c.cid) t WHERE rn = 1),
+      |c1 AS (
+      |  SELECT cid, dim, SUM(x) // COUNT(*) AS cx
+      |  FROM pts JOIN a1 USING (vec_id) GROUP BY cid, dim),
+      |a2 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT p.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY p.vec_id
+      |                         ORDER BY SUM((p.x-c.cx)*(p.x-c.cx)), c.cid) AS rn
+      |    FROM pts p JOIN c1 c ON p.dim = c.dim
+      |    GROUP BY p.vec_id, c.cid) t WHERE rn = 1)
+      |SELECT cid, COUNT(*) AS n_points, SUM(vec_id) AS sum_vec_id FROM a2 GROUP BY cid""".stripMargin
+
+  val defs: Seq[GQuery] = Seq(
+    GQuery("q_pagerank", pagerank, Some(pagerankSql), headline = true),
+    GQuery("q_kmeans_iter2", kmeansIter2, Some(kmeansIter2Sql)))
+}

@@ -1,0 +1,218 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, Tables}
+import Qdsl._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exactness baseline, a random-hyperplane
+  * LSH bucketed variant as the 100 TB scale path, and cosine near-dup
+  * detection — the embedding leg of a training-data dedup pipeline.
+  *
+  * Determinism strategy: embeddings are scaled to exact integers
+  * (`floor(x * 1e6)`) so all dot products and squared distances are exact
+  * integer arithmetic; the final cosine is built from those integers with
+  * IEEE-exact ops only (divide, sqrt are correctly rounded), so Spark and
+  * the DuckDB oracle produce bit-identical doubles and identical rankings.
+  * All vector math is array higher-order functions (`zip_with` +
+  * `aggregate`) — whole-stage-codegen'd, no UDFs.
+  */
+object Similarity {
+
+  private val DIM = 64
+
+  /** Integer-scaled embedding: exact on both engines. */
+  private def ivec(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * 1000000).cast("long"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Integer-scaled vectors + squared norm, the shared scan. */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), ivec(col("embedding")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+
+  /** cos(a, b) from exact integer dot and norms. */
+  private def cosine(d: Column, n2a: Column, n2b: Column): Column =
+    d.cast("double") / sqrt(n2a.cast("double")) / sqrt(n2b.cast("double"))
+
+  private val ivecSql =
+    "[CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding]"
+
+  // ------------------------------------------------------------ brute kNN
+
+  /** Brute-force cosine top-5 for each query vector (vec_id < 20). The
+    * query set is broadcast, so the big side streams once with no shuffle;
+    * ranking is a per-query-partition window. At scale this is the
+    * exact-search baseline the ANN variant is measured against. */
+  def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val q = all.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    all.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("v"), col("qv")), col("n2"), col("qn2")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+
+  private val knnBruteSql =
+    s"""WITH iv AS (
+      |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v, list_sum([v[i]*v[i] for i in range(1,${DIM + 1})]) AS n2 FROM iv),
+      |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id < 20),
+      |c AS (
+      |  SELECT q_id, vec_id,
+      |    CAST(list_sum([v[i]*qv[i] for i in range(1,${DIM + 1})]) AS DOUBLE)
+      |      / sqrt(CAST(n2 AS DOUBLE)) / sqrt(CAST(qn2 AS DOUBLE)) AS cos
+      |  FROM n CROSS JOIN q WHERE vec_id <> q_id)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
+      |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM c) t WHERE rank <= 5""".stripMargin
+
+  // -------------------------------------------------------------- LSH ANN
+
+  private val LSH_BITS = 6
+
+  /** Deterministic pseudo-random hyperplane weights, derived from the same
+    * md5 construction as [[Qdsl.hash60]] so the oracle can recompute them:
+    * w(b, d) = hash60("b_d") % 2001 - 1000. */
+  private[queries] def lshWeight(b: Int, d: Int): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${b}_$d".getBytes(StandardCharsets.UTF_8))
+      .map(x => f"$x%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001 - 1000
+  }
+
+  /** LSH-bucketed approximate nearest neighbors: 6 random-hyperplane sign
+    * bits (wider at real scale — bits sized so buckets hold ~n/2^bits candidates) form a bucket id; candidates are bucket-mates only, ranked by
+    * exact cosine, top-3 per query. The bucket join is an equi-join Spark
+    * hash-partitions — at 100 TB each bucket holds ~n/2^16 vectors and no
+    * cross-bucket pair is ever considered (vs the O(n·q) brute scan). */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val bucketBits = (0 until LSH_BITS).map { b =>
+      val w = array((1 to DIM).map(d => lit(lshWeight(b, d))): _*)
+      when(dot(w, col("v")) > 0, 1L << b).otherwise(0L)
+    }
+    val bucketed = all.withColumn("bucket", bucketBits.reduce(_ + _))
+    val q = bucketed.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    bucketed.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("v"), col("qv")), col("n2"), col("qn2")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+
+  private val annLshSql =
+    s"""WITH iv AS (
+      |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v, list_sum([v[i]*v[i] for i in range(1,${DIM + 1})]) AS n2 FROM iv),
+      |bits AS (
+      |  SELECT vec_id, t.b,
+      |    list_sum([(CAST('0x' || substring(md5(t.b::VARCHAR || '_' || i::VARCHAR),1,15) AS BIGINT) % 2001 - 1000) * v[i]
+      |              for i in range(1,${DIM + 1})]) AS d
+      |  FROM n CROSS JOIN range($LSH_BITS) t(b)),
+      |bk AS (
+      |  SELECT vec_id, SUM(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
+      |  FROM bits GROUP BY vec_id),
+      |nv AS (SELECT n.vec_id, v, n2, bucket FROM n JOIN bk ON n.vec_id = bk.vec_id),
+      |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, bucket AS qbucket FROM nv WHERE vec_id < 20),
+      |c AS (
+      |  SELECT q_id, vec_id,
+      |    CAST(list_sum([v[i]*qv[i] for i in range(1,${DIM + 1})]) AS DOUBLE)
+      |      / sqrt(CAST(n2 AS DOUBLE)) / sqrt(CAST(qn2 AS DOUBLE)) AS cos
+      |  FROM nv JOIN q ON bucket = qbucket AND vec_id <> q_id)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
+      |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM c) t WHERE rank <= 3""".stripMargin
+
+  // ------------------------------------------------------ cosine near-dup
+
+  /** Embedding-cosine near-duplicate pairs, blocked by `label` (stand-in
+    * for an LSH/IVF blocking key at scale — never an unblocked O(n²)
+    * cross join): pairs within a block above a cosine threshold (0.3 here: the synthetic vectors are near-orthogonal, max in-block cosine ≈0.47). */
+  def embedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    v.as("a").join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(dot(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  private val embedNeardupSql =
+    s"""WITH iv AS (
+      |  SELECT vec_id, label, $ivecSql AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, v,
+      |    list_sum([v[i]*v[i] for i in range(1,${DIM + 1})]) AS n2 FROM iv)
+      |SELECT vec_a, vec_b, cos FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    CAST(list_sum([a.v[i]*b.v[i] for i in range(1,${DIM + 1})]) AS DOUBLE)
+      |      / sqrt(CAST(a.n2 AS DOUBLE)) / sqrt(CAST(b.n2 AS DOUBLE)) AS cos
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id) t
+      |WHERE cos >= 0.3""".stripMargin
+
+  // --------------------------------------------------------------- kmeans
+
+  /** KMeans assignment step (`KMeansMapFunction.cc:10-71`): nearest of k=10
+    * broadcast centers (the first 10 vectors) by exact integer squared-L2;
+    * reports per-center population and an id checksum. */
+  def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val c = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    all.join(broadcast(c))
+      .select(col("vec_id"), col("cid"), d2.as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_points"), sum(col("vec_id")).as("sum_vec_id"))
+  }
+
+  private val kmeansAssignSql =
+    s"""WITH iv AS (
+      |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM iv WHERE vec_id < 10),
+      |d AS (
+      |  SELECT iv.vec_id, c.cid,
+      |    list_sum([(v[i]-cv[i])*(v[i]-cv[i]) for i in range(1,${DIM + 1})]) AS dist
+      |  FROM iv CROSS JOIN c),
+      |a AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d) t WHERE rn = 1)
+      |SELECT cid, COUNT(*) AS n_points, SUM(vec_id) AS sum_vec_id FROM a GROUP BY cid""".stripMargin
+
+  val defs: Seq[GQuery] = Seq(
+    GQuery("q_knn_brute", knnBrute, Some(knnBruteSql), headline = true),
+    GQuery("q_ann_lsh", annLsh, Some(annLshSql)),
+    GQuery("q_embed_neardup", embedNeardup, Some(embedNeardupSql)),
+    GQuery("q_kmeans_assign", kmeansAssign, Some(kmeansAssignSql)))
+}

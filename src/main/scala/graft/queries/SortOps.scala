@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, Tables}
+import Qdsl._
+
+/** Sort-benchmark-shaped capabilities: deterministic record generation
+  * (gensort analog, `src/gensort/gensort.c:58`), global sort with
+  * validation summary (valsort analog, `src/scripts/valsort/validate.py`),
+  * data inflation (`RatioMapFunction.cc:8-42`) and key-prefix projection
+  * counting (`BytesCountMapFunction.cc:10-19`).
+  *
+  * The actual sortedness check (per-partition order + cross-partition
+  * boundary check, valsort's real algorithm) is engine-side and runs in
+  * SortOpsSpec via mapPartitions over the range-partitioned output —
+  * here the oracle-checked queries expose the order-independent parts
+  * (counts, checksums, extremes) that validate.py aggregates across nodes
+  * (`validate.py:269-300`).
+  */
+object SortOps {
+
+  /** gensort analog: n deterministic records keyed by md5(i), summarized
+    * by count/checksum/extremes. The generator is `spark.range` — purely
+    * parallel, zero shuffle until the single-row summary; n scales with
+    * the sf directory via a count of lineitem. */
+  def gensortChecksum(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.lineitem(s, dir).count()
+    s.range(n).toDF("i")
+      .select(md5(col("i").cast("string")).as("key"),
+        hash60(col("i")).as("h"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(col("h") % P).as("checksum"),
+        min(col("key")).as("min_key"),
+        max(col("key")).as("max_key"))
+  }
+
+  private val gensortChecksumSql =
+    """SELECT COUNT(*) AS n_records,
+      |  SUM(CAST('0x' || substring(md5(CAST(i AS VARCHAR)),1,15) AS BIGINT) % 1000000007) AS checksum,
+      |  MIN(md5(CAST(i AS VARCHAR))) AS min_key,
+      |  MAX(md5(CAST(i AS VARCHAR))) AS max_key
+      |FROM (SELECT (row_number() OVER ()) - 1 AS i FROM lineitem)""".stripMargin
+
+  /** valsort analog, order-independent half: record count, order-independent
+    * checksum of whole records, key extremes over the sort input — what
+    * validate.py's merge step checks across nodes. Pure aggregation: one
+    * partial-agg shuffle of a single row per partition. */
+  def valsortSummary(s: SparkSession, dir: String): DataFrame = {
+    val key = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+    val rec = concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    Tables.lineitem(s, dir)
+      .select(key.as("key"), hash60(rec).as("h"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(col("h") % P).as("checksum"),
+        min(col("key")).as("min_key"),
+        max(col("key")).as("max_key"))
+  }
+
+  private val valsortSummarySql =
+    """SELECT COUNT(*) AS n_records,
+      |  SUM(CAST('0x' || substring(md5(rec),1,15) AS BIGINT) % 1000000007) AS checksum,
+      |  MIN(key) AS min_key, MAX(key) AS max_key
+      |FROM (SELECT
+      |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) AS key,
+      |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' ||
+      |    CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR) || '|' ||
+      |    CAST(l_quantity AS VARCHAR) AS rec
+      |  FROM lineitem) t""".stripMargin
+
+  /** Ratio inflation (`RatioMapFunction.cc:8-42`): emit 3 copies of every
+    * event with a derived pseudo-random key, summarized per copy index.
+    * The explode is a generator inside the scan stage — the inflation
+    * never shuffles, only the 3-row summary does. */
+  def ratioInflate(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), explode(sequence(lit(0), lit(2))).as("copy_idx"))
+      .select(col("copy_idx"),
+        hashMod(concat_ws("_", col("event_id"), col("copy_idx"))).as("k"))
+      .groupBy(col("copy_idx"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("key_checksum"))
+
+  private val ratioInflateSql =
+    """SELECT copy_idx, COUNT(*) AS n,
+      |  SUM(CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '_' || CAST(copy_idx AS VARCHAR)),1,15) AS BIGINT) % 1000000007) AS key_checksum
+      |FROM events CROSS JOIN (SELECT range AS copy_idx FROM range(3)) t
+      |GROUP BY copy_idx""".stripMargin
+
+  /** BytesCount analog: project each record to a fixed-size key prefix and
+    * count — `substring(key, 1, N)` + hash aggregation. */
+  def prefixCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(substring(col("text"), 1, 10).as("prefix"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private val prefixCountSql =
+    """SELECT substring(text, 1, 10) AS prefix, COUNT(*) AS cnt
+      |FROM documents GROUP BY 1""".stripMargin
+
+  val defs: Seq[GQuery] = Seq(
+    GQuery("q_gensort_checksum", gensortChecksum, Some(gensortChecksumSql)),
+    GQuery("q_valsort_summary", valsortSummary, Some(valsortSummarySql)),
+    GQuery("q_ratio_inflate", ratioInflate, Some(ratioInflateSql)),
+    GQuery("q_prefix_count", prefixCount, Some(prefixCountSql)))
+}

@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, Tables}
+import Qdsl._
+
+/** Training-data pipeline operators over the `documents` corpus: exact and
+  * near deduplication (MinHash+LSH, SimHash, n-gram Jaccard), text quality
+  * scoring, language-ID, tokenization, and document fingerprinting.
+  *
+  * These extend the reference's word-oriented map/reduce library
+  * (`WordCountMapFunction.cc`, `NGramMapFunction.cc` — SURVEY.md §2.2) to
+  * the operations a large-scale LLM-data pipeline needs. Everything is
+  * declarative DataFrame code: one explode + one hash-partitioned
+  * aggregation per stage, so each query is a constant number of shuffles
+  * regardless of corpus size, and all heavy per-row math (md5, regex,
+  * array ops) runs inside whole-stage codegen.
+  *
+  * Determinism: every hash is [[Qdsl.hash60]] (md5-based, portable to the
+  * DuckDB oracle bit-for-bit); ratios are single IEEE divisions of exact
+  * integers, identical on both engines.
+  */
+object TextPipeline {
+
+  /** Non-empty whitespace tokens of `text`. */
+  private def ws: Column = words(col("text"))
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact deduplication, keep-first semantics: group by a normalized key
+    * (here the first 3 tokens — the full-text variant is identical code on
+    * a corpus with true byte dups), keep the minimum doc_id, count the
+    * rest. One hash shuffle; at 100 TB you'd group by md5(text) so the
+    * shuffle key is 16 bytes, not the document. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(concat_ws(" ", slice(ws, 1, 3)).as("key"), col("doc_id"))
+      .groupBy(col("key"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+
+  private val dedupExactSql =
+    """SELECT key, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs FROM (
+      |  SELECT array_to_string(list_filter(string_split(text,' '), w -> w != '')[1:3], ' ') AS key, doc_id
+      |  FROM documents) t
+      |GROUP BY key HAVING COUNT(*) > 1""".stripMargin
+
+  // -------------------------------------------------------------- minhash
+
+  /** The 8 affine re-hash constants (a, b) for the MinHash signature. */
+  private val minhashAB: Seq[(Int, Int)] =
+    Seq((2, 1), (3, 7), (5, 11), (7, 19), (11, 23), (13, 31), (17, 43), (19, 57))
+
+  /** Per-doc MinHash signature over distinct word-2-gram shingles. */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
+    val shingles = when(size(ws) >= 2,
+      array_distinct(transform(sequence(lit(1), size(ws) - 1),
+        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))))
+      .otherwise(array().cast("array<string>"))
+    val h = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingles).as("sh"))
+      .select(col("doc_id"), hashMod(col("sh")).as("h"))
+    val mins = minhashAB.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"m$i")
+    }
+    h.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup candidates: 8-hash signature, 4 bands of 2,
+    * bucket self-join, per-pair signature agreement count. The band
+    * explode keeps the join key small; the self-join is an equi-join on
+    * the band struct, so Spark hash-partitions buckets across the cluster
+    * — no O(n²) pair enumeration ever materializes. */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(s, dir)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(i => struct(lit(i).as("band"),
+        col(s"m${2 * i}").as("x"), col(s"m${2 * i + 1}").as("y"))): _*)).as("bk"))
+    val pairs = bands.as("l").join(bands.as("r"),
+        col("l.bk") === col("r.bk") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val la = minhashAB.indices.map(i => col(s"a.m$i").as(s"a$i"))
+    val lb = minhashAB.indices.map(i => col(s"b.m$i").as(s"b$i"))
+    pairs.join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a") +: col("doc_b") +: (la ++ lb): _*)
+      .select(col("doc_a"), col("doc_b"),
+        minhashAB.indices.map(i =>
+          when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+          .reduce(_ + _).cast("long").as("n_match"))
+  }
+
+  private val dedupMinhashSql = {
+    val mins = minhashAB.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a*h+$b) % 1000000007) AS m$i" }.mkString(", ")
+    val eqs = minhashAB.indices.map(i =>
+      s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ws AS (
+      |  SELECT doc_id, list_filter(string_split(text,' '), w -> w != '') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS sh
+      |  FROM ws WHERE len(w) >= 2),
+      |h AS (
+      |  SELECT doc_id, CAST('0x' || substring(md5(sh),1,15) AS BIGINT) % 1000000007 AS h FROM sh),
+      |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, unnest([[0,m0,m1],[1,m2,m3],[2,m4,m5],[3,m6,m7]]) AS bk FROM sig),
+      |pairs AS (
+      |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      |  FROM bands l JOIN bands r ON l.bk = r.bk AND l.doc_id < r.doc_id)
+      |SELECT doc_a, doc_b, CAST($eqs AS BIGINT) AS n_match
+      |FROM pairs JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 32-bit SimHash per document over the word multiset: per-word md5-hash,
+    * ±1 vote per bit position weighted by occurrence, majority sign forms
+    * the fingerprint. Two aggregations (doc×bit, then doc) — both
+    * hash-partitioned, map-side combined. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(ws).as("word"))
+      .select(col("doc_id"), (hash60(col("word")) % 4294967296L).as("h32"))
+      .select(col("doc_id"), col("h32"), explode(sequence(lit(0), lit(31))).as("i"))
+      .select(col("doc_id"), col("i"),
+        when(expr("shiftright(h32, i)") % 2 === 1, 1).otherwise(-1).as("v"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(sum(col("v")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), i)"))
+        .otherwise(0L)).as("simhash"))
+
+  private val dedupSimhashSql =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x != '')) AS word
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, CAST('0x' || substring(md5(word),1,15) AS BIGINT) % 4294967296 AS h32 FROM w),
+      |b AS (
+      |  SELECT doc_id, t.i, CASE WHEN (h32 >> t.i) & 1 = 1 THEN 1 ELSE -1 END AS v
+      |  FROM h CROSS JOIN range(32) t(i)),
+      |s AS (SELECT doc_id, i, SUM(v) AS s FROM b GROUP BY doc_id, i)
+      |SELECT doc_id, SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS simhash
+      |FROM s GROUP BY doc_id""".stripMargin
+
+  // -------------------------------------------------- n-gram jaccard dedup
+
+  /** Blocked n-gram Jaccard near-dup pairs: block by (lang, source) — at
+    * 100 TB blocking (or the LSH buckets above) is what keeps this from
+    * being an O(n²) cross join — then exact word-set Jaccard within each
+    * block, keeping pairs at ≥ 0.8. Intersection/union sizes are exact
+    * integers; the ratio is one IEEE division. */
+  def jaccardNeardup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(ws).as("w"))
+    val inter = size(array_intersect(col("a.w"), col("b.w"))).cast("long")
+    d.as("a").join(d.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        inter.as("n_inter"),
+        (size(col("a.w")) + size(col("b.w"))).cast("long").as("n_ab"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("n_ab") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast("double") /
+          (col("n_ab") - col("n_inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  private val jaccardNeardupSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_filter(string_split(text,' '), w -> w != '')) AS w
+      |  FROM documents)
+      |SELECT doc_a, doc_b, n_inter, n_union,
+      |  CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+      |FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_distinct(list_intersect(a.w, b.w))) AS BIGINT) AS n_inter,
+      |    CAST(len(a.w) + len(b.w) - len(list_distinct(list_intersect(a.w, b.w))) AS BIGINT) AS n_union
+      |  FROM d a JOIN d b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) t
+      |WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.8""".stripMargin
+
+  // -------------------------------------------------------- text analysis
+
+  /** Per-document quality signals: token counts, distinct ratio, mean token
+    * length, stopword ratio. Pure map-side projection — no shuffle at all,
+    * embarrassingly parallel at any scale. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val nStop = size(filter(ws, w => w.isInCollection(stop))).cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(ws).cast("long").as("n_tokens"),
+        size(array_distinct(ws)).cast("long").as("n_distinct"),
+        nStop.as("n_stop"),
+        (size(array_distinct(ws)).cast("double") / size(ws).cast("double"))
+          .as("distinct_ratio"),
+        ((length(col("text")) - size(ws) + 1).cast("double") /
+          size(ws).cast("double")).as("mean_token_len"),
+        (nStop.cast("double") / size(ws).cast("double")).as("stop_ratio"))
+  }
+
+  private val textQualitySql =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+      |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop,
+      |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS distinct_ratio,
+      |  CAST(length(text) - len(w) + 1 AS DOUBLE) / CAST(len(w) AS DOUBLE) AS mean_token_len,
+      |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+      |    / CAST(len(w) AS DOUBLE) AS stop_ratio
+      |FROM (SELECT doc_id, text,
+      |        list_filter(string_split(text,' '), x -> x != '') AS w
+      |      FROM documents) t""".stripMargin
+
+  /** Language-ID by stopword heuristic (the n-gram-profile shape of a real
+    * lang-ID, reduced to deterministic marker words), reported as a
+    * confusion matrix against the labeled `lang` column. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val t = concat(lit(" "), col("text"), lit(" "))
+    val predicted = when(t.contains(" the "), "en")
+      .when(t.contains(" der ") || t.contains(" und "), "de")
+      .when(t.contains(" el ") || t.contains(" los "), "es")
+      .when(t.contains(" le ") || t.contains(" les "), "fr")
+      .otherwise("und")
+    Tables.documents(s, dir)
+      .select(col("lang"), predicted.as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val langIdSql =
+    """SELECT lang,
+      |  CASE WHEN t LIKE '% the %' THEN 'en'
+      |       WHEN t LIKE '% der %' OR t LIKE '% und %' THEN 'de'
+      |       WHEN t LIKE '% el %' OR t LIKE '% los %' THEN 'es'
+      |       WHEN t LIKE '% le %' OR t LIKE '% les %' THEN 'fr'
+      |       ELSE 'und' END AS predicted,
+      |  COUNT(*) AS n
+      |FROM (SELECT lang, ' ' || text || ' ' AS t FROM documents) d
+      |GROUP BY 1, 2""".stripMargin
+
+  /** BPE-ish tokenization: alpha runs, digit runs, and single non-alnum
+    * marks, counted per document (regex identical under Java regex and
+    * RE2). */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_bpe"),
+        size(ws).cast("long").as("n_ws"))
+
+  private val tokenCountSql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+      |  CAST(len(list_filter(string_split(text,' '), w -> w != '')) AS BIGINT) AS n_ws
+      |FROM documents""".stripMargin
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash over the
+    * word-hash sequence, `fp = fold(0, (acc, h) -> (acc*31 + h) mod p)`.
+    * Runs entirely inside the scan projection (array fold, no shuffle). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        aggregate(transform(ws, w => hashMod(w)), lit(0L),
+          (acc, h) => (acc * 31 + h) % P).as("fp"))
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_filter(string_split(text,' '), w -> w != ''),
+      |        w -> CAST('0x' || substring(md5(w),1,15) AS BIGINT) % 1000000007)),
+      |    (acc, h) -> (acc*31 + h) % 1000000007) AS fp
+      |FROM documents""".stripMargin
+
+  val defs: Seq[GQuery] = Seq(
+    GQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
+    GQuery("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), headline = true),
+    GQuery("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
+    GQuery("q_jaccard_neardup", jaccardNeardup, Some(jaccardNeardupSql)),
+    GQuery("q_text_quality", textQuality, Some(textQualitySql)),
+    GQuery("q_lang_id", langId, Some(langIdSql)),
+    GQuery("q_token_count", tokenCount, Some(tokenCountSql)),
+    GQuery("q_fingerprint", fingerprint, Some(fingerprintSql)))
+}
