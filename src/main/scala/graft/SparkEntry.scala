@@ -19,7 +19,10 @@ object SparkEntry {
     TextPipeline.defs,
     Similarity.defs,
     Iterative.defs,
-    SortOps.defs)
+    SortOps.defs,
+    // binary decode isn't SQL-expressible → rows-only driver check
+    Seq(GQuery("q_media_features",
+      graft.operators.Multimodal.mediaFeatureStats _, None)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

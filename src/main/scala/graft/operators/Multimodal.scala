@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing for a training-data pipeline: media payloads
+  * travel as opaque `binary` columns next to typed metadata, and
+  * decode/feature-extract runs as a partition-local typed transform.
+  *
+  * The actual image/audio/video codecs are STUBBED — this container ships
+  * no decoders, so [[Multimodal.decodeStub]] derives deterministic fake
+  * features from the raw bytes. Everything around the stub is real and
+  * what matters at 100 TB: the schema (binary + metadata struct), the
+  * `Dataset[T]` encoder plumbing, partition-local batch processing via
+  * `mapPartitions` (one decoder init per partition, not per record — the
+  * same reason the reference gives map functions `configure`/`teardown`
+  * hooks, `mapreduce/functions/map/MapFunction.h:42`), and size-aware
+  * repartitioning so huge blobs don't skew partitions.
+  */
+object Multimodal {
+
+  /** A media record: opaque payload + typed metadata. */
+  case class MediaRecord(
+      media_id: Long,
+      kind: String, // "image" | "audio" | "video"
+      content: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int)
+
+  /** Extracted features (the decode stub's output). */
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      checksum: Long,
+      byte_histogram: Array[Long], // 16 buckets over the high nibble
+      n_frames_sampled: Int)
+
+  /** The decoder stub: a real pipeline would decode pixels / PCM here
+    * (e.g. via a JNI codec or `mapInArrow` to a Python worker). The fake
+    * is deterministic in the payload bytes so tests are stable. */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val hist = new Array[Long](16)
+    var checksum = 0L
+    var i = 0
+    while (i < r.content.length) {
+      val b = r.content(i) & 0xff
+      hist(b >> 4) += 1
+      checksum = (checksum * 31 + b) % 1000000007L
+      i += 1
+    }
+    // "frame sampling": one frame per 64-byte stride, as a real video
+    // sampler would pull every k-th frame
+    MediaFeatures(r.media_id, r.kind, r.content.length.toLong, checksum,
+      hist, (r.content.length + 63) / 64)
+  }
+
+  /** Feature extraction over a media dataset. `mapPartitions` so decoder
+    * state (here none; in a real pipeline the codec context) is built once
+    * per partition and rows stream through in one pass. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would go here
+      it.map(decodeStub)
+    }
+  }
+
+  /** Re-partition media so each task sees a bounded byte budget — blobs
+    * are orders of magnitude bigger than their metadata, so row-count
+    * partitioning under-utilizes or OOMs. Buckets records by cumulative
+    * payload size ranges via a range partition on a size-derived key. */
+  def repartitionBySize(media: Dataset[MediaRecord], targetPartitions: Int): Dataset[MediaRecord] =
+    media.repartitionByRange(targetPartitions,
+      length(col("content")).desc, col("media_id"))
+
+  /** Build a synthetic media dataset from the documents table (the corpus
+    * text bytes stand in for encoded payloads; kind/metadata derived
+    * deterministically). This is the ingest-edge adapter a real pipeline
+    * would replace with `spark.read.format("binaryFile")`. */
+  def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        col("text").cast("binary").as("content"),
+        (col("n_chars") % 64).cast("int").as("width"),
+        (col("n_chars") % 48).cast("int").as("height"),
+        lit(16000).as("sample_rate"))
+      .as[MediaRecord]
+  }
+
+  /** Summary query over extracted features (registered as a rows-only
+    * driver check — binary decode is not SQL-expressible in the oracle). */
+  def mediaFeatureStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(fromDocuments(spark, dir))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("checksum") % 1000000007L).as("checksum"),
+        sum(col("n_frames_sampled").cast("long")).as("n_frames"))
+  }
+}

@@ -90,7 +90,7 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane weights, derived from the same
     * md5 construction as [[Qdsl.hash60]] so the oracle can recompute them:
     * w(b, d) = hash60("b_d") % 2001 - 1000. */
-  private[queries] def lshWeight(b: Int, d: Int): Long = {
+  private[graft] def lshWeight(b: Int, d: Int): Long = {
     val md = MessageDigest.getInstance("MD5")
     val hex = md.digest(s"${b}_$d".getBytes(StandardCharsets.UTF_8))
       .map(x => f"$x%02x").mkString

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface for the engine's stream-shaped workloads.
+  *
+  * The reference is batch-only with hard phase barriers (`THEMIS_README:
+  * 39-40`); its one stream-shaped workload is click-log sessionization
+  * (`ClickLogSessionSummarizerReduceFunction.cc`). Here the same
+  * aggregations run unmodified over `readStream` sources — the transforms
+  * are written against DataFrame, so one definition serves batch (the
+  * oracle-checked `q_sessionize_gap` / `q_wordcount`) and streaming (these
+  * entry points, exercised with MemoryStream in StreamingSpec).
+  *
+  * Watermarking bounds state: sessions older than the watermark are
+  * finalized and evicted, which is what makes the operator viable on an
+  * unbounded 100 TB/day stream.
+  */
+object Sessions {
+
+  /** Gap-based session aggregation. Works on a batch OR streaming frame
+    * with columns (user_id, ts, value). On a stream, `withWatermark`
+    * must already be applied by the caller (see [[sessionizeStream]]). */
+  def sessionize(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming form: watermark + session window. Late events beyond
+    * `lateness` are dropped and closed sessions are emitted exactly once
+    * (append mode). */
+  def sessionizeStream(events: DataFrame, gap: String, lateness: String): DataFrame =
+    sessionize(events.withWatermark("ts", lateness), gap)
+
+  /** Streaming word count over a (ts, text) stream: tumbling-window word
+    * frequencies — the reference's WordCount as a continuous query. */
+  def wordCountStream(lines: DataFrame, window: String, lateness: String): DataFrame =
+    lines.withWatermark("ts", lateness)
+      .select(col("ts"), explode(split(col("text"), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("word"), col("cnt"))
+
+  /** File-source streaming ingest of an events directory: the engine's
+    * `readStream` entry for parquet drops. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+}

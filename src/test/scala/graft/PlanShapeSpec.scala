@@ -1,0 +1,72 @@
+package graft
+
+import graft.queries.{Relational, Similarity, ThemisOps}
+
+/** Physical-plan shape assertions — the 100 TB contract: filters reach the
+  * parquet scan, small sides broadcast, aggregations partial-agg before
+  * the shuffle, heavy expressions stay inside whole-stage codegen. A plan
+  * regression here is a scale bug even when results stay correct. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q6: selective predicates are pushed to the parquet scan") {
+    val p = plan(Relational.selectiveRevenue(spark, sfDir))
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_discount"))
+  }
+
+  test("q6: scan reads only the referenced columns") {
+    val p = plan(Relational.selectiveRevenue(spark, sfDir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("q3: filtered customer dimension broadcasts") {
+    val p = plan(Relational.topkOrders(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q3: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.topkOrders(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q1: aggregation is partial before the exchange") {
+    val p = plan(Relational.pricingSummary(spark, sfDir))
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0,
+      "expected HashAggregate + Exchange in plan")
+    assert(p.indexOf("HashAggregate", exchange) >= 0,
+      "expected final HashAggregate after the shuffle")
+  }
+
+  test("global sort uses range partitioning (phase-0 sampling analog)") {
+    val p = plan(Relational.sortGlobal(spark, sfDir))
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"))
+  }
+
+  test("wordcount: native explode, map-side combine, pruned scan, no UDFs") {
+    val p = plan(ThemisOps.wordCount(spark, sfDir))
+    assert(p.contains("Generate explode"), "tokenization must be a native generator")
+    assert(p.contains("partial_count"), "map-side combine before the shuffle")
+    assert(p.contains("ReadSchema: struct<text:string>"), "scan prunes to text only")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "no UDFs expected in the wordcount path")
+  }
+
+  test("kNN: query side broadcasts (no shuffle of the big side)") {
+    val p = plan(Similarity.knnBrute(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("LSH ANN: bucket join is an equi-join, not a cartesian product") {
+    val p = plan(Similarity.annLsh(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"))
+  }
+}
