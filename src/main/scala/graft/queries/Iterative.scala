@@ -44,13 +44,16 @@ object Iterative {
     try {
       var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
       for (_ <- 1 to 3) {
+        // Three fixed iterations chain lazily into one job over the cached
+        // edge list. For long/unbounded iteration counts, checkpoint every
+        // few rounds instead (lineage growth re-optimizes the whole prefix
+        // each step); at 3 the chain is cheaper than extra job boundaries.
         ranks = edgesD.join(ranks, col("src") === col("node"))
           .groupBy(col("dst"))
           .agg(sum(expr("rank DIV d")).as("contrib"))
           .select(col("dst").as("node"),
             expr("150000 + (850000 * contrib) DIV 1000000").as("rank"))
       }
-      // materialize before unpersisting the cached edge list
       ranks.localCheckpoint(eager = true)
     } finally edgesD.unpersist()
   }

@@ -75,7 +75,9 @@ object TextPipeline {
     * the band struct, so Spark hash-partitions buckets across the cluster
     * — no O(n²) pair enumeration ever materializes. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSig(s, dir)
+    // the signature table feeds three plan branches (band explode + two
+    // pair-side joins); checkpoint it so the shingle/md5 scan runs once
+    val sig = minhashSig(s, dir).localCheckpoint(true)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map(i => struct(lit(i).as("band"),
         col(s"m${2 * i}").as("x"), col(s"m${2 * i + 1}").as("y"))): _*)).as("bk"))
