@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point registering the engine's native
+  * functions for SQL use:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)      // or
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  *
+  * After which `SELECT themis_murmur64(key) FROM t` parses anywhere SQL
+  * runs — the SQL-surface twin of the `ThemisMurmur64(col)` column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("themis_murmur64"),
+      new ExpressionInfo(classOf[ThemisMurmur64].getName, "themis_murmur64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "themis_murmur64 takes exactly one argument")
+        ThemisMurmur64(children.head)
+      }))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, EOFException, File, FileInputStream, FileOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.TaskContext
+
+/** The reference's general record format: `{keyLength: uint32 LE,
+  * valueLength: uint32 LE, key bytes, value bytes}`
+  * (`mapreduce/common/KeyValuePair.h:12-23`), as reader + writer over
+  * (key: binary, value: binary) DataFrames.
+  *
+  * Variable-length records can't be split without scanning, so parallelism
+  * is per-file (one partition per file — the reference reads whole files
+  * per worker the same way, `WholeFileReader.cc:22-50`); writers emit one
+  * file per task. Zero-length keys/values round-trip (the reference's
+  * ZeroKeyMapFunction relies on them).
+  */
+object ThemisKV {
+
+  case class Rec(key: Array[Byte], value: Array[Byte])
+
+  /** Read a directory of themis-kv files: one partition per file. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = FixedWidthSource.listFiles(path).map(_.getPath)
+    spark.sparkContext.parallelize(files, math.max(1, files.size))
+      .flatMap { f =>
+        val in = new DataInputStream(
+          new BufferedInputStream(new FileInputStream(f), 1 << 20))
+        new Iterator[Rec] {
+          private var nextRec: Rec = advance()
+          private def advance(): Rec =
+            try {
+              val kl = readU32LE(in); val vl = readU32LE(in)
+              val k = new Array[Byte](kl); in.readFully(k)
+              val v = new Array[Byte](vl); in.readFully(v)
+              Rec(k, v)
+            } catch { case _: EOFException => in.close(); null }
+          override def hasNext: Boolean = nextRec != null
+          override def next(): Rec = {
+            val r = nextRec; nextRec = advance(); r
+          }
+        }
+      }.toDF()
+  }
+
+  /** Write (key, value) binary columns as themis-kv, one file per task. */
+  def write(df: DataFrame, path: String): Unit = {
+    new File(path).mkdirs()
+    df.select(col("key"), col("value")).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = TaskContext.getPartitionId()
+        val out = new BufferedOutputStream(new FileOutputStream(
+          new File(path, f"part-$pid%05d.kv")), 1 << 20)
+        try it.foreach { r =>
+          val k = r.getAs[Array[Byte]](0); val v = r.getAs[Array[Byte]](1)
+          writeU32LE(out, k.length); writeU32LE(out, v.length)
+          out.write(k); out.write(v)
+        } finally out.close()
+    }
+  }
+
+  /** Write fixed-width header-less records (the GraySort layout) so
+    * [[FixedWidthSource]] can read them back. */
+  def writeFixed(df: DataFrame, path: String, recordLen: Int, keyLen: Int): Unit = {
+    new File(path).mkdirs()
+    df.select(col("key"), col("value")).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = TaskContext.getPartitionId()
+        val out = new BufferedOutputStream(new FileOutputStream(
+          new File(path, f"part-$pid%05d.bin")), 1 << 20)
+        try it.foreach { r =>
+          val k = r.getAs[Array[Byte]](0); val v = r.getAs[Array[Byte]](1)
+          require(k.length == keyLen && v.length == recordLen - keyLen,
+            s"record shape ${k.length}/${v.length} != $keyLen/${recordLen - keyLen}")
+          out.write(k); out.write(v)
+        } finally out.close()
+    }
+  }
+
+  private def readU32LE(in: DataInputStream): Int = {
+    val b0 = in.read(); val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
+    if ((b0 | b1 | b2 | b3) < 0) throw new EOFException()
+    b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+  }
+  private def writeU32LE(out: java.io.OutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+  }
+}
