@@ -20,6 +20,7 @@ object SparkEntry {
     Similarity.defs,
     Iterative.defs,
     SortOps.defs,
+    GraphText.defs,
     // binary decode isn't SQL-expressible → rows-only driver check
     Seq(GQuery("q_media_features",
       graft.operators.Multimodal.mediaFeatureStats _, None)))

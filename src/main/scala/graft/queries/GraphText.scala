@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, Tables}
+import Qdsl._
+
+/** Markup/graph text operators from the reference's WEX and network
+  * pipelines: link extraction from markup
+  * (`WEXLinkExtractorMapFunction.cc:4-89`), text edge-list parsing into
+  * adjacency structures (`ParseNetworkMapFunction.cc` +
+  * `WEXAdjacencyToPageRankReducer.cc`), and deterministic graph synthesis
+  * (`GenRandomNetworkMapFunction.cc:17-122`).
+  */
+object GraphText {
+
+  /** WEX link extraction: documents are rendered to a markup column
+    * (deterministically — every word whose hash ≡ 0 mod 4 becomes a
+    * `<link><target>w</target></link>`), then the extractor pulls targets
+    * back out with `regexp_extract_all` + explode and counts inbound
+    * links per target — the reference's page→target edge extraction.
+    * Render + extract both run inside the scan projection; the only
+    * shuffle is the final count. */
+  def linkExtract(s: SparkSession, dir: String): DataFrame = {
+    val markup = array_join(transform(words(col("text")), w =>
+      when(hashMod(w) % 4 === 0,
+        concat(lit("<link><target>"), w, lit("</target></link>")))
+        .otherwise(w)), " ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), markup.as("markup"))
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(markup, '<target>([a-z0-9]+)</target>', 1)"))
+          .as("target"))
+      .groupBy(col("target"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
+
+  private val linkExtractSql =
+    """WITH m AS (
+      |  SELECT doc_id, array_to_string(list_transform(
+      |    list_filter(string_split(text,' '), w -> w != ''),
+      |    w -> CASE WHEN CAST('0x' || substring(md5(w),1,15) AS BIGINT) % 1000000007 % 4 = 0
+      |              THEN '<link><target>' || w || '</target></link>' ELSE w END), ' ') AS markup
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(markup, '<target>([a-z0-9]+)</target>', 1)) AS target
+      |  FROM m)
+      |SELECT target, COUNT(*) AS n_links, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM t GROUP BY target""".stripMargin
+
+  /** ParseNetwork: a text edge list ("src dst" lines, rendered from the
+    * events table) parsed back into per-vertex adjacency structure with
+    * the initial PageRank rank the WEXAdjacencyToPageRank reducer would
+    * attach (rank0 scaled by 1e6, split over out-edges). */
+  def parseNetwork(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.events(s, dir)
+      .select(concat_ws(" ", col("user_id"), col("event_id") % 500).as("line"))
+    lines
+      .select(split(col("line"), " ").as("p"))
+      .select(element_at(col("p"), 1).cast("long").as("src"),
+        element_at(col("p"), 2).cast("long").as("dst"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("degree"),
+        countDistinct(col("dst")).as("n_distinct"),
+        min(col("dst")).as("min_dst"),
+        max(col("dst")).as("max_dst"))
+      .select(col("src"), col("degree"), col("n_distinct"),
+        col("min_dst"), col("max_dst"),
+        expr("1000000 DIV degree").as("init_rank_share"))
+  }
+
+  private val parseNetworkSql =
+    """WITH lines AS (
+      |  SELECT CAST(user_id AS VARCHAR) || ' ' || CAST(event_id % 500 AS VARCHAR) AS line
+      |  FROM events),
+      |e AS (
+      |  SELECT CAST(string_split(line, ' ')[1] AS BIGINT) AS src,
+      |         CAST(string_split(line, ' ')[2] AS BIGINT) AS dst
+      |  FROM lines)
+      |SELECT src, COUNT(*) AS degree, COUNT(DISTINCT dst) AS n_distinct,
+      |  MIN(dst) AS min_dst, MAX(dst) AS max_dst,
+      |  1000000 // COUNT(*) AS init_rank_share
+      |FROM e GROUP BY src""".stripMargin
+
+  /** GenRandomNetwork: synthesize a deterministic random graph — node i
+    * gets 1 + (h(i) mod 4) out-edges to h(i‖j) mod n — and report the
+    * degree histogram plus an edge checksum. Generation is a pure
+    * projection over the node scan (no shuffle until the histogram). */
+  def genNetwork(s: SparkSession, dir: String): DataFrame = {
+    val n = lit(2000)
+    val nodes = Tables.part(s, dir).select((col("p_partkey") % 2000).as("i")).distinct()
+    val outdeg = (hashMod(col("i")) % 4 + 1).as("outdeg")
+    nodes.select(col("i"), outdeg)
+      .select(col("i"), col("outdeg"),
+        explode(transform(sequence(lit(0), col("outdeg") - 1),
+          j => hashMod(concat_ws("_", col("i"), j)) % n)).as("dst"))
+      .groupBy(col("outdeg"))
+      .agg(countDistinct(col("i")).as("n_nodes"),
+        count(lit(1)).as("n_edges"),
+        sum(col("dst")).as("dst_checksum"))
+  }
+
+  private val genNetworkSql =
+    """WITH nodes AS (SELECT DISTINCT p_partkey % 2000 AS i FROM part),
+      |d AS (SELECT i, CAST('0x' || substring(md5(CAST(i AS VARCHAR)),1,15) AS BIGINT) % 1000000007 % 4 + 1 AS outdeg FROM nodes),
+      |e AS (
+      |  SELECT i, outdeg,
+      |    CAST('0x' || substring(md5(CAST(i AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)),1,15) AS BIGINT) % 1000000007 % 2000 AS dst
+      |  FROM d CROSS JOIN range(4) j(j) WHERE j.j < outdeg)
+      |SELECT outdeg, COUNT(DISTINCT i) AS n_nodes, COUNT(*) AS n_edges,
+      |  SUM(dst) AS dst_checksum
+      |FROM e GROUP BY outdeg""".stripMargin
+
+  val defs: Seq[GQuery] = Seq(
+    GQuery("q_link_extract", linkExtract, Some(linkExtractSql)),
+    GQuery("q_parse_network", parseNetwork, Some(parseNetworkSql)),
+    GQuery("q_gen_network", genNetwork, Some(genNetworkSql)))
+}
