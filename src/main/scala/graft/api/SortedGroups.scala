@@ -26,9 +26,20 @@ object SortedGroups {
     * shuffle; `orderCols` are the secondary sort within each group. */
   def flatMapSortedGroups[O: Encoder](
       df: DataFrame, keyCols: Seq[String], orderCols: Seq[String])(
+      f: (Row, Seq[Row]) => Iterator[O]): Dataset[O] =
+    flatMapSortedGroupsPrePartitioned(
+      df.repartition(keyCols.map(col): _*), keyCols, orderCols)(f)
+
+  /** Same contract over an input the caller already partitioned (any
+    * key-preserving partitioner: hash, range, murmur-range, single).
+    * Each key group must be wholly contained in one partition — true for
+    * every [[graft.api.ThemisJob.PartitionFn]] except RandomPartition,
+    * which the reference likewise only uses for phase-0 sample scatter,
+    * never ahead of a reduce. */
+  def flatMapSortedGroupsPrePartitioned[O: Encoder](
+      df: DataFrame, keyCols: Seq[String], orderCols: Seq[String])(
       f: (Row, Seq[Row]) => Iterator[O]): Dataset[O] = {
     val sorted = df
-      .repartition(keyCols.map(col): _*)
       .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
     val names = sorted.columns
     val kpos = keyCols.map(c => names.indexOf(c))
