@@ -75,25 +75,26 @@ object TextPipeline {
     * the band struct, so Spark hash-partitions buckets across the cluster
     * — no O(n²) pair enumeration ever materializes. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    // the signature table feeds three plan branches (band explode + two
-    // pair-side joins); checkpoint it so the shingle/md5 scan runs once
+    // the signature table feeds the band explode on both join sides;
+    // checkpoint it so the shingle/md5 scan runs once
     val sig = minhashSig(s, dir).localCheckpoint(true)
-    val bands = sig.select(col("doc_id"), explode(array(
-      (0 until 4).map(i => struct(lit(i).as("band"),
+    // each band row carries the full signature, so pair agreement is
+    // computed inline on the bucket join — no second lookup join, and the
+    // duplicate candidates from multi-band collisions collapse in the
+    // final (doc_a, doc_b) aggregation (one shuffle)
+    val bands = sig.select(col("doc_id"),
+      struct(minhashAB.indices.map(i => col(s"m$i")): _*).as("sig"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
         col(s"m${2 * i}").as("x"), col(s"m${2 * i + 1}").as("y"))): _*)).as("bk"))
-    val pairs = bands.as("l").join(bands.as("r"),
+    val nMatch = minhashAB.indices.map(i =>
+      when(col(s"l.sig.m$i") === col(s"r.sig.m$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    bands.as("l").join(bands.as("r"),
         col("l.bk") === col("r.bk") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
-    val la = minhashAB.indices.map(i => col(s"a.m$i").as(s"a$i"))
-    val lb = minhashAB.indices.map(i => col(s"b.m$i").as(s"b$i"))
-    pairs.join(sig.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
-      .select(col("doc_a") +: col("doc_b") +: (la ++ lb): _*)
-      .select(col("doc_a"), col("doc_b"),
-        minhashAB.indices.map(i =>
-          when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
-          .reduce(_ + _).cast("long").as("n_match"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        nMatch.as("m"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("m")).as("n_match"))
   }
 
   private val dedupMinhashSql = {
