@@ -148,6 +148,76 @@ object Similarity {
       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
       |  FROM c) t WHERE rank <= 3""".stripMargin
 
+  // -------------------------------------------------------------- IVF ANN
+
+  /** IVF-style approximate nearest neighbors: k=8 coarse cells (seeded
+    * from the first 8 vectors), every vector assigned to its nearest cell
+    * by exact integer L2; each query probes its 2 nearest cells and ranks
+    * only those cells' members by cosine, top-3. At 100 TB the coarse
+    * centers broadcast (they are k×dim, tiny), the cell assignment is a
+    * map-side argmin, and the probe join is an equi-join on cell id —
+    * the classic inverted-file layout as relational plan. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val c = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val distToCells = all.join(broadcast(c))
+      .select(col("vec_id"), col("label"), col("v"), col("n2"), col("cid"), d2.as("dist"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    val assigned = distToCells
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
+    val probes = distToCells
+      .filter(col("vec_id") < 20)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cid").as("cell"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes),
+        Seq("cell"), "inner")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("v"), col("qv")), col("n2"), col("qn2")).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+
+  private val annIvfSql =
+    s"""WITH iv AS (
+      |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v, list_sum([v[i]*v[i] for i in range(1,${DIM + 1})]) AS n2 FROM iv),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
+      |d AS (
+      |  SELECT n.vec_id, n.v, n.n2, c.cid,
+      |    list_sum([(v[i]-cv[i])*(v[i]-cv[i]) for i in range(1,${DIM + 1})]) AS dist
+      |  FROM n CROSS JOIN c),
+      |assigned AS (
+      |  SELECT vec_id, v, n2, cid AS cell FROM (
+      |    SELECT vec_id, v, n2, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, v AS qv, n2 AS qn2, cid AS cell FROM (
+      |    SELECT vec_id, v, n2, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d WHERE vec_id < 20) t WHERE rn <= 2),
+      |cand AS (
+      |  SELECT q_id, a.vec_id,
+      |    CAST(list_sum([a.v[i]*p.qv[i] for i in range(1,${DIM + 1})]) AS DOUBLE)
+      |      / sqrt(CAST(a.n2 AS DOUBLE)) / sqrt(CAST(p.qn2 AS DOUBLE)) AS cos
+      |  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
+      |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM cand) t WHERE rank <= 3""".stripMargin
+
   // ------------------------------------------------------ cosine near-dup
 
   /** Embedding-cosine near-duplicate pairs, blocked by `label` (stand-in
@@ -213,6 +283,7 @@ object Similarity {
   val defs: Seq[GQuery] = Seq(
     GQuery("q_knn_brute", knnBrute, Some(knnBruteSql), headline = true),
     GQuery("q_ann_lsh", annLsh, Some(annLshSql)),
+    GQuery("q_ann_ivf", annIvf, Some(annIvfSql)),
     GQuery("q_embed_neardup", embedNeardup, Some(embedNeardupSql)),
     GQuery("q_kmeans_assign", kmeansAssign, Some(kmeansAssignSql)))
 }

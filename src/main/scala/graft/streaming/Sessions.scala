@@ -49,9 +49,14 @@ object Sessions {
       .select(col("window.start").as("window_start"), col("word"), col("cnt"))
 
   /** File-source streaming ingest of an events directory: the engine's
-    * `readStream` entry for parquet drops. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    * `readStream` entry for parquet drops. The driver testdata carries
+    * TIMESTAMP(NANOS), which Spark 4 maps to long (see
+    * `core/Tables.events`); surfaced here as a microsecond timestamp. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
-      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
 }

@@ -40,6 +40,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size === 3, "user 1 splits into two sessions, user 2 one")
   }
 
+  test("file-source events stream sessionizes like the batch table") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("events_stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val stream = Sessions.sessionizeStream(
+      Sessions.eventsStream(spark, dir.toString)
+        .select("user_id", "ts", "value"), "6 hours", "0 seconds")
+    val q = stream.writeStream.format("memory")
+      .queryName("file_sess").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("file_sess").collect().map(_.toSeq).toSet
+
+    val batch = Sessions.sessionize(
+      graft.core.Tables.events(spark, sfDir)
+        .select("user_id", "ts", "value"), "6 hours")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming word count emits windowed counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
