@@ -69,4 +69,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"))
   }
+
+  test("minhash: no cartesian product, candidates from an equi-join") {
+    val p = plan(graft.queries.TextPipeline.dedupMinhash(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("jaccard near-dup: block keys drive an equi-join") {
+    val p = plan(graft.queries.TextPipeline.jaccardNeardup(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("IVF ANN: coarse centers and probes broadcast") {
+    val p = plan(Similarity.annIvf(spark, sfDir))
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      "the only nested-loop join allowed is the broadcast center cross join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sessionize_gap: session window aggregates without a global sort") {
+    val p = plan(ThemisOps.sessionizeGap(spark, sfDir))
+    assert(p.contains("SessionWindow") || p.contains("session_window"))
+    assert(!p.contains("Sort [") || !p.contains("global"),
+      "sessionization must stay partition-local")
+  }
 }
