@@ -64,4 +64,50 @@ object SortedGroups {
       }.flatten
     }
   }
+
+  /** Single-pass variant for giant groups: the reducer sees each group as
+    * a lazy iterator that is never materialized — a group larger than
+    * executor memory streams through (the scalable analog of the
+    * reference's phase-3 multi-buffer reduce, `main.cc:794-806`). The
+    * trade: no re-iteration (the reference's two-pass reducers like
+    * InvertedIndex need [[flatMapSortedGroups]] instead), and the reducer
+    * must fully consume or discard the iterator before the next group. */
+  def flatMapStreamingGroups[O: Encoder](
+      df: DataFrame, keyCols: Seq[String], orderCols: Seq[String])(
+      f: (Row, Iterator[Row]) => Iterator[O]): Dataset[O] = {
+    val sorted = df
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+    val names = sorted.columns
+    val kpos = keyCols.map(c => names.indexOf(c))
+    require(kpos.forall(_ >= 0), s"key columns $keyCols not all in ${names.mkString(",")}")
+    def keyOf(r: Row): Seq[Any] = kpos.map(r.get(_) match {
+      case b: Array[Byte] => b.toSeq
+      case v => v
+    })
+    sorted.mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[Iterator[O]] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): Iterator[O] = {
+          val key = keyOf(buf.head)
+          val groupIt = new Iterator[Row] {
+            def hasNext: Boolean = buf.hasNext && keyOf(buf.head) == key
+            def next(): Row = buf.next()
+          }
+          val out = f(buf.head, groupIt)
+          // exhaust any unconsumed remainder so the outer iterator always
+          // lands on the next group boundary
+          new Iterator[O] {
+            def hasNext: Boolean = {
+              val h = out.hasNext
+              if (!h) while (groupIt.hasNext) groupIt.next()
+              h
+            }
+            def next(): O = out.next()
+          }
+        }
+      }.flatten
+    }
+  }
 }
