@@ -286,7 +286,63 @@ object TextPipeline {
       |    (acc, h) -> (acc*31 + h) % 1000000007) AS fp
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------ composed clean pipeline
+
+  /** The end-to-end corpus-cleaning workflow a training-data pipeline
+    * runs, composed from the stages above: quality gate (token count and
+    * stopword ratio) → near-dup removal (drop the higher doc_id of every
+    * Jaccard-0.8 pair — keep-first) → fingerprint the survivors. Output
+    * is the per-(lang, source) survivor census with a corpus checksum.
+    * Plan shape: one scan feeds the gate; the pair join is block-local;
+    * the anti-join removes losers; one final aggregation. */
+  def pipelineClean(s: SparkSession, dir: String): DataFrame = {
+    val quality = Tables.documents(s, dir)
+      .withColumn("w", ws)
+      .filter(size(col("w")) >= 10 &&
+        size(filter(col("w"), w => w.isInCollection(Seq("the", "a", "of"))))
+          .cast("double") / size(col("w")).cast("double") < 0.5)
+    val losers = jaccardNeardup(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    quality.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("lang"), col("source"), col("doc_id"),
+        aggregate(transform(col("w"), w => hashMod(w)), lit(0L),
+          (acc, h) => (acc * 31 + h) % P).as("fp"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("fp")).as("fp_checksum"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
+  private val pipelineCleanSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source,
+      |    list_filter(string_split(text,' '), w -> w != '') AS w
+      |  FROM documents),
+      |q AS (
+      |  SELECT * FROM d
+      |  WHERE len(w) >= 10
+      |    AND CAST(len(list_filter(w, x -> x IN ('the','a','of'))) AS DOUBLE)
+      |        / CAST(len(w) AS DOUBLE) < 0.5),
+      |dd AS (SELECT doc_id, lang, source, list_distinct(w) AS dw FROM d),
+      |losers AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM dd a JOIN dd b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_distinct(list_intersect(a.dw, b.dw))) AS DOUBLE)
+      |      / CAST(len(a.dw) + len(b.dw) - len(list_distinct(list_intersect(a.dw, b.dw))) AS DOUBLE) >= 0.8),
+      |kept AS (
+      |  SELECT q.lang, q.source, q.doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(q.w, x -> CAST('0x' || substring(md5(x),1,15) AS BIGINT) % 1000000007)),
+      |      (acc, h) -> (acc*31 + h) % 1000000007) AS fp
+      |  FROM q ANTI JOIN losers ON q.doc_id = losers.doc_id)
+      |SELECT lang, source, COUNT(*) AS n_docs, SUM(fp) AS fp_checksum,
+      |  MIN(doc_id) AS first_doc
+      |FROM kept GROUP BY lang, source""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q_pipeline_clean", pipelineClean, Some(pipelineCleanSql), headline = true),
     GQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     GQuery("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), headline = true),
     GQuery("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
