@@ -202,7 +202,52 @@ object ThemisOps {
     }.toDF("user_id", "start_ms", "end_ms", "n_events", "first_type", "last_type")
   }
 
+  /** InvertedIndex in the reference's true output shape
+    * (`InvertedIndexReduceFunction.cc:6-45` concatenates every posting
+    * into one record per word): word → sorted posting array. Sorted so
+    * the array is deterministic; bounded here by the corpus vocabulary —
+    * at 100 TB hot words make posting arrays the classic skew object, so
+    * the stats form (q_inverted_index) is the headline and this is the
+    * exact-shape variant. */
+  def postingLists(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .distinct()
+      .groupBy(col("word"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
+        count(lit(1)).as("df"))
+
+  private val postingListsSql =
+    """SELECT word, list_sort(list(DISTINCT doc_id)) AS postings,
+      |  COUNT(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id,
+      |        unnest(list_filter(string_split(text,' '), w -> w != '')) AS word
+      |      FROM documents) t
+      |GROUP BY word""".stripMargin
+
+  /** Multi-level aggregation (ROLLUP) over the order lifecycle — a free
+    * Spark capability with no reference counterpart (Themis has no
+    * grouping sets), included for engine completeness. */
+  def rollupOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sumDec(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+
+  private val rollupOrdersSql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q_posting_lists", postingLists, Some(postingListsSql)),
+    GQuery("q_rollup_orders", rollupOrders, Some(rollupOrdersSql)),
     GQuery("q_wordcount", wordCount, Some(wordCountSql), headline = true),
     GQuery("q_ngram", ngramCount, Some(ngramCountSql)),
     GQuery("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
