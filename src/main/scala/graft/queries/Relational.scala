@@ -250,7 +250,31 @@ object Relational {
       |      FROM events) t
       |GROUP BY event_type""".stripMargin
 
+  /** The `spark.sql` textual surface over registered views — identical
+    * semantics to the DataFrame plans (Catalyst parses both into the same
+    * logical algebra), demonstrated with a join + agg + top-k. */
+  def sqlTopCustomers(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("g_orders")
+    Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+    s.sql("""
+      SELECT c_custkey, c_mktsegment,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+      FROM g_orders JOIN g_customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_mktsegment
+      ORDER BY total_spend DESC, c_custkey
+      LIMIT 10""")
+  }
+
+  private val sqlTopCustomersSql =
+    """SELECT c_custkey, c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_mktsegment
+      |ORDER BY total_spend DESC, c_custkey LIMIT 10""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q_sql_top_customers", sqlTopCustomers, Some(sqlTopCustomersSql)),
     GQuery("q1_pricing_summary", pricingSummary, Some(pricingSummarySql), headline = true),
     GQuery("q6_selective_revenue", selectiveRevenue, Some(selectiveRevenueSql)),
     GQuery("q3_topk_orders", topkOrders, Some(topkOrdersSql), headline = true),
