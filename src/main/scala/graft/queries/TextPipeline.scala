@@ -151,6 +151,37 @@ object TextPipeline {
       |SELECT doc_id, SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS simhash
       |FROM s GROUP BY doc_id""".stripMargin
 
+  /** SimHash near-dup pairs: candidates share at least one of the 4
+    * 8-bit bands of the 32-bit fingerprint (any pair within Hamming
+    * distance 3 must agree on ≥1 band — pigeonhole), then exact Hamming
+    * ≤ 3 via bit_count on the XOR. Same ban-the-cross-join shape as
+    * MinHash: band equi-join, never O(n²). */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = dedupSimhash(s, dir).localCheckpoint(true)
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+        (expr(s"shiftright(simhash, ${8 * b})") % 256).as("v"))): _*)).as("bk"))
+    bands.as("l").join(bands.as("r"),
+        col("l.bk") === col("r.bk") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        expr("bit_count(l.simhash ^ r.simhash)").cast("long").as("hamming"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("hamming")).as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
+  private val simhashPairsSql =
+    s"""WITH sig AS ($dedupSimhashSql),
+      |bands AS (
+      |  SELECT doc_id, simhash, [t.b, (simhash >> (8*t.b)) % 256] AS bk
+      |  FROM sig CROSS JOIN range(4) t(b))
+      |SELECT doc_a, doc_b, hamming FROM (
+      |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+      |    MIN(CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT)) AS hamming
+      |  FROM bands l JOIN bands r ON l.bk = r.bk AND l.doc_id < r.doc_id
+      |  GROUP BY l.doc_id, r.doc_id) t
+      |WHERE hamming <= 3""".stripMargin
+
   // -------------------------------------------------- n-gram jaccard dedup
 
   /** Blocked n-gram Jaccard near-dup pairs: block by (lang, source) — at
@@ -346,6 +377,7 @@ object TextPipeline {
     GQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     GQuery("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), headline = true),
     GQuery("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
+    GQuery("q_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     GQuery("q_jaccard_neardup", jaccardNeardup, Some(jaccardNeardupSql)),
     GQuery("q_text_quality", textQuality, Some(textQualitySql)),
     GQuery("q_lang_id", langId, Some(langIdSql)),
