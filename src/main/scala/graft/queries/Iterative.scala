@@ -48,7 +48,10 @@ object Iterative {
         // edge list. For long/unbounded iteration counts, checkpoint every
         // few rounds instead (lineage growth re-optimizes the whole prefix
         // each step); at 3 the chain is cheaper than extra job boundaries.
-        ranks = edgesD.join(ranks, col("src") === col("node"))
+        // shuffled-hash join, building on the node-state side: avoids
+        // re-sorting the cached edge list every iteration (SMJ would),
+        // and unlike a broadcast stays valid when node state is huge
+        ranks = edgesD.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
           .groupBy(col("dst"))
           .agg(sum(expr("rank DIV d")).as("contrib"))
           .select(col("dst").as("node"),
