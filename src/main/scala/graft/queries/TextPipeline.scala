@@ -317,6 +317,47 @@ object TextPipeline {
       |    (acc, h) -> (acc*31 + h) % 1000000007) AS fp
       |FROM documents""".stripMargin
 
+  /** TF-IDF top terms: term frequency per (doc, word) joined with
+    * document frequency, scored with a rational idf (N·1e6 DIV df —
+    * integer-exact; `ln` is not correctly-rounded-portable across
+    * engines), top-3 terms per doc. The df table is vocabulary-sized and
+    * broadcastable; scoring is one join + one per-doc window. */
+  def tfidfTop(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val n = d.count()
+    val tf = d.select(col("doc_id"), explode(ws).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(broadcast(df), "word")
+      .select(col("doc_id"), col("word"),
+        (col("tf") * expr(s"${n}000000 DIV df")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("word"), col("score"))
+  }
+
+  private val tfidfTopSql =
+    """WITH tf AS (
+      |  SELECT doc_id, word, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(list_filter(string_split(text,' '), w -> w != '')) AS word
+      |    FROM documents) t
+      |  GROUP BY doc_id, word),
+      |dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, word, tf * ((n.n * 1000000) // df) AS score
+      |  FROM tf JOIN dfreq USING (word) CROSS JOIN n)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, score FROM (
+      |  SELECT doc_id, word, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rank
+      |  FROM scored) t WHERE rank <= 3""".stripMargin
+
   // ------------------------------------------------ composed clean pipeline
 
   /** The end-to-end corpus-cleaning workflow a training-data pipeline
@@ -382,5 +423,6 @@ object TextPipeline {
     GQuery("q_text_quality", textQuality, Some(textQualitySql)),
     GQuery("q_lang_id", langId, Some(langIdSql)),
     GQuery("q_token_count", tokenCount, Some(tokenCountSql)),
-    GQuery("q_fingerprint", fingerprint, Some(fingerprintSql)))
+    GQuery("q_fingerprint", fingerprint, Some(fingerprintSql)),
+    GQuery("q_tfidf_top", tfidfTop, Some(tfidfTopSql)))
 }
