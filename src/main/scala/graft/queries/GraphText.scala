@@ -113,8 +113,40 @@ object GraphText {
       |  SUM(dst) AS dst_checksum
       |FROM e GROUP BY outdeg""".stripMargin
 
+  /** GenPowerLawRandomNetwork (`GenPowerLawRandomNetworkMapFunction.cc`):
+    * heavy-tailed out-degrees via integer inverse-transform sampling
+    * (outdeg(i) = max(1, 400 / (1 + h(i) mod 400)) ⇒ P(outdeg ≥ d) ∝ 1/d),
+    * reported as a log2 degree histogram. Edge targets stay implicit —
+    * the degree sequence is the power-law property under test. */
+  def genPowerlaw(s: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.part(s, dir).select((col("p_partkey") % 2000).as("i")).distinct()
+    nodes.select(col("i"), hashMod(col("i")).as("h"))
+      .select(col("i"),
+        greatest(lit(1L), expr("400 DIV (h % 400 + 1)")).as("outdeg"))
+      // integer log2 via binary digit count — FP log2 rounds differently
+      // across engines at exact powers of two
+      .select(col("i"), col("outdeg"),
+        (length(conv(col("outdeg"), 10, 2)) - 1).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("outdeg")).as("n_edges"),
+        min(col("outdeg")).as("min_deg"),
+        max(col("outdeg")).as("max_deg"))
+  }
+
+  private val genPowerlawSql =
+    """WITH nodes AS (SELECT DISTINCT p_partkey % 2000 AS i FROM part),
+      |d AS (
+      |  SELECT i, GREATEST(1, 400 // (CAST('0x' || substring(md5(CAST(i AS VARCHAR)),1,15) AS BIGINT) % 1000000007 % 400 + 1)) AS outdeg
+      |  FROM nodes)
+      |SELECT CAST(length(bin(outdeg)) - 1 AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_nodes, SUM(outdeg) AS n_edges,
+      |  MIN(outdeg) AS min_deg, MAX(outdeg) AS max_deg
+      |FROM d GROUP BY 1""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q_link_extract", linkExtract, Some(linkExtractSql)),
     GQuery("q_parse_network", parseNetwork, Some(parseNetworkSql)),
-    GQuery("q_gen_network", genNetwork, Some(genNetworkSql)))
+    GQuery("q_gen_network", genNetwork, Some(genNetworkSql)),
+    GQuery("q_gen_powerlaw", genPowerlaw, Some(genPowerlawSql)))
 }

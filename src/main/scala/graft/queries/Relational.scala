@@ -273,7 +273,29 @@ object Relational {
       |GROUP BY c_custkey, c_mktsegment
       |ORDER BY total_spend DESC, c_custkey LIMIT 10""".stripMargin
 
+  /** Exact quartiles per group. Only binary-exact fractions (.25/.5/.75)
+    * so Spark's `(1-g)·a + g·b` and DuckDB's interpolation agree bitwise
+    * on the integral quantity data; p90-style fractions would diverge in
+    * the last ulp. */
+  def quantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("q50"),
+        expr("percentile(l_quantity, 0.75)").as("q75"),
+        count(lit(1)).as("n"))
+
+  private val quantilesSql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.5) AS q50,
+      |  quantile_cont(l_quantity, 0.75) AS q75,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q_quantiles", quantiles, Some(quantilesSql)),
     GQuery("q_sql_top_customers", sqlTopCustomers, Some(sqlTopCustomersSql)),
     GQuery("q1_pricing_summary", pricingSummary, Some(pricingSummarySql), headline = true),
     GQuery("q6_selective_revenue", selectiveRevenue, Some(selectiveRevenueSql)),
