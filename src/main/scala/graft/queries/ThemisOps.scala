@@ -174,8 +174,9 @@ object ThemisOps {
     * (not the idle gap) — stateful scan over each user's time-sorted events
     * via the sorted-group reducer contract (SortedGroups). Not expressible
     * as single-pass ANSI SQL window functions (the boundary is recursive),
-    * so no DuckDB oracle: covered by ThemisOpsSpec against a reference
-    * in-memory implementation. */
+    * the oracle is a recursive CTE re-deriving each user's
+    * session-start chain; SessionizeParitySpec additionally checks an
+    * in-memory reference implementation. */
   def sessionizeThemis(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val threshold = 6L * 3600 * 1000 // ms
@@ -245,6 +246,28 @@ object ThemisOps {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
 
+
+  private val sessionizeThemisSql =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+      |starts AS (
+      |  SELECT user_id, MIN(ms) AS start_ms FROM e GROUP BY user_id
+      |  UNION ALL
+      |  SELECT s.user_id,
+      |    (SELECT MIN(ms) FROM e WHERE e.user_id = s.user_id AND e.ms >= s.start_ms + 21600000)
+      |  FROM starts s
+      |  WHERE EXISTS (SELECT 1 FROM e WHERE e.user_id = s.user_id AND e.ms >= s.start_ms + 21600000))
+      |SELECT s.user_id, s.start_ms, MAX(e.ms) AS end_ms, COUNT(*) AS n_events,
+      |  (SELECT e2.event_type FROM e e2 WHERE e2.user_id = s.user_id
+      |     AND e2.ms >= s.start_ms AND e2.ms < s.start_ms + 21600000
+      |   ORDER BY e2.ms, e2.event_type LIMIT 1) AS first_type,
+      |  (SELECT e2.event_type FROM e e2 WHERE e2.user_id = s.user_id
+      |     AND e2.ms >= s.start_ms AND e2.ms < s.start_ms + 21600000
+      |   ORDER BY e2.ms DESC, e2.event_type DESC LIMIT 1) AS last_type
+      |FROM starts s JOIN e ON e.user_id = s.user_id
+      |  AND e.ms >= s.start_ms AND e.ms < s.start_ms + 21600000
+      |GROUP BY s.user_id, s.start_ms""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q_posting_lists", postingLists, Some(postingListsSql)),
     GQuery("q_rollup_orders", rollupOrders, Some(rollupOrdersSql)),
@@ -256,5 +279,6 @@ object ThemisOps {
     GQuery("q_dup_keys", dupKeys, Some(dupKeysSql)),
     GQuery("q_sum_values", sumValues, Some(sumValuesSql)),
     GQuery("q_sessionize_gap", sessionizeGap, Some(sessionizeGapSql), headline = true),
-    GQuery("q_sessionize_themis", sessionizeThemis, None))
+    GQuery("q_sessionize_themis", sessionizeThemis, Some(sessionizeThemisSql)))
+
 }
