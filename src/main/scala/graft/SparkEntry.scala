@@ -21,9 +21,22 @@ object SparkEntry {
     Iterative.defs,
     SortOps.defs,
     GraphText.defs,
-    // binary decode isn't SQL-expressible → rows-only driver check
+    // the decode stub folds over the payload bytes (ASCII text here), so
+    // the oracle re-derives the same fold over character codes
     Seq(GQuery("q_media_features",
-      graft.operators.Multimodal.mediaFeatureStats _, None)))
+      graft.operators.Multimodal.mediaFeatureStats _,
+      Some("""WITH f AS (
+        |  SELECT doc_id,
+        |    ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+        |    length(text) AS n_bytes,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(text, '.'), c -> CAST(unicode(c) AS BIGINT))),
+        |      (acc, b) -> (acc*31 + b) % 1000000007) AS checksum,
+        |    (length(text) + 63) // 64 AS n_frames
+        |  FROM documents)
+        |SELECT kind, COUNT(*) AS n_media, SUM(n_bytes) AS total_bytes,
+        |  SUM(checksum % 1000000007) AS checksum, SUM(n_frames) AS n_frames
+        |FROM f GROUP BY kind""".stripMargin))))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
