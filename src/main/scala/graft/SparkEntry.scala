@@ -34,8 +34,9 @@ object SparkEntry {
         |      (acc, b) -> (acc*31 + b) % 1000000007) AS checksum,
         |    (length(text) + 63) // 64 AS n_frames
         |  FROM documents)
-        |SELECT kind, COUNT(*) AS n_media, SUM(n_bytes) AS total_bytes,
-        |  SUM(checksum % 1000000007) AS checksum, SUM(n_frames) AS n_frames
+        |SELECT kind, COUNT(*) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(checksum % 1000000007) AS BIGINT) AS checksum,
+        |  CAST(SUM(n_frames) AS BIGINT) AS n_frames
         |FROM f GROUP BY kind""".stripMargin))))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -110,7 +110,7 @@ object GraphText {
       |    CAST('0x' || substring(md5(CAST(i AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)),1,15) AS BIGINT) % 1000000007 % 2000 AS dst
       |  FROM d CROSS JOIN range(4) j(j) WHERE j.j < outdeg)
       |SELECT outdeg, COUNT(DISTINCT i) AS n_nodes, COUNT(*) AS n_edges,
-      |  SUM(dst) AS dst_checksum
+      |  CAST(SUM(dst) AS BIGINT) AS dst_checksum
       |FROM e GROUP BY outdeg""".stripMargin
 
   /** GenPowerLawRandomNetwork (`GenPowerLawRandomNetworkMapFunction.cc`):
@@ -140,7 +140,7 @@ object GraphText {
       |  SELECT i, GREATEST(1, 400 // (CAST('0x' || substring(md5(CAST(i AS VARCHAR)),1,15) AS BIGINT) % 1000000007 % 400 + 1)) AS outdeg
       |  FROM nodes)
       |SELECT CAST(length(bin(outdeg)) - 1 AS BIGINT) AS bucket,
-      |  COUNT(*) AS n_nodes, SUM(outdeg) AS n_edges,
+      |  COUNT(*) AS n_nodes, CAST(SUM(outdeg) AS BIGINT) AS n_edges,
       |  MIN(outdeg) AS min_deg, MAX(outdeg) AS max_deg
       |FROM d GROUP BY 1""".stripMargin
 

@@ -64,7 +64,7 @@ object Iterative {
   private val pagerankSql = {
     def iter(prev: String, out: String) =
       s"""$out AS (
-        |  SELECT dst AS node, 150000 + (850000 * contrib) // 1000000 AS rank FROM (
+        |  SELECT dst AS node, CAST(150000 + (850000 * contrib) // 1000000 AS BIGINT) AS rank FROM (
         |    SELECT e.dst, SUM(r.rank // e.d) AS contrib
         |    FROM ed e JOIN $prev r ON e.src = r.node GROUP BY e.dst) t)""".stripMargin
     s"""WITH base AS (
@@ -140,7 +140,7 @@ object Iterative {
       |                         ORDER BY SUM((p.x-c.cx)*(p.x-c.cx)), c.cid) AS rn
       |    FROM pts p JOIN c1 c ON p.dim = c.dim
       |    GROUP BY p.vec_id, c.cid) t WHERE rn = 1)
-      |SELECT cid, COUNT(*) AS n_points, SUM(vec_id) AS sum_vec_id FROM a2 GROUP BY cid""".stripMargin
+      |SELECT cid, COUNT(*) AS n_points, CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id FROM a2 GROUP BY cid""".stripMargin
 
   val defs: Seq[GQuery] = Seq(
     GQuery("q_pagerank", pagerank, Some(pagerankSql), headline = true),

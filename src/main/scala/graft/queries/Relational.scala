@@ -171,7 +171,7 @@ object Relational {
     """SELECT p_brand, COUNT(*) AS n_parts, COUNT(DISTINCT p_type) AS n_types,
       |  MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price,
       |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(p_retailprice) AS DOUBLE) AS avg_price,
-      |  SUM(CAST(p_size AS BIGINT)) AS sum_size
+      |  CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size
       |FROM part GROUP BY p_brand""".stripMargin
 
   /** Window top-3 orders per customer by totalprice (row_number with a
@@ -244,7 +244,7 @@ object Relational {
   private val jsonExtractSql =
     """SELECT event_type, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
-      |  SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+      |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
       |FROM (SELECT event_type, value,
       |        CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
       |      FROM events) t

@@ -278,7 +278,7 @@ object Similarity {
       |  SELECT vec_id, cid FROM (
       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
       |    FROM d) t WHERE rn = 1)
-      |SELECT cid, COUNT(*) AS n_points, SUM(vec_id) AS sum_vec_id FROM a GROUP BY cid""".stripMargin
+      |SELECT cid, COUNT(*) AS n_points, CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id FROM a GROUP BY cid""".stripMargin
 
   val defs: Seq[GQuery] = Seq(
     GQuery("q_knn_brute", knnBrute, Some(knnBruteSql), headline = true),

@@ -38,7 +38,7 @@ object SortOps {
 
   private val gensortChecksumSql =
     """SELECT COUNT(*) AS n_records,
-      |  SUM(CAST('0x' || substring(md5(CAST(i AS VARCHAR)),1,15) AS BIGINT) % 1000000007) AS checksum,
+      |  CAST(SUM(CAST('0x' || substring(md5(CAST(i AS VARCHAR)),1,15) AS BIGINT) % 1000000007) AS BIGINT) AS checksum,
       |  MIN(md5(CAST(i AS VARCHAR))) AS min_key,
       |  MAX(md5(CAST(i AS VARCHAR))) AS max_key
       |FROM (SELECT (row_number() OVER ()) - 1 AS i FROM lineitem)""".stripMargin
@@ -61,7 +61,7 @@ object SortOps {
 
   private val valsortSummarySql =
     """SELECT COUNT(*) AS n_records,
-      |  SUM(CAST('0x' || substring(md5(rec),1,15) AS BIGINT) % 1000000007) AS checksum,
+      |  CAST(SUM(CAST('0x' || substring(md5(rec),1,15) AS BIGINT) % 1000000007) AS BIGINT) AS checksum,
       |  MIN(key) AS min_key, MAX(key) AS max_key
       |FROM (SELECT
       |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) AS key,
@@ -84,7 +84,7 @@ object SortOps {
 
   private val ratioInflateSql =
     """SELECT copy_idx, COUNT(*) AS n,
-      |  SUM(CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '_' || CAST(copy_idx AS VARCHAR)),1,15) AS BIGINT) % 1000000007) AS key_checksum
+      |  CAST(SUM(CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '_' || CAST(copy_idx AS VARCHAR)),1,15) AS BIGINT) % 1000000007) AS BIGINT) AS key_checksum
       |FROM events CROSS JOIN (SELECT range AS copy_idx FROM range(3)) t
       |GROUP BY copy_idx""".stripMargin
 

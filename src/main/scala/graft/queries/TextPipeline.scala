@@ -148,7 +148,7 @@ object TextPipeline {
       |  SELECT doc_id, t.i, CASE WHEN (h32 >> t.i) & 1 = 1 THEN 1 ELSE -1 END AS v
       |  FROM h CROSS JOIN range(32) t(i)),
       |s AS (SELECT doc_id, i, SUM(v) AS s FROM b GROUP BY doc_id, i)
-      |SELECT doc_id, SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS simhash
+      |SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS simhash
       |FROM s GROUP BY doc_id""".stripMargin
 
   /** SimHash near-dup pairs: candidates share at least one of the 4
@@ -409,7 +409,7 @@ object TextPipeline {
       |        list_transform(q.w, x -> CAST('0x' || substring(md5(x),1,15) AS BIGINT) % 1000000007)),
       |      (acc, h) -> (acc*31 + h) % 1000000007) AS fp
       |  FROM q ANTI JOIN losers ON q.doc_id = losers.doc_id)
-      |SELECT lang, source, COUNT(*) AS n_docs, SUM(fp) AS fp_checksum,
+      |SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(fp) AS BIGINT) AS fp_checksum,
       |  MIN(doc_id) AS first_doc
       |FROM kept GROUP BY lang, source""".stripMargin
 

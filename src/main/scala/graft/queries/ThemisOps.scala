@@ -211,6 +211,16 @@ object ThemisOps {
     * the stats form (q_inverted_index) is the headline and this is the
     * exact-shape variant. */
   def postingLists(s: SparkSession, dir: String): DataFrame =
+    postingListArrays(s, dir)
+      // canonical string form: the driver's pandas compare cannot sort/hash
+      // array cells, so the checked surface serializes the sorted postings;
+      // the true array shape stays spec-covered (ThemisOpsSpec)
+      .select(col("word"), concat_ws(",", col("postings")).as("postings"),
+        col("df"))
+
+  /** True array-shaped posting lists (the reference's record layout);
+    * spec-checked — the driver oracle checks the string rendering above. */
+  def postingListArrays(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .distinct()
@@ -219,7 +229,8 @@ object ThemisOps {
         count(lit(1)).as("df"))
 
   private val postingListsSql =
-    """SELECT word, list_sort(list(DISTINCT doc_id)) AS postings,
+    """SELECT word,
+      |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings,
       |  COUNT(DISTINCT doc_id) AS df
       |FROM (SELECT doc_id,
       |        unnest(list_filter(string_split(text,' '), w -> w != '')) AS word

@@ -65,6 +65,29 @@ def main():
         if sorted(exp_cols) != sorted(got_cols):
             print(f"[COLS] {name}: oracle={sorted(exp_cols)} spark={sorted(got_cols)}")
             n_bad += 1; continue
+        # Driver parity: its compare is dtype-aware (pandas hash), so a DuckDB
+        # HUGEINT (uncast SUM) vs Spark int64 is a hash failure even when the
+        # values match. Compare DuckDB-reported types per (name-sorted) column.
+        # Int widths hash identically in pandas (r02 evidence: int32 rn vs
+        # BIGINT passed the driver gate), so the int family is one class —
+        # HUGEINT is NOT in it (pandas renders it float64/object).
+        INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+        def tclass(t):
+            return "int" if t in INT_FAMILY else t
+        exp_types = {c: tclass(str(t)) for c, t in zip(exp_cols, exp.types)}
+        got_types = {c: tclass(str(t)) for c, t in zip(got_cols, got.types)}
+        tmismatch = {c: (exp_types[c], got_types[c])
+                     for c in exp_cols if exp_types[c] != got_types[c]}
+        if tmismatch:
+            print(f"[DTYPE] {name}: {tmismatch}")
+            n_bad += 1; continue
+        # Driver parity: pandas cannot sort/hash list columns (it crashes with
+        # 'unhashable type: numpy.ndarray') — flag them instead of silently
+        # passing a query the driver will error on.
+        listcols = [c for c, t in exp_types.items() if t.endswith("[]")]
+        if listcols:
+            print(f"[LISTCOL] {name}: driver compare crashes on list columns {listcols}")
+            n_bad += 1; continue
         # reorder both to sorted column order
         eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
         gidx = [got_cols.index(c) for c in sorted(got_cols)]
