@@ -102,19 +102,45 @@ object Similarity {
     * exact cosine, top-3 per query. The bucket join is an equi-join Spark
     * hash-partitions — at 100 TB each bucket holds ~n/2^16 vectors and no
     * cross-bucket pair is ever considered (vs the O(n·q) brute scan). */
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val all = vecs(s, dir)
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    annLshVecs(vecs(s, dir), AnnBucketCap)
+
+  /** Hot-bucket guard for the ANN path: buckets beyond this population are
+    * excluded from candidate generation. Benign corpora never hit it (the
+    * synthetic embeddings max out at 64/bucket at sf0.1, and production
+    * sizes LSH_BITS so buckets hold ~n/2^bits) — it exists so a degenerate
+    * corpus (mass-duplicated embeddings collapsing into one bucket) cannot
+    * turn the bucket join into an O(n·q) scan. Mirrored in the oracle. */
+  private[graft] val AnnBucketCap = 512
+
+  /** Vectors + their sign-bit LSH bucket id, materialized once (the
+    * bucket column feeds both the size guard and the join sides). */
+  private def lshBucketed(all: DataFrame): DataFrame = {
     val bucketBits = (0 until LSH_BITS).map { b =>
       val w = array((1 to DIM).map(d => lit(lshWeight(b, d))): _*)
       when(dot(w, col("v")) > 0, 1L << b).otherwise(0L)
     }
-    val bucketed = all.withColumn("bucket", bucketBits.reduce(_ + _))
-    val q = bucketed.filter(col("vec_id") < 20)
+    all.withColumn("bucket", bucketBits.reduce(_ + _)).localCheckpoint(true)
+  }
+
+  /** Drop over-cap buckets — see [[AnnBucketCap]]. */
+  private def guardBuckets(bucketed: DataFrame, cap: Int): DataFrame = {
+    val okBuckets = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= cap)
+      .select(col("bucket"))
+    bucketed.join(okBuckets, Seq("bucket"))
+  }
+
+  /** [[annLsh]] over explicit vectors with an explicit cap (spec surface). */
+  private[graft] def annLshVecs(all: DataFrame, cap: Int): DataFrame = {
+    val guarded = guardBuckets(lshBucketed(all), cap)
+    val q = guarded.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("n2").as("qn2"), col("bucket").as("qbucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    bucketed.join(broadcast(q),
+    guarded.join(broadcast(q),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         cosine(dot(col("v"), col("qv")), col("n2"), col("qn2")).as("cos"))
@@ -137,7 +163,9 @@ object Similarity {
       |bk AS (
       |  SELECT vec_id, SUM(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
       |  FROM bits GROUP BY vec_id),
-      |nv AS (SELECT n.vec_id, v, n2, bucket FROM n JOIN bk ON n.vec_id = bk.vec_id),
+      |okb AS (SELECT bucket FROM bk GROUP BY bucket HAVING COUNT(*) <= $AnnBucketCap),
+      |nv AS (SELECT n.vec_id, v, n2, bucket
+      |       FROM n JOIN bk ON n.vec_id = bk.vec_id JOIN okb USING (bucket)),
       |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, bucket AS qbucket FROM nv WHERE vec_id < 20),
       |c AS (
       |  SELECT q_id, vec_id,
@@ -220,13 +248,17 @@ object Similarity {
 
   // ------------------------------------------------------ cosine near-dup
 
-  /** Embedding-cosine near-duplicate pairs, blocked by `label` (stand-in
-    * for an LSH/IVF blocking key at scale — never an unblocked O(n²)
-    * cross join): pairs within a block above a cosine threshold (0.3 here: the synthetic vectors are near-orthogonal, max in-block cosine ≈0.47). */
+  /** Embedding-cosine near-duplicate pairs, blocked by the guarded LSH
+    * bucket (never a raw attribute: raw-attribute blocks grow linearly
+    * with the corpus, so their in-block pair join grows quadratically —
+    * the sign-bit bucket subdivides with LSH_BITS instead). Same-bucket
+    * pairs share all hyperplane signs, so the 0.3-cosine near-dups
+    * concentrate there; the pair join is an equi-join on bucket id with
+    * the over-cap guard applied first. */
   def embedNeardup(s: SparkSession, dir: String): DataFrame = {
-    val v = vecs(s, dir)
-    v.as("a").join(v.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    val g = guardBuckets(lshBucketed(vecs(s, dir)), AnnBucketCap)
+    g.as("a").join(g.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosine(dot(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")).as("cos"))
       .filter(col("cos") >= 0.3)
@@ -238,12 +270,23 @@ object Similarity {
       |  SELECT vec_id, label, $ivecSql AS v FROM embeddings),
       |n AS (
       |  SELECT vec_id, label, v,
-      |    list_sum([v[i]*v[i] for i in range(1,${DIM + 1})]) AS n2 FROM iv)
+      |    list_sum([v[i]*v[i] for i in range(1,${DIM + 1})]) AS n2 FROM iv),
+      |bits AS (
+      |  SELECT vec_id, t.b,
+      |    list_sum([(CAST('0x' || substring(md5(t.b::VARCHAR || '_' || i::VARCHAR),1,15) AS BIGINT) % 2001 - 1000) * v[i]
+      |              for i in range(1,${DIM + 1})]) AS d
+      |  FROM n CROSS JOIN range($LSH_BITS) t(b)),
+      |bk AS (
+      |  SELECT vec_id, SUM(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
+      |  FROM bits GROUP BY vec_id),
+      |okb AS (SELECT bucket FROM bk GROUP BY bucket HAVING COUNT(*) <= $AnnBucketCap),
+      |g AS (SELECT n.vec_id, v, n2, bucket
+      |      FROM n JOIN bk ON n.vec_id = bk.vec_id JOIN okb USING (bucket))
       |SELECT vec_a, vec_b, cos FROM (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |    CAST(list_sum([a.v[i]*b.v[i] for i in range(1,${DIM + 1})]) AS DOUBLE)
       |      / sqrt(CAST(a.n2 AS DOUBLE)) / sqrt(CAST(b.n2 AS DOUBLE)) AS cos
-      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id) t
+      |  FROM g a JOIN g b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
       |WHERE cos >= 0.3""".stripMargin
 
   // --------------------------------------------------------------- kmeans

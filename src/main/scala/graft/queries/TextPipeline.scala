@@ -54,13 +54,23 @@ object TextPipeline {
   private val minhashAB: Seq[(Int, Int)] =
     Seq((2, 1), (3, 7), (5, 11), (7, 19), (11, 23), (13, 31), (17, 43), (19, 57))
 
+  /** Band buckets bigger than this are dropped before the pair self-join.
+    * A degenerate bucket of size m (boilerplate text, adversarial spam, an
+    * all-identical corpus) would contribute O(m²) pairs — the exact blowup
+    * LSH bucketing exists to prevent. Pairs inside a dropped bucket can
+    * still surface via their other 3 bands; true giant duplicate clusters
+    * belong to the exact-dedup path (q_dedup_exact), not the pair join.
+    * Measured at sf0.1 the hottest bucket holds 207 docs vs p99 = 15, so
+    * 64 trims only the degenerate tail. Mirrored in the oracle SQL. */
+  private[graft] val LshBucketCap = 64
+
   /** Per-doc MinHash signature over distinct word-2-gram shingles. */
-  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
+  private def minhashSig(docs: DataFrame): DataFrame = {
     val shingles = when(size(ws) >= 2,
       array_distinct(transform(sequence(lit(1), size(ws) - 1),
         i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))))
       .otherwise(array().cast("array<string>"))
-    val h = Tables.documents(s, dir)
+    val h = docs
       .select(col("doc_id"), explode(shingles).as("sh"))
       .select(col("doc_id"), hashMod(col("sh")).as("h"))
     val mins = minhashAB.zipWithIndex.map { case ((a, b), i) =>
@@ -74,10 +84,15 @@ object TextPipeline {
     * explode keeps the join key small; the self-join is an equi-join on
     * the band struct, so Spark hash-partitions buckets across the cluster
     * — no O(n²) pair enumeration ever materializes. */
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    dedupMinhashDocs(Tables.documents(s, dir), LshBucketCap)
+
+  /** [[dedupMinhash]] over an explicit corpus with an explicit bucket cap
+    * (spec surface — the adversarial-corpus guard test drives this). */
+  private[graft] def dedupMinhashDocs(docs: DataFrame, cap: Int): DataFrame = {
     // the signature table feeds the band explode on both join sides;
     // checkpoint it so the shingle/md5 scan runs once
-    val sig = minhashSig(s, dir).localCheckpoint(true)
+    val sig = minhashSig(docs).localCheckpoint(true)
     // each band row carries the full signature, so pair agreement is
     // computed inline on the bucket join — no second lookup join, and the
     // duplicate candidates from multi-band collisions collapse in the
@@ -86,10 +101,18 @@ object TextPipeline {
       struct(minhashAB.indices.map(i => col(s"m$i")): _*).as("sig"),
       explode(array((0 until 4).map(i => struct(lit(i).as("band"),
         col(s"m${2 * i}").as("x"), col(s"m${2 * i + 1}").as("y"))): _*)).as("bk"))
+    // hot-bucket guard: one count aggregation over band rows (map-side
+    // combined), then keep only rows of buckets within the cap — the
+    // pair join below never sees a bucket that could go quadratic
+    val okBuckets = bands.groupBy(col("bk"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= cap)
+      .select(col("bk"))
+    val guarded = bands.join(okBuckets, Seq("bk"))
     val nMatch = minhashAB.indices.map(i =>
       when(col(s"l.sig.m$i") === col(s"r.sig.m$i"), 1).otherwise(0))
       .reduce(_ + _).cast("long")
-    bands.as("l").join(bands.as("r"),
+    guarded.as("l").join(guarded.as("r"),
         col("l.bk") === col("r.bk") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         nMatch.as("m"))
@@ -112,9 +135,12 @@ object TextPipeline {
       |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
       |bands AS (
       |  SELECT doc_id, unnest([[0,m0,m1],[1,m2,m3],[2,m4,m5],[3,m6,m7]]) AS bk FROM sig),
+      |okb AS (
+      |  SELECT bk FROM bands GROUP BY bk HAVING COUNT(*) <= $LshBucketCap),
+      |guarded AS (SELECT bands.doc_id, bands.bk FROM bands JOIN okb USING (bk)),
       |pairs AS (
       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-      |  FROM bands l JOIN bands r ON l.bk = r.bk AND l.doc_id < r.doc_id)
+      |  FROM guarded l JOIN guarded r ON l.bk = r.bk AND l.doc_id < r.doc_id)
       |SELECT doc_a, doc_b, CAST($eqs AS BIGINT) AS n_match
       |FROM pairs JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id""".stripMargin
   }
@@ -184,20 +210,23 @@ object TextPipeline {
 
   // -------------------------------------------------- n-gram jaccard dedup
 
-  /** Blocked n-gram Jaccard near-dup pairs: block by (lang, source) — at
-    * 100 TB blocking (or the LSH buckets above) is what keeps this from
-    * being an O(n²) cross join — then exact word-set Jaccard within each
-    * block, keeping pairs at ≥ 0.8. Intersection/union sizes are exact
-    * integers; the ratio is one IEEE division. */
+  /** Candidate pairs + exact word-set Jaccard verification. The block key
+    * is the guarded MinHash band bucket (never a raw attribute like
+    * (lang, source): raw-attribute blocks grow linearly with the corpus,
+    * so the in-block pair join grows quadratically — the LSH bucket stays
+    * O(1)-ish per band by construction, and over-cap buckets are dropped).
+    * Candidates are then exactly verified: distinct-word intersection /
+    * union as exact integers, one IEEE division, keep ≥ 0.8. */
   def jaccardNeardup(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(ws).as("w"))
+    val docs = Tables.documents(s, dir)
+    val d = docs.select(col("doc_id"), array_distinct(ws).as("w"))
+    val cand = dedupMinhashDocs(docs, LshBucketCap)
+      .select(col("doc_a"), col("doc_b"))
     val inter = size(array_intersect(col("a.w"), col("b.w"))).cast("long")
-    d.as("a").join(d.as("b"),
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+    cand
+      .join(d.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(d.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
         inter.as("n_inter"),
         (size(col("a.w")) + size(col("b.w"))).cast("long").as("n_ab"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
@@ -207,19 +236,48 @@ object TextPipeline {
       .filter(col("jaccard") >= 0.8)
   }
 
-  private val jaccardNeardupSql =
-    """WITH d AS (
+  /** Shared oracle CTE chain: documents → word lists (`d`), MinHash
+    * signatures, guarded band buckets, candidate pairs (`cand`) — the
+    * DuckDB mirror of [[dedupMinhashDocs]]'s candidate generation. */
+  private def lshCandSql: String = {
+    val mins = minhashAB.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a*h+$b) % 1000000007) AS m$i" }.mkString(", ")
+    s"""d AS (
       |  SELECT doc_id, lang, source,
-      |    list_distinct(list_filter(string_split(text,' '), w -> w != '')) AS w
-      |  FROM documents)
+      |    list_filter(string_split(text,' '), w -> w != '') AS w
+      |  FROM documents),
+      |shng AS (
+      |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS sh
+      |  FROM d WHERE len(w) >= 2),
+      |hh AS (
+      |  SELECT doc_id, CAST('0x' || substring(md5(sh),1,15) AS BIGINT) % 1000000007 AS h FROM shng),
+      |sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, unnest([[0,m0,m1],[1,m2,m3],[2,m4,m5],[3,m6,m7]]) AS bk FROM sig),
+      |okb AS (SELECT bk FROM bands GROUP BY bk HAVING COUNT(*) <= $LshBucketCap),
+      |guarded AS (SELECT bands.doc_id, bands.bk FROM bands JOIN okb USING (bk)),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      |  FROM guarded l JOIN guarded r ON l.bk = r.bk AND l.doc_id < r.doc_id)""".stripMargin
+  }
+
+  /** Exact-Jaccard verification clause over `cand` + `d` (shared between
+    * the pair query and the composed pipeline's losers CTE). */
+  private val jaccardVerifySql =
+    """SELECT c.doc_a, c.doc_b,
+      |    CAST(len(list_distinct(list_intersect(a.w, b.w))) AS BIGINT) AS n_inter,
+      |    CAST(len(list_distinct(a.w)) + len(list_distinct(b.w))
+      |         - len(list_distinct(list_intersect(a.w, b.w))) AS BIGINT) AS n_union
+      |  FROM cand c
+      |  JOIN d a ON c.doc_a = a.doc_id
+      |  JOIN d b ON c.doc_b = b.doc_id""".stripMargin
+
+  private val jaccardNeardupSql =
+    s"""WITH $lshCandSql
       |SELECT doc_a, doc_b, n_inter, n_union,
       |  CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
       |FROM (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    CAST(len(list_distinct(list_intersect(a.w, b.w))) AS BIGINT) AS n_inter,
-      |    CAST(len(a.w) + len(b.w) - len(list_distinct(list_intersect(a.w, b.w))) AS BIGINT) AS n_union
-      |  FROM d a JOIN d b
-      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) t
+      |  $jaccardVerifySql) t
       |WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.8""".stripMargin
 
   // -------------------------------------------------------- text analysis
@@ -320,11 +378,14 @@ object TextPipeline {
   /** TF-IDF top terms: term frequency per (doc, word) joined with
     * document frequency, scored with a rational idf (N·1e6 DIV df —
     * integer-exact; `ln` is not correctly-rounded-portable across
-    * engines), top-3 terms per doc. The df table is vocabulary-sized and
-    * broadcastable; scoring is one join + one per-doc window. */
+    * engines), top-3 terms per doc. The df table is vocabulary-sized, so
+    * it gets NO broadcast hint (billions of terms at 100 TB would OOM a
+    * pinned broadcast — AQE broadcasts it only when stats say it fits);
+    * the corpus size joins in as a 1-row aggregate instead of a
+    * driver-side count(), keeping the whole query one lazy plan. */
   def tfidfTop(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val n = d.count()
+    val n6 = d.agg((count(lit(1)) * 1000000L).as("n6"))
     val tf = d.select(col("doc_id"), explode(ws).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
@@ -333,9 +394,10 @@ object TextPipeline {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("word"))
-    tf.join(broadcast(df), "word")
+    tf.join(df, "word")
+      .crossJoin(n6)
       .select(col("doc_id"), col("word"),
-        (col("tf") * expr(s"${n}000000 DIV df")).as("score"))
+        (col("tf") * expr("n6 DIV df")).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("rank").cast("long").as("rank"),
@@ -386,22 +448,16 @@ object TextPipeline {
   }
 
   private val pipelineCleanSql =
-    """WITH d AS (
-      |  SELECT doc_id, lang, source,
-      |    list_filter(string_split(text,' '), w -> w != '') AS w
-      |  FROM documents),
+    s"""WITH $lshCandSql,
       |q AS (
       |  SELECT * FROM d
       |  WHERE len(w) >= 10
       |    AND CAST(len(list_filter(w, x -> x IN ('the','a','of'))) AS DOUBLE)
       |        / CAST(len(w) AS DOUBLE) < 0.5),
-      |dd AS (SELECT doc_id, lang, source, list_distinct(w) AS dw FROM d),
       |losers AS (
-      |  SELECT DISTINCT b.doc_id
-      |  FROM dd a JOIN dd b
-      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-      |  WHERE CAST(len(list_distinct(list_intersect(a.dw, b.dw))) AS DOUBLE)
-      |      / CAST(len(a.dw) + len(b.dw) - len(list_distinct(list_intersect(a.dw, b.dw))) AS DOUBLE) >= 0.8),
+      |  SELECT DISTINCT doc_b AS doc_id FROM (
+      |  $jaccardVerifySql) v
+      |  WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.8),
       |kept AS (
       |  SELECT q.lang, q.source, q.doc_id,
       |    list_reduce(

@@ -89,6 +89,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("tfidf: no pinned broadcast of the vocabulary-sized df table") {
+    // the df (document-frequency) join must be left to AQE — a broadcast
+    // HINT would pin a vocabulary-sized table into executors at 100 TB.
+    // The logical plan must carry no user hint; the only broadcast the
+    // optimizer may choose on its own is stats-based (fine at test scale).
+    val df = graft.queries.TextPipeline.tfidfTop(spark, sfDir)
+    val logical = df.queryExecution.logical.toString
+    assert(!logical.contains("UnresolvedHint"), "no user broadcast hint")
+    // and the corpus count is part of the plan (the n6 one-row aggregate),
+    // not a driver-side count() action
+    assert(logical.contains("n6"), "corpus size must be an in-plan aggregate")
+  }
+
   test("sessionize_gap: session window aggregates without a global sort") {
     val p = plan(ThemisOps.sessionizeGap(spark, sfDir))
     assert(p.contains("SessionWindow") || p.contains("session_window"))
