@@ -40,7 +40,7 @@ object GraphText {
   private val linkExtractSql =
     """WITH m AS (
       |  SELECT doc_id, array_to_string(list_transform(
-      |    list_filter(string_split(text,' '), w -> w != ''),
+      |    list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != ''),
       |    w -> CASE WHEN CAST('0x' || substring(md5(w),1,15) AS BIGINT) % 1000000007 % 4 = 0
       |              THEN '<link><target>' || w || '</target></link>' ELSE w END), ' ') AS markup
       |  FROM documents),
@@ -49,6 +49,72 @@ object GraphText {
       |  FROM m)
       |SELECT target, COUNT(*) AS n_links, COUNT(DISTINCT doc_id) AS n_docs
       |FROM t GROUP BY target""".stripMargin
+
+  /** WEX text extraction (`WEXTextExtractorMapFunction.cc:4-62`): WEX
+    * lines are tab-delimited; the page name is field 2 and the article
+    * text is everything from the start of field 5 to the end of the line
+    * (the reference emits the remaining bytes, tabs included), emitted
+    * only when a 5th field exists. Documents are rendered to WEX lines
+    * deterministically (the same render trick as [[linkExtract]], with an
+    * embedded tab in the article so the rest-of-line semantics is
+    * actually exercised); render + extract run inside the scan. */
+  def wexText(s: SparkSession, dir: String): DataFrame = {
+    val line = concat_ws("\t", col("doc_id"),
+      concat(lit("page_"), col("doc_id")), lit("2008-01-01"), lit("<page/>"),
+      col("text"), col("n_chars"))
+    Tables.documents(s, dir)
+      .select(line.as("line"))
+      // limit-5 split: element 5 is the untouched remainder of the line
+      .select(split(col("line"), "\t", 5).as("f"))
+      .filter(size(col("f")) >= 5)
+      .select(element_at(col("f"), 2).as("page"),
+        element_at(col("f"), 5).as("article"))
+      .select(col("page"), length(col("article")).cast("long").as("n_bytes"),
+        hashMod(col("article")).as("article_hash"))
+  }
+
+  private val wexTextSql =
+    """WITH l AS (
+      |  SELECT CAST(doc_id AS VARCHAR) || chr(9) || 'page_' || CAST(doc_id AS VARCHAR)
+      |    || chr(9) || '2008-01-01' || chr(9) || '<page/>' || chr(9) || text
+      |    || chr(9) || CAST(n_chars AS VARCHAR) AS line
+      |  FROM documents),
+      |f AS (SELECT string_split(line, chr(9)) AS p FROM l),
+      |a AS (SELECT p[2] AS page, array_to_string(p[5:], chr(9)) AS article
+      |      FROM f WHERE len(p) >= 5)
+      |SELECT page, CAST(length(article) AS BIGINT) AS n_bytes,
+      |  CAST('0x' || substring(md5(article),1,15) AS BIGINT) % 1000000007 AS article_hash
+      |FROM a""".stripMargin
+
+  /** The real text-line source path (`TextLineFormatReader.cc:26-90`):
+    * documents are written out as a 4-file text directory, then read back
+    * through [[graft.sources.TextLines]] (`spark.read.text` +
+    * `input_file_name()` → key=filename, value=line) and summarized.
+    * Filenames are nondeterministic (part-file UUIDs), so the checked
+    * output carries line-derived aggregates plus the file count; the
+    * per-filename key semantics is asserted in TextLinesSpec. */
+  def textLines(s: SparkSession, dir: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") +
+      s"/graft_textlines_${Integer.toHexString(dir.hashCode)}"
+    Tables.documents(s, dir)
+      .select(concat_ws("|", col("doc_id"), col("text")).as("value"))
+      .repartition(4, col("value"))
+      .write.mode("overwrite").text(out)
+    graft.sources.TextLines.read(s, out)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(hashMod(col("value"))).as("line_checksum"),
+        min(length(col("value"))).cast("long").as("min_len"),
+        max(length(col("value"))).cast("long").as("max_len"),
+        countDistinct(col("key")).as("n_files"))
+  }
+
+  private val textLinesSql =
+    """SELECT COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text),1,15) AS BIGINT) % 1000000007) AS BIGINT) AS line_checksum,
+      |  CAST(MIN(length(CAST(doc_id AS VARCHAR) || '|' || text)) AS BIGINT) AS min_len,
+      |  CAST(MAX(length(CAST(doc_id AS VARCHAR) || '|' || text)) AS BIGINT) AS max_len,
+      |  CAST(4 AS BIGINT) AS n_files
+      |FROM documents""".stripMargin
 
   /** ParseNetwork: a text edge list ("src dst" lines, rendered from the
     * events table) parsed back into per-vertex adjacency structure with
@@ -146,6 +212,8 @@ object GraphText {
 
   val defs: Seq[GQuery] = Seq(
     GQuery("q_link_extract", linkExtract, Some(linkExtractSql)),
+    GQuery("q_wex_text", wexText, Some(wexTextSql)),
+    GQuery("q_text_lines", textLines, Some(textLinesSql)),
     GQuery("q_parse_network", parseNetwork, Some(parseNetworkSql)),
     GQuery("q_gen_network", genNetwork, Some(genNetworkSql)),
     GQuery("q_gen_powerlaw", genPowerlaw, Some(genPowerlawSql)))

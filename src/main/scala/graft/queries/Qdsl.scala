@@ -41,9 +41,20 @@ object Qdsl {
     * LTZ yields the same instant DuckDB's `epoch_ms` computes. */
   def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
 
-  /** Split free text into non-empty whitespace-separated tokens.
-    * Mirrors DuckDB `list_filter(string_split(text, ' '), w -> w != '')`. */
-  def words(c: Column): Column = filter(split(c, " "), w => w =!= "")
+  /** Split free text into non-empty tokens on the reference tokenizer's
+    * delimiter class — space plus `".,/()?;` (WordTokenizer.cc:27-70).
+    * Implemented as translate(delims → space) + literal-space split, which
+    * is semantically identical to splitting on the character class but
+    * ~2× faster in the hot shingle paths (a regex split benches the
+    * text-heavy queries at double the wall time; translate is a single
+    * codegen'd char-map pass). Empties from repeated delimiters are
+    * filtered. Mirrored exactly by [[wordsSqlDoc]]. */
+  def words(c: Column): Column =
+    filter(split(translate(c, "\".,/()?;", "        "), " "), w => w =!= "")
+
+  /** DuckDB mirror of [[words]] applied to a column named `text`. */
+  val wordsSqlDoc: String =
+    """list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '')"""
 
   /** Portable 60-bit hash: first 15 hex chars of md5, parsed base-16.
     * DuckDB mirror: CAST('0x' || substring(md5(s),1,15) AS BIGINT).

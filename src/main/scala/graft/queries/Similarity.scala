@@ -123,13 +123,15 @@ object Similarity {
     all.withColumn("bucket", bucketBits.reduce(_ + _)).localCheckpoint(true)
   }
 
-  /** Drop over-cap buckets — see [[AnnBucketCap]]. */
+  /** Drop over-cap buckets — see [[AnnBucketCap]]. The guard anti-joins
+    * the OVER-cap bucket list (tiny by construction: at most n/cap ids),
+    * which broadcasts, instead of inner-joining the full bucket census. */
   private def guardBuckets(bucketed: DataFrame, cap: Int): DataFrame = {
-    val okBuckets = bucketed.groupBy(col("bucket"))
+    val hotBuckets = bucketed.groupBy(col("bucket"))
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= cap)
+      .filter(col("bucket_n") > cap)
       .select(col("bucket"))
-    bucketed.join(okBuckets, Seq("bucket"))
+    bucketed.join(hotBuckets, Seq("bucket"), "left_anti")
   }
 
   /** [[annLsh]] over explicit vectors with an explicit cap (spec surface). */

@@ -44,7 +44,7 @@ object TextPipeline {
 
   private val dedupExactSql =
     """SELECT key, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs FROM (
-      |  SELECT array_to_string(list_filter(string_split(text,' '), w -> w != '')[1:3], ' ') AS key, doc_id
+      |  SELECT array_to_string(list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '')[1:3], ' ') AS key, doc_id
       |  FROM documents) t
       |GROUP BY key HAVING COUNT(*) > 1""".stripMargin
 
@@ -64,13 +64,19 @@ object TextPipeline {
     * 64 trims only the degenerate tail. Mirrored in the oracle SQL. */
   private[graft] val LshBucketCap = 64
 
-  /** Per-doc MinHash signature over distinct word-2-gram shingles. */
+  /** Per-doc MinHash signature over distinct word-2-gram shingles.
+    * The words array is projected once per row BEFORE the shingle
+    * transform: referencing the tokenizer expression inside the lambda
+    * would re-tokenize the full document for every shingle index
+    * (quadratic per-row work — measured 2.5× on the whole query). */
   private def minhashSig(docs: DataFrame): DataFrame = {
-    val shingles = when(size(ws) >= 2,
-      array_distinct(transform(sequence(lit(1), size(ws) - 1),
-        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))))
+    val w = col("w")
+    val shingles = when(size(w) >= 2,
+      array_distinct(transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))))
       .otherwise(array().cast("array<string>"))
     val h = docs
+      .select(col("doc_id"), ws.as("w"))
       .select(col("doc_id"), explode(shingles).as("sh"))
       .select(col("doc_id"), hashMod(col("sh")).as("h"))
     val mins = minhashAB.zipWithIndex.map { case ((a, b), i) =>
@@ -97,18 +103,23 @@ object TextPipeline {
     // computed inline on the bucket join — no second lookup join, and the
     // duplicate candidates from multi-band collisions collapse in the
     // final (doc_a, doc_b) aggregation (one shuffle)
+    val bandKeys = array((0 until 4).map(i => struct(lit(i).as("band"),
+      col(s"m${2 * i}").as("x"), col(s"m${2 * i + 1}").as("y"))): _*)
     val bands = sig.select(col("doc_id"),
       struct(minhashAB.indices.map(i => col(s"m$i")): _*).as("sig"),
-      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
-        col(s"m${2 * i}").as("x"), col(s"m${2 * i + 1}").as("y"))): _*)).as("bk"))
-    // hot-bucket guard: one count aggregation over band rows (map-side
-    // combined), then keep only rows of buckets within the cap — the
-    // pair join below never sees a bucket that could go quadratic
-    val okBuckets = bands.groupBy(col("bk"))
+      explode(bandKeys).as("bk"))
+    // hot-bucket guard: count over slim (doc_id, bk) rows (map-side
+    // combined), keep only the OVER-cap buckets — a list that is tiny by
+    // construction (at most n/cap entries, a handful in practice) — and
+    // anti-join it against the band rows. Anti-joining the tiny hot list
+    // broadcasts; inner-joining the huge ok list would shuffle the heavy
+    // signature-carrying band rows a second time.
+    val hotBuckets = sig.select(col("doc_id"), explode(bandKeys).as("bk"))
+      .groupBy(col("bk"))
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= cap)
+      .filter(col("bucket_n") > cap)
       .select(col("bk"))
-    val guarded = bands.join(okBuckets, Seq("bk"))
+    val guarded = bands.join(hotBuckets, Seq("bk"), "left_anti")
     val nMatch = minhashAB.indices.map(i =>
       when(col(s"l.sig.m$i") === col(s"r.sig.m$i"), 1).otherwise(0))
       .reduce(_ + _).cast("long")
@@ -126,7 +137,7 @@ object TextPipeline {
     val eqs = minhashAB.indices.map(i =>
       s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH ws AS (
-      |  SELECT doc_id, list_filter(string_split(text,' '), w -> w != '') AS w FROM documents),
+      |  SELECT doc_id, list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '') AS w FROM documents),
       |sh AS (
       |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS sh
       |  FROM ws WHERE len(w) >= 2),
@@ -166,7 +177,7 @@ object TextPipeline {
 
   private val dedupSimhashSql =
     """WITH w AS (
-      |  SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x != '')) AS word
+      |  SELECT doc_id, unnest(list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), x -> x != '')) AS word
       |  FROM documents),
       |h AS (
       |  SELECT doc_id, CAST('0x' || substring(md5(word),1,15) AS BIGINT) % 4294967296 AS h32 FROM w),
@@ -244,7 +255,7 @@ object TextPipeline {
       s"MIN(($a*h+$b) % 1000000007) AS m$i" }.mkString(", ")
     s"""d AS (
       |  SELECT doc_id, lang, source,
-      |    list_filter(string_split(text,' '), w -> w != '') AS w
+      |    list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '') AS w
       |  FROM documents),
       |shng AS (
       |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS sh
@@ -311,7 +322,7 @@ object TextPipeline {
       |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
       |    / CAST(len(w) AS DOUBLE) AS stop_ratio
       |FROM (SELECT doc_id, text,
-      |        list_filter(string_split(text,' '), x -> x != '') AS w
+      |        list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), x -> x != '') AS w
       |      FROM documents) t""".stripMargin
 
   /** Language-ID by stopword heuristic (the n-gram-profile shape of a real
@@ -354,7 +365,7 @@ object TextPipeline {
   private val tokenCountSql =
     """SELECT doc_id,
       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
-      |  CAST(len(list_filter(string_split(text,' '), w -> w != '')) AS BIGINT) AS n_ws
+      |  CAST(len(list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '')) AS BIGINT) AS n_ws
       |FROM documents""".stripMargin
 
   /** Order-sensitive document fingerprint: polynomial rolling hash over the
@@ -370,7 +381,7 @@ object TextPipeline {
     """SELECT doc_id,
       |  list_reduce(
       |    list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(list_filter(string_split(text,' '), w -> w != ''),
+      |      list_transform(list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != ''),
       |        w -> CAST('0x' || substring(md5(w),1,15) AS BIGINT) % 1000000007)),
       |    (acc, h) -> (acc*31 + h) % 1000000007) AS fp
       |FROM documents""".stripMargin
@@ -407,7 +418,7 @@ object TextPipeline {
   private val tfidfTopSql =
     """WITH tf AS (
       |  SELECT doc_id, word, COUNT(*) AS tf FROM (
-      |    SELECT doc_id, unnest(list_filter(string_split(text,' '), w -> w != '')) AS word
+      |    SELECT doc_id, unnest(list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '')) AS word
       |    FROM documents) t
       |  GROUP BY doc_id, word),
       |dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word),

@@ -27,7 +27,7 @@ object ThemisOps {
 
   private val wordCountSql =
     """SELECT word, COUNT(*) AS cnt FROM (
-      |  SELECT unnest(list_filter(string_split(text, ' '), w -> w != '')) AS word
+      |  SELECT unnest(list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '')) AS word
       |  FROM documents) t
       |GROUP BY word""".stripMargin
 
@@ -35,12 +35,16 @@ object ThemisOps {
     * The window is built with array higher-order functions, so it stays
     * inside whole-stage codegen (no UDF). */
   def ngramCount(s: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
-    val grams = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+    // tokenize once per row into a materialized column — indexing the
+    // tokenizer expression inside the transform lambda would re-split the
+    // document per n-gram position
+    val w = col("w")
+    val grams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
       .otherwise(array().cast("array<string>"))
     Tables.documents(s, dir)
+      .select(words(col("text")).as("w"))
       .select(explode(grams).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("cnt"))
@@ -49,7 +53,7 @@ object ThemisOps {
   private val ngramCountSql =
     """SELECT ngram, COUNT(*) AS cnt FROM (
       |  SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS ngram
-      |  FROM (SELECT list_filter(string_split(text, ' '), w -> w != '') AS ws
+      |  FROM (SELECT list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '') AS ws
       |        FROM documents) d) t
       |GROUP BY ngram""".stripMargin
 
@@ -72,7 +76,7 @@ object ThemisOps {
     """SELECT word, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS tf,
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM (SELECT doc_id,
-      |        unnest(list_filter(string_split(text, ' '), w -> w != '')) AS word
+      |        unnest(list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '')) AS word
       |      FROM documents) t
       |GROUP BY word""".stripMargin
 
@@ -105,7 +109,7 @@ object ThemisOps {
       |  SELECT 'chars' AS metric, length(text) // 50 AS bucket FROM documents
       |  UNION ALL
       |  SELECT 'tokens' AS metric,
-      |    len(list_filter(string_split(text, ' '), w -> w != '')) // 10 AS bucket
+      |    len(list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '')) // 10 AS bucket
       |  FROM documents) t
       |GROUP BY metric, bucket""".stripMargin
 
@@ -233,7 +237,7 @@ object ThemisOps {
       |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings,
       |  COUNT(DISTINCT doc_id) AS df
       |FROM (SELECT doc_id,
-      |        unnest(list_filter(string_split(text,' '), w -> w != '')) AS word
+      |        unnest(list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '')) AS word
       |      FROM documents) t
       |GROUP BY word""".stripMargin
 
