@@ -44,14 +44,15 @@ object Bench {
             None
         }
       }
-      // a failed query reports the -1 sentinel and is excluded from the
-      // total, so a failure inflates nothing and is visible in the JSON
-      name -> times.minOption.getOrElse(-1.0)
+      // a failed query is omitted from the per-query map entirely (a
+      // sentinel value would poison naive min-over-rounds tooling) and
+      // named in the separate `failed` array instead
+      name -> times.minOption
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.filter(_._2 < 0).map(_._1)
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.collect { case (k, None) => k }
+    val total = results.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

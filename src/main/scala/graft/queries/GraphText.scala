@@ -40,7 +40,7 @@ object GraphText {
   private val linkExtractSql =
     """WITH m AS (
       |  SELECT doc_id, array_to_string(list_transform(
-      |    list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != ''),
+      |    list_filter(string_split(translate(regexp_replace(text, '\\n', ' n', 'g'), '".,/()?;', '        '), ' '), w -> w != ''),
       |    w -> CASE WHEN CAST('0x' || substring(md5(w),1,15) AS BIGINT) % 1000000007 % 4 = 0
       |              THEN '<link><target>' || w || '</target></link>' ELSE w END), ' ') AS markup
       |  FROM documents),
@@ -92,13 +92,23 @@ object GraphText {
     * `input_file_name()` → key=filename, value=line) and summarized.
     * Filenames are nondeterministic (part-file UUIDs), so the checked
     * output carries line-derived aggregates plus the file count; the
-    * per-filename key semantics is asserted in TextLinesSpec. */
+    * per-filename key semantics is asserted in TextLinesSpec.
+    *
+    * NOTE this query writes a temp text directory at CONSTRUCTION time
+    * (the read side needs the files on disk before the plan is built) —
+    * the one GQuery with an eager side effect. The path carries a
+    * run-unique suffix so concurrent runs over the same dataset never
+    * race, and the repartition is round-robin (hash-partitioning on the
+    * value could leave a partition — and so a part file — empty on tiny
+    * corpora, breaking the n_files=4 oracle; round-robin spreads evenly
+    * by construction). */
   def textLines(s: SparkSession, dir: String): DataFrame = {
     val out = sys.props("java.io.tmpdir") +
-      s"/graft_textlines_${Integer.toHexString(dir.hashCode)}"
+      s"/graft_textlines_${Integer.toHexString(dir.hashCode)}_" +
+      java.util.UUID.randomUUID.toString.take(8)
     Tables.documents(s, dir)
       .select(concat_ws("|", col("doc_id"), col("text")).as("value"))
-      .repartition(4, col("value"))
+      .repartition(4)
       .write.mode("overwrite").text(out)
     graft.sources.TextLines.read(s, out)
       .agg(count(lit(1)).as("n_lines"),

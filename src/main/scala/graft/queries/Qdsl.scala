@@ -48,13 +48,22 @@ object Qdsl {
     * ~2× faster in the hot shingle paths (a regex split benches the
     * text-heavy queries at double the wall time; translate is a single
     * codegen'd char-map pass). Empties from repeated delimiters are
-    * filtered. Mirrored exactly by [[wordsSqlDoc]]. */
+    * filtered.
+    *
+    * The reference additionally breaks a word on the literal two-byte
+    * sequence `\`+`n`, with the `n` starting the NEXT word
+    * (WordTokenizer.cc:35-39: the `\` is the stop character and scanning
+    * resumes at the `n`) — replicated by rewriting that sequence to
+    * " n" before the char-map pass. A lone `\` not followed by `n` stays
+    * inside its word, exactly as in the reference. Mirrored exactly by
+    * [[wordsSqlDoc]]. */
   def words(c: Column): Column =
-    filter(split(translate(c, "\".,/()?;", "        "), " "), w => w =!= "")
+    filter(split(translate(regexp_replace(c, "\\\\n", " n"),
+      "\".,/()?;", "        "), " "), w => w =!= "")
 
   /** DuckDB mirror of [[words]] applied to a column named `text`. */
   val wordsSqlDoc: String =
-    """list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '')"""
+    """list_filter(string_split(translate(regexp_replace(text, '\\n', ' n', 'g'), '".,/()?;', '        '), ' '), w -> w != '')"""
 
   /** Portable 60-bit hash: first 15 hex chars of md5, parsed base-16.
     * DuckDB mirror: CAST('0x' || substring(md5(s),1,15) AS BIGINT).

@@ -113,14 +113,19 @@ object Similarity {
     * turn the bucket join into an O(n·q) scan. Mirrored in the oracle. */
   private[graft] val AnnBucketCap = 512
 
-  /** Vectors + their sign-bit LSH bucket id, materialized once (the
-    * bucket column feeds both the size guard and the join sides). */
+  /** Vectors + their sign-bit LSH bucket id, lazily cached: the bucket
+    * column feeds the size guard and both join sides, and the cache makes
+    * that one signature computation instead of three. `persist` (not an
+    * eager checkpoint) keeps construction side-effect free — plan-only
+    * callers (explain, schema probes, plan-shape specs) never trigger a
+    * Spark job — and the blocks are reclaimed by the context cleaner once
+    * the plan is unreachable. */
   private def lshBucketed(all: DataFrame): DataFrame = {
     val bucketBits = (0 until LSH_BITS).map { b =>
       val w = array((1 to DIM).map(d => lit(lshWeight(b, d))): _*)
       when(dot(w, col("v")) > 0, 1L << b).otherwise(0L)
     }
-    all.withColumn("bucket", bucketBits.reduce(_ + _)).localCheckpoint(true)
+    all.withColumn("bucket", bucketBits.reduce(_ + _)).persist()
   }
 
   /** Drop over-cap buckets — see [[AnnBucketCap]]. The guard anti-joins
@@ -250,19 +255,48 @@ object Similarity {
 
   // ------------------------------------------------------ cosine near-dup
 
-  /** Embedding-cosine near-duplicate pairs, blocked by the guarded LSH
-    * bucket (never a raw attribute: raw-attribute blocks grow linearly
-    * with the corpus, so their in-block pair join grows quadratically —
-    * the sign-bit bucket subdivides with LSH_BITS instead). Same-bucket
-    * pairs share all hyperplane signs, so the 0.3-cosine near-dups
-    * concentrate there; the pair join is an equi-join on bucket id with
-    * the over-cap guard applied first. */
+  /** Number of 2-bit hyperplane bands candidates are OR'd over. A pair at
+    * the cosine-0.3 decision boundary (θ ≈ 72.5°, per-bit agreement
+    * p = 1−θ/π ≈ 0.60) collides in a 2-bit band with p² ≈ 0.36 and in at
+    * least one of the 3 bands with 1−(1−p²)³ ≈ 0.73 — vs ≈ 5% under
+    * all-6-bit blocking, the recall gap banding exists to close. True
+    * near-dups (cos ≥ 0.9, p ≈ 0.86) collide with ≈ 0.98. Production
+    * tuning raises bits-per-band with corpus size and bands with the
+    * recall target, exactly like the MinHash path. */
+  private val ND_BANDS = 3
+
+  /** Embedding-cosine near-duplicate pairs, blocked by guarded LSH BANDS
+    * (never a raw attribute: raw-attribute blocks grow linearly with the
+    * corpus, so their in-block pair join grows quadratically). Candidates
+    * collide on ANY 2-bit slice of the 6-bit signature — the multi-band
+    * OR that keeps recall high (see [[ND_BANDS]]) while each band bucket
+    * stays small. Scale shape: the band self-join carries vec_ids ONLY
+    * (the 64-long vectors would otherwise be shuffled once per band);
+    * distinct candidate pairs then re-join the cached vectors for the
+    * exact cosine check. Per-band over-cap buckets are dropped first. */
   def embedNeardup(s: SparkSession, dir: String): DataFrame = {
-    val g = guardBuckets(lshBucketed(vecs(s, dir)), AnnBucketCap)
-    g.as("a").join(g.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(dot(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")).as("cos"))
+    val sig = lshBucketed(vecs(s, dir))
+    val bands = sig.select(col("vec_id"),
+      explode(array((0 until ND_BANDS).map(j => struct(lit(j).as("band"),
+        expr(s"shiftright(bucket, ${2 * j}) % 4").as("bkey"))): _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val hot = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > AnnBucketCap)
+      .select(col("band"), col("bkey"))
+    val guarded = bands.join(hot, Seq("band", "bkey"), "left_anti")
+    val pairs = guarded.as("a").join(guarded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    pairs
+      .join(sig.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("n2").as("n2a")), "vec_a")
+      .join(sig.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("n2").as("n2b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosine(dot(col("va"), col("vb")), col("n2a"), col("n2b")).as("cos"))
       .filter(col("cos") >= 0.3)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
@@ -281,14 +315,19 @@ object Similarity {
       |bk AS (
       |  SELECT vec_id, SUM(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
       |  FROM bits GROUP BY vec_id),
-      |okb AS (SELECT bucket FROM bk GROUP BY bucket HAVING COUNT(*) <= $AnnBucketCap),
-      |g AS (SELECT n.vec_id, v, n2, bucket
-      |      FROM n JOIN bk ON n.vec_id = bk.vec_id JOIN okb USING (bucket))
+      |bands AS (
+      |  SELECT vec_id, t.band, (bucket >> (2*t.band)) % 4 AS bkey
+      |  FROM bk CROSS JOIN range($ND_BANDS) t(band)),
+      |okb AS (SELECT band, bkey FROM bands GROUP BY band, bkey HAVING COUNT(*) <= $AnnBucketCap),
+      |g AS (SELECT bands.vec_id, bands.band, bands.bkey FROM bands JOIN okb USING (band, bkey)),
+      |pairs AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM g a JOIN g b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
       |SELECT vec_a, vec_b, cos FROM (
-      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  SELECT vec_a, vec_b,
       |    CAST(list_sum([a.v[i]*b.v[i] for i in range(1,${DIM + 1})]) AS DOUBLE)
       |      / sqrt(CAST(a.n2 AS DOUBLE)) / sqrt(CAST(b.n2 AS DOUBLE)) AS cos
-      |  FROM g a JOIN g b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+      |  FROM pairs JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id) t
       |WHERE cos >= 0.3""".stripMargin
 
   // --------------------------------------------------------------- kmeans

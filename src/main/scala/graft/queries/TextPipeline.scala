@@ -44,7 +44,7 @@ object TextPipeline {
 
   private val dedupExactSql =
     """SELECT key, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs FROM (
-      |  SELECT array_to_string(list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '')[1:3], ' ') AS key, doc_id
+      |  SELECT array_to_string(list_filter(string_split(translate(regexp_replace(text, '\\n', ' n', 'g'), '".,/()?;', '        '), ' '), w -> w != '')[1:3], ' ') AS key, doc_id
       |  FROM documents) t
       |GROUP BY key HAVING COUNT(*) > 1""".stripMargin
 
@@ -97,8 +97,9 @@ object TextPipeline {
     * (spec surface — the adversarial-corpus guard test drives this). */
   private[graft] def dedupMinhashDocs(docs: DataFrame, cap: Int): DataFrame = {
     // the signature table feeds the band explode on both join sides;
-    // checkpoint it so the shingle/md5 scan runs once
-    val sig = minhashSig(docs).localCheckpoint(true)
+    // lazily cache it so the shingle/md5 scan runs once per action while
+    // plan-only callers (explain/schema probes) still trigger no job
+    val sig = minhashSig(docs).persist()
     // each band row carries the full signature, so pair agreement is
     // computed inline on the bucket join — no second lookup join, and the
     // duplicate candidates from multi-band collisions collapse in the
@@ -137,7 +138,7 @@ object TextPipeline {
     val eqs = minhashAB.indices.map(i =>
       s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH ws AS (
-      |  SELECT doc_id, list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '') AS w FROM documents),
+      |  SELECT doc_id, list_filter(string_split(translate(regexp_replace(text, '\\n', ' n', 'g'), '".,/()?;', '        '), ' '), w -> w != '') AS w FROM documents),
       |sh AS (
       |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS sh
       |  FROM ws WHERE len(w) >= 2),
@@ -177,7 +178,7 @@ object TextPipeline {
 
   private val dedupSimhashSql =
     """WITH w AS (
-      |  SELECT doc_id, unnest(list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), x -> x != '')) AS word
+      |  SELECT doc_id, unnest(list_filter(string_split(translate(regexp_replace(text, '\\n', ' n', 'g'), '".,/()?;', '        '), ' '), x -> x != '')) AS word
       |  FROM documents),
       |h AS (
       |  SELECT doc_id, CAST('0x' || substring(md5(word),1,15) AS BIGINT) % 4294967296 AS h32 FROM w),
@@ -194,7 +195,8 @@ object TextPipeline {
     * ≤ 3 via bit_count on the XOR. Same ban-the-cross-join shape as
     * MinHash: band equi-join, never O(n²). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = dedupSimhash(s, dir).localCheckpoint(true)
+    // lazy cache: one fingerprint computation feeding both join sides
+    val sig = dedupSimhash(s, dir).persist()
     val bands = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b => struct(lit(b).as("b"),
         (expr(s"shiftright(simhash, ${8 * b})") % 256).as("v"))): _*)).as("bk"))
@@ -255,7 +257,7 @@ object TextPipeline {
       s"MIN(($a*h+$b) % 1000000007) AS m$i" }.mkString(", ")
     s"""d AS (
       |  SELECT doc_id, lang, source,
-      |    list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '') AS w
+      |    list_filter(string_split(translate(regexp_replace(text, '\\n', ' n', 'g'), '".,/()?;', '        '), ' '), w -> w != '') AS w
       |  FROM documents),
       |shng AS (
       |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS sh
@@ -322,7 +324,7 @@ object TextPipeline {
       |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
       |    / CAST(len(w) AS DOUBLE) AS stop_ratio
       |FROM (SELECT doc_id, text,
-      |        list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), x -> x != '') AS w
+      |        list_filter(string_split(translate(regexp_replace(text, '\\n', ' n', 'g'), '".,/()?;', '        '), ' '), x -> x != '') AS w
       |      FROM documents) t""".stripMargin
 
   /** Language-ID by stopword heuristic (the n-gram-profile shape of a real
@@ -365,7 +367,7 @@ object TextPipeline {
   private val tokenCountSql =
     """SELECT doc_id,
       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
-      |  CAST(len(list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '')) AS BIGINT) AS n_ws
+      |  CAST(len(list_filter(string_split(translate(regexp_replace(text, '\\n', ' n', 'g'), '".,/()?;', '        '), ' '), w -> w != '')) AS BIGINT) AS n_ws
       |FROM documents""".stripMargin
 
   /** Order-sensitive document fingerprint: polynomial rolling hash over the
@@ -381,7 +383,7 @@ object TextPipeline {
     """SELECT doc_id,
       |  list_reduce(
       |    list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != ''),
+      |      list_transform(list_filter(string_split(translate(regexp_replace(text, '\\n', ' n', 'g'), '".,/()?;', '        '), ' '), w -> w != ''),
       |        w -> CAST('0x' || substring(md5(w),1,15) AS BIGINT) % 1000000007)),
       |    (acc, h) -> (acc*31 + h) % 1000000007) AS fp
       |FROM documents""".stripMargin
@@ -418,7 +420,7 @@ object TextPipeline {
   private val tfidfTopSql =
     """WITH tf AS (
       |  SELECT doc_id, word, COUNT(*) AS tf FROM (
-      |    SELECT doc_id, unnest(list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '')) AS word
+      |    SELECT doc_id, unnest(list_filter(string_split(translate(regexp_replace(text, '\\n', ' n', 'g'), '".,/()?;', '        '), ' '), w -> w != '')) AS word
       |    FROM documents) t
       |  GROUP BY doc_id, word),
       |dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word),

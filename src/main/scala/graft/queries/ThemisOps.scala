@@ -27,7 +27,7 @@ object ThemisOps {
 
   private val wordCountSql =
     """SELECT word, COUNT(*) AS cnt FROM (
-      |  SELECT unnest(list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '')) AS word
+      |  SELECT unnest(list_filter(string_split(translate(regexp_replace(text, '\\n', ' n', 'g'), '".,/()?;', '        '), ' '), w -> w != '')) AS word
       |  FROM documents) t
       |GROUP BY word""".stripMargin
 
@@ -53,7 +53,7 @@ object ThemisOps {
   private val ngramCountSql =
     """SELECT ngram, COUNT(*) AS cnt FROM (
       |  SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS ngram
-      |  FROM (SELECT list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '') AS ws
+      |  FROM (SELECT list_filter(string_split(translate(regexp_replace(text, '\\n', ' n', 'g'), '".,/()?;', '        '), ' '), w -> w != '') AS ws
       |        FROM documents) d) t
       |GROUP BY ngram""".stripMargin
 
@@ -76,7 +76,7 @@ object ThemisOps {
     """SELECT word, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS tf,
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM (SELECT doc_id,
-      |        unnest(list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '')) AS word
+      |        unnest(list_filter(string_split(translate(regexp_replace(text, '\\n', ' n', 'g'), '".,/()?;', '        '), ' '), w -> w != '')) AS word
       |      FROM documents) t
       |GROUP BY word""".stripMargin
 
@@ -109,7 +109,7 @@ object ThemisOps {
       |  SELECT 'chars' AS metric, length(text) // 50 AS bucket FROM documents
       |  UNION ALL
       |  SELECT 'tokens' AS metric,
-      |    len(list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '')) // 10 AS bucket
+      |    len(list_filter(string_split(translate(regexp_replace(text, '\\n', ' n', 'g'), '".,/()?;', '        '), ' '), w -> w != '')) // 10 AS bucket
       |  FROM documents) t
       |GROUP BY metric, bucket""".stripMargin
 
@@ -237,7 +237,7 @@ object ThemisOps {
       |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings,
       |  COUNT(DISTINCT doc_id) AS df
       |FROM (SELECT doc_id,
-      |        unnest(list_filter(string_split(translate(text, '".,/()?;', '        '), ' '), w -> w != '')) AS word
+      |        unnest(list_filter(string_split(translate(regexp_replace(text, '\\n', ' n', 'g'), '".,/()?;', '        '), ' '), w -> w != '')) AS word
       |      FROM documents) t
       |GROUP BY word""".stripMargin
 

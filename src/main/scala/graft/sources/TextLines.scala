@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
   * each line of each file becomes one record with key = source filename and
   * value = the line, where a trailing `\r` (Windows line ending) is
   * stripped and lines that are empty after stripping are skipped.
+  * Deliberate deviation: the reference strips `\r` only when it
+  * immediately precedes a `\n` (TextLineFormatReader.cc:34), so a final
+  * unterminated line keeps its `\r`; Hadoop's line reader (underneath
+  * `spark.read.text`) additionally treats a lone `\r` as a terminator.
+  * Both differences are unobservable on `\n`-terminated corpora.
   *
   * Spark-first shape: `spark.read.text` is the distributed splittable
   * reader (HDFS-style line splitting across executors — the reference's
