@@ -21,6 +21,7 @@ object SparkEntry {
     Iterative.defs,
     SortOps.defs,
     GraphText.defs,
+    Temporal.defs,
     // the decode stub folds over the payload bytes (ASCII text here), so
     // the oracle re-derives the same fold over character codes
     Seq(GQuery("q_media_features",

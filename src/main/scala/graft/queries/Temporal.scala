@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, Tables}
+import Qdsl._
+
+/** Temporal / reshaping operators over the `events` stream table: as-of
+  * join, banded range (interval) join, pivot, and CUBE aggregation.
+  *
+  * The reference has no join operator at all (SURVEY.md §2.7 — join-shaped
+  * computations are tagged unions through one shuffle); these queries are
+  * the Spark-native surface a user coming from a time-series or
+  * click-stream workload expects, each built in the shape that survives
+  * 100 TB: as-of via a single hash shuffle + linear window scan (never a
+  * per-row subquery), range join via coarse-bucket equi-join + residual
+  * filter (never an inequality-only nested loop), pivot/CUBE as plain
+  * hash aggregations.
+  */
+object Temporal {
+
+  // ------------------------------------------------------------ as-of join
+
+  /** As-of join: each purchase event picks the latest click by the same
+    * user at-or-before its timestamp (click-to-purchase attribution).
+    *
+    * Spark-first shape: union-tag both sides, one hash exchange on
+    * user_id, then a running `last(click, ignoreNulls)` window — the
+    * sorted-merge as-of in one linear pass. The naive form (inequality
+    * join + row_number) enumerates O(clicks × purchases) per user before
+    * ranking; this one is O(events) and shuffles each row exactly once.
+    * Ties (click and purchase at the same millisecond) count as "before"
+    * — the `(ms, click-first, event_id)` sort order makes that rule, and
+    * the pick among same-ms clicks, deterministic on both engines. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochMs(col("ts")).as("ms"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"),
+        when(col("event_type") === "click", 0).otherwise(1), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickId = when(col("event_type") === "click", col("event_id"))
+    val clickMs = when(col("event_type") === "click", col("ms"))
+    ev.withColumn("click_id", last(clickId, ignoreNulls = true).over(w))
+      .withColumn("click_ms", last(clickMs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("click_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ms").as("purchase_ms"),
+        col("click_id"), col("click_ms"),
+        (col("ms") - col("click_ms")).as("gap_ms"))
+  }
+
+  private val asofJoinSql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |t AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER w AS click_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN ms END IGNORE NULLS) OVER w AS click_ms
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY ms, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, ms AS purchase_ms, click_id, click_ms,
+      |  ms - click_ms AS gap_ms
+      |FROM t WHERE event_type = 'purchase' AND click_id IS NOT NULL""".stripMargin
+
+  // ------------------------------------------------------------ range join
+
+  private val DayMs = 86400000L
+  /** 2024-01-01T00:00:00Z — the event stream's epoch. */
+  private val T0 = 1704067200000L
+
+  /** Range (interval) join: events against 100 overlapping 5-hour windows
+    * (stride 3 h), counting traffic per window.
+    *
+    * Scale shape — the banded range join: a raw `start <= ts < end` join
+    * has no equi-key, so Spark would nested-loop it. Instead both sides
+    * map to coarse day buckets (an interval explodes to the 1–2 buckets
+    * it overlaps; an event to exactly one), the join is a plain
+    * equi-join on bucket, and the precise range predicate filters
+    * residually. Join fan-out is bounded by (interval span / bucket
+    * width) per row at any data size, and no pair from different days is
+    * ever considered. */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val windows = s.range(100)
+      .select(col("id").as("win_id"),
+        (lit(T0) + col("id") * 10800000L).as("start_ms"))
+      .withColumn("end_ms", col("start_ms") + 18000000L)
+    val wDays = windows.select(col("win_id"), col("start_ms"), col("end_ms"),
+      explode(array_distinct(array(
+        expr(s"start_ms DIV $DayMs"), expr(s"(end_ms - 1) DIV $DayMs")))).as("day"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("value"), epochMs(col("ts")).as("ms"))
+      .withColumn("day", expr(s"ms DIV $DayMs"))
+      .join(wDays, Seq("day"))
+      .filter(col("ms") >= col("start_ms") && col("ms") < col("end_ms"))
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sumDec(col("value")).as("sum_value"))
+  }
+
+  private val rangeJoinSql =
+    s"""WITH w AS (
+      |  SELECT i AS win_id, $T0 + i*10800000 AS start_ms,
+      |         $T0 + i*10800000 + 18000000 AS end_ms
+      |  FROM range(100) t(i)),
+      |wd AS (
+      |  SELECT win_id, start_ms, end_ms,
+      |    unnest(list_distinct([start_ms // $DayMs, (end_ms - 1) // $DayMs])) AS day
+      |  FROM w),
+      |e AS (SELECT user_id, value, epoch_ms(ts) AS ms FROM events)
+      |SELECT win_id, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM e JOIN wd ON e.ms // $DayMs = wd.day
+      |  AND e.ms >= wd.start_ms AND e.ms < wd.end_ms
+      |GROUP BY win_id""".stripMargin
+
+  // ----------------------------------------------------------------- pivot
+
+  /** Pivot: event counts and exact-decimal value sums per user cohort,
+    * event types as columns (`Dataset.pivot` with an explicit value list —
+    * the list keeps the plan static; without it Spark runs an extra
+    * distinct job to discover values, a collect the 100 TB posture
+    * forbids). Lowered by Spark to one hash aggregation with conditional
+    * accumulators — exactly the oracle's CASE WHEN form, no extra
+    * shuffle vs a plain groupBy. */
+  def pivotEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select((col("user_id") % 15).as("cohort"), col("event_type"), col("value"))
+      .groupBy(col("cohort"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)).as("n"), sumDec(col("value")).as("v"))
+
+  private val pivotEventsSql = {
+    val cols = Seq("click", "error", "purchase", "signup", "view").map { t =>
+      s"""  COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS ${t}_n,
+         |  CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS ${t}_v""".stripMargin
+    }.mkString(",\n")
+    s"""SELECT user_id % 15 AS cohort,
+      |$cols
+      |FROM events GROUP BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------------ cube
+
+  /** CUBE over the order lifecycle: all four grouping sets of
+    * (status, priority) in one pass — the cross-classified twin of
+    * q_rollup_orders. Spark expands CUBE into a single Expand + hash
+    * aggregation (rows × grouping sets on the map side, partial-agg'd
+    * before the one exchange). */
+  def cubeOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+
+  private val cubeOrdersSql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  val defs: Seq[GQuery] = Seq(
+    GQuery("q_asof_join", asofJoin, Some(asofJoinSql)),
+    GQuery("q_range_join", rangeJoin, Some(rangeJoinSql)),
+    GQuery("q_pivot_events", pivotEvents, Some(pivotEventsSql)),
+    GQuery("q_cube_orders", cubeOrders, Some(cubeOrdersSql)))
+}

@@ -482,8 +482,166 @@ object TextPipeline {
       |  MIN(doc_id) AS first_doc
       |FROM kept GROUP BY lang, source""".stripMargin
 
+  // ------------------------------------------------- near-dup clustering
+
+  /** Connected components over the strong near-dup graph (candidate pairs
+    * agreeing on ≥ 6 of 8 MinHash signatures): 5 rounds of hash-min label
+    * propagation give every document the minimum doc_id reachable within
+    * 5 hops. Near-dup clusters are dense quasi-cliques (diameter 1–2), so
+    * 5 rounds is convergence with margin — and a FIXED round count keeps
+    * the result deterministic and oracle-mirrorable (the DuckDB side
+    * unrolls the same 5 steps). Each round is one equi-join + one min
+    * aggregation over label rows — work ∝ edges, never edges² — the same
+    * iterative layout as q_pagerank. For graphs with unbounded diameter
+    * production swaps in the large-star/small-star alternation (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond" — O(log n)
+    * rounds of the identical per-round shape). Output is the cluster
+    * census, singletons included: the canonicalization step a dedup
+    * pipeline runs to pick one representative per duplicate group. */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(s, dir)
+      .filter(col("n_match") >= 6)
+      .select(col("doc_a"), col("doc_b"))
+    val nodes = Tables.documents(s, dir).select(col("doc_id"))
+    hashMinComponents(nodes, pairs, iters = 5)
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .select(col("lbl").as("cluster_rep"), col("n_docs"), col("id_sum"))
+  }
+
+  /** Hash-min label propagation: after `iters` rounds each node's `lbl`
+    * is the minimum doc_id within `iters` hops (= its component id once
+    * iters ≥ diameter). `nodes` is one `doc_id` per row; `pairs` holds
+    * undirected edges (symmetrized here). Spec surface for
+    * [[dupClusters]]. */
+  private[graft] def hashMinComponents(
+      nodes: DataFrame, pairs: DataFrame, iters: Int): DataFrame = {
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").persist()
+    try {
+      var labels = nodes.select(col("doc_id"), col("doc_id").as("lbl"))
+      for (_ <- 1 to iters) {
+        // min neighbor label, shuffle-hash-joined on the small label side
+        // (same reasoning as the PageRank iteration: SMJ would re-sort the
+        // cached edges every round)
+        val nbrMin = edges.join(labels.hint("shuffle_hash"),
+            col("src") === col("doc_id"))
+          .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+        labels = labels.join(nbrMin, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      }
+      // materialize before releasing the edge cache (the lazily-chained
+      // rounds collapse into one job here)
+      labels.localCheckpoint(eager = true)
+    } finally edges.unpersist()
+  }
+
+  private val dupClustersSql = {
+    val steps = (1 to 5).map { i =>
+      s"""l$i AS (
+        |  SELECT n.doc_id, LEAST(n.lbl, COALESCE(MIN(x.lbl), n.lbl)) AS lbl
+        |  FROM l${i - 1} n
+        |  LEFT JOIN e ON e.dst = n.doc_id
+        |  LEFT JOIN l${i - 1} x ON x.doc_id = e.src
+        |  GROUP BY n.doc_id, n.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH mh AS ($dedupMinhashSql),
+      |p AS (SELECT doc_a, doc_b FROM mh WHERE n_match >= 6),
+      |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      |      UNION ALL SELECT doc_b, doc_a FROM p),
+      |l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+      |$steps
+      |SELECT lbl AS cluster_rep, COUNT(*) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM l5 GROUP BY lbl""".stripMargin
+  }
+
+  // ------------------------------------------------- stratified sampling
+
+  /** Deterministic stratified sampling / domain mixing: each language
+    * stratum gets a per-mille keep-rate derived from its name hash (a
+    * stand-in for the mixture weights a training run specifies), and a
+    * document is kept iff its id-hash falls under the stratum's rate.
+    * Pure map-side predicate — no shuffle until the census, no RNG
+    * stream: the sample is a function of the data alone, so a 100 TB
+    * rerun (or a different engine) reproduces the exact same sample —
+    * the property curriculum mixing and ablation reruns need. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        (hashMod(col("lang")) % 700 + 100).as("rate"),
+        (hashMod(col("doc_id")) % 1000).as("u"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("u") < col("rate"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("u") < col("rate"), col("doc_id"))).as("kept_id_sum"),
+        min(col("rate")).as("rate_pm"))
+
+  private val sampleStratifiedSql =
+    """WITH d AS (
+      |  SELECT lang, doc_id,
+      |    CAST('0x' || substring(md5(lang),1,15) AS BIGINT) % 1000000007 % 700 + 100 AS rate,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 1000000007 % 1000 AS u
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN u < rate THEN doc_id END) AS BIGINT) AS kept_id_sum,
+      |  MIN(rate) AS rate_pm
+      |FROM d GROUP BY lang""".stripMargin
+
+  // ----------------------------------------------------------- redaction
+
+  /** PII-style redaction: emails and digit runs scrubbed with codegen'd
+    * regexp_replace, censused per source. The synthetic corpus ships with
+    * neither, so both are rendered on deterministically first (same trick
+    * as q_link_extract's markup render). Map-only — scales like any scan
+    * projection; the patterns live in the Java-regex ∩ RE2 common subset
+    * so both engines match byte-for-byte. */
+  def redact(s: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[a-z0-9_]+@[a-z][a-z.]*[a-z]"
+    val rendered = concat(col("text"), lit(" contact user_"), col("doc_id"),
+      lit("@mail.example.org ref "), (col("n_chars") * 37).cast("string"))
+    Tables.documents(s, dir)
+      .select(col("source"), rendered.as("t"))
+      .withColumn("ne", size(expr(s"regexp_extract_all(t, '$emailPat', 0)")).cast("long"))
+      .withColumn("t1", regexp_replace(col("t"), emailPat, "<EMAIL>"))
+      .withColumn("nn", size(expr("regexp_extract_all(t1, '[0-9]+', 0)")).cast("long"))
+      .withColumn("clean", regexp_replace(col("t1"), "[0-9]+", "<NUM>"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ne")).as("n_emails"),
+        sum(col("nn")).as("n_nums"),
+        sum(hashMod(col("clean"))).as("clean_checksum"))
+  }
+
+  private val redactSql =
+    """WITH r AS (
+      |  SELECT source,
+      |    text || ' contact user_' || CAST(doc_id AS VARCHAR)
+      |      || '@mail.example.org ref ' || CAST(n_chars*37 AS VARCHAR) AS t
+      |  FROM documents),
+      |e AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(t, '[a-z0-9_]+@[a-z][a-z.]*[a-z]')) AS ne,
+      |    regexp_replace(t, '[a-z0-9_]+@[a-z][a-z.]*[a-z]', '<EMAIL>', 'g') AS t1
+      |  FROM r),
+      |n AS (
+      |  SELECT source, ne,
+      |    len(regexp_extract_all(t1, '[0-9]+')) AS nn,
+      |    regexp_replace(t1, '[0-9]+', '<NUM>', 'g') AS clean
+      |  FROM e)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(ne) AS BIGINT) AS n_emails,
+      |  CAST(SUM(nn) AS BIGINT) AS n_nums,
+      |  CAST(SUM(CAST('0x' || substring(md5(clean),1,15) AS BIGINT) % 1000000007) AS BIGINT) AS clean_checksum
+      |FROM n GROUP BY source""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q_pipeline_clean", pipelineClean, Some(pipelineCleanSql), headline = true),
+    GQuery("q_dup_clusters", dupClusters, Some(dupClustersSql)),
+    GQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    GQuery("q_redact", redact, Some(redactSql)),
     GQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     GQuery("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), headline = true),
     GQuery("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),

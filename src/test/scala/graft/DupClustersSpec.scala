@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.TextPipeline
+
+/** Hash-min label propagation semantics: after k rounds every node holds
+  * the minimum id within k hops, so a component is fully labeled exactly
+  * when k reaches its diameter — asserted on a path graph (the worst
+  * case) and a clique (the near-dup shape, diameter 1).
+  */
+class DupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def components(nodeIds: Seq[Long], pairs: Seq[(Long, Long)], iters: Int) =
+    TextPipeline.hashMinComponents(
+      nodeIds.toDF("doc_id"),
+      pairs.toDF("doc_a", "doc_b"),
+      iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("path graph: k rounds reach exactly k hops") {
+    // path 1-2-3-4-5-6-7 has diameter 6: node 7 sees min=2 after 5 rounds
+    // (5 hops back), min=1 only after 6
+    val nodes = (1L to 7L)
+    val path = (1L to 6L).map(i => (i, i + 1))
+    val after5 = components(nodes, path, iters = 5)
+    assert(after5(7L) == 2L, "5 rounds propagate exactly 5 hops")
+    assert(after5(6L) == 1L)
+    val after6 = components(nodes, path, iters = 6)
+    assert(after6(7L) == 1L, "6 rounds cover the full diameter")
+    assert((1L to 7L).forall(after6(_) == 1L))
+  }
+
+  test("clique and singletons: one round suffices, singletons keep their id") {
+    val nodes = Seq(10L, 11L, 12L, 99L)
+    val clique = Seq((10L, 11L), (11L, 12L), (10L, 12L))
+    val lbl = components(nodes, clique, iters = 1)
+    assert(Seq(10L, 11L, 12L).forall(lbl(_) == 10L))
+    assert(lbl(99L) == 99L)
+  }
+
+  test("census over the corpus partitions all documents") {
+    val out = TextPipeline.dupClusters(spark, sfDir)
+    val total = out.agg(sum(col("n_docs"))).head().getLong(0)
+    val nDocs = graft.core.Tables.documents(spark, sfDir).count()
+    assert(total == nDocs, "every document lands in exactly one cluster")
+    // cluster representative is the minimum member: rep*n <= id_sum
+    assert(out.filter(col("id_sum") < col("cluster_rep") * col("n_docs"))
+      .count() == 0)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Temporal
+
+/** Temporal-operator semantics: the as-of join must behave like the
+  * textbook definition (latest click at-or-before, none in between), and
+  * the banded range join must agree with the naive inequality join it
+  * replaces at scale.
+  */
+class TemporalSpec extends SparkSpec {
+
+  test("asof join picks the latest preceding click and nothing later") {
+    val out = Temporal.asofJoin(spark, sfDir).persist()
+    try {
+      assert(out.count() > 0)
+      // at-or-before, never negative
+      assert(out.filter(col("gap_ms") < 0).count() == 0)
+      // no click by the same user strictly between the matched click and
+      // the purchase — i.e. the match really is the LATEST preceding one
+      val clicks = graft.core.Tables.events(spark, sfDir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"),
+          graft.queries.Qdsl.epochMs(col("ts")).as("cms"))
+      val violated = out.join(clicks,
+        col("cu") === col("user_id") &&
+          col("cms") > col("click_ms") && col("cms") <= col("purchase_ms"))
+      assert(violated.count() == 0,
+        "a later click existed between the matched click and the purchase")
+    } finally out.unpersist()
+  }
+
+  test("banded range join equals the naive inequality join") {
+    val banded = Temporal.rangeJoin(spark, sfDir)
+    // brute force: no bucketing, pure inequality theta-join (the shape
+    // that does NOT scale — correct at sf0.001, used as ground truth)
+    val e = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("value"),
+        graft.queries.Qdsl.epochMs(col("ts")).as("ms"))
+    val w = spark.range(100)
+      .select(col("id").as("win_id"),
+        (lit(1704067200000L) + col("id") * 10800000L).as("start_ms"))
+      .withColumn("end_ms", col("start_ms") + 18000000L)
+    val naive = e.join(w,
+        col("ms") >= col("start_ms") && col("ms") < col("end_ms"))
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        graft.queries.Qdsl.sumDec(col("value")).as("sum_value"))
+    assert(banded.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(banded).count() == 0)
+  }
+
+  test("cube totals line up across grouping sets") {
+    val out = Temporal.cubeOrders(spark, sfDir).persist()
+    try {
+      val total = out.filter(col("status") === "ALL" && col("priority") === "ALL")
+        .select(col("n")).head().getLong(0)
+      val byStatus = out.filter(col("status") =!= "ALL" && col("priority") === "ALL")
+        .agg(sum(col("n"))).head().getLong(0)
+      val byCell = out.filter(col("status") =!= "ALL" && col("priority") =!= "ALL")
+        .agg(sum(col("n"))).head().getLong(0)
+      assert(total == byStatus && total == byCell)
+    } finally out.unpersist()
+  }
+
+  test("pivot columns cover every event type with consistent counts") {
+    val out = Temporal.pivotEvents(spark, sfDir).persist()
+    try {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      assert(types.flatMap(t => Seq(s"${t}_n", s"${t}_v"))
+        .forall(out.columns.contains))
+      val pivotTotal = out.agg(
+        sum(types.map(t => col(s"${t}_n")).reduce(_ + _))).head().getLong(0)
+      assert(pivotTotal == graft.core.Tables.events(spark, sfDir).count())
+    } finally out.unpersist()
+  }
+}
