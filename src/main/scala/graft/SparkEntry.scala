@@ -22,6 +22,7 @@ object SparkEntry {
     SortOps.defs,
     GraphText.defs,
     Temporal.defs,
+    Sketches.defs,
     // the decode stub folds over the payload bytes (ASCII text here), so
     // the oracle re-derives the same fold over character codes
     Seq(GQuery("q_media_features",

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, Tables}
+import Qdsl._
+
+/** Deterministic sketch operators: HyperLogLog distinct estimation and
+  * Count-Min frequency estimation, built from the portable 60-bit md5
+  * hash ([[Qdsl.hash60]]) so the sketch CONTENTS — not just the answers —
+  * are bit-identical on any engine. Spark's own `approx_count_distinct`
+  * uses a private hash and is not cross-engine checkable; these are, which
+  * is also what a production pipeline wants when sketches are persisted
+  * and merged across runs (a sketch is only mergeable with sketches built
+  * from the same hash family).
+  *
+  * The reference has no sketch operators; its phase-0 sampler
+  * (SURVEY.md §2.6) is the same spirit — a tiny fixed-size summary that
+  * replaces a full pass. Sketch state here is a few thousand integer
+  * cells, so at 100 TB the register/cell aggregation shuffles a constant
+  * number of rows regardless of input size — the whole point.
+  */
+object Sketches {
+
+  // ------------------------------------------------------- HyperLogLog
+
+  /** HLL distinct-user estimate per event type, m = 256 registers,
+    * alongside the exact count so the census doubles as an accuracy
+    * check. Register index = low 8 bits of the 60-bit hash; rank =
+    * leading-zero count of the remaining 52 bits + 1 (computed as
+    * 53 − bitlength, integer-exact on both engines). The estimator is
+    * the raw HLL harmonic mean α·m²/Σ2^−M_j, evaluated as integer
+    * Σ2^(53−M_j) (≤ 256·2^53 < 2^63, no overflow) followed by one
+    * constant-folded double multiply/divide chain — every FP op is
+    * correctly rounded in the same order on both engines, so even the
+    * DOUBLE estimate matches bitwise.
+    *
+    * Scale: the register table is |types|·256 rows no matter the input;
+    * the one real shuffle carries partial max-registers. Registers are
+    * mergeable by max, so per-day sketches union by the same groupBy. */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), hash60(col("user_id")).as("h"))
+      .select(col("event_type"), (col("h") % 256).as("j"),
+        expr("h DIV 256").as("w"))
+      .select(col("event_type"), col("j"),
+        when(col("w") === 0, 53)
+          .otherwise(lit(53) - length(conv(col("w"), 10, 2))).as("rho"))
+      .groupBy(col("event_type"), col("j"))
+      .agg(max(col("rho")).as("m"))
+    // dense 256-register grid per type: empty registers contribute 2^53
+    val grid = s.range(256).select(col("id").cast("long").as("j"))
+      .crossJoin(Tables.events(s, dir).select(col("event_type")).distinct())
+    val regs = grid.join(ev, Seq("event_type", "j"), "left")
+      .select(col("event_type"), coalesce(col("m"), lit(0)).as("m"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - m)")).as("s"),
+        sum(when(col("m") > 0, 1L).otherwise(0L)).as("n_nonzero"),
+        sum(col("m").cast("long")).as("reg_checksum"))
+    val exact = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    regs.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("n_nonzero"),
+        col("reg_checksum"),
+        // α₂₅₆·m²·2⁵³ prefolded to one e-notation literal: DuckDB parses
+        // plain decimal literals as DECIMAL (different fold), e-notation
+        // as DOUBLE on both engines → the single division matches bitwise
+        expr("4.2399330249068963e+20 / CAST(s AS DOUBLE)").as("est_hll"))
+      // the standard small-range correction: below 2.5m with empty
+      // registers, linear counting m·ln(m/V) beats the raw harmonic mean.
+      // Floored to BIGINT so a last-ulp ln() difference between engines
+      // cannot reach the compared bytes (the value is transcendental —
+      // never AT an integer boundary).
+      .withColumn("est_final",
+        when(col("n_nonzero") < 256 && col("est_hll") <= 640.0,
+          floor(lit(256.0) * log(lit(256.0) / (lit(256) - col("n_nonzero")))))
+          .otherwise(floor(col("est_hll"))).cast("long"))
+  }
+
+  private val hllDistinctSql =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15) AS BIGINT) AS h
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, h % 256 AS j,
+      |    CASE WHEN h // 256 = 0 THEN 53 ELSE 53 - length(bin(h // 256)) END AS rho
+      |  FROM h),
+      |m AS (SELECT event_type, j, MAX(rho) AS m FROM r GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.event_type, g.j
+      |  FROM range(256) g(j) CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+      |regs AS (
+      |  SELECT grid.event_type,
+      |    SUM(CAST(1 AS BIGINT) << (53 - COALESCE(m.m, 0))) AS s,
+      |    CAST(SUM(CASE WHEN COALESCE(m.m, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero,
+      |    CAST(SUM(COALESCE(m.m, 0)) AS BIGINT) AS reg_checksum
+      |  FROM grid LEFT JOIN m ON m.event_type = grid.event_type AND m.j = grid.j
+      |  GROUP BY 1),
+      |exact AS (
+      |  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+      |SELECT r.event_type, e.n_exact, r.n_nonzero, r.reg_checksum,
+      |  4.2399330249068963e+20 / CAST(r.s AS DOUBLE) AS est_hll,
+      |  CAST(CASE WHEN r.n_nonzero < 256
+      |              AND 4.2399330249068963e+20 / CAST(r.s AS DOUBLE) <= 640.0
+      |    THEN FLOOR(256.0 * ln(256.0 / (256 - r.n_nonzero)))
+      |    ELSE FLOOR(4.2399330249068963e+20 / CAST(r.s AS DOUBLE)) END AS BIGINT) AS est_final
+      |FROM regs r JOIN exact e ON e.event_type = r.event_type""".stripMargin
+
+  // --------------------------------------------------------- Count-Min
+
+  /** Count-Min frequency sketch over the document token stream: depth 3 ×
+    * width 1024 cells (each token increments one cell per hash row), read
+    * back for the exact top-20 tokens so the output shows estimate ≥ truth
+    * with the one-sided CMS error. The cell table is 3072 integers at any
+    * corpus size — the sketch aggregation shuffles partial cell counts,
+    * the exact top-20 is a second aggregation (kept here precisely so the
+    * census is self-validating), and the readback is a broadcast join of
+    * 60 probe rows against the cells. */
+  def cmsWords(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(words(col("text"))).as("w"))
+    val cells = toks
+      .select(col("w"), explode(array(lit(0), lit(1), lit(2))).as("d"))
+      .select(col("d"), (hashMod(concat_ws("_", col("d"), col("w"))) % 1024).as("pos"))
+      .groupBy(col("d"), col("pos"))
+      .agg(count(lit(1)).as("c"))
+    val top = toks.groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w")).limit(20)
+    top
+      .select(col("w"), col("n_exact"), explode(array(lit(0), lit(1), lit(2))).as("d"))
+      .select(col("w"), col("n_exact"), col("d"),
+        (hashMod(concat_ws("_", col("d"), col("w"))) % 1024).as("pos"))
+      .join(cells, Seq("d", "pos"))
+      .groupBy(col("w"), col("n_exact"))
+      .agg(min(col("c")).as("n_est"))
+      .select(col("w"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+  }
+
+  private val cmsWordsSql =
+    s"""WITH toks AS (
+      |  SELECT unnest($wordsSqlDoc) AS w FROM documents),
+      |cells AS (
+      |  SELECT d.d,
+      |    CAST('0x' || substring(md5(CAST(d.d AS VARCHAR) || '_' || w),1,15) AS BIGINT) % 1000000007 % 1024 AS pos,
+      |    COUNT(*) AS c
+      |  FROM toks CROSS JOIN range(3) d(d)
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT w, COUNT(*) AS n_exact FROM toks GROUP BY w
+      |  ORDER BY n_exact DESC, w LIMIT 20),
+      |probe AS (
+      |  SELECT t.w, t.n_exact, d.d,
+      |    CAST('0x' || substring(md5(CAST(d.d AS VARCHAR) || '_' || t.w),1,15) AS BIGINT) % 1000000007 % 1024 AS pos
+      |  FROM top t CROSS JOIN range(3) d(d)),
+      |est AS (
+      |  SELECT p.w, p.n_exact, MIN(c.c) AS n_est
+      |  FROM probe p JOIN cells c ON c.d = p.d AND c.pos = p.pos
+      |  GROUP BY 1, 2)
+      |SELECT w, n_exact, n_est, n_est - n_exact AS overcount FROM est""".stripMargin
+
+  val defs: Seq[GQuery] = Seq(
+    GQuery("q_hll_distinct", hllDistinct, Some(hllDistinctSql)),
+    GQuery("q_cms_words", cmsWords, Some(cmsWordsSql)))
+}

@@ -168,9 +168,116 @@ object Temporal {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
+  // ---------------------------------------------------------------- funnel
+
+  /** Ordered-funnel analysis: how far each user progresses through
+    * view → click → purchase, in event order. Same one-shuffle shape as
+    * the as-of join: one hash exchange on user_id, then THREE chained
+    * running-max windows over the identical (partition, order) — Spark
+    * stacks them on a single sort with no extra exchange. `r1..r3` are
+    * running "reached stage k by now" flags (`r2` only advances on a
+    * click that already saw a view, `r3` on a purchase that already saw
+    * such a click), so the per-user max of each flag is the funnel depth
+    * — O(events) total, never a per-stage self-join (the naive funnel is
+    * k-1 self-joins of the event table with inequality predicates). */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochMs(col("ts")).as("ms"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("r1", max(when(col("event_type") === "view", 1)).over(w))
+      .withColumn("r2", max(when(col("event_type") === "click", col("r1"))).over(w))
+      .withColumn("r3", max(when(col("event_type") === "purchase", col("r2"))).over(w))
+      .groupBy(col("user_id"))
+      .agg((coalesce(max(col("r1")), lit(0)) + coalesce(max(col("r2")), lit(0))
+        + coalesce(max(col("r3")), lit(0))).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("user_id")).as("user_checksum"))
+  }
+
+  private val funnelSql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |f1 AS (
+      |  SELECT *, max(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS r1
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f2 AS (
+      |  SELECT *, max(CASE WHEN event_type = 'click' THEN r1 END) OVER w AS r2
+      |  FROM f1 WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f3 AS (
+      |  SELECT *, max(CASE WHEN event_type = 'purchase' THEN r2 END) OVER w AS r3
+      |  FROM f2 WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |u AS (
+      |  SELECT user_id,
+      |    COALESCE(MAX(r1), 0) + COALESCE(MAX(r2), 0) + COALESCE(MAX(r3), 0) AS stage
+      |  FROM f3 GROUP BY user_id)
+      |SELECT stage, COUNT(*) AS n_users,
+      |  CAST(SUM(user_id) AS BIGINT) AS user_checksum
+      |FROM u GROUP BY stage""".stripMargin
+
+  // ------------------------------------------------------ resample / fill
+
+  /** Time-series resample with gap fill: hourly event counts/value sums
+    * per event type over the stream's full 30-day horizon (720 hours from
+    * the epoch — a property of the generator, not data-derived: deriving
+    * min/max would need an extra pre-pass job), missing hours
+    * zero-filled, plus a forward-filled "hour of last activity" column.
+    *
+    * Scale shape: the dense grid is horizon × types — a SIZE set by the
+    * query, not the data (720 × 5 here; a year of minutes is still only
+    * 526k rows per type) — built with `range` + broadcast-able cross
+    * join, left-joined against the aggregated (not raw) hourly rows, and
+    * the forward fill is a per-type running window over grid rows. 100 TB
+    * of raw events still reduces to the same grid before any window
+    * runs. */
+  def resampleFill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"), col("value"), epochMs(col("ts")).as("ms"))
+      // integral DIV, not `/` (Column `/` is double division; a boundary
+      // millisecond could round across the bucket edge)
+      .withColumn("hour", expr(s"(ms - ${T0}L) DIV 3600000"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"), sumDec(col("value")).as("v"))
+    val grid = s.range(720).select(col("id").as("hour"))
+      .crossJoin(Tables.events(s, dir).select(col("event_type")).distinct())
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("v"), lit(0.0)).as("sum_value"),
+        last(when(col("n").isNotNull, col("hour")), ignoreNulls = true)
+          .over(w).as("last_seen_hour"))
+  }
+
+  private val resampleFillSql =
+    s"""WITH hourly AS (
+      |  SELECT event_type, (epoch_ms(ts) - $T0) // 3600000 AS hour,
+      |    COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.event_type, g.h AS hour
+      |  FROM range(720) g(h) CROSS JOIN (SELECT DISTINCT event_type FROM events) t)
+      |SELECT g.event_type, g.hour,
+      |  COALESCE(h.n, 0) AS n_events,
+      |  COALESCE(h.v, 0.0) AS sum_value,
+      |  last_value(CASE WHEN h.n IS NOT NULL THEN g.hour END IGNORE NULLS)
+      |    OVER (PARTITION BY g.event_type ORDER BY g.hour
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_seen_hour
+      |FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q_asof_join", asofJoin, Some(asofJoinSql)),
     GQuery("q_range_join", rangeJoin, Some(rangeJoinSql)),
     GQuery("q_pivot_events", pivotEvents, Some(pivotEventsSql)),
-    GQuery("q_cube_orders", cubeOrders, Some(cubeOrdersSql)))
+    GQuery("q_cube_orders", cubeOrders, Some(cubeOrdersSql)),
+    GQuery("q_funnel", funnel, Some(funnelSql)),
+    GQuery("q_resample_fill", resampleFill, Some(resampleFillSql)))
 }

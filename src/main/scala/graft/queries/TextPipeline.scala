@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{GQuery, Tables}
@@ -637,8 +638,89 @@ object TextPipeline {
       |  CAST(SUM(CAST('0x' || substring(md5(clean),1,15) AS BIGINT) % 1000000007) AS BIGINT) AS clean_checksum
       |FROM n GROUP BY source""".stripMargin
 
+  // ------------------------------------------------- chunk-level dedup
+
+  /** Substring-level exact dedup: every document is cut into consecutive
+    * 10-token chunks and the chunks are deduplicated GLOBALLY (across
+    * documents) — the operation LLM pipelines run to strip repeated
+    * boilerplate that document-level dedup cannot see. Output is the
+    * duplication census: for each occurrence count, how many distinct
+    * chunks occur that often, plus deterministic checksums of the chunk
+    * set and of each chunk's first occurrence (min doc_id·1024+offset —
+    * the keep-first rule).
+    *
+    * Scale shape: chunking is a scan-local explode (rows × ~n_tokens/10),
+    * then two hash aggregations whose shuffled bytes are ∝ DISTINCT
+    * chunks resp. distinct counts — never a self-join. At 100 TB the
+    * chunk text itself should not travel: group on hash60(chunk) (64-bit
+    * collision risk only), exactly what the checksum column already
+    * demonstrates. */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        // (size-1) DIV 10, integral — Column `/` would be double division
+        posexplode(transform(sequence(lit(0), expr("(size(ws) - 1) DIV 10")),
+          i => array_join(slice(col("ws"), i * 10 + 1, lit(10)), " "))))
+      .select(col("doc_id"), col("pos"), col("col").as("chunk"))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("doc_id") * 1024 + col("pos")).as("first_occ"))
+      .groupBy(col("cnt"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(hashMod(col("chunk"))).as("chunk_checksum"),
+        sum(col("first_occ")).as("first_occ_sum"))
+
+  private val chunkDedupSql =
+    s"""WITH w AS (
+      |  SELECT doc_id, $wordsSqlDoc AS ws FROM documents),
+      |c AS (
+      |  SELECT doc_id, j.j AS pos,
+      |    array_to_string(ws[j.j*10+1 : j.j*10+10], ' ') AS chunk
+      |  FROM w CROSS JOIN range(64) j(j)
+      |  WHERE j.j <= (len(ws) - 1) // 10),
+      |g AS (
+      |  SELECT chunk, COUNT(*) AS cnt, MIN(doc_id*1024 + pos) AS first_occ
+      |  FROM c GROUP BY chunk)
+      |SELECT cnt, COUNT(*) AS n_chunks,
+      |  CAST(SUM(CAST('0x' || substring(md5(chunk),1,15) AS BIGINT) % 1000000007) AS BIGINT) AS chunk_checksum,
+      |  CAST(SUM(first_occ) AS BIGINT) AS first_occ_sum
+      |FROM g GROUP BY cnt""".stripMargin
+
+  // --------------------------------------------- per-group fixed sample
+
+  /** Deterministic fixed-size per-stratum sample: the k=10 documents per
+    * language with the smallest id-hash — the reservoir-sample twin of
+    * [[sampleStratified]] (that one keeps a RATE per stratum; this one a
+    * COUNT), reproducible at any scale because the "random" order is a
+    * pure function of the data. Spark lowers the rank-filter to
+    * WindowGroupLimit: each map task keeps only its local top-k before
+    * the exchange, so the shuffle carries ≤ k·partitions rows per group,
+    * not the group's full population. */
+  def sampleGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("u"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), hashMod(col("doc_id")).as("u"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("doc_id"), col("u"))
+  }
+
+  private val sampleGroupSql =
+    """SELECT lang,
+      |  CAST(row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS INT) AS rk,
+      |  doc_id, u
+      |FROM (
+      |  SELECT lang, doc_id,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 1000000007 AS u
+      |  FROM documents)
+      |QUALIFY rk <= 10""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q_pipeline_clean", pipelineClean, Some(pipelineCleanSql), headline = true),
+    GQuery("q_chunk_dedup", chunkDedup, Some(chunkDedupSql)),
+    GQuery("q_sample_group", sampleGroup, Some(sampleGroupSql)),
     GQuery("q_dup_clusters", dupClusters, Some(dupClustersSql)),
     GQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     GQuery("q_redact", redact, Some(redactSql)),

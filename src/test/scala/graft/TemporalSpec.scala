@@ -76,4 +76,54 @@ class TemporalSpec extends SparkSpec {
       assert(pivotTotal == graft.core.Tables.events(spark, sfDir).count())
     } finally out.unpersist()
   }
+
+  test("funnel stages match the naive per-stage recomputation") {
+    import graft.queries.Qdsl.epochMs
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochMs(col("ts")).as("ms")).persist()
+    try {
+      // naive ground truth: stage 1 = has a view; stage 2 = has a click
+      // strictly after (in (ms, event_id) order) some view; stage 3 = a
+      // purchase after such a click — recomputed with joins, not windows
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(struct(col("ms"), col("event_id"))).as("v0"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .join(views, "user_id")
+        .filter(struct(col("ms"), col("event_id")) > col("v0"))
+        .groupBy(col("user_id")).agg(min(struct(col("ms"), col("event_id"))).as("c0"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .join(clicks, "user_id")
+        .filter(struct(col("ms"), col("event_id")) > col("c0"))
+        .select(col("user_id")).distinct()
+      val nAll = ev.select(col("user_id")).distinct().count()
+      val n1 = views.count(); val n2 = clicks.count(); val n3 = purchases.count()
+      val out = Temporal.funnel(spark, sfDir)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      def atLeast(k: Int) = out.filter(_._1 >= k).values.sum
+      assert(atLeast(0) == nAll)
+      assert(atLeast(1) == n1, s"stage>=1 ${atLeast(1)} vs naive $n1")
+      assert(atLeast(2) == n2, s"stage>=2 ${atLeast(2)} vs naive $n2")
+      assert(atLeast(3) == n3, s"stage>=3 ${atLeast(3)} vs naive $n3")
+    } finally ev.unpersist()
+  }
+
+  test("resample grid is dense, zero-filled, and forward-fill is monotone") {
+    val out = Temporal.resampleFill(spark, sfDir).persist()
+    try {
+      val nTypes = graft.core.Tables.events(spark, sfDir)
+        .select(col("event_type")).distinct().count()
+      assert(out.count() == 720 * nTypes)
+      // empty hours are zero-filled, never dropped
+      assert(out.filter(col("n_events") === 0 && col("sum_value") =!= 0.0).count() == 0)
+      // totals survive the resample
+      val total = out.agg(sum(col("n_events"))).head().getLong(0)
+      assert(total == graft.core.Tables.events(spark, sfDir).count())
+      // forward fill points at-or-before the row's hour, and is exactly
+      // the row's own hour whenever the hour had events
+      assert(out.filter(col("last_seen_hour") > col("hour")).count() == 0)
+      assert(out.filter(col("n_events") > 0 &&
+        col("last_seen_hour") =!= col("hour")).count() == 0)
+    } finally out.unpersist()
+  }
 }
