@@ -1,0 +1,125 @@
+package graft.api
+
+import org.apache.spark.Partitioner
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Median-of-nodes partition-boundary decision and boundary-list
+  * persistence — the reference's BoundaryDecider
+  * (`mapreduce/workers/boundarydecider/BoundaryDecider.cc:42-117`: gather
+  * one candidate boundary key per node per partition index, sort the
+  * candidates for each index, keep the LOWER median — `medianIndex =
+  * (numNodes - 1) / 2` — and broadcast the decided list to every node)
+  * and DiskBackedBoundaryKeyList
+  * (`mapreduce/common/boundary/DiskBackedBoundaryKeyList.cc:20-61`:
+  * persist the decided list so later jobs load it instead of
+  * re-sampling).
+  *
+  * Spark's own RangePartitioner covers the CAPABILITY (one global sample,
+  * computed quantiles); this utility reproduces the reference's exact
+  * DECISION RULE — median of independently-computed per-node candidates,
+  * which is robust to a node with a skewed local sample — and makes the
+  * boundary list a persistent, reusable artifact, so repeated jobs over
+  * the same key distribution skip phase 0 entirely and two different jobs
+  * can agree on partition placement (the property the reference needs for
+  * its co-located two-job pipelines).
+  *
+  * Scale: candidates are O(nodes × partitions) rows — metadata-sized, not
+  * data-sized. The decided list (partitions − 1 rows) is collected and
+  * re-broadcast into the assignment expression exactly like the
+  * reference's broadcastOutputChunk ships the decided buffer to every
+  * peer.
+  */
+object Boundaries {
+
+  /** Per-node candidate boundaries from a deterministic hash-sample:
+    * every input partition ("node") sorts its sampled keys and proposes
+    * the lower edge of each of its `numPartitions` local quantile tiles —
+    * one candidate per boundary index per node, the stream BoundaryDecider
+    * consumes. `sampleMod` keeps 1/sampleMod of rows (1 = keep all);
+    * the sample is a function of the key bytes, so reruns propose
+    * identical candidates. */
+  def candidateBoundaries(
+      df: DataFrame, keyCol: String, numPartitions: Int,
+      sampleMod: Int = 1): DataFrame = {
+    require(numPartitions > 1, "need at least 2 partitions for boundaries")
+    val key = col(keyCol).as("key")
+    val sampled = df.select(key)
+      .withColumn("node", spark_partition_id())
+      .filter(
+        conv(substring(md5(col("key").cast("string")), 1, 15), 16, 10)
+          .cast("long") % sampleMod === 0)
+    val w = Window.partitionBy(col("node")).orderBy(col("key"))
+    sampled.withColumn("tile", ntile(numPartitions).over(w))
+      .filter(col("tile") > 1)
+      .groupBy(col("node"), col("tile"))
+      .agg(min(col("key")).as("key"))
+      .select(col("node"), (col("tile") - 1).as("idx"), col("key"))
+  }
+
+  /** The decider: for each boundary index, sort the per-node candidates
+    * and keep the LOWER median — candidate `(n-1) DIV 2` 0-based, the
+    * reference's medianIndex (BoundaryDecider.cc:72-78). Ties across
+    * nodes are broken by node id so the pick is total-order
+    * deterministic. */
+  def decideBoundaries(candidates: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("idx")).orderBy(col("key"), col("node"))
+    candidates
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("idx"))))
+      .filter(col("rn") === expr("CAST((n - 1) DIV 2 + 1 AS INT)"))
+      .select(col("idx"), col("key"))
+  }
+
+  /** Sample → per-node candidates → median-of-nodes decision, one call. */
+  def computeBoundaries(
+      df: DataFrame, keyCol: String, numPartitions: Int,
+      sampleMod: Int = 1): DataFrame =
+    decideBoundaries(candidateBoundaries(df, keyCol, numPartitions, sampleMod))
+
+  /** Persist a decided boundary list (DiskBackedBoundaryKeyList parity —
+    * one small parquet file; `coalesce(1)` is correct here BECAUSE the
+    * list is partitions−1 rows of metadata). */
+  def save(boundaries: DataFrame, path: String): Unit =
+    boundaries.orderBy(col("idx")).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted boundary list back as the in-memory key array the
+    * assignment expression embeds (the reference mmaps the same list,
+    * DiskBackedBoundaryKeyList.cc:63-121). */
+  def load(spark: SparkSession, path: String): Array[Any] =
+    spark.read.parquet(path).orderBy(col("idx"))
+      .collect().map(_.get(1))
+
+  /** Partition id of `keyCol` under a decided boundary list: the count of
+    * boundaries ≤ key (0 .. bounds.length). Linear in the boundary count
+    * but fully codegen'd and boundary lists are partition-count-sized;
+    * the reference's TrieSearcher is the same search over the same
+    * broadcast list. */
+  def partitionIdExpr(keyCol: Column, bounds: Seq[Any]): Column =
+    size(filter(array(bounds.map(lit): _*), b => b <= keyCol))
+
+  /** Physically place each row in the partition its boundary range names
+    * — partition i holds exactly keys in [bound(i-1), bound(i)). The one
+    * RDD drop-down in the library: DataFrame repartitioning cannot
+    * express "partition BY THIS id column, identically", and the custom
+    * `Partitioner` is precisely the imperative per-partition contract the
+    * reference's BoundaryListPartitionFunction implements. */
+  def repartitionByBoundaries(
+      df: DataFrame, keyCol: String, bounds: Seq[Any]): DataFrame = {
+    val spark = df.sparkSession
+    val n = bounds.size + 1
+    val withPid = df.withColumn("graft_pid", partitionIdExpr(col(keyCol), bounds))
+    val schema = withPid.schema
+    val pidIdx = schema.fieldIndex("graft_pid")
+    val rdd = withPid.rdd
+      .map(r => (r.getInt(pidIdx), r))
+      .partitionBy(new Partitioner {
+        override def numPartitions: Int = n
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map(_._2)
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.Boundaries
+
+/** Median-of-nodes boundary decision (BoundaryDecider.cc parity) and
+  * disk-backed boundary list round-trips.
+  */
+class BoundariesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decider picks the lower median across nodes, reference-style") {
+    // three nodes propose candidates for two boundary indices; the lower
+    // median of [10, 20, 90] is 20 (index (3-1)/2 = 1 after sorting) —
+    // the node with the skewed sample (90) cannot drag the boundary
+    val cands = Seq(
+      (0, 1, 10L), (1, 1, 20L), (2, 1, 90L),
+      (0, 2, 50L), (1, 2, 40L), (2, 2, 60L)
+    ).toDF("node", "idx", "key")
+    val decided = Boundaries.decideBoundaries(cands)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(decided == Map(1 -> 20L, 2 -> 50L))
+  }
+
+  test("even node counts use candidate (n-1) DIV 2, ties broken by node") {
+    val cands = Seq(
+      (0, 1, 10L), (1, 1, 30L), (2, 1, 20L), (3, 1, 40L)
+    ).toDF("node", "idx", "key")
+    // sorted: 10,20,30,40 → lower median index (4-1)/2 = 1 → 20
+    val decided = Boundaries.decideBoundaries(cands).collect()
+    assert(decided.head.getLong(1) == 20L)
+  }
+
+  test("full pipeline partitions a skewed table into bounded ranges") {
+    val df = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(4) // 4 "nodes"
+    val bounds = Boundaries.computeBoundaries(df, "l_partkey", 8)
+      .collect().map(_.getLong(1)).sorted
+    assert(bounds.length == 7)
+    val placed = Boundaries.repartitionByBoundaries(
+      df, "l_partkey", bounds.map(_.asInstanceOf[Any]).toSeq)
+    // every physical partition holds one contiguous key range
+    val ranges = placed
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"),
+        col("l_partkey"))
+      .groupBy(col("pid"))
+      .agg(min(col("l_partkey")).as("lo"), max(col("l_partkey")).as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy(col("pid"))
+      .collect()
+    assert(ranges.map(_.getLong(3)).sum == df.count())
+    val nonEmpty = ranges.filter(_.getLong(3) > 0)
+    nonEmpty.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) <= b.getLong(1),
+        s"ranges overlap: pid ${a.getInt(0)} hi=${a.getLong(2)} vs pid ${b.getInt(0)} lo=${b.getLong(1)}")
+      case _ =>
+    }
+    // and the placement matches the assignment expression
+    val mismatch = placed
+      .withColumn("actual", org.apache.spark.sql.functions.spark_partition_id())
+      .filter(col("actual") =!= col("graft_pid"))
+    assert(mismatch.count() == 0)
+  }
+
+  test("boundary list survives a disk round-trip (DiskBackedBoundaryKeyList)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bounds").toString
+    val df = graft.core.Tables.orders(spark, sfDir).repartition(3)
+    val decided = Boundaries.computeBoundaries(df, "o_orderkey", 5)
+    Boundaries.save(decided, s"$dir/bounds")
+    val loaded = Boundaries.load(spark, s"$dir/bounds")
+    val inMem = decided.orderBy(col("idx")).collect().map(_.get(1))
+    assert(loaded.toSeq == inMem.toSeq)
+  }
+}
