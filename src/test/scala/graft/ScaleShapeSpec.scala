@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.{Temporal, TextPipeline}
+
+/** Scale-machinery demonstrations beyond per-query plans: runtime bloom
+  * pruning, bucketed co-located joins, partition-pruned layouts, and the
+  * window-group-limit pushdown — each asserted on the physical plan, since
+  * these are exactly the behaviors that decide whether a 100 TB run
+  * shuffles terabytes it didn't need to.
+  */
+class ScaleShapeSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB") {
+      val dim = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val fact = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") || opt.contains("bloom_filter"),
+        s"expected a runtime bloom filter in the optimized plan:\n$opt")
+    }
+  }
+
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      Tables.orders(spark, sfDir)
+        .write.mode("overwrite").option("path", s"$wh/orders_b")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_orders_b")
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .write.mode("overwrite").option("path", s"$wh/lineitem_b")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_lineitem_b")
+      try {
+        val j = spark.table("graft_lineitem_b")
+          .join(spark.table("graft_orders_b"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice")).as("rev"))
+        val p = plan(j)
+        val joinIdx = p.indexOf("Join")
+        assert(joinIdx >= 0)
+        // no shuffle below the join: both sides arrive pre-partitioned by
+        // the bucketing — the layout a 100 TB fact↔fact join needs
+        assert(!p.substring(joinIdx).contains("Exchange"),
+          s"bucketed join must not re-shuffle its inputs:\n$p")
+        // every lineitem row finds its order: the co-located join loses nothing
+        val joinedRows = spark.table("graft_lineitem_b")
+          .join(spark.table("graft_orders_b"),
+            col("l_orderkey") === col("o_orderkey")).count()
+        assert(joinedRows == Tables.lineitem(spark, sfDir).count())
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+        spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+      }
+    }
+  }
+
+  test("partitionBy layout prunes non-matching partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val filtered = spark.read.parquet(dir)
+      .filter(col("event_type") === "click")
+    val p = plan(filtered)
+    assert(p.contains("PartitionFilters") && p.contains("event_type"),
+      s"expected a partition filter at the scan:\n$p")
+    val expected = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click").count()
+    assert(filtered.count() == expected)
+  }
+
+  test("per-group sample lowers to WindowGroupLimit (map-side top-k)") {
+    val p = plan(TextPipeline.sampleGroup(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter should push down as WindowGroupLimit:\n$p")
+  }
+
+  test("funnel: three windows + two aggs ride on two exchanges total") {
+    val p = plan(Temporal.funnel(spark, sfDir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2,
+      s"expected exactly 2 exchanges (user_id, stage), got $exchanges:\n$p")
+    // the three chained windows must share one sort
+    val sorts = "\\bSort \\[".r.findAllIn(p).length
+    assert(sorts == 1, s"expected one shared sort for the windows, got $sorts:\n$p")
+  }
+
+  test("as-of join: one exchange, no self-join of the event table") {
+    val p = plan(Temporal.asofJoin(spark, sfDir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join"), "as-of must be a window scan, not a join")
+  }
+}
