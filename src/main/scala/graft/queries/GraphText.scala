@@ -290,7 +290,7 @@ object GraphText {
 
   val defs: Seq[GQuery] = Seq(
     GQuery("q_link_extract", linkExtract, Some(linkExtractSql)),
-    GQuery("q_triangles", triangles, Some(trianglesSql)),
+    GQuery("q_triangles", triangles, Some(trianglesSql), headline = true),
     GQuery("q_wex_text", wexText, Some(wexTextSql)),
     GQuery("q_text_lines", textLines, Some(textLinesSql)),
     GQuery("q_parse_network", parseNetwork, Some(parseNetworkSql)),

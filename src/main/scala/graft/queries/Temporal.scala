@@ -274,7 +274,7 @@ object Temporal {
       |FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour""".stripMargin
 
   val defs: Seq[GQuery] = Seq(
-    GQuery("q_asof_join", asofJoin, Some(asofJoinSql)),
+    GQuery("q_asof_join", asofJoin, Some(asofJoinSql), headline = true),
     GQuery("q_range_join", rangeJoin, Some(rangeJoinSql)),
     GQuery("q_pivot_events", pivotEvents, Some(pivotEventsSql)),
     GQuery("q_cube_orders", cubeOrders, Some(cubeOrdersSql)),

@@ -520,7 +520,13 @@ object TextPipeline {
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").persist()
     try {
+      // labels is referenced TWICE per round (neighbor-min build + the
+      // carry-forward join), so a lazily-chained loop would duplicate the
+      // whole upstream subtree each round — 2^iters plan growth (measured:
+      // 5 lazy rounds benched 15 s vs 2 s checkpointed). Materialize each
+      // round; the per-round job is join + agg over label rows only.
       var labels = nodes.select(col("doc_id"), col("doc_id").as("lbl"))
+        .localCheckpoint(eager = true)
       for (_ <- 1 to iters) {
         // min neighbor label, shuffle-hash-joined on the small label side
         // (same reasoning as the PageRank iteration: SMJ would re-sort the
@@ -531,10 +537,9 @@ object TextPipeline {
         labels = labels.join(nbrMin, col("doc_id") === col("dst"), "left")
           .select(col("doc_id"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint(eager = true)
       }
-      // materialize before releasing the edge cache (the lazily-chained
-      // rounds collapse into one job here)
-      labels.localCheckpoint(eager = true)
+      labels
     } finally edges.unpersist()
   }
 
@@ -719,9 +724,9 @@ object TextPipeline {
 
   val defs: Seq[GQuery] = Seq(
     GQuery("q_pipeline_clean", pipelineClean, Some(pipelineCleanSql), headline = true),
-    GQuery("q_chunk_dedup", chunkDedup, Some(chunkDedupSql)),
+    GQuery("q_chunk_dedup", chunkDedup, Some(chunkDedupSql), headline = true),
     GQuery("q_sample_group", sampleGroup, Some(sampleGroupSql)),
-    GQuery("q_dup_clusters", dupClusters, Some(dupClustersSql)),
+    GQuery("q_dup_clusters", dupClusters, Some(dupClustersSql), headline = true),
     GQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     GQuery("q_redact", redact, Some(redactSql)),
     GQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
