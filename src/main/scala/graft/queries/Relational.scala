@@ -294,7 +294,51 @@ object Relational {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Full-outer reconciliation census: customers vs order activity joined
+    * FULL OUTER on custkey, classified into both / customer-only /
+    * order-only and summarized. The compaction-side shape every CDC or
+    * two-source reconciliation job needs; both inputs arrive
+    * pre-aggregated (one row per key), so the outer join shuffles keys,
+    * not raw rows, and the census is a constant-size output at any
+    * scale. */
+  def reconcile(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val ords = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sumDec(col("o_totalprice")).as("spend"))
+    cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+          .when(col("c_custkey").isNotNull, "customer_only")
+          .otherwise("order_only").as("side"),
+        coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("k")).as("key_checksum"),
+        sum(col("n_orders")).as("n_orders"))
+  }
+
+  private val reconcileSql =
+    """WITH o AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY o_custkey),
+      |j AS (
+      |  SELECT CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL THEN 'both'
+      |              WHEN c.c_custkey IS NOT NULL THEN 'customer_only'
+      |              ELSE 'order_only' END AS side,
+      |    COALESCE(c.c_custkey, o.o_custkey) AS k,
+      |    COALESCE(o.n_orders, 0) AS n_orders
+      |  FROM customer c FULL OUTER JOIN o ON o.o_custkey = c.c_custkey)
+      |SELECT side, COUNT(*) AS n_keys,
+      |  CAST(SUM(k) AS BIGINT) AS key_checksum,
+      |  CAST(SUM(n_orders) AS BIGINT) AS n_orders
+      |FROM j GROUP BY side""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q_reconcile_outer", reconcile, Some(reconcileSql)),
     GQuery("q_quantiles", quantiles, Some(quantilesSql)),
     GQuery("q_sql_top_customers", sqlTopCustomers, Some(sqlTopCustomersSql)),
     GQuery("q1_pricing_summary", pricingSummary, Some(pricingSummarySql), headline = true),

@@ -273,7 +273,48 @@ object Temporal {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_seen_hour
       |FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour""".stripMargin
 
+  // ------------------------------------------------------ latest snapshot
+
+  /** Latest-state compaction (the CDC/upsert read path): one row per user
+    * carrying the fields of their LAST event plus lifetime aggregates.
+    * Built as a single hash aggregation with an arg-max struct — max over
+    * `struct(ms, event_id, …)` picks the latest row and the trailing
+    * fields ride along (the unique (ms, event_id) prefix fully decides
+    * every comparison, so the float field is never compared) — partial
+    * aggregation runs map-side, no window sort, no self-join. This is the
+    * shape that turns an append-only 100 TB event log into a current-state
+    * table with one shuffle of per-key partials. */
+  def latestSnapshot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), epochMs(col("ts")).as("ms"))
+      .withColumn("day", expr(s"ms DIV $DayMs"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(struct(col("ms"), col("event_id").as("eid"),
+          col("event_type").as("et"), col("value").as("v"))).as("m"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("day")).as("days_active"))
+      .select(col("user_id"), col("m.ms").as("last_ms"),
+        col("m.eid").as("last_event_id"), col("m.et").as("last_type"),
+        col("m.v").as("last_value"), col("n_events"), col("days_active"))
+
+  private val latestSnapshotSql =
+    s"""WITH e AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms,
+      |    epoch_ms(ts) // $DayMs AS day
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    max(struct_pack(ms := ms, eid := event_id, et := event_type, v := value)) AS m,
+      |    COUNT(*) AS n_events, COUNT(DISTINCT day) AS days_active
+      |  FROM e GROUP BY user_id)
+      |SELECT user_id, m.ms AS last_ms, m.eid AS last_event_id,
+      |  m.et AS last_type, m.v AS last_value, n_events, days_active
+      |FROM g""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q_latest_snapshot", latestSnapshot, Some(latestSnapshotSql)),
     GQuery("q_asof_join", asofJoin, Some(asofJoinSql), headline = true),
     GQuery("q_range_join", rangeJoin, Some(rangeJoinSql)),
     GQuery("q_pivot_events", pivotEvents, Some(pivotEventsSql)),

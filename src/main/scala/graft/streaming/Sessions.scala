@@ -48,6 +48,17 @@ object Sessions {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("word"), col("cnt"))
 
+  /** Streaming exact dedup with bounded state — the unbounded-stream form
+    * of `q_dedup_exact`'s keep-first rule: duplicates of a key arriving
+    * within the watermark delay are suppressed, and per-key state older
+    * than the watermark is evicted, so state size tracks the key arrival
+    * rate × delay window, never the stream's history. The batch form
+    * (`dropDuplicates`) keeps all keys forever; this is the only version
+    * that survives a 100 TB/day feed. */
+  def dedupStream(events: DataFrame, lateness: String, keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** File-source streaming ingest of an events directory: the engine's
     * `readStream` entry for parquet drops. The driver testdata carries
     * TIMESTAMP(NANOS), which Spark 4 maps to long (see
