@@ -364,7 +364,52 @@ object Similarity {
       |    FROM d) t WHERE rn = 1)
       |SELECT cid, COUNT(*) AS n_points, CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id FROM a GROUP BY cid""".stripMargin
 
+  /** Int8 embedding quantization — the storage-side op a 100 TB embedding
+    * corpus runs before ANN serving: per-vector max-abs scaling to
+    * [-127, 127], summarized per label. Pure scan-local array math (two
+    * correctly-rounded double ops then an exact floor per element — the
+    * same IEEE sequence on any engine), one aggregation; nothing about it
+    * changes with corpus size. Zero vectors quantize to zero by
+    * definition rather than dividing by zero. */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))").as("scale"),
+        col("embedding"))
+      .select(col("vec_id"), col("label"),
+        when(col("scale") === 0.0, 0L).otherwise(
+          expr("aggregate(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale) AS BIGINT)), CAST(0 AS BIGINT), (acc, q) -> acc + q)"))
+          .as("q_sum"),
+        when(col("scale") === 0.0, 0L).otherwise(
+          expr("CAST(array_max(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale) AS BIGINT))) AS BIGINT)"))
+          .as("q_max"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("q_sum")).as("q_checksum"),
+        max(col("q_max")).as("q_peak"),
+        min(col("q_sum")).as("q_min_sum"))
+
+  private val embedQuantizeSql =
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+      |    embedding
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT vec_id, label,
+      |    CASE WHEN scale = 0.0 THEN 0 ELSE CAST(list_sum(list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale) AS BIGINT))) AS BIGINT) END AS q_sum,
+      |    CASE WHEN scale = 0.0 THEN 0 ELSE CAST(list_max(list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale) AS BIGINT))) AS BIGINT) END AS q_max
+      |  FROM q)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(q_sum) AS BIGINT) AS q_checksum,
+      |  MAX(q_max) AS q_peak,
+      |  MIN(q_sum) AS q_min_sum
+      |FROM p GROUP BY label""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q_embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     GQuery("q_knn_brute", knnBrute, Some(knnBruteSql), headline = true),
     GQuery("q_ann_lsh", annLsh, Some(annLshSql)),
     GQuery("q_ann_ivf", annIvf, Some(annIvfSql)),

@@ -722,9 +722,78 @@ object TextPipeline {
       |  FROM documents)
       |QUALIFY rk <= 10""".stripMargin
 
+  // ----------------------------------------------------- vocab building
+
+  /** Tokenizer-vocabulary construction: the top-100 corpus tokens by
+    * frequency, assigned dense ids in (count desc, token) order — the
+    * deterministic id assignment a tokenizer build emits. The heavy part
+    * is the token-frequency aggregation (shuffled bytes ∝ distinct
+    * tokens); the ranked id assignment runs on the aggregated table and
+    * Spark lowers the rank filter to WindowGroupLimit, so each partition
+    * forwards only its local top-100 candidates to the single ordering
+    * task — the full vocabulary never concentrates. */
+  def vocabBuild(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("n").desc, col("w"))
+    Tables.documents(s, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .withColumn("token_id", row_number().over(w))
+      .filter(col("token_id") <= 100)
+      .select(col("token_id"), col("w").as("token"), col("n"))
+  }
+
+  private val vocabBuildSql =
+    s"""WITH toks AS (
+      |  SELECT unnest($wordsSqlDoc) AS w FROM documents),
+      |c AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY w)
+      |SELECT CAST(row_number() OVER (ORDER BY n DESC, w) AS INT) AS token_id,
+      |  w AS token, n
+      |FROM c QUALIFY token_id <= 100""".stripMargin
+
+  // -------------------------------------------------- sequence packing
+
+  /** Sequence packing: documents are packed in doc_id order into 4096-token
+    * context windows per language — the running-cumsum binning
+    * (`bin = (cumsum - 1) DIV 4096`) that approximates first-fit packing in
+    * one linear pass, the way large pretraining pipelines actually pack.
+    * One hash exchange on lang, a per-partition window cumsum, then the
+    * bin census; nothing is ever resorted globally. Bin fill ratios fall
+    * out of the census (tokens per bin ≤ 4096 except single overlong
+    * carries). */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), size(words(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr("(cum - 1) DIV 4096"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  private val packSequencesSql =
+    s"""WITH d AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len($wordsSqlDoc) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, doc_id, n_tok,
+      |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d)
+      |SELECT lang, CAST((cum - 1) // 4096 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY 1, 2""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q_pipeline_clean", pipelineClean, Some(pipelineCleanSql), headline = true),
     GQuery("q_chunk_dedup", chunkDedup, Some(chunkDedupSql), headline = true),
+    GQuery("q_vocab_build", vocabBuild, Some(vocabBuildSql)),
+    GQuery("q_pack_sequences", packSequences, Some(packSequencesSql)),
     GQuery("q_sample_group", sampleGroup, Some(sampleGroupSql)),
     GQuery("q_dup_clusters", dupClusters, Some(dupClustersSql), headline = true),
     GQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
