@@ -789,11 +789,103 @@ object TextPipeline {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM c GROUP BY 1, 2""".stripMargin
 
+  // ----------------------------------------------- decontamination
+
+  /** Benchmark decontamination: corpus documents sharing any 8-gram with
+    * the held-out set (stand-in: doc_id ≡ 0 mod 101) are flagged — the
+    * n-gram-overlap scrub every pretraining corpus runs against its eval
+    * suites. Scale shape: the EVAL side is tiny by construction, so its
+    * distinct 8-grams broadcast and the corpus side is one scan + explode
+    * + broadcast semi-join — the 100 TB side never shuffles on gram text;
+    * flagged ids then dedupe (∝ flagged docs, not grams). */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 8)
+    def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(1, size(ws) - 7), i -> concat_ws(' ', slice(ws, i, 8)))"))
+        .as("g"))
+    val evalGrams = grams(docs.filter(col("doc_id") % 101 === 0))
+      .select(col("g")).distinct()
+    val corpus = docs.filter(col("doc_id") % 101 =!= 0)
+    val flagged = grams(corpus).join(broadcast(evalGrams), "g")
+      .select(col("doc_id")).distinct().withColumn("flag", lit(1L))
+    corpus.join(flagged, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("flag"), lit(0L))).as("n_flagged"),
+        sum(when(col("flag").isNotNull, col("doc_id"))).as("flagged_id_sum"))
+  }
+
+  private val decontaminateSql =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, $wordsSqlDoc AS ws FROM documents),
+      |dd AS (SELECT * FROM d WHERE len(ws) >= 8),
+      |eg AS (
+      |  SELECT DISTINCT array_to_string(ws[j.j : j.j + 7], ' ') AS g
+      |  FROM dd CROSS JOIN range(600) j(j)
+      |  WHERE doc_id % 101 = 0 AND j.j BETWEEN 1 AND len(ws) - 7),
+      |cg AS (
+      |  SELECT doc_id, array_to_string(ws[j.j : j.j + 7], ' ') AS g
+      |  FROM dd CROSS JOIN range(600) j(j)
+      |  WHERE doc_id % 101 != 0 AND j.j BETWEEN 1 AND len(ws) - 7),
+      |f AS (SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM eg))
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN dd.doc_id END) AS BIGINT) AS flagged_id_sum
+      |FROM dd LEFT JOIN f ON f.doc_id = dd.doc_id
+      |WHERE dd.doc_id % 101 != 0
+      |GROUP BY lang""".stripMargin
+
+  // ------------------------------------------------ repetition scoring
+
+  /** Intra-document repetition (the Gopher/C4 duplicate-n-gram filter):
+    * per document, the fraction of 3-grams that are repeats, bucketed to
+    * deciles and censused per source. Entirely scan-local — the n-gram
+    * list, its distinct count, and the bucket are array expressions
+    * inside the projection (no explode, no shuffle until the census), so
+    * cost is linear in corpus bytes at any scale. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("ngrams", expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))"))
+      .select(col("source"), col("doc_id"),
+        size(col("ngrams")).cast("long").as("n3"),
+        (size(col("ngrams")) - size(array_distinct(col("ngrams")))).cast("long").as("dup3"))
+      .withColumn("decile", expr("(dup3 * 10) DIV n3"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dup3")).as("total_dup3"),
+        sum(col("n3")).as("total_n3"))
+
+  private val repetitionSql =
+    s"""WITH d AS (
+      |  SELECT source, doc_id, $wordsSqlDoc AS ws FROM documents),
+      |g AS (
+      |  SELECT source, doc_id,
+      |    list_transform(generate_series(1, len(ws) - 2),
+      |      i -> array_to_string(ws[i : i + 2], ' ')) AS ngrams
+      |  FROM d WHERE len(ws) >= 3),
+      |r AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(ngrams) AS BIGINT) AS n3,
+      |    CAST(len(ngrams) - len(list_distinct(ngrams)) AS BIGINT) AS dup3
+      |  FROM g)
+      |SELECT source, (dup3 * 10) // n3 AS decile, COUNT(*) AS n_docs,
+      |  CAST(SUM(dup3) AS BIGINT) AS total_dup3,
+      |  CAST(SUM(n3) AS BIGINT) AS total_n3
+      |FROM r GROUP BY 1, 2""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q_pipeline_clean", pipelineClean, Some(pipelineCleanSql), headline = true),
     GQuery("q_chunk_dedup", chunkDedup, Some(chunkDedupSql), headline = true),
     GQuery("q_vocab_build", vocabBuild, Some(vocabBuildSql)),
     GQuery("q_pack_sequences", packSequences, Some(packSequencesSql)),
+    GQuery("q_decontaminate", decontaminate, Some(decontaminateSql)),
+    GQuery("q_repetition", repetition, Some(repetitionSql)),
     GQuery("q_sample_group", sampleGroup, Some(sampleGroupSql)),
     GQuery("q_dup_clusters", dupClusters, Some(dupClustersSql), headline = true),
     GQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
