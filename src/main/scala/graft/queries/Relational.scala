@@ -337,7 +337,39 @@ object Relational {
       |  CAST(SUM(n_orders) AS BIGINT) AS n_orders
       |FROM j GROUP BY side""".stripMargin
 
+  /** Column profiling through unpivot/melt: per-column row count, null
+    * count, distinct count, min and max for the lineitem measures, in ONE
+    * pass over a melted (column, value) stream — the ANALYZE-style
+    * profile a warehouse runs on ingest. `unpivot` is a zero-copy
+    * projection (each input row emits k (name, value) pairs map-side), so
+    * the only shuffle is the k-row-group aggregation; doubles pass
+    * through untouched (min/max involve no arithmetic → bit-exact). */
+  def profileUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(Array.empty, "col_name", "v")
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+
+  private val profileUnpivotSql = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val unioned = cols.map(c =>
+      s"SELECT '$c' AS col_name, $c AS v FROM lineitem").mkString("\nUNION ALL ")
+    s"""WITH m AS (
+      |$unioned)
+      |SELECT col_name, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      |  COUNT(DISTINCT v) AS n_distinct,
+      |  MIN(v) AS vmin, MAX(v) AS vmax
+      |FROM m GROUP BY col_name""".stripMargin
+  }
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q_profile_unpivot", profileUnpivot, Some(profileUnpivotSql)),
     GQuery("q_reconcile_outer", reconcile, Some(reconcileSql)),
     GQuery("q_quantiles", quantiles, Some(quantilesSql)),
     GQuery("q_sql_top_customers", sqlTopCustomers, Some(sqlTopCustomersSql)),

@@ -838,6 +838,41 @@ object TextPipeline {
       |WHERE dd.doc_id % 101 != 0
       |GROUP BY lang""".stripMargin
 
+  // ---------------------------------------------- incremental dedup
+
+  /** Incremental-ingest dedup: a new batch (stand-in: doc_id ≡ 0 mod 7)
+    * checked against the accumulated corpus by content hash — the
+    * daily-crawl-vs-history shape. The join carries only 60-bit content
+    * hashes (never text), equi-keyed, so at 100 TB the history side is a
+    * hash column scan and the shuffle is batch-sized + distinct-history-
+    * hash-sized; in production the history hashes live pre-computed as
+    * the fingerprint table this query's projection defines. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), hash60(col("text")).as("h"))
+    val history = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("h")).distinct().withColumn("dup", lit(1L))
+    docs.filter(col("doc_id") % 7 === 0)
+      .join(history, Seq("h"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_batch"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dups"),
+        sum(when(col("dup").isNull, col("doc_id"))).as("kept_id_sum"))
+  }
+
+  private val incrementalDedupSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substring(md5(text),1,15) AS BIGINT) AS h
+      |  FROM documents),
+      |hist AS (SELECT DISTINCT h FROM d WHERE doc_id % 7 != 0)
+      |SELECT lang, COUNT(*) AS n_batch,
+      |  CAST(SUM(CASE WHEN hist.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+      |  CAST(SUM(CASE WHEN hist.h IS NULL THEN doc_id END) AS BIGINT) AS kept_id_sum
+      |FROM d LEFT JOIN hist ON hist.h = d.h
+      |WHERE d.doc_id % 7 = 0
+      |GROUP BY lang""".stripMargin
+
   // ------------------------------------------------ repetition scoring
 
   /** Intra-document repetition (the Gopher/C4 duplicate-n-gram filter):
@@ -886,6 +921,7 @@ object TextPipeline {
     GQuery("q_pack_sequences", packSequences, Some(packSequencesSql)),
     GQuery("q_decontaminate", decontaminate, Some(decontaminateSql)),
     GQuery("q_repetition", repetition, Some(repetitionSql)),
+    GQuery("q_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     GQuery("q_sample_group", sampleGroup, Some(sampleGroupSql)),
     GQuery("q_dup_clusters", dupClusters, Some(dupClustersSql), headline = true),
     GQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),

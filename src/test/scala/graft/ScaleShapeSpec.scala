@@ -111,6 +111,28 @@ class ScaleShapeSpec extends SparkSpec {
     assert(sorts == 1, s"expected one shared sort for the windows, got $sorts:\n$p")
   }
 
+  test("AQE splits a skewed partition at runtime (skew=true in final plan)") {
+    import spark.implicits._
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "20KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      // 95% of the big side lands on one key — the adversarial shape that
+      // stalls a static plan on one straggler task
+      val big = spark.range(200000)
+        .select(when($"id" % 20 === 0, $"id" % 1000).otherwise(0L).as("k"),
+          $"id".as("payload"))
+      val dim = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("w"))
+      val j = big.join(dim, "k").groupBy($"w").agg(count(lit(1)).as("n"))
+      j.collect() // execute so AQE finalizes the plan
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true") || finalPlan.contains("Skew"),
+        s"expected AQE skew-join handling in the final plan:\n$finalPlan")
+    }
+  }
+
   test("as-of join: one exchange, no self-join of the event table") {
     val p = plan(Temporal.asofJoin(spark, sfDir))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
