@@ -253,6 +253,99 @@ object Similarity {
       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
       |  FROM cand) t WHERE rank <= 3""".stripMargin
 
+  /** IVF with a TRAINED coarse quantizer — the full FAISS-style pipeline:
+    * k=10 codebook seeded from the first 10 vectors, one integer-exact
+    * Lloyd update (assign → per-dim mean), then the same
+    * assign/probe-2/re-rank flow as [[annIvf]] against the trained
+    * centers. Composition is the point: the codebook build is the
+    * k-means machinery (q_kmeans_iter2), the serving path is the IVF
+    * machinery, and everything between them stays relational — centroid
+    * tables are k×dim rows that broadcast, vectors shuffle only into
+    * their cells. Retrain cadence at 100 TB is a scheduling choice; the
+    * per-update cost is one assignment join + one (k·dim)-row
+    * aggregation. */
+  def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    def argmin(centers: DataFrame): DataFrame =
+      all.join(broadcast(centers))
+        .select(col("vec_id"), col("label"), col("v"), col("n2"), col("cid"),
+          d2.as("dist"))
+    val c0 = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val a1 = argmin(c0)
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    // one Lloyd update: per-dim integer mean, arrays rebuilt in dim order
+    val c1 = all.join(a1, "vec_id")
+      .select(col("cid"), posexplode(col("v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(expr("SUM(col) DIV COUNT(*)").as("cx"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        e => e.getField("cx")).as("cv"))
+    val trained = argmin(c1)
+    val assigned = trained
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
+    val probes = trained.filter(col("vec_id") < 20)
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cid").as("cell"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"), "inner")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("v"), col("qv")), col("n2"), col("qn2")).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+
+  private val annIvfTrainedSql =
+    s"""WITH iv AS (
+      |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v, list_sum([v[i]*v[i] for i in range(1,${DIM + 1})]) AS n2 FROM iv),
+      |pts AS (
+      |  SELECT vec_id, t.dim, v[t.dim] AS x FROM n CROSS JOIN range(1, ${DIM + 1}) t(dim)),
+      |c0 AS (SELECT vec_id AS cid, dim, x AS cx FROM pts WHERE vec_id < 10),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT p.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY p.vec_id
+      |                         ORDER BY SUM((p.x-c.cx)*(p.x-c.cx)), c.cid) AS rn
+      |    FROM pts p JOIN c0 c ON p.dim = c.dim
+      |    GROUP BY p.vec_id, c.cid) t WHERE rn = 1),
+      |c1 AS (
+      |  SELECT cid, dim, SUM(x) // COUNT(*) AS cx
+      |  FROM pts JOIN a1 USING (vec_id) GROUP BY cid, dim),
+      |d AS (
+      |  SELECT p.vec_id, c.cid, SUM((p.x-c.cx)*(p.x-c.cx)) AS dist
+      |  FROM pts p JOIN c1 c ON p.dim = c.dim
+      |  GROUP BY p.vec_id, c.cid),
+      |assigned AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, cid AS cell FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d WHERE vec_id < 20) t WHERE rn <= 2),
+      |cand AS (
+      |  SELECT p.q_id, a.vec_id,
+      |    CAST(list_sum([nv.v[i]*nq.v[i] for i in range(1,${DIM + 1})]) AS DOUBLE)
+      |      / sqrt(CAST(nv.n2 AS DOUBLE)) / sqrt(CAST(nq.n2 AS DOUBLE)) AS cos
+      |  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id
+      |  JOIN n nv ON nv.vec_id = a.vec_id
+      |  JOIN n nq ON nq.vec_id = p.q_id)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
+      |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM cand) t WHERE rank <= 3""".stripMargin
+
   // ------------------------------------------------------ cosine near-dup
 
   /** Number of 2-bit hyperplane bands candidates are OR'd over. A pair at
@@ -413,6 +506,7 @@ object Similarity {
     GQuery("q_knn_brute", knnBrute, Some(knnBruteSql), headline = true),
     GQuery("q_ann_lsh", annLsh, Some(annLshSql)),
     GQuery("q_ann_ivf", annIvf, Some(annIvfSql)),
+    GQuery("q_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql)),
     GQuery("q_embed_neardup", embedNeardup, Some(embedNeardupSql)),
     GQuery("q_kmeans_assign", kmeansAssign, Some(kmeansAssignSql)))
 }
