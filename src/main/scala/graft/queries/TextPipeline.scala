@@ -757,9 +757,9 @@ object TextPipeline {
     * (`bin = (cumsum - 1) DIV 4096`) that approximates first-fit packing in
     * one linear pass, the way large pretraining pipelines actually pack.
     * One hash exchange on lang, a per-partition window cumsum, then the
-    * bin census; nothing is ever resorted globally. Bin fill ratios fall
-    * out of the census (tokens per bin ≤ 4096 except single overlong
-    * carries). */
+    * bin census; nothing is ever resorted globally. A document straddling
+    * a bin boundary is attributed to its ENDING bin (where real packing
+    * would split it), so census tokens-per-bin ≤ budget + one straddler. */
   def packSequences(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
