@@ -25,5 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "themis_murmur64 takes exactly one argument")
         ThemisMurmur64(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hash60"),
+      new ExpressionInfo(classOf[GraftHash60].getName, "graft_hash60"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_hash60 takes exactly one argument")
+        GraftHash60(children.head)
+      }))
   }
 }

@@ -68,9 +68,14 @@ object Qdsl {
   /** Portable 60-bit hash: first 15 hex chars of md5, parsed base-16.
     * DuckDB mirror: CAST('0x' || substring(md5(s),1,15) AS BIGINT).
     * 60 bits keeps the value positive and leaves headroom for modular
-    * arithmetic (a*h+b with a,b < 1e9 under BIGINT). */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    * arithmetic (a*h+b with a,b < 1e9 under BIGINT).
+    *
+    * Computed by the fused native expression
+    * [[graft.functions.GraftHash60]] (bit-identical to the
+    * conv∘substring∘md5 composition, skips the hex-string round-trip —
+    * this is the hottest scalar in the dedup/sampling paths; equality
+    * with the composition is spec-pinned in Hash60Spec). */
+  def hash60(c: Column): Column = graft.functions.GraftHash60(c.cast("string"))
 
   /** The same hash reduced mod p (p = 1e9+7) for affine re-hashing. */
   val P: Long = 1000000007L
