@@ -58,6 +58,47 @@ object Boundaries {
       .select(col("node"), (col("tile") - 1).as("idx"), col("key"))
   }
 
+  /** Byte-weighted per-node candidates — BoundaryScanner parity
+    * (`workers/boundaryscanner/BoundaryScanner.cc:39-179`): the reference
+    * walks each node's sorted sample accumulating ESTIMATED BYTES and
+    * cuts a candidate every totalBytes/numPartitions bytes, so partitions
+    * balance by data volume even when record sizes vary wildly (the
+    * row-count tiles of [[candidateBoundaries]] would put 1000 tiny
+    * records and 1000 huge ones in equal-sized partitions). `weightCol`
+    * is the per-record byte estimate. */
+  def candidateBoundariesWeighted(
+      df: DataFrame, keyCol: String, weightCol: String,
+      numPartitions: Int, sampleMod: Int = 1): DataFrame = {
+    require(numPartitions > 1, "need at least 2 partitions for boundaries")
+    val sampled = df.select(col(keyCol).as("key"), col(weightCol).as("wt"))
+      .withColumn("node", spark_partition_id())
+      .filter(
+        conv(substring(md5(col("key").cast("string")), 1, 15), 16, 10)
+          .cast("long") % sampleMod === 0)
+    val cumW = Window.partitionBy(col("node")).orderBy(col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col("node"))
+    sampled
+      .withColumn("cum", sum(col("wt")).over(cumW))
+      .withColumn("tot", sum(col("wt")).over(totW))
+      .withColumn("tile", expr(s"((cum - 1) * $numPartitions) DIV tot + 1"))
+      .filter(col("tile") > 1)
+      .groupBy(col("node"), col("tile"))
+      .agg(min(col("key")).as("key"))
+      .select(col("node"), (col("tile") - 1).as("idx"), col("key"))
+  }
+
+  /** Partition count from the intermediate:input size ratio — the
+    * reference's sizing rule (`BoundaryScanner.cc:50-68`,
+    * `defaults.yaml INTERMEDIATE_TO_INPUT_RATIO`): enough partitions
+    * that each holds ~`targetPartitionBytes` of post-map data. The same
+    * arithmetic sizes `spark.sql.shuffle.partitions` for a known input. */
+  def suggestPartitions(
+      inputBytes: Long, intermediateToInputRatio: Double,
+      targetPartitionBytes: Long): Int =
+    math.max(1, math.ceil(
+      inputBytes * intermediateToInputRatio / targetPartitionBytes).toInt)
+
   /** The decider: for each boundary index, sort the per-node candidates
     * and keep the LOWER median — candidate `(n-1) DIV 2` 0-based, the
     * reference's medianIndex (BoundaryDecider.cc:72-78). Ties across

@@ -64,6 +64,43 @@ class BoundariesSpec extends SparkSpec {
     assert(mismatch.count() == 0)
   }
 
+  test("byte-weighted boundaries balance bytes, not rows (BoundaryScanner)") {
+    // adversarial size skew: low keys are 100x heavier than high keys —
+    // row-count tiles would split rows evenly and give the low-key
+    // partitions 100x the bytes; byte-weighted cuts must not
+    val df = spark.range(10000)
+      .select(col("id").as("k"),
+        when(col("id") < 1000, 1000L).otherwise(10L).as("bytes"))
+      .repartition(4)
+    val bounds = Boundaries.decideBoundaries(
+      Boundaries.candidateBoundariesWeighted(df, "k", "bytes", 8))
+      .collect().map(_.getLong(1)).sorted
+    assert(bounds.length == 7)
+    val withPid = df.withColumn("pid",
+      Boundaries.partitionIdExpr(col("k"), bounds.map(_.asInstanceOf[Any]).toSeq))
+    val perPart = withPid.groupBy(col("pid"))
+      .agg(sum(col("bytes")).as("b")).collect().map(_.getLong(1))
+    val mean = perPart.sum.toDouble / perPart.length
+    assert(perPart.forall(b => b < mean * 2.5),
+      s"byte imbalance: ${perPart.mkString(",")} vs mean $mean")
+    // row-count boundaries on the same data DO concentrate bytes — the
+    // contrast that justifies the weighted variant
+    val rowBounds = Boundaries.computeBoundaries(df, "k", 8)
+      .collect().map(_.getLong(1)).sorted
+    val rowPerPart = df.withColumn("pid",
+        Boundaries.partitionIdExpr(col("k"), rowBounds.map(_.asInstanceOf[Any]).toSeq))
+      .groupBy(col("pid")).agg(sum(col("bytes")).as("b"))
+      .collect().map(_.getLong(1))
+    assert(rowPerPart.exists(b => b > mean * 2.5),
+      "row-count tiles unexpectedly balanced the skewed bytes")
+  }
+
+  test("suggestPartitions sizes by the intermediate:input ratio") {
+    // 100 GB input inflating 3x, 1 GB target partitions -> 300
+    assert(Boundaries.suggestPartitions(100L << 30, 3.0, 1L << 30) == 300)
+    assert(Boundaries.suggestPartitions(1L << 20, 0.1, 1L << 30) == 1)
+  }
+
   test("boundary list survives a disk round-trip (DiskBackedBoundaryKeyList)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bounds").toString
     val df = graft.core.Tables.orders(spark, sfDir).repartition(3)
