@@ -838,6 +838,49 @@ object TextPipeline {
       |WHERE dd.doc_id % 101 != 0
       |GROUP BY lang""".stripMargin
 
+  // ---------------------------------------------- unigram LM scoring
+
+  /** Unigram language-model quality score (the CCNet-style LM filter with
+    * the corpus itself as the model): each token scores its scaled corpus
+    * frequency `(1e6·count) DIV total`, a document scores the integer
+    * mean of its token scores, and documents are censused into score
+    * bands per language. Two aggregations + one join: token counts
+    * (shuffle ∝ vocabulary), then tokens↔counts — left unhinted so AQE
+    * broadcasts the count table only while it fits (a 100 TB corpus has
+    * a billions-row vocabulary; a forced broadcast is the q_tfidf_top
+    * mistake this engine already removed). Integer DIV throughout keeps
+    * the score exact across engines. */
+  def unigramLm(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
+    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .crossJoin(toks.agg(count(lit(1)).as("tot")))
+      .select(col("w"), expr("(1000000 * n) DIV tot").as("score"))
+    toks.join(counts, "w")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr("SUM(score) DIV COUNT(*)").as("doc_score"))
+      .groupBy(col("lang"), expr("doc_score DIV 5000").as("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_score")).as("score_sum"),
+        min(col("doc_id")).as("min_doc"))
+  }
+
+  private val unigramLmSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, lang, unnest($wordsSqlDoc) AS w FROM documents),
+      |c AS (
+      |  SELECT w, (1000000 * COUNT(*)) // (SELECT COUNT(*) FROM toks) AS score
+      |  FROM toks GROUP BY w),
+      |d AS (
+      |  SELECT t.doc_id, t.lang, SUM(c.score) // COUNT(*) AS doc_score
+      |  FROM toks t JOIN c ON c.w = t.w
+      |  GROUP BY t.doc_id, t.lang)
+      |SELECT lang, CAST(doc_score // 5000 AS BIGINT) AS band,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(doc_score) AS BIGINT) AS score_sum,
+      |  MIN(doc_id) AS min_doc
+      |FROM d GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------- incremental dedup
 
   /** Incremental-ingest dedup: a new batch (stand-in: doc_id ≡ 0 mod 7)
@@ -922,6 +965,7 @@ object TextPipeline {
     GQuery("q_decontaminate", decontaminate, Some(decontaminateSql)),
     GQuery("q_repetition", repetition, Some(repetitionSql)),
     GQuery("q_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
+    GQuery("q_unigram_lm", unigramLm, Some(unigramLmSql)),
     GQuery("q_sample_group", sampleGroup, Some(sampleGroupSql)),
     GQuery("q_dup_clusters", dupClusters, Some(dupClustersSql), headline = true),
     GQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
