@@ -39,6 +39,23 @@ object SparkEntry {
         |SELECT kind, COUNT(*) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         |  CAST(SUM(checksum % 1000000007) AS BIGINT) AS checksum,
         |  CAST(SUM(n_frames) AS BIGINT) AS n_frames
+        |FROM f GROUP BY kind""".stripMargin))),
+    Seq(GQuery("q_frame_sample",
+      graft.operators.Multimodal.frameSample _,
+      Some("""WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+        |    text AS content
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, kind, j.j AS frame_idx,
+        |    substring(content, j.j * 64 + 1, 64) AS frame
+        |  FROM m CROSS JOIN range(64) j(j)
+        |  WHERE j.j <= (length(content) - 1) // 64)
+        |SELECT kind, COUNT(*) AS n_frames,
+        |  COUNT(DISTINCT frame) AS n_distinct_frames,
+        |  CAST(MAX(frame_idx) AS BIGINT) AS max_frame_idx,
+        |  CAST(SUM(CAST('0x' || substring(md5(frame),1,15) AS BIGINT) % 1000000007) AS BIGINT) AS frame_checksum
         |FROM f GROUP BY kind""".stripMargin))))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -92,6 +92,27 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Frame sampling as a relational explode: every 64-byte window of the
+    * payload becomes a frame row (the every-k-th-frame pull of a video
+    * sampler), sliced with codegen'd `substring` on the binary column —
+    * no decoder in the loop, so the explode/slice plumbing is exactly
+    * what a real pipeline wraps around its codec. Fan-out is
+    * payload/stride rows per record at any scale, shuffles only at the
+    * census. The payloads here are corpus text bytes, which also makes
+    * the slicing DuckDB-mirrorable (q_frame_sample's oracle). */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    fromDocuments(spark, dir).toDF()
+      .select(col("media_id"), col("kind"), col("content"))
+      .withColumn("frame_idx",
+        explode(expr("sequence(0, (length(content) - 1) DIV 64)")))
+      .select(col("media_id"), col("kind"), col("frame_idx"),
+        expr("substring(content, frame_idx * 64 + 1, 64)").cast("string").as("frame"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("frame")).as("n_distinct_frames"),
+        max(col("frame_idx")).cast("long").as("max_frame_idx"),
+        sum(graft.queries.Qdsl.hashMod(col("frame"))).as("frame_checksum"))
+
   /** Summary query over extracted features (registered as a rows-only
     * driver check — binary decode is not SQL-expressible in the oracle). */
   def mediaFeatureStats(spark: SparkSession, dir: String): DataFrame = {
