@@ -543,6 +543,65 @@ object TextPipeline {
     } finally edges.unpersist()
   }
 
+  /** Production components: hash-min PLUS pointer doubling
+    * (`lbl ← min(lbl, min-neighbor-lbl, lbl(lbl))` — the label chases its
+    * own label's label each round), iterated to a fixpoint. Pointer
+    * doubling halves the remaining distance-to-root per round, so
+    * convergence is O(log diameter) — a 100 TB web-graph-diameter
+    * component costs tens of rounds, not diameter rounds (the same
+    * round-complexity class as large-star/small-star). Convergence is
+    * detected with one tiny aggregation per round: labels only ever
+    * DECREASE, so Σlbl is strictly monotone and stalls exactly at the
+    * fixpoint. Per round: one edge↔label join (work ∝ edges), one
+    * label self-join (∝ nodes), one agg. */
+  private[graft] def pointerDoublingComponents(
+      nodes: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").persist()
+    try {
+      var labels = nodes.select(col("doc_id"), col("doc_id").as("lbl"))
+        .localCheckpoint(eager = true)
+      var last = -1L
+      var iters = 0
+      while (iters < maxIters) {
+        val nbrMin = edges.join(labels.hint("shuffle_hash"),
+            col("src") === col("doc_id"))
+          .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+        val jump = labels.select(col("doc_id").as("j_id"), col("lbl").as("j_lbl"))
+        val next = labels
+          .join(nbrMin, col("doc_id") === col("dst"), "left")
+          .join(jump, col("lbl") === col("j_id"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"),
+              coalesce(col("nlbl"), col("lbl")),
+              coalesce(col("j_lbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint(eager = true)
+        val sum = next.agg(org.apache.spark.sql.functions.sum(col("lbl")))
+          .head().getLong(0)
+        labels = next
+        iters += 1
+        if (sum == last) return labels // fixpoint: no label moved
+        last = sum
+      }
+      labels
+    } finally edges.unpersist()
+  }
+
+  /** [[dupClusters]] computed by the converging production variant —
+    * same census, same oracle (the near-dup graph's diameter is far
+    * below both algorithms' horizons, so the fixpoint equals the
+    * 5-round unrolling the oracle mirrors). */
+  def dupClustersConverged(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(s, dir)
+      .filter(col("n_match") >= 6)
+      .select(col("doc_a"), col("doc_b"))
+    val nodes = Tables.documents(s, dir).select(col("doc_id"))
+    pointerDoublingComponents(nodes, pairs)
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .select(col("lbl").as("cluster_rep"), col("n_docs"), col("id_sum"))
+  }
+
   private val dupClustersSql = {
     val steps = (1 to 5).map { i =>
       s"""l$i AS (
@@ -968,6 +1027,7 @@ object TextPipeline {
     GQuery("q_unigram_lm", unigramLm, Some(unigramLmSql)),
     GQuery("q_sample_group", sampleGroup, Some(sampleGroupSql)),
     GQuery("q_dup_clusters", dupClusters, Some(dupClustersSql), headline = true),
+    GQuery("q_dup_clusters_conv", dupClustersConverged, Some(dupClustersSql)),
     GQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     GQuery("q_redact", redact, Some(redactSql)),
     GQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),

@@ -40,6 +40,26 @@ class DupClustersSpec extends SparkSpec {
     assert(lbl(99L) == 99L)
   }
 
+  test("pointer doubling converges in O(log diameter) rounds on a long path") {
+    // path of 200 nodes: plain hash-min needs 199 rounds; pointer
+    // doubling must finish inside its 50-round budget (≈ log2(199) + slack
+    // in practice) and label everything with the minimum id
+    val nodes = (0L until 200L)
+    val path = (0L until 199L).map(i => (i, i + 1))
+    val lbl = TextPipeline.pointerDoublingComponents(
+      nodes.toDF("doc_id"), path.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nodes.forall(lbl(_) == 0L),
+      "fixpoint must label the whole 200-path with its minimum")
+  }
+
+  test("converged and fixed-round variants agree on the corpus census") {
+    val a = TextPipeline.dupClusters(spark, sfDir)
+    val b = TextPipeline.dupClustersConverged(spark, sfDir)
+    assert(a.exceptAll(b).count() == 0)
+    assert(b.exceptAll(a).count() == 0)
+  }
+
   test("census over the corpus partitions all documents") {
     val out = TextPipeline.dupClusters(spark, sfDir)
     val total = out.agg(sum(col("n_docs"))).head().getLong(0)
