@@ -50,7 +50,7 @@ object SparkEntry {
         |f AS (
         |  SELECT media_id, kind, j.j AS frame_idx,
         |    substring(content, j.j * 64 + 1, 64) AS frame
-        |  FROM m CROSS JOIN range(64) j(j)
+        |  FROM m CROSS JOIN range(512) j(j)
         |  WHERE j.j <= (length(content) - 1) // 64)
         |SELECT kind, COUNT(*) AS n_frames,
         |  COUNT(DISTINCT frame) AS n_distinct_frames,

@@ -48,8 +48,7 @@ object Boundaries {
     val sampled = df.select(key)
       .withColumn("node", spark_partition_id())
       .filter(
-        conv(substring(md5(col("key").cast("string")), 1, 15), 16, 10)
-          .cast("long") % sampleMod === 0)
+        graft.functions.GraftHash60(col("key").cast("string")) % sampleMod === 0)
     val w = Window.partitionBy(col("node")).orderBy(col("key"))
     sampled.withColumn("tile", ntile(numPartitions).over(w))
       .filter(col("tile") > 1)
@@ -73,8 +72,7 @@ object Boundaries {
     val sampled = df.select(col(keyCol).as("key"), col(weightCol).as("wt"))
       .withColumn("node", spark_partition_id())
       .filter(
-        conv(substring(md5(col("key").cast("string")), 1, 15), 16, 10)
-          .cast("long") % sampleMod === 0)
+        graft.functions.GraftHash60(col("key").cast("string")) % sampleMod === 0)
     val cumW = Window.partitionBy(col("node")).orderBy(col("key"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totW = Window.partitionBy(col("node"))
@@ -151,9 +149,13 @@ object Boundaries {
       df: DataFrame, keyCol: String, bounds: Seq[Any]): DataFrame = {
     val spark = df.sparkSession
     val n = bounds.size + 1
-    val withPid = df.withColumn("graft_pid", partitionIdExpr(col(keyCol), bounds))
+    // unique helper name + dropped before returning: the caller's schema
+    // comes back exactly as it went in (and an input column that happens
+    // to be named like the helper is never clobbered)
+    val pidCol = s"__graft_pid_${java.util.UUID.randomUUID.toString.take(8)}"
+    val withPid = df.withColumn(pidCol, partitionIdExpr(col(keyCol), bounds))
     val schema = withPid.schema
-    val pidIdx = schema.fieldIndex("graft_pid")
+    val pidIdx = schema.fieldIndex(pidCol)
     val rdd = withPid.rdd
       .map(r => (r.getInt(pidIdx), r))
       .partitionBy(new Partitioner {
@@ -161,6 +163,6 @@ object Boundaries {
         override def getPartition(key: Any): Int = key.asInstanceOf[Int]
       })
       .map(_._2)
-    spark.createDataFrame(rdd, schema)
+    spark.createDataFrame(rdd, schema).drop(pidCol)
   }
 }

@@ -128,12 +128,19 @@ object Temporal {
     * forbids). Lowered by Spark to one hash aggregation with conditional
     * accumulators — exactly the oracle's CASE WHEN form, no extra
     * shuffle vs a plain groupBy. */
-  def pivotEvents(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+  def pivotEvents(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(s, dir)
       .select((col("user_id") % 15).as("cohort"), col("event_type"), col("value"))
       .groupBy(col("cohort"))
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .pivot("event_type", types)
       .agg(count(lit(1)).as("n"), sumDec(col("value")).as("v"))
+    // a cohort with zero events of some type gets a NULL count cell from
+    // pivot (even for count) where the oracle's COUNT(CASE WHEN) gives 0
+    // — zero-fill the counts; the value sums stay NULL on both engines
+    types.foldLeft(pivoted)((df, t) =>
+      df.withColumn(s"${t}_n", coalesce(col(s"${t}_n"), lit(0L))))
+  }
 
   private val pivotEventsSql = {
     val cols = Seq("click", "error", "purchase", "signup", "view").map { t =>

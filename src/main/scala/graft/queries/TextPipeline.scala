@@ -576,8 +576,10 @@ object TextPipeline {
               coalesce(col("nlbl"), col("lbl")),
               coalesce(col("j_lbl"), col("lbl"))).as("lbl"))
           .localCheckpoint(eager = true)
-        val sum = next.agg(org.apache.spark.sql.functions.sum(col("lbl")))
-          .head().getLong(0)
+        // sum() over zero rows is NULL — an empty node set is already
+        // converged, not a crash
+        val sum = Option(next.agg(org.apache.spark.sql.functions.sum(col("lbl")))
+          .head().getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L)
         labels = next
         iters += 1
         if (sum == last) return labels // fixpoint: no label moved
@@ -587,10 +589,12 @@ object TextPipeline {
     } finally edges.unpersist()
   }
 
-  /** [[dupClusters]] computed by the converging production variant —
-    * same census, same oracle (the near-dup graph's diameter is far
-    * below both algorithms' horizons, so the fixpoint equals the
-    * 5-round unrolling the oracle mirrors). */
+  /** [[dupClusters]] computed by the converging production variant.
+    * Its oracle is NOT the 5-round unrolling (that would silently
+    * disagree on any component whose node sits > 5 hash-min hops from
+    * its minimum — exactly the case this variant exists for) but an
+    * exact-at-any-diameter recursive transitive closure: min reachable
+    * id per node. */
   def dupClustersConverged(s: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhash(s, dir)
       .filter(col("n_match") >= 6)
@@ -621,6 +625,25 @@ object TextPipeline {
       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
       |FROM l5 GROUP BY lbl""".stripMargin
   }
+
+  /** Exact-at-any-diameter census oracle for [[dupClustersConverged]]:
+    * recursive transitive closure (UNION-dedup guarantees termination;
+    * row count is Σ component², bounded at oracle scale), then min
+    * reachable id per node — the true fixpoint the converging variant
+    * must reach regardless of diameter. */
+  private val dupClustersConvSql =
+    s"""WITH RECURSIVE mh AS ($dedupMinhashSql),
+      |p AS (SELECT doc_a, doc_b FROM mh WHERE n_match >= 6),
+      |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      |      UNION ALL SELECT doc_b, doc_a FROM p),
+      |reach(doc_id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT reach.doc_id, e.dst FROM reach JOIN e ON e.src = reach.r),
+      |lbl AS (SELECT doc_id, MIN(r) AS lbl FROM reach GROUP BY doc_id)
+      |SELECT lbl AS cluster_rep, COUNT(*) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM lbl GROUP BY lbl""".stripMargin
 
   // ------------------------------------------------- stratified sampling
 
@@ -741,7 +764,7 @@ object TextPipeline {
       |c AS (
       |  SELECT doc_id, j.j AS pos,
       |    array_to_string(ws[j.j*10+1 : j.j*10+10], ' ') AS chunk
-      |  FROM w CROSS JOIN range(64) j(j)
+      |  FROM w CROSS JOIN range(1024) j(j)
       |  WHERE j.j <= (len(ws) - 1) // 10),
       |g AS (
       |  SELECT chunk, COUNT(*) AS cnt, MIN(doc_id*1024 + pos) AS first_occ
@@ -883,11 +906,11 @@ object TextPipeline {
       |dd AS (SELECT * FROM d WHERE len(ws) >= 8),
       |eg AS (
       |  SELECT DISTINCT array_to_string(ws[j.j : j.j + 7], ' ') AS g
-      |  FROM dd CROSS JOIN range(600) j(j)
+      |  FROM dd CROSS JOIN range(4096) j(j)
       |  WHERE doc_id % 101 = 0 AND j.j BETWEEN 1 AND len(ws) - 7),
       |cg AS (
       |  SELECT doc_id, array_to_string(ws[j.j : j.j + 7], ' ') AS g
-      |  FROM dd CROSS JOIN range(600) j(j)
+      |  FROM dd CROSS JOIN range(4096) j(j)
       |  WHERE doc_id % 101 != 0 AND j.j BETWEEN 1 AND len(ws) - 7),
       |f AS (SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM eg))
       |SELECT lang, COUNT(*) AS n_docs,
@@ -1027,7 +1050,7 @@ object TextPipeline {
     GQuery("q_unigram_lm", unigramLm, Some(unigramLmSql)),
     GQuery("q_sample_group", sampleGroup, Some(sampleGroupSql)),
     GQuery("q_dup_clusters", dupClusters, Some(dupClustersSql), headline = true),
-    GQuery("q_dup_clusters_conv", dupClustersConverged, Some(dupClustersSql)),
+    GQuery("q_dup_clusters_conv", dupClustersConverged, Some(dupClustersConvSql)),
     GQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     GQuery("q_redact", redact, Some(redactSql)),
     GQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),

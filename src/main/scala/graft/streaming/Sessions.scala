@@ -57,7 +57,7 @@ object Sessions {
     * that survives a 100 TB/day feed. */
   def dedupStream(events: DataFrame, lateness: String, keys: Seq[String]): DataFrame =
     events.withWatermark("ts", lateness)
-      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+      .dropDuplicatesWithinWatermark(keys)
 
   /** File-source streaming ingest of an events directory: the engine's
     * `readStream` entry for parquet drops. The driver testdata carries

@@ -57,11 +57,16 @@ class BoundariesSpec extends SparkSpec {
         s"ranges overlap: pid ${a.getInt(0)} hi=${a.getLong(2)} vs pid ${b.getInt(0)} lo=${b.getLong(1)}")
       case _ =>
     }
-    // and the placement matches the assignment expression
+    // and the placement matches the assignment expression (recomputed —
+    // the helper column is dropped from the returned frame)
     val mismatch = placed
       .withColumn("actual", org.apache.spark.sql.functions.spark_partition_id())
-      .filter(col("actual") =!= col("graft_pid"))
+      .withColumn("expected", Boundaries.partitionIdExpr(
+        col("l_partkey"), bounds.map(_.asInstanceOf[Any]).toSeq))
+      .filter(col("actual") =!= col("expected"))
     assert(mismatch.count() == 0)
+    // the helper column does not leak into the caller's schema
+    assert(placed.columns.toSeq == df.columns.toSeq)
   }
 
   test("byte-weighted boundaries balance bytes, not rows (BoundaryScanner)") {
