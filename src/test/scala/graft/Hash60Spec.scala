@@ -30,6 +30,22 @@ class Hash60Spec extends SparkSpec {
       s"hash60 projection left whole-stage codegen:\n$plan")
   }
 
+  test("fuzz: native hash equals composition on random byte strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // deterministic fuzz: 500 arbitrary unicode strings through the
+    // JVM-side helper vs the reference construction on the md5 hex
+    val gen = Gen.listOfN(500, Gen.stringOf(Gen.asciiPrintableChar))
+    val strings = gen.apply(Gen.Parameters.default, Seed(42L)).get
+    strings.foreach { s =>
+      val bytes = s.getBytes("UTF-8")
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map(b => f"$b%02x").mkString.take(15)
+      val expected = java.lang.Long.parseLong(hex, 16)
+      assert(GraftHash60.hash(bytes) == expected, s"mismatch on ${s.take(40)}")
+    }
+  }
+
   test("SQL registration: graft_hash60 parses and matches") {
     // mirror the GraftExtensions builder against the shared session's
     // registry (builder path == injectFunction path)
