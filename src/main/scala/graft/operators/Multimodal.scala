@@ -92,6 +92,42 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Resize stub: nearest-neighbor resample of an image payload to
+    * `out × out` bytes, treating the payload as a row-major square grid
+    * (side = ⌈√len⌉) of 1-byte pixels. A real pipeline replaces the
+    * per-pixel lookup with a codec resize; the part that matters at
+    * scale is identical — a partition-local byte transform whose output
+    * size is FIXED by the query (out² bytes/record no matter how large
+    * the source blob), so downstream stages size deterministically. */
+  def resizeStub(content: Array[Byte], out: Int): Array[Byte] = {
+    if (content.isEmpty) return new Array[Byte](0)
+    val side = math.ceil(math.sqrt(content.length.toDouble)).toInt
+    val res = new Array[Byte](out * out)
+    var i = 0
+    while (i < out) {
+      var j = 0
+      while (j < out) {
+        val si = i * side / out
+        val sj = j * side / out
+        val idx = si * side + sj
+        res(i * out + j) = content(if (idx < content.length) idx else content.length - 1)
+        j += 1
+      }
+      i += 1
+    }
+    res
+  }
+
+  /** Resize over a media dataset — the same mapPartitions batch shape as
+    * [[extractFeatures]] (codec context once per partition). */
+  def resizeAll(media: Dataset[MediaRecord], out: Int): Dataset[(Long, Array[Byte])] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec/resampler init would go here
+      it.map(r => (r.media_id, resizeStub(r.content, out)))
+    }
+  }
+
   /** Frame sampling as a relational explode: every 64-byte window of the
     * payload becomes a frame row (the every-k-th-frame pull of a video
     * sampler), sliced with codegen'd `substring` on the binary column —

@@ -26,6 +26,22 @@ class MultimodalSpec extends SparkSpec {
     assert(stats.map(_.getLong(1)).sum === feats.length)
   }
 
+  test("resize emits fixed-size output with corner-preserving sampling") {
+    val src = (0 until 100).map(_.toByte).toArray // 10x10 grid
+    val out = Multimodal.resizeStub(src, 4)
+    assert(out.length == 16, "output size is query-fixed, not input-sized")
+    assert(out(0) == src(0), "top-left pixel preserved")
+    // nearest-neighbor: out pixel (1,1) samples src(1*10/4, 1*10/4) = (2,2)
+    assert(out(5) == src(2 * 10 + 2))
+    assert(Multimodal.resizeStub(Array.empty[Byte], 4).isEmpty)
+    // distributed form preserves cardinality and output shape
+    val media = Multimodal.fromDocuments(spark, sfDir)
+    val resized = Multimodal.resizeAll(media, 8)
+    assert(resized.count() == media.count())
+    import spark.implicits._
+    assert(resized.map(_._2.length).distinct().collect().toSeq == Seq(64))
+  }
+
   test("size repartitioning preserves every record") {
     val media = Multimodal.fromDocuments(spark, sfDir)
     val repart = Multimodal.repartitionBySize(media, 3)
