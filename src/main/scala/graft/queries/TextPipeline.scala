@@ -1039,7 +1039,126 @@ object TextPipeline {
       |  CAST(SUM(n3) AS BIGINT) AS total_n3
       |FROM r GROUP BY 1, 2""".stripMargin
 
+  // -------------------------------------------------- full curation run
+
+  /** The complete corpus-curation funnel in ONE declarative plan —
+    * quality gate → exact dedup (keep-first) → benchmark decontamination
+    * → stratified sampling → sequence packing — reported as a per-language
+    * attrition census (how many documents each stage keeps, and the
+    * packed-token outcome). This is the "a user could run their whole
+    * pipeline" composition: every stage is the same machinery as its
+    * standalone query, fused by Catalyst into a handful of shuffles
+    * (content-hash agg for dedup, eval-gram broadcast semi-join, one
+    * lang exchange for packing, two 5-row censuses). Nothing is
+    * collected; stage flags are columns, so adding/removing a stage is a
+    * one-line change. */
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 101 =!= 0) // the eval set is not corpus
+      .select(col("doc_id"), col("lang"), words(col("text")).as("w"),
+        hash60(col("text")).as("h"))
+      .withColumn("n_tok", size(col("w")).cast("long"))
+      .withColumn("q", col("n_tok") >= 10)
+    // keep-first exact dedup among quality survivors
+    val first = docs.filter(col("q"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val evalDocs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 8)
+    val evalGrams = evalDocs.select(explode(expr(
+      "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))"))
+      .as("g")).distinct()
+    val contaminated = docs.filter(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))"))
+        .as("g"))
+      .join(broadcast(evalGrams), "g")
+      .select(col("doc_id")).distinct().withColumn("bad", lit(true))
+    val flagged = docs
+      .join(first, Seq("h"), "left")
+      .withColumn("uniq", col("q") && col("doc_id") === col("keep_id"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("clean", col("uniq") && col("bad").isNull)
+      .withColumn("sampled", col("clean") &&
+        (hashMod(col("doc_id")) % 1000) < (hashMod(col("lang")) % 700 + 100))
+    val stageCensus = flagged.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("uniq"), 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("clean"), 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+    val wPack = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = flagged.filter(col("sampled"))
+      .withColumn("cum", sum(col("n_tok")).over(wPack))
+      .withColumn("bin", expr("(cum - 1) DIV 4096"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("tokens_packed"),
+        (max(col("bin")) + 1).as("n_bins"))
+    stageCensus.join(packed, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"), col("n_quality"), col("n_unique"),
+        col("n_clean"), col("n_sampled"),
+        coalesce(col("tokens_packed"), lit(0L)).as("tokens_packed"),
+        coalesce(col("n_bins"), lit(0L)).as("n_bins"))
+  }
+
+  private val curateSql =
+    s"""WITH d0 AS (
+      |  SELECT doc_id, lang, $wordsSqlDoc AS w,
+      |    CAST('0x' || substring(md5(text),1,15) AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 101 != 0),
+      |d AS (
+      |  SELECT doc_id, lang, w, h, CAST(len(w) AS BIGINT) AS n_tok,
+      |    len(w) >= 10 AS q
+      |  FROM d0),
+      |first AS (
+      |  SELECT h, MIN(doc_id) AS keep_id FROM d WHERE q GROUP BY h),
+      |ev AS (
+      |  SELECT doc_id, $wordsSqlDoc AS w FROM documents
+      |  WHERE doc_id % 101 = 0 AND len($wordsSqlDoc) >= 8),
+      |eg AS (
+      |  SELECT DISTINCT array_to_string(w[j.j : j.j + 7], ' ') AS g
+      |  FROM ev CROSS JOIN range(4096) j(j)
+      |  WHERE j.j BETWEEN 1 AND len(w) - 7),
+      |bad AS (
+      |  SELECT DISTINCT doc_id
+      |  FROM d CROSS JOIN range(4096) j(j)
+      |  WHERE len(w) >= 8 AND j.j BETWEEN 1 AND len(w) - 7
+      |    AND array_to_string(w[j.j : j.j + 7], ' ') IN (SELECT g FROM eg)),
+      |f AS (
+      |  SELECT d.*,
+      |    q AND d.doc_id = first.keep_id AS uniq,
+      |    q AND d.doc_id = first.keep_id AND bad.doc_id IS NULL AS clean,
+      |    q AND d.doc_id = first.keep_id AND bad.doc_id IS NULL
+      |      AND CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),1,15) AS BIGINT) % 1000000007 % 1000
+      |        < CAST('0x' || substring(md5(lang),1,15) AS BIGINT) % 1000000007 % 700 + 100 AS sampled
+      |  FROM d
+      |  LEFT JOIN first ON first.h = d.h
+      |  LEFT JOIN bad ON bad.doc_id = d.doc_id),
+      |census AS (
+      |  SELECT lang, COUNT(*) AS n_total,
+      |    CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      |    CAST(SUM(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |    CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+      |    CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |  FROM f GROUP BY lang),
+      |packed AS (
+      |  SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS tokens_packed,
+      |    CAST(MAX((cum - 1) // 4096) + 1 AS BIGINT) AS n_bins
+      |  FROM (
+      |    SELECT lang, n_tok,
+      |      SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |    FROM f WHERE sampled) t
+      |  GROUP BY lang)
+      |SELECT c.lang, c.n_total, c.n_quality, c.n_unique, c.n_clean, c.n_sampled,
+      |  COALESCE(p.tokens_packed, 0) AS tokens_packed,
+      |  COALESCE(p.n_bins, 0) AS n_bins
+      |FROM census c LEFT JOIN packed p ON p.lang = c.lang""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q_curate", curate, Some(curateSql), headline = true),
     GQuery("q_pipeline_clean", pipelineClean, Some(pipelineCleanSql), headline = true),
     GQuery("q_chunk_dedup", chunkDedup, Some(chunkDedupSql), headline = true),
     GQuery("q_vocab_build", vocabBuild, Some(vocabBuildSql)),
