@@ -100,7 +100,9 @@ object Multimodal {
     * size is FIXED by the query (out² bytes/record no matter how large
     * the source blob), so downstream stages size deterministically. */
   def resizeStub(content: Array[Byte], out: Int): Array[Byte] = {
-    if (content.isEmpty) return new Array[Byte](0)
+    // empty payload → out² zero pixels: the output size is the CONTRACT
+    // (downstream stages size on it), so it holds for degenerate input too
+    if (content.isEmpty) return new Array[Byte](out * out)
     val side = math.ceil(math.sqrt(content.length.toDouble)).toInt
     val res = new Array[Byte](out * out)
     var i = 0

@@ -80,4 +80,13 @@ object Qdsl {
   /** The same hash reduced mod p (p = 1e9+7) for affine re-hashing. */
   val P: Long = 1000000007L
   def hashMod(c: Column): Column = hash60(c) % P
+
+  /** All space-joined 8-grams of a token-array column (caller filters
+    * size ≥ 8). ONE definition shared by decontamination and the curate
+    * funnel — the gram construction is load-bearing for oracle parity
+    * (DuckDB mirror: `array_to_string(ws[j : j+7], ' ')` over
+    * `range(4096)`; see SURVEY's fan-out-cap note), so it must not fork. */
+  def grams8(tokenCol: String): Column =
+    expr(s"transform(sequence(1, size($tokenCol) - 7), " +
+      s"i -> concat_ws(' ', slice($tokenCol, i, 8)))")
 }

@@ -884,10 +884,8 @@ object TextPipeline {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 8)
-    def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
-      explode(expr(
-        "transform(sequence(1, size(ws) - 7), i -> concat_ws(' ', slice(ws, i, 8)))"))
-        .as("g"))
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), explode(grams8("ws")).as("g"))
     val evalGrams = grams(docs.filter(col("doc_id") % 101 === 0))
       .select(col("g")).distinct()
     val corpus = docs.filter(col("doc_id") % 101 =!= 0)
@@ -1066,13 +1064,9 @@ object TextPipeline {
       .filter(col("doc_id") % 101 === 0)
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 8)
-    val evalGrams = evalDocs.select(explode(expr(
-      "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))"))
-      .as("g")).distinct()
+    val evalGrams = evalDocs.select(explode(grams8("w")).as("g")).distinct()
     val contaminated = docs.filter(size(col("w")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))"))
-        .as("g"))
+      .select(col("doc_id"), explode(grams8("w")).as("g"))
       .join(broadcast(evalGrams), "g")
       .select(col("doc_id")).distinct().withColumn("bad", lit(true))
     val flagged = docs

@@ -33,7 +33,9 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0) == src(0), "top-left pixel preserved")
     // nearest-neighbor: out pixel (1,1) samples src(1*10/4, 1*10/4) = (2,2)
     assert(out(5) == src(2 * 10 + 2))
-    assert(Multimodal.resizeStub(Array.empty[Byte], 4).isEmpty)
+    // fixed-size contract holds even for degenerate input (zero pixels)
+    val empty = Multimodal.resizeStub(Array.empty[Byte], 4)
+    assert(empty.length == 16 && empty.forall(_ == 0))
     // distributed form preserves cardinality and output shape
     val media = Multimodal.fromDocuments(spark, sfDir)
     val resized = Multimodal.resizeAll(media, 8)
