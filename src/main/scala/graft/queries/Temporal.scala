@@ -320,7 +320,70 @@ object Temporal {
       |  m.et AS last_type, m.v AS last_value, n_events, days_active
       |FROM g""".stripMargin
 
+  // -------------------------------------------------- sliding anomaly
+
+  /** Trailing-window anomaly detection: an hour is anomalous when its
+    * event count exceeds 2.5× the mean of the previous 24 hours — the
+    * monitoring query every event pipeline runs. This is the engine's one
+    * BOUNDED sliding frame (`ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING`;
+    * every other window here is running/unbounded): Spark evaluates it in
+    * the same single per-type pass, O(1) state per row. The comparison is
+    * cross-multiplied integers (n·10·trail_cnt > trail_sum·25), so no
+    * division ever happens — exact on both engines. Input is the dense
+    * zero-filled hourly grid (gaps must COUNT as quiet hours; a sparse
+    * ROWS frame would silently skip them). */
+  def slidingAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"), epochMs(col("ts")).as("ms"))
+      .withColumn("hour", expr(s"(ms - ${T0}L) DIV 3600000"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val grid = s.range(720).select(col("id").as("hour"))
+      .crossJoin(Tables.events(s, dir).select(col("event_type")).distinct())
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("trail_sum", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("trail_cnt", count(lit(1)).over(w))
+      .withColumn("flagged",
+        col("trail_cnt") === 24 &&
+          col("n") * col("trail_cnt") * 10 > col("trail_sum") * 25)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("flagged"), col("hour"))).as("flagged_hour_sum"),
+        max(col("n")).as("peak_hour_events"))
+  }
+
+  private val slidingAnomalySql =
+    s"""WITH hourly AS (
+      |  SELECT event_type, (epoch_ms(ts) - $T0) // 3600000 AS hour, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.event_type, g.h AS hour
+      |  FROM range(720) g(h) CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+      |dense AS (
+      |  SELECT g.event_type, g.hour, COALESCE(h.n, 0) AS n
+      |  FROM grid g LEFT JOIN hourly h
+      |    ON h.event_type = g.event_type AND h.hour = g.hour),
+      |f AS (
+      |  SELECT event_type, hour, n,
+      |    COALESCE(SUM(n) OVER w, 0) AS trail_sum,
+      |    COUNT(*) OVER w AS trail_cnt
+      |  FROM dense
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+      |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, COUNT(*) AS n_hours,
+      |  CAST(SUM(CASE WHEN trail_cnt = 24 AND n*trail_cnt*10 > trail_sum*25
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(SUM(CASE WHEN trail_cnt = 24 AND n*trail_cnt*10 > trail_sum*25
+      |    THEN hour END) AS BIGINT) AS flagged_hour_sum,
+      |  MAX(n) AS peak_hour_events
+      |FROM f GROUP BY event_type""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q_sliding_anomaly", slidingAnomaly, Some(slidingAnomalySql)),
     GQuery("q_latest_snapshot", latestSnapshot, Some(latestSnapshotSql)),
     GQuery("q_asof_join", asofJoin, Some(asofJoinSql), headline = true),
     GQuery("q_range_join", rangeJoin, Some(rangeJoinSql)),

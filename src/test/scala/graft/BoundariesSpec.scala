@@ -106,6 +106,39 @@ class BoundariesSpec extends SparkSpec {
     assert(Boundaries.suggestPartitions(1L << 20, 0.1, 1L << 30) == 1)
   }
 
+  test("property: decided boundaries are sorted and assignment is monotone") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // 20 deterministic random key sets: boundaries must come out sorted,
+    // and the partition id must be monotone in the key with every
+    // partition index in range — the laws any range partitioner owes
+    val gen = Gen.listOfN(20, Gen.nonEmptyListOf(Gen.chooseNum(-100000L, 100000L)))
+    val cases = gen.apply(Gen.Parameters.default, Seed(7L)).get
+      .filter(_.distinct.size >= 16)
+    assert(cases.nonEmpty)
+    cases.take(5).foreach { keys =>
+      val df = spark.createDataFrame(
+        keys.map(k => Tuple1(k)).toDF("k").rdd, // force a stable schema
+        new org.apache.spark.sql.types.StructType()
+          .add("k", org.apache.spark.sql.types.LongType)).repartition(3)
+      val bounds = Boundaries.computeBoundaries(df, "k", 8)
+        .collect().map(_.getLong(1))
+      assert(bounds.sorted.sameElements(bounds.sortBy(identity)),
+        "boundaries sorted")
+      val sortedBounds = bounds.sorted.map(_.asInstanceOf[Any]).toSeq
+      val assigned = df
+        .withColumn("pid", Boundaries.partitionIdExpr(col("k"), sortedBounds))
+        .orderBy(col("k")).collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      assigned.sliding(2).foreach {
+        case Array((k1, p1), (k2, p2)) =>
+          assert(p1 <= p2, s"pid not monotone: ($k1,$p1) then ($k2,$p2)")
+        case _ =>
+      }
+      assert(assigned.forall { case (_, p) => p >= 0 && p <= sortedBounds.size })
+    }
+  }
+
   test("boundary list survives a disk round-trip (DiskBackedBoundaryKeyList)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bounds").toString
     val df = graft.core.Tables.orders(spark, sfDir).repartition(3)
