@@ -382,7 +382,53 @@ object Temporal {
       |  MAX(n) AS peak_hour_events
       |FROM f GROUP BY event_type""".stripMargin
 
+  // --------------------------------------------- histogram quantiles
+
+  /** Histogram-based approximate quantiles per event type: values bucket
+    * into fixed 0.5-wide bins, p50/p95 read off the cumulative bin
+    * counts. This is the bounded-state quantile path for 100 TB — the
+    * exact form (`q_quantiles`) sorts each group; this one aggregates to
+    * a FIXED number of bins (state ∝ bins, error ≤ bin width), merges by
+    * addition (shardable/streamable), and never sorts raw rows. Bin math
+    * is `floor(value·2)` — one exact double multiply then floor, the
+    * same integers on any engine. */
+  def histogramQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(col("value") * 2.0).cast("long").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("event_type"))
+    binned
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(tot))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") * 2 >= col("n"), col("bin"))).as("p50_bin"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("bin"))).as("p95_bin"),
+        max(col("bin")).as("max_bin"))
+  }
+
+  private val histogramQuantilesSql =
+    """WITH b AS (
+      |  SELECT event_type, CAST(floor(value * 2.0) AS BIGINT) AS bin, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, bin, c,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM b)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+      |  MIN(CASE WHEN cum * 2 >= n THEN bin END) AS p50_bin,
+      |  MIN(CASE WHEN cum * 20 >= n * 19 THEN bin END) AS p95_bin,
+      |  MAX(bin) AS max_bin
+      |FROM cum GROUP BY event_type""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q_histogram_quantiles", histogramQuantiles, Some(histogramQuantilesSql)),
     GQuery("q_sliding_anomaly", slidingAnomaly, Some(slidingAnomalySql)),
     GQuery("q_latest_snapshot", latestSnapshot, Some(latestSnapshotSql)),
     GQuery("q_asof_join", asofJoin, Some(asofJoinSql), headline = true),

@@ -108,6 +108,29 @@ class TemporalSpec extends SparkSpec {
     } finally ev.unpersist()
   }
 
+  test("histogram quantile bins equal the discrete order statistic's bin") {
+    // the histogram computes the DISCRETE quantile (value at rank
+    // ceil(q·n)); interpolated percentile() can sit many bins away on a
+    // sparse tail, so the ground truth here is the order statistic itself
+    val out = Temporal.histogramQuantiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"))
+    val ranked = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+    def discrete(q: Double) = ranked
+      .filter(col("rk") === ceil(col("n") * q))
+      .collect().map(r => r.getString(0) -> math.floor(r.getDouble(1) * 2).toLong).toMap
+    val d50 = discrete(0.5); val d95 = discrete(0.95)
+    out.foreach { case (t, (b50, b95)) =>
+      assert(b50 == d50(t), s"$t p50 bin $b50 vs discrete ${d50(t)}")
+      assert(b95 == d95(t), s"$t p95 bin $b95 vs discrete ${d95(t)}")
+    }
+  }
+
   test("resample grid is dense, zero-filled, and forward-fill is monotone") {
     val out = Temporal.resampleFill(spark, sfDir).persist()
     try {
