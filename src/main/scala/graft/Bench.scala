@@ -22,7 +22,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = SparkEntry.headlines
+    // optional comma-separated subset for focused profiling runs
+    // (SPARK_GRAFT_BENCH_ONLY=q_pagerank,q_dup_clusters); unset = all
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(only) =>
+        val want = only.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.headlines.filter(want)
+      case None => SparkEntry.headlines
+    }
     // one tiny warmup pass so JIT/codegen/classloading doesn't land on the
     // first measured query
     SparkEntry.queries(names.head)(spark, sfDir).write

@@ -42,7 +42,11 @@ object Iterative {
       .union(base.select((col("l_suppkey") * 2 + 1).as("src"),
         (col("l_partkey") * 2).as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    edges.join(deg, "src")
+    // hash-partition by src BEFORE the caller persists: the cached blocks
+    // then already satisfy the per-iteration join's distribution, so each
+    // iteration exchanges only the (much smaller) node-state side instead
+    // of re-shuffling the full edge list every round
+    edges.join(deg, "src").repartition(col("src"))
   }
 
   def pagerank(s: SparkSession, dir: String): DataFrame = {

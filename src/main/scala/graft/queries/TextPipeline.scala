@@ -517,8 +517,11 @@ object TextPipeline {
     * [[dupClusters]]. */
   private[graft] def hashMinComponents(
       nodes: DataFrame, pairs: DataFrame, iters: Int): DataFrame = {
+    // hash-partitioned by src before caching so every round's edge↔label
+    // join reuses the cached distribution (only label rows shuffle per
+    // round — same trick as the PageRank edge cache)
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").persist()
+      .toDF("src", "dst").repartition(col("src")).persist()
     try {
       // labels is referenced TWICE per round (neighbor-min build + the
       // carry-forward join), so a lazily-chained loop would duplicate the
@@ -557,7 +560,7 @@ object TextPipeline {
   private[graft] def pointerDoublingComponents(
       nodes: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").persist()
+      .toDF("src", "dst").repartition(col("src")).persist()
     try {
       var labels = nodes.select(col("doc_id"), col("doc_id").as("lbl"))
         .localCheckpoint(eager = true)
