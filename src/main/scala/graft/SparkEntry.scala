@@ -23,6 +23,8 @@ object SparkEntry {
     GraphText.defs,
     Temporal.defs,
     Sketches.defs,
+    Analytics.defs,
+    Ingest.defs,
     // the decode stub folds over the payload bytes (ASCII text here), so
     // the oracle re-derives the same fold over character codes
     Seq(GQuery("q_media_features",

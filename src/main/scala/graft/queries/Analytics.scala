@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, Tables}
+import Qdsl._
+
+/** Warehouse-analytics operators a production deployment runs alongside the
+  * data pipeline: cohort retention, data-quality constraint auditing,
+  * Bloom-filter semi-join reduction, multi-hop graph expansion, and
+  * skew-proof two-level aggregation. All integer-exact and oracle-checked.
+  */
+object Analytics {
+
+  // ------------------------------------------------------- cohort retention
+
+  private val WeekMs = 604800000L
+
+  /** Cohort retention matrix: users cohorted by first-active week, each
+    * (cohort, weeks-since) cell counting the distinct users still active,
+    * plus a per-mille retention rate against the cohort's own size.
+    * Scale shape: two hash aggregations over (user, week) rows — shuffled
+    * bytes ∝ distinct user-weeks, never raw events — and the cohort-size
+    * join keys on cohort_week (thousands of rows at any corpus size). */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), epochMs(col("ts")).as("ms"))
+      .select(col("user_id"), expr(s"ms DIV $WeekMs").as("week"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val active = e.join(cohort, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (col("week") - col("cohort_week")).as("weeks_since"))
+      .distinct()
+    val m = active.groupBy(col("cohort_week"), col("weeks_since"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = m.filter(col("weeks_since") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    m.join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("weeks_since"), col("n_users"),
+        expr("n_users * 1000 DIV cohort_size").as("per_mille"))
+  }
+
+  private val retentionSql =
+    s"""WITH e AS (SELECT user_id, epoch_ms(ts) // $WeekMs AS week FROM events),
+      |c AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id),
+      |a AS (SELECT DISTINCT e.user_id, c.cohort_week, e.week - c.cohort_week AS weeks_since
+      |      FROM e JOIN c USING (user_id)),
+      |m AS (SELECT cohort_week, weeks_since, COUNT(*) AS n_users FROM a GROUP BY 1, 2),
+      |s AS (SELECT cohort_week, n_users AS cohort_size FROM m WHERE weeks_since = 0)
+      |SELECT m.cohort_week, m.weeks_since, m.n_users,
+      |  CAST(m.n_users * 1000 // s.cohort_size AS BIGINT) AS per_mille
+      |FROM m JOIN s USING (cohort_week)""".stripMargin
+
+  // -------------------------------------------------- data-quality audit
+
+  /** dbt-style constraint audit in two aggregation passes: key uniqueness,
+    * non-null, value-range, and referential integrity (orders→customer)
+    * checks reported as one row per check. The three column checks fold
+    * into ONE scan-level aggregate; the FK check is a left-anti join that
+    * at scale AQE turns into a broadcast of the (smaller) dimension side.
+    * This is the validation counterpart of the reference's valsort-style
+    * post-job checks, generalized to relational constraints. */
+  def constraints(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val base = o.agg(
+      count(lit(1)).as("n_orders"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos_price"))
+    val orphans = o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    base.crossJoin(orphans).selectExpr(
+      """stack(4,
+        |  'orderkey_unique', dup_keys,
+        |  'custkey_not_null', null_cust,
+        |  'totalprice_positive', nonpos_price,
+        |  'orders_fk_customer', n_orphans) AS (check_name, n_violations)""".stripMargin,
+      "n_orders AS n_checked")
+  }
+
+  private val constraintsSql =
+    """WITH b AS (
+      |  SELECT COUNT(*) AS n_orders,
+      |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_keys,
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price
+      |  FROM orders),
+      |orph AS (
+      |  SELECT COUNT(*) AS n_orphans FROM orders ANTI JOIN customer ON o_custkey = c_custkey),
+      |u AS (
+      |  SELECT 'orderkey_unique' AS check_name, dup_keys AS n_violations FROM b
+      |  UNION ALL SELECT 'custkey_not_null', null_cust FROM b
+      |  UNION ALL SELECT 'totalprice_positive', nonpos_price FROM b
+      |  UNION ALL SELECT 'orders_fk_customer', n_orphans FROM orph)
+      |SELECT u.check_name, u.n_violations, b.n_orders AS n_checked
+      |FROM u CROSS JOIN b""".stripMargin
+
+  // ------------------------------------------- Bloom-filter semi-join
+
+  /** Bloom filter bits (16384) and the three affine re-hashes of the
+    * portable 60-bit hash that index them. Words hold 62 bits so every
+    * mask stays a positive BIGINT on both engines (DuckDB raises on
+    * `1<<63`; 62 also dodges the sign bit). */
+  private val BloomM = 16384L
+  private val BloomHashes = Seq((31L, 7L), (131L, 17L), (1031L, 29L))
+
+  /** Bloom-filter membership probe — the distributed semi-join reduction:
+    * build a 16384-bit / 3-hash Bloom filter over one segment's customer
+    * keys (a ~260-row word table that always broadcasts), probe every
+    * order with a map-side bitwise check, and report the census against
+    * exact membership (false positives counted, false negatives
+    * structurally impossible). At 100 TB this is how a selective join
+    * avoids shuffling the big side: the filter is data-sized-independent
+    * metadata, the probe never leaves the scan, and only survivors reach
+    * the real join — the same role Spark's own `InjectRuntimeFilter`
+    * bloom plays (asserted in ScaleShapeSpec), here as an explicit,
+    * mergeable operator (word rows OR-merge across shards). */
+  def bloomMembership(s: SparkSession, dir: String): DataFrame = {
+    val posCols = BloomHashes.map { case (a, b) =>
+      (hashMod(col("k")) * a + b) % BloomM
+    }
+    val keys = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").cast("string").as("k")).distinct()
+    val words = keys.select(explode(array(posCols: _*)).as("p"))
+      .select(expr("p DIV 62").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 62 AS INT))").as("mask"))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bloom"))
+    val bitsSet = words.agg(sum(expr("bit_count(bloom)")).cast("long").as("n_bits_set"))
+    val probeBits = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey").cast("string").as("k"))
+      .select(col("o_orderkey"), explode(array(posCols: _*)).as("p"))
+      .select(col("o_orderkey"), expr("p DIV 62").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 62 AS INT))").as("mask"))
+    val pass = probeBits.join(broadcast(words), Seq("word"), "left")
+      .groupBy(col("o_orderkey"))
+      .agg(sum(when(expr("bloom & mask") === col("mask"), 1L).otherwise(0L)).as("nhit"))
+      .filter(col("nhit") === 3)
+    val truth = Tables.orders(s, dir).join(
+      Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+    Tables.orders(s, dir).agg(count(lit(1)).as("n_probed"))
+      .crossJoin(pass.agg(count(lit(1)).as("n_bloom_pass")))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true_match")))
+      .crossJoin(bitsSet)
+      .select(col("n_probed"), col("n_bloom_pass"), col("n_true_match"),
+        (col("n_bloom_pass") - col("n_true_match")).as("n_false_pos"),
+        col("n_bits_set"))
+  }
+
+  private val bloomMembershipSql = {
+    val h = BloomHashes.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    s"""WITH h AS (SELECT * FROM (VALUES $h) t(a, b)),
+      |bkeys AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+      |          FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |bp AS (SELECT ((CAST('0x' || substring(md5(k),1,15) AS BIGINT) % 1000000007) * a + b) % $BloomM AS p
+      |       FROM bkeys CROSS JOIN h),
+      |words AS (SELECT p // 62 AS word,
+      |            bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INT)) AS bloom
+      |          FROM bp GROUP BY 1),
+      |bits AS (SELECT CAST(SUM(bit_count(bloom)) AS BIGINT) AS n_bits_set FROM words),
+      |pb AS (SELECT o_orderkey,
+      |         ((CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),1,15) AS BIGINT) % 1000000007) * a + b) % $BloomM AS p
+      |       FROM orders CROSS JOIN h),
+      |pw AS (SELECT o_orderkey, p // 62 AS word,
+      |         CAST(1 AS BIGINT) << CAST(p % 62 AS INT) AS mask FROM pb),
+      |pass AS (
+      |  SELECT o_orderkey FROM (
+      |    SELECT pw.o_orderkey,
+      |      SUM(CASE WHEN words.bloom IS NOT NULL AND (words.bloom & pw.mask) = pw.mask
+      |          THEN 1 ELSE 0 END) AS nhit
+      |    FROM pw LEFT JOIN words USING (word) GROUP BY pw.o_orderkey) t
+      |  WHERE nhit = 3),
+      |truth AS (SELECT o_orderkey FROM orders
+      |          SEMI JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'),
+      |c1 AS (SELECT COUNT(*) AS n_probed FROM orders),
+      |c2 AS (SELECT COUNT(*) AS n_bloom_pass FROM pass),
+      |c3 AS (SELECT COUNT(*) AS n_true_match FROM truth)
+      |SELECT n_probed, n_bloom_pass, n_true_match,
+      |  n_bloom_pass - n_true_match AS n_false_pos, n_bits_set
+      |FROM c1 CROSS JOIN c2 CROSS JOIN c3 CROSS JOIN bits""".stripMargin
+  }
+
+  // ------------------------------------------------------- k-hop BFS
+
+  /** 3-hop BFS frontier expansion over the events-derived directed graph
+    * (src = user_id, dst = event_id % 500), seeded at user_id % 100 = 0.
+    * Per hop: one edge↔frontier equi-join + distinct + anti-join against
+    * the visited set — work ∝ out-edges of the frontier, the same
+    * one-shuffle-per-round layout as PageRank/components; the edge list
+    * is cached pre-partitioned on src so only frontier rows shuffle.
+    * Output is the per-hop discovery census (hop 0 = seeds). */
+  def bfsHops(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.events(s, dir)
+      .select(col("user_id").as("src"), (col("event_id") % 500).as("dst"))
+      .distinct().repartition(col("src")).persist()
+    try {
+      val seeds = edges.select(col("src").as("node"))
+        .filter(col("node") % 100 === 0).distinct()
+      var visited = seeds.withColumn("hop", lit(0L)).localCheckpoint(eager = true)
+      var frontier = visited.select(col("node"))
+      for (h <- 1 to 3) {
+        val next = edges.join(frontier.hint("shuffle_hash"), col("src") === col("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select(col("node")), Seq("node"), "left_anti")
+          .localCheckpoint(eager = true)
+        visited = visited.union(next.withColumn("hop", lit(h.toLong)))
+          .localCheckpoint(eager = true)
+        frontier = next
+      }
+      visited.groupBy(col("hop"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("id_sum"))
+    } finally edges.unpersist()
+  }
+
+  private val bfsHopsSql = {
+    val steps = (1 to 3).map { h =>
+      s"""f$h AS (SELECT node FROM (
+        |  SELECT DISTINCT e.dst AS node FROM e JOIN f${h - 1} ON e.src = f${h - 1}.node) t
+        |  WHERE node NOT IN (SELECT node FROM v${h - 1})),
+        |v$h AS (SELECT * FROM v${h - 1}
+        |        UNION ALL SELECT node, CAST($h AS BIGINT) FROM f$h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT user_id AS src, event_id % 500 AS dst FROM events),
+      |f0 AS (SELECT DISTINCT src AS node FROM e WHERE src % 100 = 0),
+      |v0 AS (SELECT node, CAST(0 AS BIGINT) AS hop FROM f0),
+      |$steps
+      |SELECT hop, COUNT(*) AS n_nodes, CAST(SUM(node) AS BIGINT) AS id_sum
+      |FROM v3 GROUP BY hop""".stripMargin
+  }
+
+  // ----------------------------------------------- salted aggregation
+
+  /** Two-level salted aggregation: rows first aggregate on
+    * (key, salt = row-id % 16), then the 16 partials per key merge —
+    * identical results to a direct groupBy (counts add; DECIMAL sums are
+    * exact, so re-summing partials is associative), proven by an oracle
+    * that aggregates directly. This is the aggregation-side skew escape
+    * (the join-side lives in `api/Salting`): a key holding 30% of a
+    * 100 TB corpus lands on 16 reducers instead of one, at the price of
+    * one extra exchange of (keys × 16) partial rows. */
+  def saltedAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), col("value"), (col("event_id") % 16).as("salt"))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"), sum(col("sv")).cast("double").as("sum_value"))
+
+  private val saltedAggSql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin
+
+  val defs: Seq[GQuery] = Seq(
+    GQuery("q_retention", retention, Some(retentionSql)),
+    GQuery("q_constraints", constraints, Some(constraintsSql)),
+    GQuery("q_bloom_membership", bloomMembership, Some(bloomMembershipSql),
+      headline = true),
+    GQuery("q_bfs_hops", bfsHops, Some(bfsHopsSql)),
+    GQuery("q_salted_agg", saltedAgg, Some(saltedAggSql)))
+}

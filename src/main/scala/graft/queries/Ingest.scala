@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.core.{GQuery, Tables}
+import Qdsl._
+
+/** Interchange-format ingest paths: schema-full CSV and JSONL. The
+  * reference reads its own binary formats plus text lines
+  * (`TextLineFormatReader.cc`, covered by q_text_lines / the themis-kv and
+  * fixed-width DSv2 sources); a Spark-native engine additionally ingests
+  * the interchange formats training corpora actually arrive in. Both
+  * queries prove FULL-FIDELITY round-trips with a row checksum, not just
+  * row counts.
+  */
+object Ingest {
+
+  /** CSV round-trip: orders serialized to a headered 4-file CSV directory
+    * (decimal-exact prices, ISO dates), read back through
+    * `spark.read.csv` with an explicit schema, and censused with a
+    * per-row hash checksum the oracle recomputes from the parquet
+    * original — any quoting/typing/precision drift in the CSV codec
+    * breaks the hash. Like q_text_lines, the write happens at
+    * construction time (the read needs files on disk) under a
+    * run-unique path, so concurrent runs never race. CSV scans split by
+    * line at any file size, so a 100 TB landing dir reads at full
+    * cluster width; the explicit schema skips the inference pass Spark
+    * would otherwise pay (one extra full scan). */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") +
+      s"/graft_csv_${Integer.toHexString(dir.hashCode)}_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        dec(col("o_totalprice")).as("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_orderpriority"))
+      .repartition(4)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    s.read.option("header", "true")
+      .schema(StructType.fromDDL("o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DECIMAL(12,2), o_date STRING, " +
+        "o_orderpriority STRING"))
+      .csv(out)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(col("o_totalprice")).cast("double").as("total_price"),
+        sum(hashMod(concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_date"), col("o_orderpriority"))))
+          .as("row_checksum"))
+  }
+
+  private val csvRoundtripSql =
+    """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_keys,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+      |  CAST(SUM(CAST('0x' || substring(md5(
+      |    CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+      |    strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority
+      |  ),1,15) AS BIGINT) % 1000000007) AS BIGINT) AS row_checksum
+      |FROM orders""".stripMargin
+
+  /** JSONL ingest: documents serialized to JSON lines in-plan
+    * (`to_json`), parsed back with a schema-full `from_json`, and
+    * censused per language with a text checksum — the round-trip is an
+    * identity, which the oracle asserts by computing the same census
+    * straight from the table. This is the codec path a JSONL corpus
+    * drop (the common LLM-corpus interchange) takes on ingest; both
+    * codec directions stay inside whole-stage codegen, no UDFs. */
+  def jsonlParse(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING")
+    Tables.documents(s, dir)
+      .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars"),
+        col("text"))).as("line"))
+      .select(from_json(col("line"), schema).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+        col("r.n_chars").as("n_chars"), col("r.text").as("text"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(hashMod(col("text"))).as("text_checksum"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+  }
+
+  private val jsonlParseSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(CAST('0x' || substring(md5(text),1,15) AS BIGINT) % 1000000007) AS BIGINT) AS text_checksum,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents GROUP BY lang""".stripMargin
+
+  val defs: Seq[GQuery] = Seq(
+    GQuery("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
+    GQuery("q_jsonl_parse", jsonlParse, Some(jsonlParseSql)))
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.{Analytics, Ingest, Qdsl}
+
+/** Semantics of the analytics suite beyond what the DuckDB oracle pins:
+  * Bloom filters must never produce false negatives, BFS layers must
+  * partition the reachable set, retention must be self-consistent, and
+  * the salted aggregation must be indistinguishable from the direct one.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("bloom membership has zero false negatives and consistent census") {
+    val row = Analytics.bloomMembership(spark, sfDir).head()
+    val nPass = row.getAs[Long]("n_bloom_pass")
+    val nTrue = row.getAs[Long]("n_true_match")
+    val nFp = row.getAs[Long]("n_false_pos")
+    // every true member passes the filter (the Bloom contract)
+    assert(nPass >= nTrue, "bloom dropped a true member (false negative)")
+    assert(nFp == nPass - nTrue)
+    assert(row.getAs[Long]("n_probed") > 0 && nTrue > 0)
+    // the filter is actually selective, not saturated all-ones
+    assert(nPass < row.getAs[Long]("n_probed"))
+  }
+
+  test("bfs hop layers are disjoint and edge-consistent") {
+    val hops = Analytics.bfsHops(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("hop") -> r.getAs[Long]("n_nodes")).toMap
+    // hop 0 = the seed set
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id").as("src"), (col("event_id") % 500).as("dst"))
+      .distinct().persist()
+    try {
+      val seeds = e.filter(col("src") % 100 === 0)
+        .select(col("src")).distinct().count()
+      assert(hops(0L) == seeds)
+      // layer sizes never exceed the whole (bounded) node universe and
+      // each discovered node is counted exactly once across layers
+      val universe = e.select(col("src").as("n"))
+        .union(e.select(col("dst").as("n"))).distinct().count()
+      assert(hops.values.sum <= universe)
+    } finally e.unpersist()
+  }
+
+  test("retention baseline cell is exactly per-mille 1000") {
+    val out = Analytics.retention(spark, sfDir)
+    assert(out.count() > 0)
+    assert(out.filter(col("weeks_since") === 0 && col("per_mille") =!= 1000)
+      .count() == 0)
+    // no cell retains more users than its cohort had at week 0
+    assert(out.filter(col("per_mille") > 1000).count() == 0)
+  }
+
+  test("constraint audit reports all four checks over the clean corpus") {
+    val rows = Analytics.constraints(spark, sfDir).collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("n_violations"))
+      .toMap
+    assert(rows.keySet == Set("orderkey_unique", "custkey_not_null",
+      "totalprice_positive", "orders_fk_customer"))
+    // the synthetic corpus is clean — a nonzero count here means the
+    // check itself is buggy, not the data
+    assert(rows.values.forall(_ == 0L), s"unexpected violations: $rows")
+  }
+
+  test("salted aggregation equals the direct aggregation") {
+    val salted = Analytics.saltedAgg(spark, sfDir)
+    val direct = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Qdsl.dec(col("value"))).cast("double").as("sum_value"))
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+
+  test("csv and jsonl round-trips preserve every row bit-exactly") {
+    // the queries checksum the re-read rows; recompute the same census
+    // straight from parquet and compare — codec drift breaks equality
+    val viaCsv = Ingest.csvRoundtrip(spark, sfDir).head()
+    val direct = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        Qdsl.dec(col("o_totalprice")).as("p"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Qdsl.hashMod(concat_ws("|", col("o_orderkey"),
+          col("o_orderstatus"), col("p"), col("d"), col("o_orderpriority"))))
+          .as("row_checksum")).head()
+    assert(viaCsv.getAs[Long]("n_rows") == direct.getAs[Long]("n_rows"))
+    assert(viaCsv.getAs[Long]("row_checksum") == direct.getAs[Long]("row_checksum"))
+
+    val viaJson = Ingest.jsonlParse(spark, sfDir)
+      .agg(sum(col("text_checksum"))).head().getLong(0)
+    val directJson = Tables.documents(spark, sfDir)
+      .agg(sum(Qdsl.hashMod(col("text")))).head().getLong(0)
+    assert(viaJson == directJson)
+  }
+}
