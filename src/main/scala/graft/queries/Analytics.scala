@@ -254,11 +254,69 @@ object Analytics {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ----------------------------------------------- MERGE / CDC apply
+
+  /** MERGE INTO (CDC apply) as one relational plan: a change batch of
+    * deletes (doc_id % 13), updates (% 7, chars +1000), and inserts
+    * (% 11, re-keyed +1e6) applied to the base table with a single
+    * full-outer join — update/insert columns win via coalesce, delete
+    * rows are filtered, untouched rows pass through. Output is the
+    * post-merge per-language census. Scale shape: ONE shuffle of each
+    * side on the merge key (at 100 TB the base side is usually bucketed
+    * on that key already, making this exchange-free on the big side);
+    * pairs with q_latest_snapshot (CDC read path) and
+    * q_incremental_dedup (CDC ingest-dedup path). */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val del = base.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), lit("D").as("op"),
+        lit(null).cast("long").as("new_chars"),
+        lit(null).cast("string").as("new_lang"))
+    val upd = base.filter(col("doc_id") % 13 =!= 0 && col("doc_id") % 7 === 0)
+      .select(col("doc_id"), lit("U").as("op"),
+        (col("n_chars") + 1000).as("new_chars"), col("lang").as("new_lang"))
+    val ins = base.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), lit("I").as("op"),
+        (col("n_chars") + 7).as("new_chars"), col("lang").as("new_lang"))
+    base.join(del.union(upd).union(ins), Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("op"), lit("keep")) =!= "D")
+      .select(col("doc_id"),
+        coalesce(col("new_lang"), col("lang")).as("mlang"),
+        coalesce(col("new_chars"), col("n_chars")).as("mchars"))
+      .groupBy(col("mlang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("mchars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .select(col("mlang").as("lang"), col("n_docs"), col("sum_chars"),
+        col("min_doc"), col("max_doc"))
+  }
+
+  private val mergeUpsertSql =
+    """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+      |del AS (SELECT doc_id, 'D' AS op, CAST(NULL AS BIGINT) AS new_chars,
+      |               CAST(NULL AS VARCHAR) AS new_lang
+      |        FROM base WHERE doc_id % 13 = 0),
+      |upd AS (SELECT doc_id, 'U', n_chars + 1000, lang
+      |        FROM base WHERE doc_id % 13 <> 0 AND doc_id % 7 = 0),
+      |ins AS (SELECT doc_id + 1000000, 'I', n_chars + 7, lang
+      |        FROM base WHERE doc_id % 11 = 0),
+      |ch AS (SELECT * FROM del UNION ALL SELECT * FROM upd
+      |       UNION ALL SELECT * FROM ins),
+      |m AS (
+      |  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+      |    COALESCE(c.new_lang, b.lang) AS lang,
+      |    COALESCE(c.new_chars, b.n_chars) AS n_chars, c.op
+      |  FROM base b FULL OUTER JOIN ch c ON b.doc_id = c.doc_id)
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM m WHERE COALESCE(op, 'keep') <> 'D' GROUP BY lang""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q_retention", retention, Some(retentionSql)),
     GQuery("q_constraints", constraints, Some(constraintsSql)),
     GQuery("q_bloom_membership", bloomMembership, Some(bloomMembershipSql),
       headline = true),
     GQuery("q_bfs_hops", bfsHops, Some(bfsHopsSql)),
-    GQuery("q_salted_agg", saltedAgg, Some(saltedAggSql)))
+    GQuery("q_salted_agg", saltedAgg, Some(saltedAggSql)),
+    GQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)))
 }

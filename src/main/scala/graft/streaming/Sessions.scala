@@ -59,6 +59,17 @@ object Sessions {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * the (batch) dimension frame — Spark re-plans the static side per
+    * batch, broadcasting it whenever it fits, and the streaming side
+    * keeps NO join state (unlike stream-stream joins there is nothing to
+    * watermark), so an unbounded event feed enriches against a
+    * billion-row dimension at the cost of one batch-side lookup join per
+    * micro-batch. Exercised in StreamingEnrichSpec against the
+    * equivalent batch join. */
+  def enrichStream(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(dim, keys)
+
   /** File-source streaming ingest of an events directory: the engine's
     * `readStream` entry for parquet drops. The driver testdata carries
     * TIMESTAMP(NANOS), which Spark 4 maps to long (see

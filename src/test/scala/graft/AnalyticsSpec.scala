@@ -73,6 +73,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
 
+  test("merge upsert applies deletes, updates and inserts exactly once") {
+    val base = Tables.documents(spark, sfDir)
+    val nBase = base.count()
+    val nDel = base.filter(col("doc_id") % 13 === 0).count()
+    val nIns = base.filter(col("doc_id") % 11 === 0).count()
+    val out = Analytics.mergeUpsert(spark, sfDir)
+    val nMerged = out.agg(sum(col("n_docs"))).head().getLong(0)
+    assert(nMerged == nBase - nDel + nIns)
+    // updates shift sum_chars by exactly +1000 per updated row (+7 per
+    // insert), never touching the delete/keep rows
+    val nUpd = base.filter(col("doc_id") % 13 =!= 0 && col("doc_id") % 7 === 0).count()
+    val charsBase = base.filter(col("doc_id") % 13 =!= 0)
+      .agg(sum(col("n_chars"))).head().getLong(0)
+    val charsIns = base.filter(col("doc_id") % 11 === 0)
+      .agg(sum(col("n_chars") + 7)).head().getLong(0)
+    val charsMerged = out.agg(sum(col("sum_chars"))).head().getLong(0)
+    assert(charsMerged == charsBase + 1000L * nUpd + charsIns)
+  }
+
   test("csv and jsonl round-trips preserve every row bit-exactly") {
     // the queries checksum the re-read rows; recompute the same census
     // straight from parquet and compare — codec drift breaks equality
