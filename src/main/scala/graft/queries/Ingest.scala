@@ -93,7 +93,36 @@ object Ingest {
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM documents GROUP BY lang""".stripMargin
 
+  /** Hive-partitioned sink + read-back: documents written
+    * `partitionBy(lang)` to parquet (the layout a 100 TB corpus lands in
+    * so per-language jobs prune whole directories — partition pruning on
+    * this layout is plan-asserted in ScaleShapeSpec), read back through
+    * partition discovery, and censused with a row checksum against the
+    * original. The partition column round-trips through the directory
+    * encoding, which is exactly what this query pins: a value that
+    * doesn't survive `lang=<value>` path encoding breaks the hash. */
+  def partitionedWrite(s: SparkSession, dir: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") +
+      s"/graft_pwrite_${Integer.toHexString(dir.hashCode)}_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(hashMod(concat_ws("|", col("doc_id"), col("source"))))
+          .as("row_checksum"))
+  }
+
+  private val partitionedWriteSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || source),1,15) AS BIGINT) % 1000000007) AS BIGINT) AS row_checksum
+      |FROM documents GROUP BY lang""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
-    GQuery("q_jsonl_parse", jsonlParse, Some(jsonlParseSql)))
+    GQuery("q_jsonl_parse", jsonlParse, Some(jsonlParseSql)),
+    GQuery("q_partitioned_write", partitionedWrite, Some(partitionedWriteSql)))
 }

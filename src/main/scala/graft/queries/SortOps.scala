@@ -100,9 +100,48 @@ object SortOps {
     """SELECT substring(text, 1, 10) AS prefix, COUNT(*) AS cnt
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Z-order (Morton) layout clustering: interleave the bits of two
+    * dimensions (user % 2048, event-target % 500 — 11 bits each) into a
+    * 22-bit z-value and census fixed-width z-ranges with their bounding
+    * boxes. The point of the curve: consecutive z-ranges cover small
+    * rectangles in BOTH dimensions at once, so data written
+    * `repartitionByRange($"z").sortWithinPartitions($"z")` gets parquet
+    * min/max stats that prune 2-D predicates — the Delta/Iceberg
+    * OPTIMIZE ZORDER layout as a plain deterministic expression (the
+    * interleave is a 22-term codegen'd bit fold, no UDF). Output proves
+    * locality: each 2^16-wide z-bucket is one aligned 256×256 tile, so
+    * both dimensions' bounding boxes stay ≤ 256 — asserted in
+    * AnalyticsSpec (a single-column sort would leave y unbounded). */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(s, dir)
+      .select((col("user_id") % 2048).as("x"), (col("event_id") % 500).as("y"))
+    val z = (0 until 11).map(i =>
+      expr(s"shiftleft(shiftright(x, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright(y, $i) & 1, ${2 * i + 1})"): org.apache.spark.sql.Column)
+      .reduce(_ + _)
+    pts.select(col("x"), col("y"), z.as("z"))
+      .groupBy(expr("z DIV 65536").as("z_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+  }
+
+  private val zorderLayoutSql =
+    """WITH pts AS (
+      |  SELECT user_id % 2048 AS x, event_id % 500 AS y FROM events),
+      |zv AS (
+      |  SELECT x, y,
+      |    list_sum([((x >> i) & 1) << (2*i) for i in range(11)]) +
+      |    list_sum([((y >> i) & 1) << (2*i + 1) for i in range(11)]) AS z
+      |  FROM pts)
+      |SELECT CAST(z // 65536 AS BIGINT) AS z_bucket, COUNT(*) AS n_rows,
+      |  MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+      |FROM zv GROUP BY 1""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q_gensort_checksum", gensortChecksum, Some(gensortChecksumSql)),
     GQuery("q_valsort_summary", valsortSummary, Some(valsortSummarySql)),
     GQuery("q_ratio_inflate", ratioInflate, Some(ratioInflateSql)),
-    GQuery("q_prefix_count", prefixCount, Some(prefixCountSql)))
+    GQuery("q_prefix_count", prefixCount, Some(prefixCountSql)),
+    GQuery("q_zorder_layout", zorderLayout, Some(zorderLayoutSql)))
 }

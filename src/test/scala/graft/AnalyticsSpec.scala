@@ -92,6 +92,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(charsMerged == charsBase + 1000L * nUpd + charsIns)
   }
 
+  test("z-order buckets bound BOTH dimensions to one 256-wide tile") {
+    val out = graft.queries.SortOps.zorderLayout(spark, sfDir).persist()
+    try {
+      assert(out.count() > 1, "need multiple tiles to demonstrate locality")
+      assert(out.filter(col("x_max") - col("x_min") > 255).count() == 0)
+      assert(out.filter(col("y_max") - col("y_min") > 255).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("partitioned write round-trips the partition column exactly") {
+    val out = Ingest.partitionedWrite(spark, sfDir)
+    val direct = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Qdsl.hashMod(concat_ws("|", col("doc_id"), col("source"))))
+          .as("row_checksum"))
+    val j = out.select(col("lang"), col("n_docs"), col("row_checksum"))
+    assert(j.exceptAll(direct).isEmpty && direct.exceptAll(j).isEmpty)
+  }
+
   test("csv and jsonl round-trips preserve every row bit-exactly") {
     // the queries checksum the re-read rows; recompute the same census
     // straight from parquet and compare — codec drift breaks equality
