@@ -27,6 +27,10 @@ object Bench {
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(only) =>
         val want = only.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- SparkEntry.headlines.toSet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not in headlines: ${unknown.mkString(",")} " +
+            s"(known: ${SparkEntry.headlines.mkString(",")})")
         SparkEntry.headlines.filter(want)
       case None => SparkEntry.headlines
     }

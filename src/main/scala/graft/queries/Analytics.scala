@@ -34,9 +34,13 @@ object Analytics {
       .distinct()
     val m = active.groupBy(col("cohort_week"), col("weeks_since"))
       .agg(count(lit(1)).as("n_users"))
-    val sizes = m.filter(col("weeks_since") === 0)
-      .select(col("cohort_week"), col("n_users").as("cohort_size"))
-    m.join(sizes, "cohort_week")
+    // cohort size = the weeks_since=0 cell, pulled in with a window max
+    // over the (tiny) matrix rather than a self-join: a join back onto m
+    // would re-plan the whole events subtree a second time (DataFrames do
+    // no common-subplan reuse), doubling both heavy shuffles
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cohort_week"))
+    m.withColumn("cohort_size",
+        max(when(col("weeks_since") === 0, col("n_users"))).over(wc))
       .select(col("cohort_week"), col("weeks_since"), col("n_users"),
         expr("n_users * 1000 DIV cohort_size").as("per_mille"))
   }
@@ -276,8 +280,11 @@ object Analytics {
     val upd = base.filter(col("doc_id") % 13 =!= 0 && col("doc_id") % 7 === 0)
       .select(col("doc_id"), lit("U").as("op"),
         (col("n_chars") + 1000).as("new_chars"), col("lang").as("new_lang"))
+    // insert keys re-key far above any plausible base id (2^40): an
+    // offset inside the live id space would silently turn inserts into
+    // updates of unrelated rows once doc_ids reached it
     val ins = base.filter(col("doc_id") % 11 === 0)
-      .select((col("doc_id") + 1000000).as("doc_id"), lit("I").as("op"),
+      .select((col("doc_id") + 1099511627776L).as("doc_id"), lit("I").as("op"),
         (col("n_chars") + 7).as("new_chars"), col("lang").as("new_lang"))
     base.join(del.union(upd).union(ins), Seq("doc_id"), "full_outer")
       .filter(coalesce(col("op"), lit("keep")) =!= "D")
@@ -298,7 +305,7 @@ object Analytics {
       |        FROM base WHERE doc_id % 13 = 0),
       |upd AS (SELECT doc_id, 'U', n_chars + 1000, lang
       |        FROM base WHERE doc_id % 13 <> 0 AND doc_id % 7 = 0),
-      |ins AS (SELECT doc_id + 1000000, 'I', n_chars + 7, lang
+      |ins AS (SELECT doc_id + 1099511627776, 'I', n_chars + 7, lang
       |        FROM base WHERE doc_id % 11 = 0),
       |ch AS (SELECT * FROM del UNION ALL SELECT * FROM upd
       |       UNION ALL SELECT * FROM ins),

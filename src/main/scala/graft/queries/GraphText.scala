@@ -103,9 +103,7 @@ object GraphText {
     * corpora, breaking the n_files=4 oracle; round-robin spreads evenly
     * by construction). */
   def textLines(s: SparkSession, dir: String): DataFrame = {
-    val out = sys.props("java.io.tmpdir") +
-      s"/graft_textlines_${Integer.toHexString(dir.hashCode)}_" +
-      java.util.UUID.randomUUID.toString.take(8)
+    val out = graft.core.Scratch.dir("textlines", dir)
     Tables.documents(s, dir)
       .select(concat_ws("|", col("doc_id"), col("text")).as("value"))
       .repartition(4)

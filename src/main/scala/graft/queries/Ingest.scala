@@ -29,9 +29,7 @@ object Ingest {
     * cluster width; the explicit schema skips the inference pass Spark
     * would otherwise pay (one extra full scan). */
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = sys.props("java.io.tmpdir") +
-      s"/graft_csv_${Integer.toHexString(dir.hashCode)}_" +
-      java.util.UUID.randomUUID.toString.take(8)
+    val out = graft.core.Scratch.dir("csv", dir)
     Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         dec(col("o_totalprice")).as("o_totalprice"),
@@ -47,16 +45,17 @@ object Ingest {
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("o_orderkey")).as("n_keys"),
         sum(col("o_totalprice")).cast("double").as("total_price"),
-        sum(hashMod(concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
-          col("o_totalprice"), col("o_date"), col("o_orderpriority"))))
-          .as("row_checksum"))
+        sum(hashMod(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_date"),
+          col("o_orderpriority")))).as("row_checksum"))
   }
 
   private val csvRoundtripSql =
     """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_keys,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
       |  CAST(SUM(CAST('0x' || substring(md5(
-      |    CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+      |    CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+      |    o_orderstatus || '|' ||
       |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
       |    strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority
       |  ),1,15) AS BIGINT) % 1000000007) AS BIGINT) AS row_checksum
@@ -102,9 +101,7 @@ object Ingest {
     * encoding, which is exactly what this query pins: a value that
     * doesn't survive `lang=<value>` path encoding breaks the hash. */
   def partitionedWrite(s: SparkSession, dir: String): DataFrame = {
-    val out = sys.props("java.io.tmpdir") +
-      s"/graft_pwrite_${Integer.toHexString(dir.hashCode)}_" +
-      java.util.UUID.randomUUID.toString.take(8)
+    val out = graft.core.Scratch.dir("pwrite", dir)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").partitionBy("lang").parquet(out)

@@ -117,12 +117,12 @@ class AnalyticsSpec extends SparkSpec {
     // straight from parquet and compare — codec drift breaks equality
     val viaCsv = Ingest.csvRoundtrip(spark, sfDir).head()
     val direct = Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_orderstatus"),
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         Qdsl.dec(col("o_totalprice")).as("p"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
         col("o_orderpriority"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(Qdsl.hashMod(concat_ws("|", col("o_orderkey"),
+        sum(Qdsl.hashMod(concat_ws("|", col("o_orderkey"), col("o_custkey"),
           col("o_orderstatus"), col("p"), col("d"), col("o_orderpriority"))))
           .as("row_checksum")).head()
     assert(viaCsv.getAs[Long]("n_rows") == direct.getAs[Long]("n_rows"))
