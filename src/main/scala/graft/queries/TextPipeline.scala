@@ -874,6 +874,42 @@ object TextPipeline {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** Overlapping context-window chunking — packing's inverse: long
+    * documents SPLIT into 32-token windows at stride 24 (8-token overlap
+    * so no boundary context is lost), the chunker RAG indexes and
+    * long-document pretraining runs before packing. Chunk starts are a
+    * scan-local `sequence()` + explode; every token lands in ≥ 1 chunk,
+    * tail chunks may run short. Census per language: chunk count, token
+    * total (> corpus tokens by exactly the overlap), and a chunk-text
+    * checksum pinning the exact split points. */
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("lang"), col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")), lit(24))).as("s"))
+      .select(col("lang"), col("doc_id"),
+        concat_ws(" ", slice(col("w"), col("s"), lit(32))).as("chunk"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(size(split(col("chunk"), " ")).cast("long")).as("n_tokens"),
+        sum(hashMod(col("chunk"))).as("chunk_checksum"))
+
+  private val chunkOverlapSql =
+    s"""WITH d AS (
+      |  SELECT lang, doc_id, $wordsSqlDoc AS w FROM documents),
+      |st AS (
+      |  SELECT lang, doc_id, w, 1 + 24 * j.j AS s
+      |  FROM d CROSS JOIN range(4096) j(j)
+      |  WHERE len(w) >= 1 AND 1 + 24 * j.j <= len(w)),
+      |ch AS (
+      |  SELECT lang, doc_id, array_to_string(list_slice(w, s, s + 31), ' ') AS chunk
+      |  FROM st)
+      |SELECT lang, COUNT(*) AS n_chunks,
+      |  CAST(SUM(len(string_split(chunk, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CAST('0x' || substring(md5(chunk),1,15) AS BIGINT) % 1000000007) AS BIGINT) AS chunk_checksum
+      |FROM ch GROUP BY lang""".stripMargin
+
   // ----------------------------------------------- decontamination
 
   /** Benchmark decontamination: corpus documents sharing any 8-gram with
@@ -1160,6 +1196,7 @@ object TextPipeline {
     GQuery("q_chunk_dedup", chunkDedup, Some(chunkDedupSql), headline = true),
     GQuery("q_vocab_build", vocabBuild, Some(vocabBuildSql)),
     GQuery("q_pack_sequences", packSequences, Some(packSequencesSql)),
+    GQuery("q_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
     GQuery("q_decontaminate", decontaminate, Some(decontaminateSql)),
     GQuery("q_repetition", repetition, Some(repetitionSql)),
     GQuery("q_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),

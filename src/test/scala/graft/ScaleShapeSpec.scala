@@ -139,4 +139,26 @@ class ScaleShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
     assert(!p.contains("Join"), "as-of must be a window scan, not a join")
   }
+
+  test("bloom probe rides a broadcast join — the big side never shuffles pre-check") {
+    val p = plan(graft.queries.Analytics.bloomMembership(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the ~260-row bloom word table must broadcast:\n$p")
+  }
+
+  test("retention plans the events scan exactly twice (no self-join re-plan)") {
+    // the matrix + cohort-size combination must come from a window over
+    // the aggregated matrix, not a join back onto it (which would re-plan
+    // the whole events subtree: 4 scans instead of 2)
+    val p = plan(graft.queries.Analytics.retention(spark, sfDir))
+    val scans = "events\\.parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected 2 events scans (e + cohort), got $scans:\n$p")
+  }
+
+  test("chunk overlap is scan-local: census agg is the only exchange") {
+    val p = plan(graft.queries.TextPipeline.chunkOverlap(spark, sfDir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"chunking must not shuffle raw tokens, got $exchanges exchanges:\n$p")
+  }
 }
