@@ -162,7 +162,93 @@ object Sketches {
       |  GROUP BY 1, 2)
       |SELECT w, n_exact, n_est, n_est - n_exact AS overcount FROM est""".stripMargin
 
+  // ------------------------------------------- K-minimum-values (KMV)
+
+  /** KMV sketch size. Relative error ~ 1/√k ≈ 12.5% — a test-scale
+    * choice; production grows k with the accuracy target. */
+  private val KmvK = 64
+
+  /** KMV (bottom-k) sketches with set-INTERSECTION estimation — the
+    * operation HLL registers cannot do (max-merge only supports union):
+    * keep the k smallest distinct hashes per set; the union sketch is the
+    * k smallest of the merged sketches; ρ = how many union-sketch members
+    * sit in both sides estimates the Jaccard, and |A∪B| comes from the
+    * k-th minimum (θ-estimator, (k−1)/θ). Everything is integer-exact
+    * except one correctly-rounded double division, and the census carries
+    * the exact union/intersection for self-validation.
+    *
+    * Scale shape: each bottom-k is `orderBy(h).limit(k)` — Spark lowers
+    * it to TakeOrderedAndProject (per-partition k-min, then a k-row
+    * merge), so the full corpus never sorts and the sketch is k rows no
+    * matter the input; sketches from different shards/days merge by the
+    * same k-min-of-concatenation. */
+  def kmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def users(t: String): DataFrame =
+      ev.filter(col("event_type") === t)
+        .select(col("user_id")).distinct()
+    def kmv(t: String): DataFrame =
+      users(t).select(hash60(col("user_id")).as("h"))
+        .orderBy(col("h")).limit(KmvK)
+    val a = kmv("click")
+    val b = kmv("purchase")
+    val ku = a.union(b).distinct().orderBy(col("h")).limit(KmvK)
+    val stats = ku
+      .join(a.select(col("h"), lit(1L).as("in_a")), Seq("h"), "left")
+      .join(b.select(col("h"), lit(1L).as("in_b")), Seq("h"), "left")
+      .agg(max(col("h")).as("kth_union"),
+        count(lit(1)).as("n_sketch"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("rho"))
+    val exactU = users("click").union(users("purchase")).distinct()
+      .agg(count(lit(1)).as("exact_union"))
+    val exactI = users("click").intersect(users("purchase"))
+      .agg(count(lit(1)).as("exact_inter"))
+    stats.crossJoin(exactU).crossJoin(exactI)
+      // a sketch that never filled holds the ENTIRE set — its size IS the
+      // exact cardinality; the θ-estimator applies only at a full sketch.
+      // (k−1)·2^60 = 63·2^60 is exactly representable in a double (6-bit
+      // mantissa), the division is correctly rounded on both engines,
+      // floor lands on the same integer
+      .withColumn("est_union",
+        when(col("n_sketch") < KmvK, col("n_sketch"))
+          .otherwise(floor(expr("7.2637487667429261312e19 / CAST(kth_union AS DOUBLE)"))
+            .cast("long")))
+      .withColumn("est_inter", expr("rho * est_union DIV n_sketch"))
+      .select(col("kth_union"), col("n_sketch"), col("rho"), col("est_union"),
+        col("exact_union"), col("est_inter"), col("exact_inter"))
+  }
+
+  private val kmvIntersectSql =
+    s"""WITH ua AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      |ub AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      |a AS (SELECT CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15) AS BIGINT) AS h
+      |      FROM ua ORDER BY h LIMIT $KmvK),
+      |b AS (SELECT CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15) AS BIGINT) AS h
+      |      FROM ub ORDER BY h LIMIT $KmvK),
+      |ku AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) t
+      |       ORDER BY h LIMIT $KmvK),
+      |st AS (
+      |  SELECT MAX(h) AS kth_union, COUNT(*) AS n_sketch,
+      |    CAST(SUM(CASE WHEN h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)
+      |        THEN 1 ELSE 0 END) AS BIGINT) AS rho
+      |  FROM ku),
+      |eu AS (SELECT COUNT(*) AS exact_union FROM
+      |       (SELECT user_id FROM ua UNION SELECT user_id FROM ub) t),
+      |ei AS (SELECT COUNT(*) AS exact_inter FROM
+      |       (SELECT user_id FROM ua INTERSECT SELECT user_id FROM ub) t),
+      |est AS (
+      |  SELECT kth_union, n_sketch, rho,
+      |    CASE WHEN n_sketch < $KmvK THEN n_sketch
+      |      ELSE CAST(FLOOR(7.2637487667429261312e19 / CAST(kth_union AS DOUBLE)) AS BIGINT)
+      |    END AS est_union
+      |  FROM st)
+      |SELECT kth_union, n_sketch, rho, est_union, exact_union,
+      |  CAST(rho * est_union // n_sketch AS BIGINT) AS est_inter, exact_inter
+      |FROM est CROSS JOIN eu CROSS JOIN ei""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q_hll_distinct", hllDistinct, Some(hllDistinctSql)),
-    GQuery("q_cms_words", cmsWords, Some(cmsWordsSql)))
+    GQuery("q_cms_words", cmsWords, Some(cmsWordsSql)),
+    GQuery("q_kmv_intersect", kmvIntersect, Some(kmvIntersectSql)))
 }

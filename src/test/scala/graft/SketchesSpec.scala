@@ -65,4 +65,19 @@ class SketchesSpec extends SparkSpec {
         s"overcount exceeded $bound (N=$n)")
     } finally out.unpersist()
   }
+
+  test("KMV union/intersection estimates land near the exact counts") {
+    val r = graft.queries.Sketches.kmvIntersect(spark, sfDir).head()
+    val estU = r.getAs[Long]("est_union")
+    val exU = r.getAs[Long]("exact_union")
+    val estI = r.getAs[Long]("est_inter")
+    val exI = r.getAs[Long]("exact_inter")
+    assert(exU > 0 && r.getAs[Long]("rho") > 0)
+    // k = 64 → ~12.5% relative error; allow 3σ
+    assert(math.abs(estU - exU) <= math.max(4, (0.4 * exU).toLong),
+      s"union estimate $estU too far from exact $exU")
+    assert(math.abs(estI - exI) <= math.max(4, (0.5 * exU).toLong),
+      s"intersection estimate $estI too far from exact $exI (union $exU)")
+    assert(estI <= estU)
+  }
 }
