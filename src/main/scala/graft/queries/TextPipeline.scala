@@ -294,6 +294,50 @@ object TextPipeline {
       |  $jaccardVerifySql) t
       |WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.8""".stripMargin
 
+  /** Asymmetric CONTAINMENT near-dup: |A∩B| / min(|A|,|B|) ≥ 0.9 while
+    * Jaccard < 0.8 — the near-SUBSET duplication symmetric Jaccard
+    * structurally misses (a short document quoted wholesale inside a
+    * longer one shares ~all of the smaller side's words, but the union
+    * is large so Jaccard stays low; 291 such pairs exist at sf0.01).
+    * Boilerplate/quotation scrubbing needs exactly this measure. Same
+    * guarded-MinHash candidate generation and exact verification as
+    * [[jaccardNeardup]] — only the acceptance measure differs. */
+  def containmentNeardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val d = docs.select(col("doc_id"), array_distinct(ws).as("w"))
+    val cand = dedupMinhashDocs(docs, LshBucketCap)
+      .select(col("doc_a"), col("doc_b"))
+    val inter = size(array_intersect(col("a.w"), col("b.w"))).cast("long")
+    cand
+      .join(d.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(d.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        inter.as("n_inter"),
+        least(size(col("a.w")), size(col("b.w"))).cast("long").as("n_min"),
+        (size(col("a.w")) + size(col("b.w"))).cast("long").as("n_ab"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_min"),
+        (col("n_inter").cast("double") / col("n_min").cast("double"))
+          .as("containment"),
+        (col("n_inter").cast("double") /
+          (col("n_ab") - col("n_inter")).cast("double")).as("jaccard"))
+      .filter(col("containment") >= 0.9 && col("jaccard") < 0.8)
+  }
+
+  private val containmentNeardupSql =
+    s"""WITH $lshCandSql,
+      |v AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(len(list_distinct(list_intersect(a.w, b.w))) AS BIGINT) AS n_inter,
+      |    CAST(LEAST(len(list_distinct(a.w)), len(list_distinct(b.w))) AS BIGINT) AS n_min,
+      |    CAST(len(list_distinct(a.w)) + len(list_distinct(b.w)) AS BIGINT) AS n_ab
+      |  FROM cand c JOIN d a ON c.doc_a = a.doc_id JOIN d b ON c.doc_b = b.doc_id)
+      |SELECT doc_a, doc_b, n_inter, n_min,
+      |  CAST(n_inter AS DOUBLE) / CAST(n_min AS DOUBLE) AS containment,
+      |  CAST(n_inter AS DOUBLE) / CAST(n_ab - n_inter AS DOUBLE) AS jaccard
+      |FROM v
+      |WHERE CAST(n_inter AS DOUBLE) / CAST(n_min AS DOUBLE) >= 0.9
+      |  AND CAST(n_inter AS DOUBLE) / CAST(n_ab - n_inter AS DOUBLE) < 0.8""".stripMargin
+
   // -------------------------------------------------------- text analysis
 
   /** Per-document quality signals: token counts, distinct ratio, mean token
@@ -1211,6 +1255,7 @@ object TextPipeline {
     GQuery("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     GQuery("q_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     GQuery("q_jaccard_neardup", jaccardNeardup, Some(jaccardNeardupSql)),
+    GQuery("q_containment", containmentNeardup, Some(containmentNeardupSql)),
     GQuery("q_text_quality", textQuality, Some(textQualitySql)),
     GQuery("q_lang_id", langId, Some(langIdSql)),
     GQuery("q_token_count", tokenCount, Some(tokenCountSql)),
