@@ -31,6 +31,9 @@ object Bench {
         require(unknown.isEmpty,
           s"SPARK_GRAFT_BENCH_ONLY names not in headlines: ${unknown.mkString(",")} " +
             s"(known: ${SparkEntry.headlines.mkString(",")})")
+        require(want.nonEmpty,
+          "SPARK_GRAFT_BENCH_ONLY is set but selects no queries " +
+            s"(known: ${SparkEntry.headlines.mkString(",")})")
         SparkEntry.headlines.filter(want)
       case None => SparkEntry.headlines
     }

@@ -17,10 +17,16 @@ object Scratch {
 
   sys.addShutdownHook {
     allocated.forEach { p =>
-      if (Files.exists(p)) {
-        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-          .forEach(f => Files.deleteIfExists(f))
-      }
+      // per-directory isolation: one undeletable file (permissions, a
+      // still-open handle) must not abort cleanup of the REST of the queue
+      try {
+        if (Files.exists(p)) {
+          val walk = Files.walk(p)
+          try walk.sorted(Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
+        }
+      } catch { case _: Exception => () }
     }
   }
 

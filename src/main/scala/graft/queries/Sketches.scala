@@ -183,12 +183,20 @@ object Sketches {
     * matter the input; sketches from different shards/days merge by the
     * same k-min-of-concatenation. */
   def kmvIntersect(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    // ONE events pass feeds both sketches and both exact sides: the
+    // (type, user) distinct is lazily cached — without it the eight
+    // downstream references would each re-plan the full scan + distinct
+    // (DataFrames do no common-subplan reuse)
+    val u = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("user_id")).distinct().persist()
     def users(t: String): DataFrame =
-      ev.filter(col("event_type") === t)
-        .select(col("user_id")).distinct()
+      u.filter(col("event_type") === t).select(col("user_id"))
+    // distinct over the HASHES: a 60-bit collision inside the bottom-k
+    // would otherwise row-multiply the membership joins on the Spark
+    // side while DuckDB's IN keeps set semantics
     def kmv(t: String): DataFrame =
-      users(t).select(hash60(col("user_id")).as("h"))
+      users(t).select(hash60(col("user_id")).as("h")).distinct()
         .orderBy(col("h")).limit(KmvK)
     val a = kmv("click")
     val b = kmv("purchase")
@@ -212,7 +220,7 @@ object Sketches {
       // floor lands on the same integer
       .withColumn("est_union",
         when(col("n_sketch") < KmvK, col("n_sketch"))
-          .otherwise(floor(expr("7.2637487667429261312e19 / CAST(kth_union AS DOUBLE)"))
+          .otherwise(floor(expr("7.2634054790231359488e19 / CAST(kth_union AS DOUBLE)"))
             .cast("long")))
       .withColumn("est_inter", expr("rho * est_union DIV n_sketch"))
       .select(col("kth_union"), col("n_sketch"), col("rho"), col("est_union"),
@@ -240,7 +248,7 @@ object Sketches {
       |est AS (
       |  SELECT kth_union, n_sketch, rho,
       |    CASE WHEN n_sketch < $KmvK THEN n_sketch
-      |      ELSE CAST(FLOOR(7.2637487667429261312e19 / CAST(kth_union AS DOUBLE)) AS BIGINT)
+      |      ELSE CAST(FLOOR(7.2634054790231359488e19 / CAST(kth_union AS DOUBLE)) AS BIGINT)
       |    END AS est_union
       |  FROM st)
       |SELECT kth_union, n_sketch, rho, est_union, exact_union,

@@ -231,24 +231,32 @@ object TextPipeline {
     * O(1)-ish per band by construction, and over-cap buckets are dropped).
     * Candidates are then exactly verified: distinct-word intersection /
     * union as exact integers, one IEEE division, keep ≥ 0.8. */
-  def jaccardNeardup(s: SparkSession, dir: String): DataFrame = {
+  /** Guarded-LSH candidate pairs joined back to their distinct word sets
+    * with the exact intersection and both set sizes — the ONE shared
+    * verification scaffold the symmetric (Jaccard) and asymmetric
+    * (containment) measures both read, so a tokenizer or candidate-join
+    * change can never drift the two gates apart. */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val d = docs.select(col("doc_id"), array_distinct(ws).as("w"))
     val cand = dedupMinhashDocs(docs, LshBucketCap)
       .select(col("doc_a"), col("doc_b"))
-    val inter = size(array_intersect(col("a.w"), col("b.w"))).cast("long")
     cand
       .join(d.as("a"), col("doc_a") === col("a.doc_id"))
       .join(d.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        inter.as("n_inter"),
-        (size(col("a.w")) + size(col("b.w"))).cast("long").as("n_ab"))
-      .select(col("doc_a"), col("doc_b"), col("n_inter"),
-        (col("n_ab") - col("n_inter")).as("n_union"),
-        (col("n_inter").cast("double") /
-          (col("n_ab") - col("n_inter")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+        size(array_intersect(col("a.w"), col("b.w"))).cast("long").as("n_inter"),
+        size(col("a.w")).cast("long").as("na"),
+        size(col("b.w")).cast("long").as("nb"))
   }
+
+  def jaccardNeardup(s: SparkSession, dir: String): DataFrame =
+    verifiedPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
 
   /** Shared oracle CTE chain: documents → word lists (`d`), MinHash
     * signatures, guarded band buckets, candidate pairs (`cand`) — the
@@ -275,24 +283,26 @@ object TextPipeline {
       |  FROM guarded l JOIN guarded r ON l.bk = r.bk AND l.doc_id < r.doc_id)""".stripMargin
   }
 
-  /** Exact-Jaccard verification clause over `cand` + `d` (shared between
-    * the pair query and the composed pipeline's losers CTE). */
+  /** Exact verification clause over `cand` + `d`: intersection size and
+    * both distinct-set sizes (the DuckDB mirror of [[verifiedPairs]],
+    * shared by the Jaccard pair query, the containment query, and the
+    * composed pipeline's losers CTE). */
   private val jaccardVerifySql =
     """SELECT c.doc_a, c.doc_b,
       |    CAST(len(list_distinct(list_intersect(a.w, b.w))) AS BIGINT) AS n_inter,
-      |    CAST(len(list_distinct(a.w)) + len(list_distinct(b.w))
-      |         - len(list_distinct(list_intersect(a.w, b.w))) AS BIGINT) AS n_union
+      |    CAST(len(list_distinct(a.w)) AS BIGINT) AS na,
+      |    CAST(len(list_distinct(b.w)) AS BIGINT) AS nb
       |  FROM cand c
       |  JOIN d a ON c.doc_a = a.doc_id
       |  JOIN d b ON c.doc_b = b.doc_id""".stripMargin
 
   private val jaccardNeardupSql =
     s"""WITH $lshCandSql
-      |SELECT doc_a, doc_b, n_inter, n_union,
-      |  CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+      |SELECT doc_a, doc_b, n_inter, na + nb - n_inter AS n_union,
+      |  CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
       |FROM (
       |  $jaccardVerifySql) t
-      |WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.8""".stripMargin
+      |WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.8""".stripMargin
 
   /** Asymmetric CONTAINMENT near-dup: |A∩B| / min(|A|,|B|) ≥ 0.9 while
     * Jaccard < 0.8 — the near-SUBSET duplication symmetric Jaccard
@@ -302,41 +312,26 @@ object TextPipeline {
     * Boilerplate/quotation scrubbing needs exactly this measure. Same
     * guarded-MinHash candidate generation and exact verification as
     * [[jaccardNeardup]] — only the acceptance measure differs. */
-  def containmentNeardup(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val d = docs.select(col("doc_id"), array_distinct(ws).as("w"))
-    val cand = dedupMinhashDocs(docs, LshBucketCap)
-      .select(col("doc_a"), col("doc_b"))
-    val inter = size(array_intersect(col("a.w"), col("b.w"))).cast("long")
-    cand
-      .join(d.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(d.as("b"), col("doc_b") === col("b.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        inter.as("n_inter"),
-        least(size(col("a.w")), size(col("b.w"))).cast("long").as("n_min"),
-        (size(col("a.w")) + size(col("b.w"))).cast("long").as("n_ab"))
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_min"),
-        (col("n_inter").cast("double") / col("n_min").cast("double"))
-          .as("containment"),
+  def containmentNeardup(s: SparkSession, dir: String): DataFrame =
+    verifiedPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        least(col("na"), col("nb")).as("n_min"),
         (col("n_inter").cast("double") /
-          (col("n_ab") - col("n_inter")).cast("double")).as("jaccard"))
+          least(col("na"), col("nb")).cast("double")).as("containment"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double")).as("jaccard"))
       .filter(col("containment") >= 0.9 && col("jaccard") < 0.8)
-  }
 
   private val containmentNeardupSql =
     s"""WITH $lshCandSql,
       |v AS (
-      |  SELECT c.doc_a, c.doc_b,
-      |    CAST(len(list_distinct(list_intersect(a.w, b.w))) AS BIGINT) AS n_inter,
-      |    CAST(LEAST(len(list_distinct(a.w)), len(list_distinct(b.w))) AS BIGINT) AS n_min,
-      |    CAST(len(list_distinct(a.w)) + len(list_distinct(b.w)) AS BIGINT) AS n_ab
-      |  FROM cand c JOIN d a ON c.doc_a = a.doc_id JOIN d b ON c.doc_b = b.doc_id)
-      |SELECT doc_a, doc_b, n_inter, n_min,
-      |  CAST(n_inter AS DOUBLE) / CAST(n_min AS DOUBLE) AS containment,
-      |  CAST(n_inter AS DOUBLE) / CAST(n_ab - n_inter AS DOUBLE) AS jaccard
+      |  $jaccardVerifySql)
+      |SELECT doc_a, doc_b, n_inter, LEAST(na, nb) AS n_min,
+      |  CAST(n_inter AS DOUBLE) / CAST(LEAST(na, nb) AS DOUBLE) AS containment,
+      |  CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
       |FROM v
-      |WHERE CAST(n_inter AS DOUBLE) / CAST(n_min AS DOUBLE) >= 0.9
-      |  AND CAST(n_inter AS DOUBLE) / CAST(n_ab - n_inter AS DOUBLE) < 0.8""".stripMargin
+      |WHERE CAST(n_inter AS DOUBLE) / CAST(LEAST(na, nb) AS DOUBLE) >= 0.9
+      |  AND CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) < 0.8""".stripMargin
 
   // -------------------------------------------------------- text analysis
 
@@ -515,7 +510,7 @@ object TextPipeline {
       |losers AS (
       |  SELECT DISTINCT doc_b AS doc_id FROM (
       |  $jaccardVerifySql) v
-      |  WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.8),
+      |  WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.8),
       |kept AS (
       |  SELECT q.lang, q.source, q.doc_id,
       |    list_reduce(
@@ -933,10 +928,13 @@ object TextPipeline {
       .select(col("lang"), col("doc_id"), col("w"),
         explode(sequence(lit(1), size(col("w")), lit(24))).as("s"))
       .select(col("lang"), col("doc_id"),
-        concat_ws(" ", slice(col("w"), col("s"), lit(32))).as("chunk"))
+        concat_ws(" ", slice(col("w"), col("s"), lit(32))).as("chunk"),
+        // token count derived from the window bounds — re-splitting the
+        // just-built chunk string would re-tokenize ~1.3× the corpus
+        least(lit(32), size(col("w")) - col("s") + 1).cast("long").as("n_tok"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(size(split(col("chunk"), " ")).cast("long")).as("n_tokens"),
+        sum(col("n_tok")).as("n_tokens"),
         sum(hashMod(col("chunk"))).as("chunk_checksum"))
 
   private val chunkOverlapSql =
@@ -947,10 +945,11 @@ object TextPipeline {
       |  FROM d CROSS JOIN range(4096) j(j)
       |  WHERE len(w) >= 1 AND 1 + 24 * j.j <= len(w)),
       |ch AS (
-      |  SELECT lang, doc_id, array_to_string(list_slice(w, s, s + 31), ' ') AS chunk
+      |  SELECT lang, doc_id, array_to_string(list_slice(w, s, s + 31), ' ') AS chunk,
+      |    LEAST(32, len(w) - s + 1) AS n_tok
       |  FROM st)
       |SELECT lang, COUNT(*) AS n_chunks,
-      |  CAST(SUM(len(string_split(chunk, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
       |  CAST(SUM(CAST('0x' || substring(md5(chunk),1,15) AS BIGINT) % 1000000007) AS BIGINT) AS chunk_checksum
       |FROM ch GROUP BY lang""".stripMargin
 
