@@ -319,11 +319,12 @@ object Analytics {
       |FROM m WHERE COALESCE(op, 'keep') <> 'D' GROUP BY lang""".stripMargin
 
   val defs: Seq[GQuery] = Seq(
-    GQuery("q_retention", retention, Some(retentionSql)),
+    GQuery("q_retention", retention, Some(retentionSql), headline = true),
     GQuery("q_constraints", constraints, Some(constraintsSql)),
     GQuery("q_bloom_membership", bloomMembership, Some(bloomMembershipSql),
       headline = true),
     GQuery("q_bfs_hops", bfsHops, Some(bfsHopsSql)),
     GQuery("q_salted_agg", saltedAgg, Some(saltedAggSql)),
-    GQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)))
+    GQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql),
+      headline = true))
 }
