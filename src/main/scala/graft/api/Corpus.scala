@@ -1,0 +1,134 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Qdsl, TextPipeline}
+
+/** The library facade for corpus processing over ARBITRARY DataFrames —
+  * the oracle-checked `q_*` queries demonstrate these operators against
+  * the driver testdata; this object is the surface a user points at their
+  * own tables (any id/text column names). Every method returns a lazy
+  * DataFrame plan built from the same scale-shaped internals the checked
+  * queries run (guarded LSH bands, pre-partitioned iterative joins,
+  * scan-local chunking), so the 100 TB posture documented in SURVEY §9
+  * carries over unchanged. Generality is spec-pinned in CorpusApiSpec on
+  * synthetic frames that never touch the testdata.
+  */
+object Corpus {
+
+  /** Canonical (doc_id, text) projection for any column naming. */
+  private def canon(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).cast("long").as("doc_id"),
+      col(text).cast("string").as("text"))
+
+  /** The engine tokenizer (reference WordTokenizer delimiter class). */
+  def tokenize(c: Column): Column = Qdsl.words(c)
+
+  /** MinHash/LSH near-dup candidate pairs (doc_a, doc_b, n_match of 8
+    * signature mins) with the hot-bucket guard at `bucketCap`. */
+  def minhashPairs(docs: DataFrame, id: String = "doc_id",
+      text: String = "text",
+      bucketCap: Int = TextPipeline.LshBucketCap): DataFrame =
+    TextPipeline.dedupMinhashDocs(canon(docs, id, text), bucketCap)
+
+  /** Exact-Jaccard near-dup pairs at `threshold`, candidates from the
+    * guarded LSH bands (never an all-pairs join). */
+  def jaccardPairs(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", threshold: Double = 0.8,
+      bucketCap: Int = TextPipeline.LshBucketCap): DataFrame =
+    TextPipeline.verifiedPairsDocs(canon(docs, id, text), bucketCap)
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Asymmetric containment pairs (|A∩B| / min(|A|,|B|) ≥ threshold) —
+    * catches near-subset duplication symmetric Jaccard misses. */
+  def containmentPairs(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", threshold: Double = 0.9,
+      bucketCap: Int = TextPipeline.LshBucketCap): DataFrame =
+    TextPipeline.verifiedPairsDocs(canon(docs, id, text), bucketCap)
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+
+  /** Connected components over an undirected pair list: every node gets
+    * the minimum reachable node id as `component`. Pointer-doubling to
+    * fixpoint — O(log diameter) rounds, each one edge↔label join over a
+    * pre-partitioned cached edge list. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      nodeCol: String = "node", aCol: String = "a", bCol: String = "b")
+      : DataFrame =
+    TextPipeline.pointerDoublingComponents(
+      nodes.select(col(nodeCol).cast("long").as("doc_id")),
+      pairs.select(col(aCol).cast("long").as("doc_a"),
+        col(bCol).cast("long").as("doc_b")))
+      .select(col("doc_id").as(nodeCol), col("lbl").as("component"))
+
+  /** Keep-first exact dedup: one survivor per key set, the row with the
+    * smallest `orderCol` (deterministic tie-break). One hash shuffle on
+    * the key — the keep-first rule every dedup pipeline starts with. */
+  def exactDedup(df: DataFrame, keyCols: Seq[String], orderCol: String)
+      : DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Overlapping context-window chunking: (doc, chunk_idx, chunk,
+    * n_tokens) rows, `window` tokens at `stride` — scan-local
+    * sequence+explode, no shuffle. */
+  def chunk(docs: DataFrame, id: String = "doc_id", text: String = "text",
+      window: Int = 32, stride: Int = 24): DataFrame =
+    canon(docs, id, text)
+      .select(col("doc_id"), tokenize(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")), lit(stride))).as("s"),
+        col("w"))
+      .select(col("doc_id"),
+        expr(s"(s - 1) DIV $stride").as("chunk_idx"),
+        concat_ws(" ", slice(col("w"), col("s"), lit(window))).as("chunk"),
+        least(lit(window), size(col("w")) - col("s") + 1).cast("long")
+          .as("n_tokens"))
+}
+
+/** Vector-side facade: similarity search over any (id, Array[Float])
+  * frame. Embedding floats are scaled to exact integers (floor(x·1e6))
+  * so scores are deterministic across engines and runs — the same
+  * construction the oracle-checked q_knn/q_ann queries pin. */
+object Vectors {
+
+  private def canon(df: DataFrame, id: String, vec: String): DataFrame =
+    df.select(col(id).cast("long").as("vid"),
+      expr(s"transform($vec, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("v"))
+      .withColumn("n2", expr(
+        "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS BIGINT), (a, e) -> a + e)"))
+
+  /** Exact cosine top-k: every query row against the full vector set,
+    * query side broadcast (its purpose — bulk all-pairs goes through the
+    * LSH/IVF paths instead). Output (query_id, rank, neighbor_id, cos). */
+  def cosineTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val base = canon(vectors, id, vec)
+    val q = canon(queries, id, vec)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val dot = expr(
+      "aggregate(zip_with(v, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, e) -> a + e)")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid"))
+    base.join(broadcast(q), col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        (dot.cast("double") / sqrt(col("n2").cast("double")) /
+          sqrt(col("qn2").cast("double"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
+        col("vid").as("neighbor_id"), col("cos"))
+  }
+}

@@ -236,10 +236,14 @@ object TextPipeline {
     * verification scaffold the symmetric (Jaccard) and asymmetric
     * (containment) measures both read, so a tokenizer or candidate-join
     * change can never drift the two gates apart. */
-  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+    verifiedPairsDocs(Tables.documents(s, dir), LshBucketCap)
+
+  /** [[verifiedPairs]] over an explicit corpus (the generic form
+    * `api.Corpus` exposes — any (doc_id, text) frame works). */
+  private[graft] def verifiedPairsDocs(docs: DataFrame, cap: Int): DataFrame = {
     val d = docs.select(col("doc_id"), array_distinct(ws).as("w"))
-    val cand = dedupMinhashDocs(docs, LshBucketCap)
+    val cand = dedupMinhashDocs(docs, cap)
       .select(col("doc_a"), col("doc_b"))
     cand
       .join(d.as("a"), col("doc_a") === col("a.doc_id"))

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{Corpus, Vectors}
+
+/** The library facade must work on ARBITRARY frames — synthetic data
+  * with non-canonical column names, never the driver testdata — proving
+  * a user can point the engine at their own tables.
+  */
+class CorpusApiSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    Seq(
+      (10L, base),
+      (11L, base),                                        // exact dup of 10
+      (12L, base + " tonight"),                           // near dup of 10
+      (13L, "completely different text about spark engines and shuffles here"),
+      (14L, "the quick brown fox jumps over the lazy dog and runs away fast " +
+        "plus a much longer tail of extra words making the union large " +
+        "so plain jaccard similarity stays low while containment is total"),
+      (15L, "another unrelated document mentioning warehouses and parquet files")
+    ).toDF("my_id", "body")
+  }
+
+  test("near-dup pipeline works end-to-end on custom column names") {
+    val pairs = Corpus.minhashPairs(docs, id = "my_id", text = "body")
+    val strong = pairs.filter(col("n_match") >= 6)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.contains((10L, 11L)), s"exact dup pair missing: $strong")
+
+    val jac = Corpus.jaccardPairs(docs, id = "my_id", text = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.contains((10L, 11L)) && jac.contains((11L, 12L)))
+
+    // doc 14 swallows doc 10 wholesale: containment-only duplication
+    val cont = Corpus.containmentPairs(docs, id = "my_id", text = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont.contains((10L, 14L)), s"subset pair missing: $cont")
+    assert(!jac.contains((10L, 14L)), "the subset pair must NOT be jaccard-strong")
+  }
+
+  test("components cluster the dup group, singletons stay themselves") {
+    import spark.implicits._
+    val pairs = Corpus.jaccardPairs(docs, id = "my_id", text = "body")
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val nodes = docs.select(col("my_id").as("node"))
+    val cc = Corpus.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(10L) == 10L && cc(11L) == 10L && cc(12L) == 10L)
+    assert(cc(13L) == 13L && cc(15L) == 15L)
+  }
+
+  test("exact dedup keeps exactly the first row per key") {
+    val kept = Corpus.exactDedup(docs, Seq("body"), "my_id")
+    assert(kept.count() == 5)
+    assert(kept.filter(col("my_id") === 11L).count() == 0)
+    assert(kept.filter(col("my_id") === 10L).count() == 1)
+  }
+
+  test("chunking covers every token with the configured overlap") {
+    val ch = Corpus.chunk(docs, id = "my_id", text = "body",
+      window = 8, stride = 6).persist()
+    try {
+      // a 13-token doc at window 8 / stride 6 → starts 1, 7, 13 → 3 chunks
+      assert(ch.filter(col("doc_id") === 10L).count() == 3)
+      val toks = ch.filter(col("doc_id") === 10L)
+        .agg(sum(col("n_tokens"))).head().getLong(0)
+      // 8 + 7 + 1: full window, tail of 7, tail of 1 — overlap counted
+      assert(toks == 16, s"expected 16 token slots, got $toks")
+      assert(ch.filter(col("chunk_idx") === 0 && col("doc_id") === 10L)
+        .head().getAs[String]("chunk").startsWith("the quick brown"))
+    } finally ch.unpersist()
+  }
+
+  test("cosine top-k ranks the duplicate vector first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(1.0f, 0.0f, 0.001f))
+    ).toDF("vid", "emb")
+    val out = Vectors.cosineTopK(vecs, vecs.filter(col("vid") === 1L),
+      k = 2, id = "vid", vec = "emb")
+    val ranked = out.orderBy(col("rank"))
+      .collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(ranked == Seq(4L, 2L), s"expected nearest 4 then 2, got $ranked")
+  }
+}
