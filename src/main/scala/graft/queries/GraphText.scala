@@ -231,9 +231,13 @@ object GraphText {
     val raw = Tables.events(s, dir)
       .select((col("user_id") % 1000).as("x"), (col("event_id") % 1000).as("y"))
       .filter(col("x") =!= col("y"))
+    // lazily cached: edges feeds the degree count, the orientation join
+    // and the census (4 references — uncached, each would re-plan the
+    // events scan + distinct); same for oriented below (wedge sides +
+    // closing-edge set)
     val edges = raw
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
-      .distinct()
+      .distinct().persist()
     val deg = edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val da = deg.select(col("v").as("a"), col("deg").as("dega"))
@@ -247,6 +251,10 @@ object GraphText {
         when(kA < kB, col("a")).otherwise(col("b")).as("src"),
         when(kA < kB, kB).otherwise(kA).as("dk"))
       .select(col("src"), col("dk"), col("dk.n").as("dst"))
+      // pre-partitioned on the wedge-join key so both cached sides of the
+      // self-join arrive co-partitioned (only the closing semi-join
+      // re-keys, on (v, w))
+      .repartition(col("src")).persist()
     val e1 = oriented.select(col("src"), col("dk").as("k1"), col("dst").as("v"))
     val e2 = oriented.select(col("src"), col("dk").as("k2"), col("dst").as("w"))
     val wedges = e1.join(e2, Seq("src")).filter(col("k1") < col("k2"))
