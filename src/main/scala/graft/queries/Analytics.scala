@@ -133,7 +133,11 @@ object Analytics {
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 62 AS INT))").as("mask"))
       .groupBy(col("word")).agg(expr("bit_or(mask)").as("bloom"))
     val bitsSet = words.agg(sum(expr("bit_count(bloom)")).cast("long").as("n_bits_set"))
-    val probeBits = Tables.orders(s, dir)
+    // slim shared projection, lazily cached: probe-bit generation, the
+    // exact-membership check, and the probe census all read it
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey")).persist()
+    val probeBits = ord
       .select(col("o_orderkey"), col("o_custkey").cast("string").as("k"))
       .select(col("o_orderkey"), explode(array(posCols: _*)).as("p"))
       .select(col("o_orderkey"), expr("p DIV 62").as("word"),
@@ -142,10 +146,10 @@ object Analytics {
       .groupBy(col("o_orderkey"))
       .agg(sum(when(expr("bloom & mask") === col("mask"), 1L).otherwise(0L)).as("nhit"))
       .filter(col("nhit") === 3)
-    val truth = Tables.orders(s, dir).join(
+    val truth = ord.join(
       Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"),
       col("o_custkey") === col("c_custkey"), "left_semi")
-    Tables.orders(s, dir).agg(count(lit(1)).as("n_probed"))
+    ord.agg(count(lit(1)).as("n_probed"))
       .crossJoin(pass.agg(count(lit(1)).as("n_bloom_pass")))
       .crossJoin(truth.agg(count(lit(1)).as("n_true_match")))
       .crossJoin(bitsSet)

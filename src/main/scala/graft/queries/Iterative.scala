@@ -130,11 +130,15 @@ object Iterative {
     * iteration's centroid table (k×64 rows) broadcasts in the reassign
     * join. Exact integer math throughout. */
   def kmeansIter2(s: SparkSession, dir: String): DataFrame = {
+    // lazily cached: the exploded point table feeds both assignment
+    // passes and the recenter (3 full references — uncached, each would
+    // re-scan and re-explode the embeddings)
     val pts = Tables.embeddings(s, dir)
       .select(col("vec_id"),
         posexplode(transform(col("embedding"),
           x => floor(x.cast("double") * 1000000).cast("long"))))
       .select(col("vec_id"), (col("pos") + 1).as("dim"), col("col").as("x"))
+      .persist()
     val c0 = pts.filter(col("vec_id") < 10)
       .select(col("vec_id").as("cid"), col("dim"), col("x").as("cx"))
 

@@ -265,7 +265,9 @@ object Similarity {
     * per-update cost is one assignment join + one (k·dim)-row
     * aggregation. */
   def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
-    val all = vecs(s, dir)
+    // lazily cached: the scaled vector table anchors both argmin passes
+    // and the Lloyd update join (3 full references)
+    val all = vecs(s, dir).persist()
     val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))

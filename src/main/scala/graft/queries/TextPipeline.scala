@@ -443,9 +443,12 @@ object TextPipeline {
   def tfidfTop(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val n6 = d.agg((count(lit(1)) * 1000000L).as("n6"))
+    // lazily cached: tf feeds both the df aggregation and the scoring
+    // join — uncached, the tokenize/explode/agg subtree runs twice
     val tf = d.select(col("doc_id"), explode(ws).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy(col("word"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val w = org.apache.spark.sql.expressions.Window
