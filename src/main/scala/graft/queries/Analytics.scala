@@ -262,6 +262,54 @@ object Analytics {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ------------------------------------------------- trend fitting
+
+  /** Integer-exact least-squares trend per event type over hourly event
+    * counts: slope and intercept from the closed-form normal equations,
+    * all sums in BIGINT (x = hour index ≤ ~10³, y = hourly counts —
+    * every term stays far under 2^63) and the final ratios as scaled
+    * integer division, so the fit is bit-deterministic on any engine and
+    * any aggregation order. Two hash aggs (hourly rollup ∝ hours×types,
+    * then the 5-row moment agg) — the raw stream never reaches the
+    * regression. The monitoring/capacity-planning staple. */
+  def trendFit(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"), epochMs(col("ts")).as("ms"))
+      .select(col("event_type"), expr("ms DIV 3600000").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("y"))
+    val x = col("h") - min(col("h")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("event_type")))
+    hourly.select(col("event_type"), x.as("x"), col("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n"), col("sy").as("total_events"),
+        expr("(1000000 * (n * sxy - sx * sy)) DIV (n * sxx - sx * sx)")
+          .as("slope_ppm"),
+        expr("(1000000 * sy - ((1000000 * (n * sxy - sx * sy)) DIV (n * sxx - sx * sx)) * sx) DIV n")
+          .as("intercept_ppm"))
+  }
+
+  private val trendFitSql =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_ms(ts) // 3600000 AS h, COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |xs AS (
+      |  SELECT event_type, h - MIN(h) OVER (PARTITION BY event_type) AS x, y
+      |  FROM hourly),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM xs GROUP BY event_type)
+      |SELECT event_type, n, sy AS total_events,
+      |  CAST((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT) AS slope_ppm,
+      |  CAST((1000000 * sy - ((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)) * sx) // n AS BIGINT) AS intercept_ppm
+      |FROM m""".stripMargin
+
   // ----------------------------------------------- MERGE / CDC apply
 
   /** MERGE INTO (CDC apply) as one relational plan: a change batch of
@@ -329,6 +377,7 @@ object Analytics {
       headline = true),
     GQuery("q_bfs_hops", bfsHops, Some(bfsHopsSql)),
     GQuery("q_salted_agg", saltedAgg, Some(saltedAggSql)),
+    GQuery("q_trend_fit", trendFit, Some(trendFitSql)),
     GQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql),
       headline = true))
 }

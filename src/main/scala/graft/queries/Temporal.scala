@@ -427,7 +427,48 @@ object Temporal {
       |  MAX(bin) AS max_bin
       |FROM cum GROUP BY event_type""".stripMargin
 
+  /** Top user paths: each user's first three events (by time, tie-broken
+    * by event_id) joined into a path string, censused to the 10 most
+    * common journeys — the clickstream path-analysis staple. Scale
+    * shape: the rank filter lowers to WindowGroupLimit (map-side top-3
+    * per user before the exchange), the path build is one hash agg with
+    * an order-pinned sort_array (collect_list alone is
+    * assembly-order-nondeterministic), and the census tops out with
+    * TakeOrderedAndProject. */
+  def topPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val paths = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        epochMs(col("ts")).as("ms"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(">",
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(10)
+  }
+
+  private val topPathsSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+      |r AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS rn
+      |  FROM e),
+      |p AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM r WHERE rn <= 3 GROUP BY user_id)
+      |SELECT path, COUNT(*) AS n_users
+      |FROM p GROUP BY path
+      |ORDER BY n_users DESC, path LIMIT 10""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q_top_paths", topPaths, Some(topPathsSql)),
     GQuery("q_histogram_quantiles", histogramQuantiles, Some(histogramQuantilesSql)),
     GQuery("q_sliding_anomaly", slidingAnomaly, Some(slidingAnomalySql)),
     GQuery("q_latest_snapshot", latestSnapshot, Some(latestSnapshotSql)),
