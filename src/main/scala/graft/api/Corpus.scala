@@ -26,6 +26,32 @@ object Corpus {
   /** The engine tokenizer (reference WordTokenizer delimiter class). */
   def tokenize(c: Column): Column = Qdsl.words(c)
 
+  /** Heuristic function-word language ID over a free-text column — the
+    * q_lang_id marker rule as a reusable scalar (all codegen'd string
+    * ops, so it rides inside any scan). */
+  def languageId(text: Column): Column = {
+    val t = concat(lit(" "), text, lit(" "))
+    when(t.contains(" the "), "en")
+      .when(t.contains(" der ") || t.contains(" und "), "de")
+      .when(t.contains(" el ") || t.contains(" los "), "es")
+      .when(t.contains(" le ") || t.contains(" les "), "fr")
+      .otherwise("und")
+  }
+
+  /** Scan-local quality signals for a text column as one struct:
+    * token count, distinct-token count, and stopword rate (per-mille,
+    * integer-exact) — the q_text_quality signals in reusable form. */
+  def qualitySignals(text: Column): Column = {
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val w = tokenize(text)
+    struct(
+      size(w).cast("long").as("n_tokens"),
+      size(array_distinct(w)).cast("long").as("n_distinct"),
+      call_function("div",
+        size(filter(w, t => t.isInCollection(stop))).cast("long") * 1000L,
+        greatest(size(w), lit(1)).cast("long")).as("stopword_per_mille"))
+  }
+
   /** MinHash/LSH near-dup candidate pairs (doc_a, doc_b, n_match of 8
     * signature mins) with the hot-bucket guard at `bucketCap`. */
   def minhashPairs(docs: DataFrame, id: String = "doc_id",

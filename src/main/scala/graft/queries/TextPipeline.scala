@@ -1034,6 +1034,60 @@ object TextPipeline {
         min(col("doc_id")).as("min_doc"))
   }
 
+  /** Bigram-LM quality score — the conditional upgrade of [[unigramLm]]:
+    * each document scores the average scaled conditional frequency
+    * p(w₂|w₁) = count(w₁w₂)/count(w₁·) of its bigrams, banded into a
+    * per-language census. Fluent text rides common transitions and
+    * scores high; shuffled/garbled text hits rare transitions and sinks
+    * — the signal CCNet-style filters use, here integer-exact. Scale
+    * shape: the bigram table is cached once (3 references), counts are
+    * two hash aggs (∝ distinct bigrams/prefixes, not corpus size), and
+    * the scoring join is bigram↔count equi-join left to AQE. */
+  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), ws.as("w"))
+      .filter(size(col("w")) >= 2)
+    val bg = d.select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, size(w) - 1), " +
+          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))")).as("b"))
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .persist()
+    val c2 = bg.groupBy(col("b")).agg(count(lit(1)).as("n2"))
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val cond = c2.join(c1, "w1")
+      .select(col("b"), expr("(1000000 * n2) DIV n1").as("score"))
+    bg.join(cond, "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr("SUM(score) DIV COUNT(*)").as("doc_score"))
+      .groupBy(col("lang"), expr("doc_score DIV 50000").as("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_score")).as("score_sum"),
+        min(col("doc_id")).as("min_doc"))
+  }
+
+  private val bigramLmSql =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, $wordsSqlDoc AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id, lang,
+      |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS b
+      |  FROM d WHERE len(w) >= 2),
+      |bgp AS (SELECT doc_id, lang, b, split_part(b, ' ', 1) AS w1 FROM bg),
+      |c2 AS (SELECT b, split_part(b, ' ', 1) AS w1, COUNT(*) AS n2 FROM bgp GROUP BY b),
+      |c1 AS (SELECT w1, COUNT(*) AS n1 FROM bgp GROUP BY w1),
+      |cond AS (
+      |  SELECT c2.b, (1000000 * c2.n2) // c1.n1 AS score
+      |  FROM c2 JOIN c1 USING (w1)),
+      |ds AS (
+      |  SELECT doc_id, lang, SUM(score) // COUNT(*) AS doc_score
+      |  FROM bgp JOIN cond USING (b) GROUP BY doc_id, lang)
+      |SELECT lang, CAST(doc_score // 50000 AS BIGINT) AS band,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(doc_score) AS BIGINT) AS score_sum,
+      |  MIN(doc_id) AS min_doc
+      |FROM ds GROUP BY 1, 2""".stripMargin
+
   private val unigramLmSql =
     s"""WITH toks AS (
       |  SELECT doc_id, lang, unnest($wordsSqlDoc) AS w FROM documents),
@@ -1247,6 +1301,7 @@ object TextPipeline {
     GQuery("q_vocab_build", vocabBuild, Some(vocabBuildSql)),
     GQuery("q_pack_sequences", packSequences, Some(packSequencesSql)),
     GQuery("q_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
+    GQuery("q_bigram_lm", bigramLm, Some(bigramLmSql)),
     GQuery("q_decontaminate", decontaminate, Some(decontaminateSql)),
     GQuery("q_repetition", repetition, Some(repetitionSql)),
     GQuery("q_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),

@@ -76,6 +76,21 @@ class CorpusApiSpec extends SparkSpec {
     } finally ch.unpersist()
   }
 
+  test("scalar helpers: language id and quality signals on any frame") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat sat on the mat", "en"),
+      ("der hund und die katze", "de"),
+      ("xyzzy plugh", "und")
+    ).toDF("t", "want")
+    assert(df.filter(Corpus.languageId(col("t")) =!= col("want")).count() == 0)
+    val q = df.select(Corpus.qualitySignals(col("t")).as("q"))
+      .select(col("q.n_tokens"), col("q.n_distinct"), col("q.stopword_per_mille"))
+      .collect()
+    assert(q.head.getLong(0) == 6 && q.head.getLong(1) == 5)
+    assert(q.head.getLong(2) == 333) // 2 of 6 stopwords -> 333 per-mille
+  }
+
   test("cosine top-k ranks the duplicate vector first") {
     import spark.implicits._
     val vecs = Seq(
