@@ -22,6 +22,7 @@ object SparkEntry {
     SortOps.defs,
     GraphText.defs,
     Temporal.defs,
+    Tokenizer.defs,
     Sketches.defs,
     Analytics.defs,
     Ingest.defs,

@@ -467,7 +467,122 @@ object Temporal {
       |FROM p GROUP BY path
       |ORDER BY n_users DESC, path LIMIT 10""".stripMargin
 
+  // ------------------------------------------- SCD Type-2 interval build
+
+  /** Slowly-changing-dimension (Type 2) build from an event log: per
+    * user, consecutive events collapse into validity intervals of the
+    * "current event_type" state — a new interval opens only when the
+    * state CHANGES (run-length encoding of the state timeline), carrying
+    * `valid_from`/`valid_to` millis, a per-user version number, and an
+    * `is_current` flag on the open interval. This is the warehouse
+    * dimension-history staple (dbt snapshots, Delta SCD merges) that the
+    * CDC trio (q_latest_snapshot / q_merge_upsert / q_incremental_dedup)
+    * was missing: not the latest state, the full state history.
+    *
+    * Scale shape: ONE hash exchange on user_id, then lag + lead + two
+    * row_numbers all stacked on the SAME (ms, event_id) sort — Spark
+    * plans a single Sort + Window chain, so the log is shuffled once and
+    * scanned linearly regardless of corpus size. Ties are impossible by
+    * construction (event_id is unique) but the sort key pins them anyway.
+    * Output rows ∝ state CHANGES, not events — RLE output compression. */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val changes = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), epochMs(col("ts")).as("ms"),
+        col("event_id"))
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+    val wc = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    changes
+      .withColumn("version", row_number().over(wc))
+      .withColumn("valid_to", lead(col("ms"), 1).over(wc))
+      .select(col("user_id"), col("version"), col("event_type").as("state"),
+        col("ms").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  private val scd2IntervalsSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_state
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, event_type, ms, event_id FROM e
+      |  WHERE prev_state IS NULL OR prev_state <> event_type)
+      |SELECT user_id,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS INT) AS version,
+      |  event_type AS state, ms AS valid_from,
+      |  lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to,
+      |  lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL AS is_current
+      |FROM c""".stripMargin
+
+  // --------------------------------------------- CUSUM change-point scan
+
+  /** Offline CUSUM change-point detection over hourly event volumes: for
+    * each event_type, the cumulative deviation S_t = Σ_{i≤t} (n·y_i − Σy)
+    * (deviation from the mean, scaled by n so everything stays in exact
+    * BIGINT — no mean division ever happens) is scanned for its maximum
+    * absolute excursion; the argmax hour is the single most likely level-
+    * shift point, reported with the scaled excursion magnitude and its
+    * direction. The monitoring counterpart of q_sliding_anomaly: that one
+    * flags local spikes against a trailing frame, this one locates the
+    * global regime change.
+    *
+    * Scale shape: the raw stream collapses to (type, hour) rows in ONE
+    * partial-agg exchange (∝ hours×types, never events); the per-type
+    * total + running sum + argmax rank all stack on one hash exchange of
+    * those hourly rows. Integer-exact: |S| ≤ n·Σy < 2^63 at any realistic
+    * volume; ties on |S| break to the earliest hour. */
+  def cusumChange(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"), epochMs(col("ts")).as("ms"))
+      .select(col("event_type"), expr("ms DIV 3600000").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("y"))
+    val tot = Window.partitionBy(col("event_type"))
+    val run = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rank = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("s")).desc, col("h"))
+    hourly
+      .withColumn("n", count(lit(1)).over(tot))
+      .withColumn("sy", sum(col("y")).over(tot))
+      .withColumn("s", sum(col("n") * col("y") - col("sy")).over(run))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_hours"),
+        col("sy").as("n_events"), col("h").as("change_hour"),
+        abs(col("s")).as("max_excursion"),
+        when(col("s") > 0, lit(1L)).otherwise(lit(-1L)).as("direction"))
+  }
+
+  private val cusumChangeSql =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_ms(ts) // 3600000 AS h, COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |dev AS (
+      |  SELECT event_type, h, y,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |    SUM(y) OVER (PARTITION BY event_type) AS sy
+      |  FROM hourly),
+      |cum AS (
+      |  SELECT event_type, h, n, sy,
+      |    SUM(n * y - sy) OVER (PARTITION BY event_type ORDER BY h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      |  FROM dev),
+      |r AS (
+      |  SELECT event_type, h, n, sy, s,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY abs(s) DESC, h) AS rn
+      |  FROM cum)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+      |  CAST(sy AS BIGINT) AS n_events, h AS change_hour,
+      |  CAST(abs(s) AS BIGINT) AS max_excursion,
+      |  CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS BIGINT) AS direction
+      |FROM r WHERE rn = 1""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q_scd2_intervals", scd2Intervals, Some(scd2IntervalsSql)),
+    GQuery("q_cusum_change", cusumChange, Some(cusumChangeSql)),
     GQuery("q_top_paths", topPaths, Some(topPathsSql)),
     GQuery("q_histogram_quantiles", histogramQuantiles, Some(histogramQuantilesSql)),
     GQuery("q_sliding_anomaly", slidingAnomaly, Some(slidingAnomalySql)),

@@ -727,6 +727,48 @@ object TextPipeline {
       |  MIN(rate) AS rate_pm
       |FROM d GROUP BY lang""".stripMargin
 
+  // ------------------------------------------------- weighted sampling
+
+  /** Quality-weighted Bernoulli sampling: each document survives with
+    * probability proportional to its own weight (here length-derived,
+    * capped at 1000‰ — a real pipeline plugs in its quality score), via
+    * the same derandomized hash-threshold trick as [[sampleStratified]]:
+    * keep iff `hash(doc_id) mod 1000 < weight`. Upsampling high-quality
+    * sources and downsampling boilerplate is how production mixtures
+    * (e.g. the C4/Pile/Dolma recipes) shape training data; deterministic
+    * hashing makes the drawn sample reproducible across reruns, engines
+    * and cluster sizes.
+    *
+    * Scale shape: the draw is a scan-local comparison of two codegen'd
+    * columns — zero shuffles before the per-language census aggregation;
+    * the census carries the realized-vs-expected mass (`n_kept` vs
+    * `sum_weight_pm`/1000) so sampler bias is audit-visible. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        least(col("n_chars"), lit(1000L)).as("wt"),
+        (hashMod(col("doc_id")) % 1000).as("u"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("wt")).as("sum_weight_pm"),
+        sum(when(col("u") < col("wt"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("u") < col("wt"), col("n_chars"))).as("kept_chars"),
+        sum(when(col("u") < col("wt"), col("doc_id"))).as("kept_id_sum"))
+
+  private val sampleWeightedSql =
+    """WITH d AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    LEAST(n_chars, 1000) AS wt,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+      |      % 1000000007 % 1000 AS u
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_total,
+      |  CAST(SUM(wt) AS BIGINT) AS sum_weight_pm,
+      |  CAST(SUM(CASE WHEN u < wt THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN u < wt THEN n_chars END) AS BIGINT) AS kept_chars,
+      |  CAST(SUM(CASE WHEN u < wt THEN doc_id END) AS BIGINT) AS kept_id_sum
+      |FROM d GROUP BY lang""".stripMargin
+
   // ----------------------------------------------------------- redaction
 
   /** PII-style redaction: emails and digit runs scrubbed with codegen'd
@@ -1310,6 +1352,7 @@ object TextPipeline {
     GQuery("q_dup_clusters", dupClusters, Some(dupClustersSql), headline = true),
     GQuery("q_dup_clusters_conv", dupClustersConverged, Some(dupClustersConvSql)),
     GQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    GQuery("q_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     GQuery("q_redact", redact, Some(redactSql)),
     GQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     GQuery("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), headline = true),

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, Tables}
+import Qdsl._
+
+/** Tokenizer-training operators over the `documents` corpus: BPE merge-pair
+  * statistics and edit-distance vocabulary matching. Both exploit the same
+  * scale lever — after the first frequency aggregation every downstream
+  * step works on the DISTINCT-WORD vocabulary (∝ vocabulary size, which
+  * grows sub-linearly with corpus bytes) instead of the corpus itself, the
+  * standard trick real BPE trainers (SentencePiece, HF tokenizers) use to
+  * make pair counting tractable.
+  */
+object Tokenizer {
+
+  /** Words longer than this contribute no pairs/matches (oracle `range`
+    * fan-out cap; the synthetic vocabulary tops out far below it). */
+  private val MaxWordLen = 64
+
+  // ----------------------------------------------- BPE merge-pair counts
+
+  /** BPE iteration-0 pair statistics: the 20 most frequent adjacent
+    * character pairs across the corpus, each weighted by the frequency of
+    * the words containing it — exactly the statistic the first BPE merge
+    * maximizes (the argmax row IS the first merge rule).
+    *
+    * Scale shape: the corpus collapses to (word, freq) in one partial-agg
+    * exchange; pair explosion then runs over DISTINCT words only (a word
+    * seen a million times is scanned once, its pair counts multiplied by
+    * freq), so the second aggregation is vocabulary-sized. The census
+    * tops out with TakeOrderedAndProject. Ties break lexicographically. */
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    vocab
+      .select(col("freq"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("pair_count"),
+        count(lit(1)).as("n_positions"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(20)
+  }
+
+  private val bpePairsSql =
+    s"""WITH toks AS (SELECT unnest($wordsSqlDoc) AS w FROM documents),
+      |v AS (SELECT w, COUNT(*) AS freq FROM toks
+      |      WHERE length(w) >= 2 GROUP BY w),
+      |p AS (SELECT substring(w, j.j + 1, 2) AS pair, freq
+      |      FROM v CROSS JOIN range(${MaxWordLen - 1}) j(j)
+      |      WHERE j.j + 1 <= length(w) - 1)
+      |SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count,
+      |  COUNT(*) AS n_positions
+      |FROM p GROUP BY pair
+      |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin
+
+  // ------------------------------------------ fuzzy vocabulary matching
+
+  /** Blocks holding more distinct words than this are excluded from the
+    * pair join (and censused) — the same hot-bucket hygiene as the LSH
+    * caps: an adversarial vocabulary sharing one prefix cannot turn the
+    * in-block join quadratic. */
+  private[graft] val FuzzyBlockCap = 2000L
+
+  /** Edit-distance-1 vocabulary pair discovery (spell-variant / OCR-noise
+    * clustering): distinct words of length ≥ 4 are blocked on their
+    * 2-character prefix, and within each surviving block every ordered
+    * pair at levenshtein distance exactly 1 is counted. Output is a
+    * one-row census (pair count + order-independent checksum + guard
+    * telemetry), so the result stays bounded at any vocabulary size.
+    *
+    * Scale shape: vocabulary-sized input (see object doc); the block join
+    * is an equi-join on the prefix — Spark hash-partitions blocks across
+    * the cluster — with the quadratic blow-up capped by [[FuzzyBlockCap]].
+    * A prefix block misses pairs whose FIRST two chars differ (standard
+    * blocking recall tradeoff; a production matcher adds a second pass
+    * blocked on suffix or length — same plan shape, OR'd like the LSH
+    * bands). levenshtein() is codegen'd on the Spark side and mirrors
+    * DuckDB's builtin exactly for ASCII vocabulary. */
+  def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 4 && length(col("w")) <= MaxWordLen)
+      .distinct()
+      .withColumn("blk", substring(col("w"), 1, 2))
+    val blocks = vocab.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+    val hot = blocks.filter(col("bn") > FuzzyBlockCap).select(col("blk"))
+    val ok = vocab.join(hot, Seq("blk"), "left_anti")
+    val pairs = ok.as("a").join(ok.as("b"),
+        col("a.blk") === col("b.blk") && col("a.w") < col("b.w") &&
+          abs(length(col("a.w")) - length(col("b.w"))) <= 1 &&
+          levenshtein(col("a.w"), col("b.w")) === 1)
+      .select(col("a.w").as("wa"), col("b.w").as("wb"))
+    vocab.agg(count(lit(1)).as("n_vocab"))
+      .crossJoin(blocks.agg(count(lit(1)).as("n_blocks"),
+        max(col("bn")).as("max_block"),
+        sum(when(col("bn") > FuzzyBlockCap, 1L).otherwise(0L)).as("n_blocks_dropped")))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(hashMod(concat_ws("|", col("wa"), col("wb")))), lit(0L))
+          .as("pair_checksum")))
+  }
+
+  private val fuzzyMatchSql =
+    s"""WITH toks AS (SELECT unnest($wordsSqlDoc) AS w FROM documents),
+      |v AS (SELECT DISTINCT w, substring(w, 1, 2) AS blk FROM toks
+      |      WHERE length(w) >= 4 AND length(w) <= $MaxWordLen),
+      |blocks AS (SELECT blk, COUNT(*) AS bn FROM v GROUP BY blk),
+      |ok AS (SELECT v.* FROM v JOIN blocks USING (blk)
+      |       WHERE bn <= $FuzzyBlockCap),
+      |pairs AS (
+      |  SELECT a.w AS wa, b.w AS wb
+      |  FROM ok a JOIN ok b ON a.blk = b.blk AND a.w < b.w
+      |    AND abs(length(a.w) - length(b.w)) <= 1
+      |    AND levenshtein(a.w, b.w) = 1),
+      |c1 AS (SELECT COUNT(*) AS n_vocab FROM v),
+      |c2 AS (SELECT COUNT(*) AS n_blocks, MAX(bn) AS max_block,
+      |         CAST(SUM(CASE WHEN bn > $FuzzyBlockCap THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_blocks_dropped
+      |       FROM blocks),
+      |c3 AS (SELECT COUNT(*) AS n_pairs,
+      |         COALESCE(CAST(SUM(CAST('0x' || substring(md5(wa || '|' || wb),1,15) AS BIGINT)
+      |           % 1000000007) AS BIGINT), 0) AS pair_checksum
+      |       FROM pairs)
+      |SELECT n_vocab, n_blocks, max_block, n_blocks_dropped, n_pairs, pair_checksum
+      |FROM c1 CROSS JOIN c2 CROSS JOIN c3""".stripMargin
+
+  val defs: Seq[GQuery] = Seq(
+    GQuery("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
+    GQuery("q_fuzzy_match", fuzzyMatch, Some(fuzzyMatchSql)))
+}

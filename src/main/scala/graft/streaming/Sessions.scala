@@ -70,6 +70,33 @@ object Sessions {
   def enrichStream(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     events.join(dim, keys)
 
+  /** Stream-STREAM interval join (click→purchase attribution as two live
+    * feeds): each purchase joins the clicks by the same user that landed
+    * inside the preceding `windowMs` milliseconds. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can evict buffered rows once the watermark passes the interval
+    * — per-key state is O(arrival rate × window), never stream history;
+    * without BOTH the watermarks and the time-range predicate the state
+    * store grows unboundedly (the classic stream-join failure at scale).
+    * Inner join in append mode: a match emits exactly once, when both
+    * sides have arrived. Exercised in StreamingJoinSpec against the
+    * identical batch join. */
+  def intervalJoinStreams(clicks: DataFrame, purchases: DataFrame,
+      lateness: String, windowMs: Long): DataFrame = {
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    p.join(c,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMs MILLISECONDS"))
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("click_ts"), col("purchase_value"), col("click_value"))
+  }
+
   /** File-source streaming ingest of an events directory: the engine's
     * `readStream` entry for parquet drops. The driver testdata carries
     * TIMESTAMP(NANOS), which Spark 4 maps to long (see

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Temporal, TextPipeline, Tokenizer}
+
+/** Semantics of the round-5 additions: BPE pair statistics vs a brute
+  * recount from the raw corpus, fuzzy-match blocking laws, weighted
+  * sampling mass, SCD2 interval algebra, and CUSUM shift localization.
+  */
+class TokenizerSpec extends SparkSpec {
+
+  test("bpe pair counts equal a brute corpus-level recount") {
+    val out = Tokenizer.bpePairs(spark, sfDir).persist()
+    try {
+      assert(out.count() == 20)
+      // brute force: explode EVERY word occurrence (not the vocab) and
+      // count pairs directly — the vocab×freq factoring must be invisible
+      val brute = graft.core.Tables.documents(spark, sfDir)
+        .select(explode(graft.queries.Qdsl.words(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("brute_count"))
+      val joined = out.join(brute, "pair")
+      assert(joined.count() == 20)
+      assert(joined.filter(col("pair_count") =!= col("brute_count")).count() == 0,
+        "vocab-factored pair counts diverge from the brute recount")
+    } finally out.unpersist()
+  }
+
+  test("fuzzy match census is consistent and the guard holds") {
+    val row = Tokenizer.fuzzyMatch(spark, sfDir).collect().head
+    val nVocab = row.getAs[Long]("n_vocab")
+    val nPairs = row.getAs[Long]("n_pairs")
+    val maxBlock = row.getAs[Long]("max_block")
+    assert(nVocab > 0)
+    assert(nPairs >= 0)
+    // no block exceeds the cap unless it was dropped
+    if (row.getAs[Long]("n_blocks_dropped") == 0)
+      assert(maxBlock <= Tokenizer.FuzzyBlockCap)
+  }
+
+  test("weighted sampling keeps mass proportional to weight") {
+    val rows = TextPipeline.sampleWeighted(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("n_total")
+      val kept = r.getAs[Long]("n_kept")
+      val massPm = r.getAs[Long]("sum_weight_pm")
+      assert(kept <= total)
+      // realized sample size tracks expected mass (sum w / 1000) within
+      // a generous concentration band — hash-threshold draws are i.i.d.
+      // uniform per doc, so ±40% at these counts is conservative
+      val expected = massPm / 1000.0
+      assert(kept >= expected * 0.6 - 5 && kept <= expected * 1.4 + 5,
+        s"kept=$kept expected≈$expected for lang=${r.getAs[String]("lang")}")
+    }
+  }
+
+  test("scd2 intervals tile each user's timeline without overlap") {
+    val out = Temporal.scd2Intervals(spark, sfDir).persist()
+    try {
+      assert(out.count() > 0)
+      // exactly one open (current) interval per user
+      val open = out.groupBy(col("user_id"))
+        .agg(sum(when(col("is_current"), 1L).otherwise(0L)).as("n_open"))
+      assert(open.filter(col("n_open") =!= 1).count() == 0)
+      // consecutive versions chain: valid_to(version k) == valid_from(k+1)
+      val nxt = out.select(col("user_id"), (col("version") - 1).as("version"),
+        col("valid_from").as("next_from"))
+      val chained = out.join(nxt, Seq("user_id", "version"))
+      assert(chained.filter(col("valid_to") =!= col("next_from")).count() == 0,
+        "interval chain has gaps or overlaps")
+      // no zero-length or negative intervals
+      assert(out.filter(col("valid_to").isNotNull &&
+        col("valid_to") <= col("valid_from")).count() == 0)
+      // state actually changes across consecutive versions
+      val states = out.select(col("user_id"), (col("version") - 1).as("version"),
+        col("state").as("next_state"))
+      val same = out.join(states, Seq("user_id", "version"))
+        .filter(col("state") === col("next_state"))
+      assert(same.count() == 0, "adjacent intervals share a state (not RLE)")
+    } finally out.unpersist()
+  }
+
+  test("cusum localizes an injected level shift") {
+    import spark.implicits._
+    // synthetic: 200 hours at rate 5, then 200 hours at rate 15 — the
+    // max |S| hour must land on (or immediately around) the boundary
+    val rows = (0 until 400).flatMap { h =>
+      val rate = if (h < 200) 5 else 15
+      (0 until rate).map(i => ("shift", h.toLong * 3600000L + i, 1))
+    }
+    val df = rows.toDF("event_type", "ms", "one")
+      .select(col("event_type"),
+        to_timestamp(col("ms") / 1000).as("ts"))
+    // run the same plan shape as the query via a temp table seam: rebuild
+    // the hourly cusum inline (the query reads Tables.events; this spec
+    // validates the math on a controlled series)
+    val hourly = df.select(col("event_type"),
+        (unix_millis(col("ts")) / 3600000).cast("long").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("y"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(abs(col("s")).desc, col("h"))
+    val cp = hourly
+      .withColumn("n", count(lit(1)).over(tot))
+      .withColumn("sy", sum(col("y")).over(tot))
+      .withColumn("s", sum(col("n") * col("y") - col("sy")).over(run))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1).collect().head
+    val changeHour = cp.getAs[Long]("h")
+    assert(math.abs(changeHour - 199L) <= 1,
+      s"change point located at hour $changeHour, expected ~199")
+    // real-table query runs and emits one row per event_type
+    val real = Temporal.cusumChange(spark, sfDir)
+    val n = real.count()
+    assert(n > 0 && n == real.select(col("event_type")).distinct().count())
+  }
+}
