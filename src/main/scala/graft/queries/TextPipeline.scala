@@ -562,19 +562,58 @@ object TextPipeline {
     * undirected edges (symmetrized here). Spec surface for
     * [[dupClusters]]. */
   private[graft] def hashMinComponents(
+      nodes: DataFrame, pairs: DataFrame, iters: Int): DataFrame =
+    withDupGraphParallelism(nodes) { hashMinComponentsLoop(nodes, pairs, iters) }
+
+  /** The iterative state here is duplicate-GRAPH-sized (V(E) labels, see
+    * below), typically orders of magnitude under the corpus — running its
+    * per-round joins at the corpus-tuned shuffle width just pays task-
+    * scheduling overhead per round. Scope the loop to a width sized for
+    * the dup graph; the corpus-sized census/attach joins built by callers
+    * AFTER this returns still plan at the session width (lazy plans are
+    * planned at action time, and the conf is restored before then). At
+    * 100 TB the same rule applies with a bigger constant: width ∝ |E|,
+    * never ∝ corpus. */
+  private def withDupGraphParallelism[T](df: DataFrame)(body: => T): T = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.shuffle.partitions"
+    val prev = conf.get(key)
+    conf.set(key, "8")
+    try body finally conf.set(key, prev)
+  }
+
+  private def hashMinComponentsLoop(
       nodes: DataFrame, pairs: DataFrame, iters: Int): DataFrame = {
     // hash-partitioned by src before caching so every round's edge↔label
     // join reuses the cached distribution (only label rows shuffle per
     // round — same trick as the PageRank edge cache)
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").repartition(col("src")).persist()
+    // symmetrize in ONE pass over the pair subtree: union(pairs, flip)
+    // would evaluate the (expensive — MinHash bands + signature join)
+    // upstream plan twice, since DataFrames share no common subplans
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src")).persist()
     try {
+      // Only nodes incident to an edge can ever change label, so the
+      // loop iterates over V(E) — the edge endpoints — and the (usually
+      // vast) singleton majority is attached AFTER the loop with one
+      // label-side-broadcast join. In a near-dup graph V(E) is the set
+      // of documents with at least one duplicate — orders of magnitude
+      // below the corpus — so per-round state shrinks from corpus-sized
+      // to duplicate-graph-sized. (Callers pass nodes ⊇ V(E); edges
+      // naming ids outside `nodes` would now propagate their labels,
+      // where before they were ignored.)
+      //
       // labels is referenced TWICE per round (neighbor-min build + the
       // carry-forward join), so a lazily-chained loop would duplicate the
       // whole upstream subtree each round — 2^iters plan growth (measured:
       // 5 lazy rounds benched 15 s vs 2 s checkpointed). Materialize each
       // round; the per-round job is join + agg over label rows only.
-      var labels = nodes.select(col("doc_id"), col("doc_id").as("lbl"))
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("lbl"))
         .localCheckpoint(eager = true)
       for (_ <- 1 to iters) {
         // min neighbor label, shuffle-hash-joined on the small label side
@@ -588,7 +627,8 @@ object TextPipeline {
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
           .localCheckpoint(eager = true)
       }
-      labels
+      nodes.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
     } finally edges.unpersist()
   }
 
@@ -604,11 +644,28 @@ object TextPipeline {
     * fixpoint. Per round: one edge↔label join (work ∝ edges), one
     * label self-join (∝ nodes), one agg. */
   private[graft] def pointerDoublingComponents(
-      nodes: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").repartition(col("src")).persist()
+      nodes: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    withDupGraphParallelism(nodes) {
+      pointerDoublingComponentsLoop(nodes, pairs, maxIters)
+    }
+
+  private def pointerDoublingComponentsLoop(
+      nodes: DataFrame, pairs: DataFrame, maxIters: Int): DataFrame = {
+    // symmetrize in ONE pass over the pair subtree: union(pairs, flip)
+    // would evaluate the (expensive — MinHash bands + signature join)
+    // upstream plan twice, since DataFrames share no common subplans
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src")).persist()
     try {
-      var labels = nodes.select(col("doc_id"), col("doc_id").as("lbl"))
+      // iterate over V(E) only, singletons attached after the loop —
+      // see the identical reasoning in [[hashMinComponents]]; the
+      // convergence sum is likewise over V(E), still strictly monotone
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("lbl"))
         .localCheckpoint(eager = true)
       var last = -1L
       var iters = 0
@@ -631,10 +688,11 @@ object TextPipeline {
           .head().getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L)
         labels = next
         iters += 1
-        if (sum == last) return labels // fixpoint: no label moved
-        last = sum
+        if (sum == last) iters = maxIters // fixpoint: no label moved
+        else last = sum
       }
-      labels
+      nodes.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
     } finally edges.unpersist()
   }
 
