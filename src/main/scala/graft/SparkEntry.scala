@@ -23,6 +23,7 @@ object SparkEntry {
     GraphText.defs,
     Temporal.defs,
     Tokenizer.defs,
+    Retrieval.defs,
     Sketches.defs,
     Analytics.defs,
     Ingest.defs,

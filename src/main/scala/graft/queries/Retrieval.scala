@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, Tables}
+import Qdsl._
+
+/** Full-text retrieval scoring over the `documents` corpus — the search
+  * side of a data platform (quality-filtering pipelines also use BM25
+  * against seed queries to mine domain-relevant documents, the
+  * "importance sampling" recipe from the GPT-3/PaLM data papers).
+  */
+object Retrieval {
+
+  /** BM25 top-3 documents for each of the 5 highest-document-frequency
+    * terms of length ≥ 5 (a deterministic, data-derived query workload).
+    * k1 = 1.2 and b = 0.75 enter as exact rationals; the per-(term, doc)
+    * score is assembled from integer corpus statistics
+    * (idf scaled 1e6 as an exact integer ratio, the length-normalized
+    * denominator cleared of fractions by multiplying through with 20·L)
+    * and only the final ratio is evaluated in double precision, with a
+    * pinned operand order — so both engines produce bit-identical scores
+    * and the ranking is fully deterministic (ties break on doc_id).
+    *
+    * Scale shape: one tokenize scan builds (doc, term, tf) — persisted,
+    * since document frequency, document length, and scoring all read it;
+    * corpus stats join in as a 1-row aggregate (never a driver-side
+    * count); the query-term table is top-k + broadcast, so scoring
+    * touches ONLY the 5 terms' postings (an equi-join prunes the
+    * vocabulary before any math); ranking is a per-term window over ≤
+    * df rows. Nothing in the plan grows with vocabulary except the df
+    * aggregation itself.
+    *
+    * Overflow note: the denominator term 20·L·tf stays under 2^63 for
+    * corpora to ~10¹³ tokens with tf ≤ 10⁴; past that, divide L and dl
+    * by a common 2^k first (the ratio dl/avgdl is what matters). */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("ltot"))
+    val qterms = dfreq.filter(length(col("term")) >= 5)
+      .orderBy(col("df").desc, col("term")).limit(5)
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(stats)
+      .select(col("term"), col("doc_id"),
+        // idf6 = 1e6 · (N − df + ½)/(df + ½), cleared to integers (×2)
+        expr("(((nd - df) * 2 + 1) * 1000000) DIV (df * 2 + 1)").as("idf6"),
+        // 20·L·(tf + 1.2·(0.25 + 0.75·dl·N/L)) — fraction-free BIGINT
+        (col("tf") * col("ltot") * 20 + col("ltot") * 6 +
+          col("dl") * col("nd") * 18).as("den"),
+        // numerator tf·(k1+1)·20·L = 44·tf·L, folded into the double
+        // ratio below with pinned order: ((idf6 · 22·tf) · 2·L) / den
+        col("tf"), col("ltot"))
+      .select(col("term"), col("doc_id"),
+        (col("idf6").cast("double") * (col("tf") * 22).cast("double")
+          * (col("ltot") * 2).cast("double") / col("den").cast("double"))
+          .as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("term"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"))
+  }
+
+  private val bm25TopKSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest($wordsSqlDoc) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+      |stats AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS ltot FROM dl),
+      |qterms AS (SELECT term, df FROM dfreq WHERE length(term) >= 5
+      |           ORDER BY df DESC, term LIMIT 5),
+      |scored AS (
+      |  SELECT t.term, t.doc_id,
+      |    CAST(((s.nd - q.df) * 2 + 1) * 1000000 // (q.df * 2 + 1) AS DOUBLE)
+      |      * CAST(t.tf * 22 AS DOUBLE)
+      |      * CAST(s.ltot * 2 AS DOUBLE)
+      |      / CAST(t.tf * s.ltot * 20 + s.ltot * 6 + d.dl * s.nd * 18 AS DOUBLE)
+      |      AS score
+      |  FROM tf t JOIN qterms q USING (term)
+      |  JOIN dl d USING (doc_id) CROSS JOIN stats s)
+      |SELECT term, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+      |  SELECT term, doc_id, score,
+      |    row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored) t WHERE rank <= 3""".stripMargin
+
+  val defs: Seq[GQuery] = Seq(
+    GQuery("q_bm25_topk", bm25TopK, Some(bm25TopKSql)))
+}

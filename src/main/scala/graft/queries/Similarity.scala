@@ -503,7 +503,81 @@ object Similarity {
       |  MIN(q_sum) AS q_min_sum
       |FROM p GROUP BY label""".stripMargin
 
+  // ---------------------------------------------- semantic dedup (SemDeDup)
+
+  /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023): vectors
+    * are clustered by a k-means-like coarse quantizer (the same 8 seed
+    * cells as [[annIvf]] — a production run trains them first, see
+    * [[annIvfTrained]]), then ONLY within-cluster pairs are checked for
+    * cosine ≥ 0.3, and of each such pair the higher id is marked dropped
+    * (keep-first canonicalization). Output is the per-cell census:
+    * population, drops, dropped-id checksum.
+    *
+    * Scale shape — the reason SemDeDup exists: the cross-cluster pair
+    * space is never touched, so candidate volume is Σ cell², with k grown
+    * ∝ √n to keep cells O(√n); centers broadcast (k×dim rows), cell
+    * assignment is a map-side argmin, and the in-cell join is an
+    * equi-join on cell id that hash-partitions clusters across the
+    * fleet. The embedding-space analogue of q_dup_clusters' MinHash
+    * canonicalization. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val c = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    // assignment feeds both pair-join sides and the census — persist so
+    // the argmin over 8 cells runs once
+    val assigned = all.join(broadcast(c))
+      .select(col("vec_id"), col("v"), col("n2"), col("cid"), d2.as("dist"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
+      .persist()
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(dot(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")) >= 0.3)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+      .withColumn("is_dropped", lit(1L))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        coalesce(sum(col("is_dropped")), lit(0L)).as("n_dropped"),
+        coalesce(sum(col("is_dropped") * col("vec_id")), lit(0L))
+          .as("dropped_id_sum"))
+  }
+
+  private val semDedupSql =
+    s"""WITH iv AS (
+      |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v, list_sum([v[i]*v[i] for i in range(1,${DIM + 1})]) AS n2 FROM iv),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
+      |d AS (
+      |  SELECT n.vec_id, n.v, n.n2, c.cid,
+      |    list_sum([(v[i]-cv[i])*(v[i]-cv[i]) for i in range(1,${DIM + 1})]) AS dist
+      |  FROM n CROSS JOIN c),
+      |assigned AS (
+      |  SELECT vec_id, v, n2, cid AS cell FROM (
+      |    SELECT vec_id, v, n2, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d) t WHERE rn = 1),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE CAST(list_sum([a.v[i]*b.v[i] for i in range(1,${DIM + 1})]) AS DOUBLE)
+      |      / sqrt(CAST(a.n2 AS DOUBLE)) / sqrt(CAST(b.n2 AS DOUBLE)) >= 0.3)
+      |SELECT cell, COUNT(*) AS n_vectors,
+      |  CAST(SUM(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(SUM(CASE WHEN dr.vec_id IS NOT NULL THEN a.vec_id ELSE 0 END) AS BIGINT) AS dropped_id_sum
+      |FROM assigned a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
+      |GROUP BY cell""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q_semdedup", semDedup, Some(semDedupSql)),
     GQuery("q_embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     GQuery("q_knn_brute", knnBrute, Some(knnBruteSql), headline = true),
     GQuery("q_ann_lsh", annLsh, Some(annLshSql)),
