@@ -157,4 +157,42 @@ object Vectors {
       .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
         col("vid").as("neighbor_id"), col("cos"))
   }
+
+  /** Semantic dedup (SemDeDup) over any vector frame: cluster into `k`
+    * coarse cells (seeded from the k lowest ids; train real centroids
+    * first for production corpora), then mark the higher id of every
+    * within-cell pair at cosine ≥ `tau` as dropped. Returns one row per
+    * vector: (id, cell, is_dropped) — filter `!is_dropped` for the
+    * survivors. Cross-cell pairs are never materialized (the SemDeDup
+    * scaling contract: grow k ∝ √n so cells stay O(√n)). */
+  def semDedup(vectors: DataFrame, k: Int = 8, tau: Double = 0.3,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val base = canon(vectors, id, vec)
+    val seedIds = base.select(col("vid")).orderBy(col("vid")).limit(k)
+    val c = base.join(seedIds.withColumnRenamed("vid", "svid"),
+        col("vid") === col("svid"))
+      .select(col("vid").as("cid"), col("v").as("cv"))
+    val d2 = expr(
+      "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (a, e) -> a + e)")
+    val wAssign = Window.partitionBy(col("vid")).orderBy(col("dist"), col("cid"))
+    val assigned = base.join(broadcast(c))
+      .select(col("vid"), col("v"), col("n2"), col("cid"), d2.as("dist"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("v"), col("n2"), col("cid").as("cell"))
+      .persist()
+    val cos = expr(
+      "aggregate(zip_with(av, bv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, e) -> a + e)")
+      .cast("double") / sqrt(col("an2").cast("double")) / sqrt(col("bn2").cast("double"))
+    val dropped = assigned.select(col("cell"), col("vid").as("avid"),
+        col("v").as("av"), col("n2").as("an2"))
+      .join(assigned.select(col("cell"), col("vid").as("bvid"),
+        col("v").as("bv"), col("n2").as("bn2")), "cell")
+      .filter(col("avid") < col("bvid") && cos >= tau)
+      .select(col("bvid").as("vid")).distinct()
+      .withColumn("is_dropped", lit(true))
+    assigned.join(dropped, Seq("vid"), "left")
+      .select(col("vid").as(id), col("cell"),
+        coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
+  }
 }

@@ -95,5 +95,5 @@ object Retrieval {
       |  FROM scored) t WHERE rank <= 3""".stripMargin
 
   val defs: Seq[GQuery] = Seq(
-    GQuery("q_bm25_topk", bm25TopK, Some(bm25TopKSql)))
+    GQuery("q_bm25_topk", bm25TopK, Some(bm25TopKSql), headline = true))
 }

@@ -577,7 +577,7 @@ object Similarity {
       |GROUP BY cell""".stripMargin
 
   val defs: Seq[GQuery] = Seq(
-    GQuery("q_semdedup", semDedup, Some(semDedupSql)),
+    GQuery("q_semdedup", semDedup, Some(semDedupSql), headline = true),
     GQuery("q_embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     GQuery("q_knn_brute", knnBrute, Some(knnBruteSql), headline = true),
     GQuery("q_ann_lsh", annLsh, Some(annLshSql)),

@@ -581,7 +581,8 @@ object Temporal {
       |FROM r WHERE rn = 1""".stripMargin
 
   val defs: Seq[GQuery] = Seq(
-    GQuery("q_scd2_intervals", scd2Intervals, Some(scd2IntervalsSql)),
+    GQuery("q_scd2_intervals", scd2Intervals, Some(scd2IntervalsSql),
+      headline = true),
     GQuery("q_cusum_change", cusumChange, Some(cusumChangeSql)),
     GQuery("q_top_paths", topPaths, Some(topPathsSql)),
     GQuery("q_histogram_quantiles", histogramQuantiles, Some(histogramQuantilesSql)),

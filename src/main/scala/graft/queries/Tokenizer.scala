@@ -92,10 +92,14 @@ object Tokenizer {
     val blocks = vocab.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
     val hot = blocks.filter(col("bn") > FuzzyBlockCap).select(col("blk"))
     val ok = vocab.join(hot, Seq("blk"), "left_anti")
+    // the 3-arg threshold form runs the banded DP and early-exits past
+    // distance 1 (returns -1), so comparison cost per pair is O(len)
+    // instead of O(len²); at k=1 `levenshtein(a,b,1) = 1` is exactly
+    // `levenshtein(a,b) = 1`, which is what the oracle states
     val pairs = ok.as("a").join(ok.as("b"),
         col("a.blk") === col("b.blk") && col("a.w") < col("b.w") &&
           abs(length(col("a.w")) - length(col("b.w"))) <= 1 &&
-          levenshtein(col("a.w"), col("b.w")) === 1)
+          levenshtein(col("a.w"), col("b.w"), 1) === 1)
       .select(col("a.w").as("wa"), col("b.w").as("wb"))
     vocab.agg(count(lit(1)).as("n_vocab"))
       .crossJoin(blocks.agg(count(lit(1)).as("n_blocks"),

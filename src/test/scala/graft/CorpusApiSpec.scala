@@ -105,4 +105,26 @@ class CorpusApiSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("neighbor_id")).toSeq
     assert(ranked == Seq(4L, 2L), s"expected nearest 4 then 2, got $ranked")
   }
+
+  test("semDedup drops the later of two near-identical vectors only") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // seed cell A
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // seed cell B
+      (3L, Array(0.999f, 0.001f, 0.0f)), // near-dup of 1 -> dropped
+      (4L, Array(0.0f, 0.98f, 0.2f)),  // near 2 but distinct direction
+      (5L, Array(0.0f, 0.999f, 0.001f)) // near-dup of 2 -> dropped
+    ).toDF("vid", "emb")
+    val out = Vectors.semDedup(vecs, k = 2, tau = 0.999,
+      id = "vid", vec = "emb").persist()
+    try {
+      assert(out.count() == 5) // one row per vector
+      val droppedIds = out.filter(col("is_dropped"))
+        .collect().map(_.getAs[Long]("vid")).toSet
+      assert(droppedIds == Set(3L, 5L),
+        s"expected drops {3,5}, got $droppedIds")
+      // survivors keep one representative per near-dup direction
+      assert(out.filter(!col("is_dropped")).count() == 3)
+    } finally out.unpersist()
+  }
 }

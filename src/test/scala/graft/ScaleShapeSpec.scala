@@ -161,4 +161,33 @@ class ScaleShapeSpec extends SparkSpec {
     assert(exchanges == 1,
       s"chunking must not shuffle raw tokens, got $exchanges exchanges:\n$p")
   }
+
+  test("scd2: lag/lead/rank stack on ONE user exchange and ONE sort") {
+    val p = plan(Temporal.scd2Intervals(spark, sfDir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"SCD2 must shuffle the log exactly once, got $exchanges:\n$p")
+    // both window batches reuse the same (ms, event_id) sort order —
+    // Spark may print one Sort (shared) but never three
+    val sorts = "\\bSort \\[".r.findAllIn(p).length
+    assert(sorts <= 2, s"SCD2 windows must share the sort, got $sorts:\n$p")
+  }
+
+  test("bm25: query terms broadcast, postings pruned before scoring") {
+    val p = plan(graft.queries.Retrieval.bm25TopK(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term table must broadcast into the postings join:\n$p")
+    // ranking window reads only qterm postings: the window's sort appears
+    // ABOVE the broadcast join in the plan (no global tf sort)
+    assert(p.indexOf("Window") < p.indexOf("BroadcastHashJoin"),
+      s"expected the rank window above the pruning join:\n$p")
+  }
+
+  test("semdedup: centers broadcast; no corpus-sized cartesian") {
+    val p = plan(graft.queries.Similarity.semDedup(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"cell centers must broadcast into the assignment:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"in-cell pairing must stay an equi-join on cell id:\n$p")
+  }
 }
