@@ -370,7 +370,47 @@ object Analytics {
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM m WHERE COALESCE(op, 'keep') <> 'D' GROUP BY lang""".stripMargin
 
+  // ------------------------------------------------ k-anonymity audit
+
+  private val KAnon = 5L
+
+  /** k-anonymity audit over the documents quasi-identifier tuple
+    * (lang, source, length-century): how much of the corpus sits in
+    * equivalence classes smaller than k = 5 — rows a privacy release
+    * would have to suppress or generalize. The PII-hygiene counterpart
+    * of q_redact: redaction scrubs direct identifiers, this measures
+    * re-identification risk from the quasi-identifiers that remain.
+    * Per-language census: classes, under-k classes, rows at risk,
+    * largest class.
+    *
+    * Scale shape: one scan → (QI-tuple) hash agg (∝ distinct tuples,
+    * never rows) → per-language rollup of the class table. At 100 TB
+    * the class table is the only shuffled payload. */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"), expr("n_chars DIV 100").as("len_c"))
+      .groupBy(col("lang"), col("source"), col("len_c"))
+      .agg(count(lit(1)).as("cn"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("cn") < KAnon, 1L).otherwise(0L)).as("n_underk_classes"),
+        sum(when(col("cn") < KAnon, col("cn")).otherwise(0L)).as("n_rows_at_risk"),
+        sum(col("cn")).as("n_rows"),
+        max(col("cn")).as("max_class"))
+
+  private val kAnonymitySql =
+    s"""WITH cls AS (
+      |  SELECT lang, source, n_chars // 100 AS len_c, COUNT(*) AS cn
+      |  FROM documents GROUP BY 1, 2, 3)
+      |SELECT lang, COUNT(*) AS n_classes,
+      |  CAST(SUM(CASE WHEN cn < $KAnon THEN 1 ELSE 0 END) AS BIGINT) AS n_underk_classes,
+      |  CAST(SUM(CASE WHEN cn < $KAnon THEN cn ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+      |  CAST(SUM(cn) AS BIGINT) AS n_rows,
+      |  CAST(MAX(cn) AS BIGINT) AS max_class
+      |FROM cls GROUP BY lang""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     GQuery("q_retention", retention, Some(retentionSql), headline = true),
     GQuery("q_constraints", constraints, Some(constraintsSql)),
     GQuery("q_bloom_membership", bloomMembership, Some(bloomMembershipSql),

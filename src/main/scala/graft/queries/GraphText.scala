@@ -294,7 +294,82 @@ object GraphText {
       |       n_triangles
       |FROM tri""".stripMargin
 
+  // ------------------------------------------------------ k-core peeling
+
+  private val KCore = 3L
+  private val KCoreRounds = 4
+
+  /** k-core decomposition by iterative peeling (k = 3, 4 rounds): each
+    * round drops every node of degree < k and the edges touching it; the
+    * surviving subgraph after convergence is the 3-core — the dense
+    * backbone community detection and spam/bot-ring analyses start from.
+    * The graph is a bipartite user↔event slice (disjoint id ranges) whose
+    * near-uniform synthetic degrees peel in one bite and then hold — the
+    * trajectory pins both the peel and the convergence behavior.
+    * Output is the per-round census (round 0 = input graph):
+    * nodes, edges, node-id checksum — the peeling trajectory, not just
+    * the fixpoint, so partial-converge states are oracle-pinned too.
+    *
+    * Scale shape: per round ONE degree aggregation (∝ current edges) and
+    * one semi-join of edges against surviving nodes — the same
+    * edge-proportional round cost as the components/PageRank family;
+    * rounds needed = peel depth (≤ max degeneracy), each materialized to
+    * keep the plan linear. Degree-biased graphs peel in a handful of
+    * rounds; the loop is the driver-side pattern, maxRounds caps it. */
+  def kcore(s: SparkSession, dir: String): DataFrame = {
+    var edges = Tables.events(s, dir)
+      .select((col("user_id") % 4000).as("a"),
+        (col("event_id") % 4000 + 4000).as("b"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    def census(round: Int, e: org.apache.spark.sql.DataFrame) =
+      e.select(explode(array(col("a"), col("b"))).as("v"))
+        .agg(countDistinct(col("v")).as("n_nodes"),
+          (count(lit(1)) / 2).cast("long").as("n_edges"),
+          coalesce(sum_distinct(col("v")), lit(0L)).as("node_id_sum"))
+        .select(lit(round.toLong).as("round"), col("n_nodes"),
+          col("n_edges"), col("node_id_sum"))
+    var out = census(0, edges)
+    for (r <- 1 to KCoreRounds) {
+      val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      val keep = deg.filter(col("dg") >= KCore).select(col("v"))
+      edges = edges
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(eager = true)
+      out = out.union(census(r, edges))
+    }
+    out
+  }
+
+  private val kcoreSql = {
+    val rounds = (1 to KCoreRounds).map { r =>
+      s"""d$r AS (SELECT v, COUNT(*) AS dg FROM (
+        |    SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) t
+        |  GROUP BY v),
+        |k$r AS (SELECT v FROM d$r WHERE dg >= $KCore),
+        |e$r AS (SELECT e.a, e.b FROM e${r - 1} e
+        |  SEMI JOIN k$r x ON e.a = x.v
+        |  SEMI JOIN k$r y ON e.b = y.v)""".stripMargin
+    }.mkString(",\n")
+    val census = (0 to KCoreRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+        |  COUNT(DISTINCT v) AS n_nodes,
+        |  CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
+        |  COALESCE(CAST(SUM(DISTINCT v) AS BIGINT), 0) AS node_id_sum
+        |FROM (SELECT a AS v FROM e$r UNION ALL SELECT b FROM e$r) t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e0 AS (
+      |  SELECT DISTINCT user_id % 4000 AS a, event_id % 4000 + 4000 AS b
+      |  FROM events),
+      |$rounds
+      |$census""".stripMargin
+  }
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q_kcore", kcore, Some(kcoreSql)),
     GQuery("q_link_extract", linkExtract, Some(linkExtractSql)),
     GQuery("q_triangles", triangles, Some(trianglesSql), headline = true),
     GQuery("q_wex_text", wexText, Some(wexTextSql)),

@@ -84,6 +84,37 @@ class TokenizerSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("kcore census is monotone and the surviving core satisfies k") {
+    val out = graft.queries.GraphText.kcore(spark, sfDir)
+      .orderBy(col("round")).collect()
+    assert(out.length == 5)
+    // peeling only removes: nodes/edges non-increasing round over round
+    out.sliding(2).foreach { case Array(p, n) =>
+      assert(n.getAs[Long]("n_nodes") <= p.getAs[Long]("n_nodes"))
+      assert(n.getAs[Long]("n_edges") <= p.getAs[Long]("n_edges"))
+    }
+    // once two consecutive censuses agree the peel has converged, and
+    // convergence must persist (fixpoint stays fixed)
+    val pairs = out.sliding(2).toSeq
+    val conv = pairs.indexWhere { case Array(p, n) =>
+      p.getAs[Long]("n_edges") == n.getAs[Long]("n_edges") }
+    if (conv >= 0) pairs.drop(conv).foreach { case Array(p, n) =>
+      assert(p.getAs[Long]("n_edges") == n.getAs[Long]("n_edges")) }
+  }
+
+  test("k-anonymity census bounds risk rows by class counts") {
+    val rows = graft.queries.Analytics.kAnonymity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_underk_classes") <= r.getAs[Long]("n_classes"))
+      assert(r.getAs[Long]("n_rows_at_risk") <= r.getAs[Long]("n_rows"))
+      // an under-k class holds < 5 rows, so risk rows < 5 × under-k classes
+      assert(r.getAs[Long]("n_rows_at_risk") <=
+        r.getAs[Long]("n_underk_classes") * 4)
+      assert(r.getAs[Long]("max_class") <= r.getAs[Long]("n_rows"))
+    }
+  }
+
   test("cusum localizes an injected level shift") {
     import spark.implicits._
     // synthetic: 200 hours at rate 5, then 200 hours at rate 15 — the
