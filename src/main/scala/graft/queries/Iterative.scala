@@ -37,16 +37,19 @@ object Iterative {
   private def edgesWithDegree(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.lineitem(s, dir)
       .select(col("l_partkey"), col("l_suppkey")).distinct()
-    val edges = base.select((col("l_partkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .union(base.select((col("l_suppkey") * 2 + 1).as("src"),
-        (col("l_partkey") * 2).as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    // hash-partition by src BEFORE the caller persists: the cached blocks
-    // then already satisfy the per-iteration join's distribution, so each
-    // iteration exchanges only the (much smaller) node-state side instead
-    // of re-shuffling the full edge list every round
-    edges.join(deg, "src").repartition(col("src"))
+    // symmetrize with ONE explode pass (a union of two projections would
+    // run the scan+distinct subtree twice — DataFrames share no common
+    // subplans), then attach out-degree with a whole-partition window:
+    // the window's hash exchange on src IS the distribution the cached
+    // edge list needs for the per-iteration joins, so degree + layout
+    // cost one shuffle total (vs degree-agg + join + repartition = 3)
+    val edges = base.select(explode(array(
+        struct((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst")),
+        struct((col("l_suppkey") * 2 + 1).as("src"), (col("l_partkey") * 2).as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    edges.withColumn("d",
+      count(lit(1)).over(Window.partitionBy(col("src"))))
   }
 
   def pagerank(s: SparkSession, dir: String): DataFrame = {
