@@ -105,6 +105,45 @@ object Corpus {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Quality-weighted deterministic Bernoulli sampling: keep each row
+    * with probability `weight/1000` (weights in permille, capped at
+    * 1000), derandomized on `hash(idCol)` so the drawn sample is
+    * identical on any rerun, engine, or cluster layout. Scan-local —
+    * adds a codegen'd comparison, no shuffle. */
+  def weightedSample(df: DataFrame, weightPermille: Column,
+      id: String = "doc_id"): DataFrame =
+    df.filter(Qdsl.hashMod(col(id)) % 1000 <
+      least(greatest(weightPermille, lit(0L)), lit(1000L)))
+
+  /** BM25 scores of every document against a fixed set of query terms
+    * (k1 = 1.2, b = 0.75 as exact rationals; deterministic — see
+    * q_bm25_topk). Returns (term, doc id, score) for documents containing
+    * the term; rank with a per-term window for top-k. The term list
+    * broadcasts, so scoring cost ∝ the terms' postings, not vocabulary. */
+  def bm25(docs: DataFrame, terms: Seq[String], id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = canon(docs, id, text)
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("ltot"))
+    val qterms = terms.toDF("term").join(dfreq, "term")
+    tf.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(stats)
+      .select(col("term"), col("doc_id"),
+        (expr("(((nd - df) * 2 + 1) * 1000000) DIV (df * 2 + 1)").cast("double")
+          * (col("tf") * 22).cast("double") * (col("ltot") * 2).cast("double")
+          / (col("tf") * col("ltot") * 20 + col("ltot") * 6 +
+            col("dl") * col("nd") * 18).cast("double")).as("score"))
+      .withColumnRenamed("doc_id", id)
+  }
+
   /** Overlapping context-window chunking: (doc, chunk_idx, chunk,
     * n_tokens) rows, `window` tokens at `stride` — scan-local
     * sequence+explode, no shuffle. */

@@ -106,6 +106,35 @@ class CorpusApiSpec extends SparkSpec {
     assert(ranked == Seq(4L, 2L), s"expected nearest 4 then 2, got $ranked")
   }
 
+  test("bm25 facade scores only matching docs, higher tf wins at equal length") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry date elder fig"),
+      (2L, "apple apple apple banana cherry date"),
+      (3L, "grape kiwi lemon mango nectar olive")
+    ).toDF("id", "body")
+    val out = Corpus.bm25(docs, Seq("apple"), id = "id", text = "body")
+      .collect()
+    assert(out.map(_.getAs[Long]("id")).toSet == Set(1L, 2L))
+    val byId = out.map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    // same length (6 tokens each), tf 3 vs 1 -> doc 2 scores higher
+    assert(byId(2L) > byId(1L))
+    assert(byId.values.forall(_ > 0))
+  }
+
+  test("weighted sample is deterministic and respects 0/1000 extremes") {
+    import spark.implicits._
+    val df = (1L to 200L).toDF("doc_id").withColumn("w",
+      when(col("doc_id") <= 100, 0L).otherwise(1000L))
+    val kept = Corpus.weightedSample(df, col("w"))
+    // weight 0 -> never kept; weight 1000 -> always kept
+    assert(kept.filter(col("doc_id") <= 100).count() == 0)
+    assert(kept.filter(col("doc_id") > 100).count() == 100)
+    // deterministic: the same call twice draws the same sample
+    val again = Corpus.weightedSample(df, col("w"))
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+  }
+
   test("semDedup drops the later of two near-identical vectors only") {
     import spark.implicits._
     val vecs = Seq(
