@@ -65,25 +65,29 @@ object TextPipeline {
     * 64 trims only the degenerate tail. Mirrored in the oracle SQL. */
   private[graft] val LshBucketCap = 64
 
-  /** Per-doc MinHash signature over distinct word-2-gram shingles.
-    * The words array is projected once per row BEFORE the shingle
-    * transform: referencing the tokenizer expression inside the lambda
-    * would re-tokenize the full document for every shingle index
-    * (quadratic per-row work — measured 2.5× on the whole query). */
+  /** Per-doc MinHash signature over distinct word-2-gram shingles,
+    * computed entirely SCAN-LOCAL: the shingle array and its hash60
+    * array are each projected once per row (referencing a lambda-built
+    * expression in later lambdas would re-evaluate it per element —
+    * the quadratic-per-row trap measured at 2.5× in r4), then the 8
+    * signature mins are `array_min` folds over the materialized hash
+    * array. No explode, no exchange: the old explode + hash-agg form
+    * shuffled a row per document just to re-assemble what each row
+    * already held, and at 100 TB the shingle-hash traffic IS the cost
+    * of the signature stage. Docs with < 2 tokens have no shingles and
+    * carry no signature (same as the exploded form's dropped groups). */
   private def minhashSig(docs: DataFrame): DataFrame = {
     val w = col("w")
-    val shingles = when(size(w) >= 2,
-      array_distinct(transform(sequence(lit(1), size(w) - 1),
-        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))))
-      .otherwise(array().cast("array<string>"))
-    val h = docs
-      .select(col("doc_id"), ws.as("w"))
-      .select(col("doc_id"), explode(shingles).as("sh"))
-      .select(col("doc_id"), hashMod(col("sh")).as("h"))
+    val shingles = array_distinct(transform(sequence(lit(1), size(w) - 1),
+      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
     val mins = minhashAB.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % P).as(s"m$i")
+      array_min(transform(col("hs"), h => (h * a + b) % P)).as(s"m$i")
     }
-    h.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    docs.select(col("doc_id"), ws.as("w"))
+      .filter(size(w) >= 2)
+      .select(col("doc_id"), shingles.as("sh"))
+      .select(col("doc_id"), transform(col("sh"), s => hashMod(s)).as("hs"))
+      .select(col("doc_id") +: mins: _*)
   }
 
   /** MinHash + LSH near-dup candidates: 8-hash signature, 4 bands of 2,
@@ -1294,12 +1298,16 @@ object TextPipeline {
     * collected; stage flags are columns, so adding/removing a stage is a
     * one-line change. */
   def curate(s: SparkSession, dir: String): DataFrame = {
+    // lazily cached: the tokenize+hash60 projection feeds the dedup agg,
+    // the contamination explode AND the flag join — uncached, all three
+    // re-tokenize the corpus
     val docs = Tables.documents(s, dir)
       .filter(col("doc_id") % 101 =!= 0) // the eval set is not corpus
       .select(col("doc_id"), col("lang"), words(col("text")).as("w"),
         hash60(col("text")).as("h"))
       .withColumn("n_tok", size(col("w")).cast("long"))
       .withColumn("q", col("n_tok") >= 10)
+      .persist()
     // keep-first exact dedup among quality survivors
     val first = docs.filter(col("q"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
