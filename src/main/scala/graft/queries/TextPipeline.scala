@@ -166,20 +166,26 @@ object TextPipeline {
 
   /** 32-bit SimHash per document over the word multiset: per-word md5-hash,
     * ±1 vote per bit position weighted by occurrence, majority sign forms
-    * the fingerprint. Two aggregations (doc×bit, then doc) — both
-    * hash-partitioned, map-side combined. */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    * the fingerprint. Computed SCAN-LOCAL like [[minhashSig]]: the word
+    * hashes are projected once per row, then each bit's vote balance is
+    * an `aggregate` fold over that array — no ×32 bit explode, no
+    * (doc, bit) exchange; the fingerprint never leaves its scan task.
+    * (The exploded form shuffled 32 rows per document twice — pure
+    * signature-traffic overhead at scale.) Docs with no tokens carry no
+    * fingerprint, matching the exploded form's dropped groups. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val bits = (0 until 32).map { i =>
+      when(aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, i) % 2 === 1, 1L).otherwise(-1L))
+        > 0, lit(1L << i)).otherwise(lit(0L))
+    }
     Tables.documents(s, dir)
-      .select(col("doc_id"), explode(ws).as("word"))
-      .select(col("doc_id"), (hash60(col("word")) % 4294967296L).as("h32"))
-      .select(col("doc_id"), col("h32"), explode(sequence(lit(0), lit(31))).as("i"))
-      .select(col("doc_id"), col("i"),
-        when(expr("shiftright(h32, i)") % 2 === 1, 1).otherwise(-1).as("v"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(sum(col("v")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), i)"))
-        .otherwise(0L)).as("simhash"))
+      .select(col("doc_id"), ws.as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"),
+        transform(col("w"), w => hash60(w) % 4294967296L).as("hs"))
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+  }
 
   private val dedupSimhashSql =
     """WITH w AS (
