@@ -92,6 +92,52 @@ object Ingest {
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM documents GROUP BY lang""".stripMargin
 
+  /** Bad-record quarantine: a JSONL feed where a deterministic 1-in-7
+    * slice of lines is corrupted in-plan (truncated to 20 chars — an
+    * interrupted upload / split-mid-record, the classic landing-zone
+    * failure), parsed with schema-full `from_json`, and triaged into a
+    * per-language census of clean vs quarantined rows with a clean-side
+    * checksum. `from_json` yields NULL on malformed input (PERMISSIVE),
+    * so quarantine detection is `parsed IS NULL` — scan-local, no job
+    * failure, the corrupt slice lands in a reviewable bucket instead of
+    * killing a 100 TB ingest. The oracle rebuilds the same triage from
+    * the corruption rule. Null-lang parse results fold into the
+    * quarantine bucket under `lang = '__quarantine__'`. */
+  def jsonQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING")
+    val lines = Tables.documents(s, dir)
+      .select(col("doc_id").as("line_no"),
+        to_json(struct(col("doc_id"), col("lang"), col("n_chars"),
+          col("text"))).as("line"))
+      .select(col("line_no"),
+        when(col("line_no") % 7 === 0, substring(col("line"), 1, 20))
+          .otherwise(col("line")).as("line"))
+    lines
+      .select(col("line_no"), from_json(col("line"), schema).as("r"))
+      .select(col("line_no"),
+        coalesce(col("r.lang"), lit("__quarantine__")).as("lang"),
+        col("r.n_chars").as("n_chars"), col("r.text").as("text"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_quarantined"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
+        coalesce(sum(hashMod(col("text"))), lit(0L)).as("clean_checksum"))
+  }
+
+  private val jsonQuarantineSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN '__quarantine__' ELSE lang END AS lang,
+      |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS n_chars,
+      |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS text
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+      |  COALESCE(CAST(SUM(n_chars) AS BIGINT), 0) AS sum_chars,
+      |  COALESCE(CAST(SUM(CAST('0x' || substring(md5(text),1,15) AS BIGINT) % 1000000007) AS BIGINT), 0) AS clean_checksum
+      |FROM t GROUP BY lang""".stripMargin
+
   /** Hive-partitioned sink + read-back: documents written
     * `partitionBy(lang)` to parquet (the layout a 100 TB corpus lands in
     * so per-language jobs prune whole directories — partition pruning on
@@ -121,5 +167,6 @@ object Ingest {
   val defs: Seq[GQuery] = Seq(
     GQuery("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     GQuery("q_jsonl_parse", jsonlParse, Some(jsonlParseSql)),
+    GQuery("q_json_quarantine", jsonQuarantine, Some(jsonQuarantineSql)),
     GQuery("q_partitioned_write", partitionedWrite, Some(partitionedWriteSql)))
 }
