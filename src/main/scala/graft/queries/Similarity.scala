@@ -503,6 +503,40 @@ object Similarity {
       |  MIN(q_sum) AS q_min_sum
       |FROM p GROUP BY label""".stripMargin
 
+  // ------------------------------------------------- ANN recall telemetry
+
+  /** Recall@3 of the IVF index against exact brute-force search — the
+    * self-evaluation every ANN deployment runs before trusting an index
+    * (and re-runs after each re-train/re-shard): per query, how many of
+    * the true top-3 neighbors the 2-probe IVF search recovered. Output is
+    * one row per query (n_hits ∈ 0..3) — the distribution, not just the
+    * mean, since tail queries are what an index tune chases. Both sides
+    * are the existing oracle-checked plans; the comparison is a tiny
+    * (queries×3)-row join. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = knnBrute(s, dir).filter(col("rank") <= 3)
+      .select(col("q_id"), col("neighbor_id"))
+    val got = annIvf(s, dir)
+      .select(col("q_id"), col("neighbor_id").as("ivf_neighbor"))
+    truth.join(got,
+        truth("q_id") === got("q_id") &&
+          col("neighbor_id") === col("ivf_neighbor"), "left")
+      .groupBy(truth("q_id").as("q_id"))
+      .agg(sum(when(col("ivf_neighbor").isNotNull, 1L).otherwise(0L))
+        .as("n_hits"))
+  }
+
+  private val annRecallSql =
+    s"""WITH truth AS (
+      |  SELECT q_id, neighbor_id FROM ($knnBruteSql) WHERE rank <= 3),
+      |got AS (
+      |  SELECT q_id, neighbor_id FROM ($annIvfSql))
+      |SELECT t.q_id,
+      |  CAST(SUM(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      |FROM truth t LEFT JOIN got g
+      |  ON t.q_id = g.q_id AND t.neighbor_id = g.neighbor_id
+      |GROUP BY t.q_id""".stripMargin
+
   // ---------------------------------------------- semantic dedup (SemDeDup)
 
   /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023): vectors
@@ -583,6 +617,7 @@ object Similarity {
     GQuery("q_ann_lsh", annLsh, Some(annLshSql)),
     GQuery("q_ann_ivf", annIvf, Some(annIvfSql)),
     GQuery("q_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql)),
+    GQuery("q_ann_recall", annRecall, Some(annRecallSql)),
     GQuery("q_embed_neardup", embedNeardup, Some(embedNeardupSql)),
     GQuery("q_kmeans_assign", kmeansAssign, Some(kmeansAssignSql)))
 }
