@@ -200,7 +200,10 @@ object Analytics {
     * one-shuffle-per-round layout as PageRank/components; the edge list
     * is cached pre-partitioned on src so only frontier rows shuffle.
     * Output is the per-hop discovery census (hop 0 = seeds). */
-  def bfsHops(s: SparkSession, dir: String): DataFrame = {
+  def bfsHops(s: SparkSession, dir: String): DataFrame =
+    graft.core.LoopWidth.scoped(Tables.events(s, dir)) { bfsHopsLoop(s, dir) }
+
+  private def bfsHopsLoop(s: SparkSession, dir: String): DataFrame = {
     val edges = Tables.events(s, dir)
       .select(col("user_id").as("src"), (col("event_id") % 500).as("dst"))
       .distinct().repartition(col("src")).persist()

@@ -316,7 +316,10 @@ object GraphText {
     * rounds needed = peel depth (≤ max degeneracy), each materialized to
     * keep the plan linear. Degree-biased graphs peel in a handful of
     * rounds; the loop is the driver-side pattern, maxRounds caps it. */
-  def kcore(s: SparkSession, dir: String): DataFrame = {
+  def kcore(s: SparkSession, dir: String): DataFrame =
+    graft.core.LoopWidth.scoped(Tables.events(s, dir)) { kcoreLoop(s, dir) }
+
+  private def kcoreLoop(s: SparkSession, dir: String): DataFrame = {
     var edges = Tables.events(s, dir)
       .select((col("user_id") % 4000).as("a"),
         (col("event_id") % 4000 + 4000).as("b"))

@@ -576,21 +576,10 @@ object TextPipeline {
     withDupGraphParallelism(nodes) { hashMinComponentsLoop(nodes, pairs, iters) }
 
   /** The iterative state here is duplicate-GRAPH-sized (V(E) labels, see
-    * below), typically orders of magnitude under the corpus — running its
-    * per-round joins at the corpus-tuned shuffle width just pays task-
-    * scheduling overhead per round. Scope the loop to a width sized for
-    * the dup graph; the corpus-sized census/attach joins built by callers
-    * AFTER this returns still plan at the session width (lazy plans are
-    * planned at action time, and the conf is restored before then). At
-    * 100 TB the same rule applies with a bigger constant: width ∝ |E|,
-    * never ∝ corpus. */
-  private def withDupGraphParallelism[T](df: DataFrame)(body: => T): T = {
-    val conf = df.sparkSession.conf
-    val key = "spark.sql.shuffle.partitions"
-    val prev = conf.get(key)
-    conf.set(key, "8")
-    try body finally conf.set(key, prev)
-  }
+    * below), typically orders of magnitude under the corpus — see
+    * [[graft.core.LoopWidth]] for the width-scoping rationale. */
+  private def withDupGraphParallelism[T](df: DataFrame)(body: => T): T =
+    graft.core.LoopWidth.scoped(df)(body)
 
   private def hashMinComponentsLoop(
       nodes: DataFrame, pairs: DataFrame, iters: Int): DataFrame = {
