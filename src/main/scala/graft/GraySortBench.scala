@@ -68,12 +68,52 @@ object GraySortBench {
     ThemisKV.writeFixed(sorted, outDir, 100, 10)
     val secs = (System.nanoTime() - t0) / 1e9
 
-    // ---- untimed valsort-style checks
+    // ---- untimed valsort-style checks: count + a REAL global-order proof
+    // (each output split internally sorted + split key-ranges pairwise
+    // disjoint ⇒ a global order exists), unsigned-lexicographic like the
+    // reference's valsort
     val back = spark.read.format("graft-fixed")
       .option("record.length", 100).option("key.length", 10)
       .load(outDir)
     val cnt = back.count()
     require(cnt == n, s"record count mismatch: $cnt != $n")
+    def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    val parts = back.select("key").as[Array[Byte]](
+        org.apache.spark.sql.Encoders.BINARY)
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          var first: Array[Byte] = null
+          var prev: Array[Byte] = null
+          var sorted = true
+          it.foreach { k =>
+            if (first == null) first = k
+            else if (cmp(prev, k) > 0) sorted = false
+            prev = k
+          }
+          Iterator((first, prev, sorted))
+        }
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.BINARY,
+        org.apache.spark.sql.Encoders.BINARY,
+        org.apache.spark.sql.Encoders.scalaBoolean))
+      .collect()
+    require(parts.forall(_._3), "a sorted-output split is internally unsorted")
+    val ranges = parts.sortWith((x, y) => cmp(x._1, y._1) < 0)
+    ranges.sliding(2).foreach {
+      case Array(lo, hi) =>
+        require(cmp(lo._2, hi._1) <= 0,
+          "output split key-ranges overlap: global order violated")
+      case _ =>
+    }
 
     val gbSorted = n * 100.0 / 1e9
     val rate = gbSorted / (secs / 60.0)

@@ -137,10 +137,8 @@ object Corpus {
       .join(dl, "doc_id")
       .crossJoin(stats)
       .select(col("term"), col("doc_id"),
-        (expr("(((nd - df) * 2 + 1) * 1000000) DIV (df * 2 + 1)").cast("double")
-          * (col("tf") * 22).cast("double") * (col("ltot") * 2).cast("double")
-          / (col("tf") * col("ltot") * 20 + col("ltot") * 6 +
-            col("dl") * col("nd") * 18).cast("double")).as("score"))
+        Qdsl.bm25Score(col("tf"), col("df"), col("dl"), col("nd"), col("ltot"))
+          .as("score"))
       .withColumnRenamed("doc_id", id)
   }
 

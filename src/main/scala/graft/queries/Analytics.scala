@@ -200,14 +200,19 @@ object Analytics {
     * one-shuffle-per-round layout as PageRank/components; the edge list
     * is cached pre-partitioned on src so only frontier rows shuffle.
     * Output is the per-hop discovery census (hop 0 = seeds). */
-  def bfsHops(s: SparkSession, dir: String): DataFrame =
-    graft.core.LoopWidth.scoped(Tables.events(s, dir)) { bfsHopsLoop(s, dir) }
-
-  private def bfsHopsLoop(s: SparkSession, dir: String): DataFrame = {
+  def bfsHops(s: SparkSession, dir: String): DataFrame = {
+    // corpus-proportional distinct at session width, outside the scope;
+    // the explicit narrow repartition pins the cached loop distribution
     val edges = Tables.events(s, dir)
       .select(col("user_id").as("src"), (col("event_id") % 500).as("dst"))
-      .distinct().repartition(col("src")).persist()
-    try {
+      .distinct().repartition(8, col("src")).persist()
+    edges.count() // materialize now, at session width
+    try graft.core.LoopWidth.scoped(edges) { bfsHopsLoop(edges) }
+    finally edges.unpersist()
+  }
+
+  private def bfsHopsLoop(edges: DataFrame): DataFrame = {
+    {
       val seeds = edges.select(col("src").as("node"))
         .filter(col("node") % 100 === 0).distinct()
       var visited = seeds.withColumn("hop", lit(0L)).localCheckpoint(eager = true)
@@ -223,7 +228,7 @@ object Analytics {
       }
       visited.groupBy(col("hop"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("id_sum"))
-    } finally edges.unpersist()
+    }
   }
 
   private val bfsHopsSql = {

@@ -316,15 +316,19 @@ object GraphText {
     * rounds needed = peel depth (≤ max degeneracy), each materialized to
     * keep the plan linear. Degree-biased graphs peel in a handful of
     * rounds; the loop is the driver-side pattern, maxRounds caps it. */
-  def kcore(s: SparkSession, dir: String): DataFrame =
-    graft.core.LoopWidth.scoped(Tables.events(s, dir)) { kcoreLoop(s, dir) }
-
-  private def kcoreLoop(s: SparkSession, dir: String): DataFrame = {
-    var edges = Tables.events(s, dir)
+  def kcore(s: SparkSession, dir: String): DataFrame = {
+    // the corpus-proportional distinct runs OUTSIDE the width scope (at
+    // session width); only the derived edge list's peel rounds are narrow
+    val e0 = Tables.events(s, dir)
       .select((col("user_id") % 4000).as("a"),
         (col("event_id") % 4000 + 4000).as("b"))
       .distinct()
       .localCheckpoint(eager = true)
+    graft.core.LoopWidth.scoped(e0) { kcoreLoop(e0) }
+  }
+
+  private def kcoreLoop(e0: DataFrame): DataFrame = {
+    var edges = e0
     def census(round: Int, e: org.apache.spark.sql.DataFrame) =
       e.select(explode(array(col("a"), col("b"))).as("v"))
         .agg(countDistinct(col("v")).as("n_nodes"),

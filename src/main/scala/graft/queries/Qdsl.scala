@@ -81,6 +81,20 @@ object Qdsl {
   val P: Long = 1000000007L
   def hashMod(c: Column): Column = hash60(c) % P
 
+  /** BM25 score with k1 = 1.2 and b = 0.75 as exact rationals: idf scaled
+    * 1e6 as an exact integer ratio, the length-normalized denominator
+    * cleared of fractions by multiplying through with 20·L, and ONE
+    * final double ratio with pinned operand order — bit-identical across
+    * engines. Shared by the oracle-checked q_bm25_topk and the
+    * `Corpus.bm25` facade so the two can never drift. Columns: term
+    * frequency, document frequency, doc length, doc count, total tokens. */
+  def bm25Score(tf: Column, df: Column, dl: Column,
+      nd: Column, ltot: Column): Column = {
+    val idf6 = call_function("div", ((nd - df) * 2 + 1) * 1000000L, df * 2 + 1)
+    idf6.cast("double") * (tf * 22).cast("double") * (ltot * 2).cast("double") /
+      (tf * ltot * 20 + ltot * 6 + dl * nd * 18).cast("double")
+  }
+
   /** All space-joined 8-grams of a token-array column (caller filters
     * size ≥ 8). ONE definition shared by decontamination and the curate
     * funnel — the gram construction is load-bearing for oracle parity

@@ -53,17 +53,7 @@ object Retrieval {
       .join(dl, "doc_id")
       .crossJoin(stats)
       .select(col("term"), col("doc_id"),
-        // idf6 = 1e6 · (N − df + ½)/(df + ½), cleared to integers (×2)
-        expr("(((nd - df) * 2 + 1) * 1000000) DIV (df * 2 + 1)").as("idf6"),
-        // 20·L·(tf + 1.2·(0.25 + 0.75·dl·N/L)) — fraction-free BIGINT
-        (col("tf") * col("ltot") * 20 + col("ltot") * 6 +
-          col("dl") * col("nd") * 18).as("den"),
-        // numerator tf·(k1+1)·20·L = 44·tf·L, folded into the double
-        // ratio below with pinned order: ((idf6 · 22·tf) · 2·L) / den
-        col("tf"), col("ltot"))
-      .select(col("term"), col("doc_id"),
-        (col("idf6").cast("double") * (col("tf") * 22).cast("double")
-          * (col("ltot") * 2).cast("double") / col("den").cast("double"))
+        bm25Score(col("tf"), col("df"), col("dl"), col("nd"), col("ltot"))
           .as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)

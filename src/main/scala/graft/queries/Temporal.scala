@@ -492,10 +492,9 @@ object Temporal {
         col("event_id"))
       .withColumn("prev_state", lag(col("event_type"), 1).over(w))
       .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
-    val wc = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
     changes
-      .withColumn("version", row_number().over(wc))
-      .withColumn("valid_to", lead(col("ms"), 1).over(wc))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("ms"), 1).over(w))
       .select(col("user_id"), col("version"), col("event_type").as("state"),
         col("ms").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))

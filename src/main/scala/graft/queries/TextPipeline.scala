@@ -572,30 +572,38 @@ object TextPipeline {
     * undirected edges (symmetrized here). Spec surface for
     * [[dupClusters]]. */
   private[graft] def hashMinComponents(
-      nodes: DataFrame, pairs: DataFrame, iters: Int): DataFrame =
-    withDupGraphParallelism(nodes) { hashMinComponentsLoop(nodes, pairs, iters) }
-
-  /** The iterative state here is duplicate-GRAPH-sized (V(E) labels, see
-    * below), typically orders of magnitude under the corpus — see
-    * [[graft.core.LoopWidth]] for the width-scoping rationale. */
-  private def withDupGraphParallelism[T](df: DataFrame)(body: => T): T =
-    graft.core.LoopWidth.scoped(df)(body)
-
-  private def hashMinComponentsLoop(
       nodes: DataFrame, pairs: DataFrame, iters: Int): DataFrame = {
-    // hash-partitioned by src before caching so every round's edge↔label
-    // join reuses the cached distribution (only label rows shuffle per
-    // round — same trick as the PageRank edge cache)
-    // symmetrize in ONE pass over the pair subtree: union(pairs, flip)
-    // would evaluate the (expensive — MinHash bands + signature join)
-    // upstream plan twice, since DataFrames share no common subplans
+    val edges = dupEdges(pairs)
+    try graft.core.LoopWidth.scoped(nodes, DupLoopWidth) {
+      hashMinComponentsLoop(nodes, edges, iters)
+    } finally edges.unpersist()
+  }
+
+  /** Width for the component ROUNDS — the label/edge state is duplicate-
+    * graph-sized; see [[graft.core.LoopWidth]]. */
+  private val DupLoopWidth = 8
+
+  /** Symmetrized dup-graph edge list, hash-partitioned on src at the
+    * LOOP width and MATERIALIZED before the width scope is entered: the
+    * corpus-proportional upstream (MinHash bands, signature pair agg)
+    * must plan at the session width — only the derived edge list and the
+    * label rounds are narrow. Symmetrization is ONE explode pass: a
+    * union of two projections would evaluate that upstream twice
+    * (DataFrames share no common subplans). Caller unpersists. */
+  private def dupEdges(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .repartition(col("src")).persist()
-    try {
+      .repartition(DupLoopWidth, col("src")).persist()
+    edges.count() // materialize now, at session width
+    edges
+  }
+
+  private def hashMinComponentsLoop(
+      nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    {
       // Only nodes incident to an edge can ever change label, so the
       // loop iterates over V(E) — the edge endpoints — and the (usually
       // vast) singleton majority is attached AFTER the loop with one
@@ -628,7 +636,7 @@ object TextPipeline {
       }
       nodes.join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
-    } finally edges.unpersist()
+    }
   }
 
   /** Production components: hash-min PLUS pointer doubling
@@ -643,23 +651,16 @@ object TextPipeline {
     * fixpoint. Per round: one edge↔label join (work ∝ edges), one
     * label self-join (∝ nodes), one agg. */
   private[graft] def pointerDoublingComponents(
-      nodes: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame =
-    withDupGraphParallelism(nodes) {
-      pointerDoublingComponentsLoop(nodes, pairs, maxIters)
-    }
+      nodes: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = dupEdges(pairs)
+    try graft.core.LoopWidth.scoped(nodes, DupLoopWidth) {
+      pointerDoublingComponentsLoop(nodes, edges, maxIters)
+    } finally edges.unpersist()
+  }
 
   private def pointerDoublingComponentsLoop(
-      nodes: DataFrame, pairs: DataFrame, maxIters: Int): DataFrame = {
-    // symmetrize in ONE pass over the pair subtree: union(pairs, flip)
-    // would evaluate the (expensive — MinHash bands + signature join)
-    // upstream plan twice, since DataFrames share no common subplans
-    val edges = pairs
-      .select(explode(array(
-        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .repartition(col("src")).persist()
-    try {
+      nodes: DataFrame, edges: DataFrame, maxIters: Int): DataFrame = {
+    {
       // iterate over V(E) only, singletons attached after the loop —
       // see the identical reasoning in [[hashMinComponents]]; the
       // convergence sum is likewise over V(E), still strictly monotone
@@ -692,7 +693,7 @@ object TextPipeline {
       }
       nodes.join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
-    } finally edges.unpersist()
+    }
   }
 
   /** [[dupClusters]] computed by the converging production variant.

@@ -35,7 +35,7 @@ object Tokenizer {
   def bpePairs(s: SparkSession, dir: String): DataFrame = {
     val vocab = Tables.documents(s, dir)
       .select(explode(words(col("text"))).as("w"))
-      .filter(length(col("w")) >= 2)
+      .filter(length(col("w")) >= 2 && length(col("w")) <= MaxWordLen)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     vocab
       .select(col("freq"),
@@ -51,7 +51,7 @@ object Tokenizer {
   private val bpePairsSql =
     s"""WITH toks AS (SELECT unnest($wordsSqlDoc) AS w FROM documents),
       |v AS (SELECT w, COUNT(*) AS freq FROM toks
-      |      WHERE length(w) >= 2 GROUP BY w),
+      |      WHERE length(w) >= 2 AND length(w) <= $MaxWordLen GROUP BY w),
       |p AS (SELECT substring(w, j.j + 1, 2) AS pair, freq
       |      FROM v CROSS JOIN range(${MaxWordLen - 1}) j(j)
       |      WHERE j.j + 1 <= length(w) - 1)

@@ -178,9 +178,12 @@ class ScaleShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"query-term table must broadcast into the postings join:\n$p")
     // ranking window reads only qterm postings: the window's sort appears
-    // ABOVE the broadcast join in the plan (no global tf sort)
-    assert(p.indexOf("Window") < p.indexOf("BroadcastHashJoin"),
-      s"expected the rank window above the pruning join:\n$p")
+    // ABOVE the broadcast join in the plan (no global tf sort); both
+    // operators must exist or the position compare is vacuous
+    val wIdx = p.indexOf("Window")
+    val jIdx = p.indexOf("BroadcastHashJoin")
+    assert(wIdx >= 0 && jIdx >= 0, s"expected Window and BroadcastHashJoin:\n$p")
+    assert(wIdx < jIdx, s"expected the rank window above the pruning join:\n$p")
   }
 
   test("semdedup: centers broadcast; no corpus-sized cartesian") {

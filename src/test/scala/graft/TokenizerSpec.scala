@@ -18,7 +18,7 @@ class TokenizerSpec extends SparkSpec {
       // count pairs directly — the vocab×freq factoring must be invisible
       val brute = graft.core.Tables.documents(spark, sfDir)
         .select(explode(graft.queries.Qdsl.words(col("text"))).as("w"))
-        .filter(length(col("w")) >= 2)
+        .filter(length(col("w")) >= 2 && length(col("w")) <= 64)
         .select(explode(expr(
           "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("brute_count"))
