@@ -58,4 +58,38 @@ class StreamingJoinSpec extends SparkSpec {
         s"stream-stream join diverged: got ${got.collect().mkString(",")}")
     } finally q.stop()
   }
+
+  test("watermark passage evicts buffered join state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = Sessions.intervalJoinStreams(
+      clicks.toDF().toDF("user_id", "ts", "value"),
+      purchases.toDF().toDF("user_id", "ts", "value"),
+      lateness = "5 minutes", windowMs = WindowMs)
+    val q = joined.writeStream.format("memory")
+      .queryName("sj_evict_test").outputMode("append").start()
+    try {
+      // seed both sides with early-time rows that get buffered
+      clicks.addData((1 to 50).map(i => (i.toLong, ts(0), 1.0)): _*)
+      purchases.addData((100L, ts(0), 1.0))
+      q.processAllAvailable()
+      val peak = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(peak >= 50, s"expected the early rows buffered, state=$peak")
+      // advance event time far past lateness + join window on BOTH sides
+      // (the watermark is the min across inputs), then run two batches —
+      // eviction applies the batch after the watermark update
+      clicks.addData((999L, ts(600), 1.0))
+      purchases.addData((998L, ts(600), 1.0))
+      q.processAllAvailable()
+      clicks.addData((997L, ts(601), 1.0))
+      purchases.addData((996L, ts(601), 1.0))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(after < peak,
+        s"watermark advance did not evict buffered rows: $peak -> $after")
+    } finally q.stop()
+  }
 }
