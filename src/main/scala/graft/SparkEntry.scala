@@ -24,6 +24,7 @@ object SparkEntry {
     Temporal.defs,
     Tokenizer.defs,
     Retrieval.defs,
+    Mixing.defs,
     Sketches.defs,
     Analytics.defs,
     Ingest.defs,

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{GQuery, Tables}
+import Qdsl._
+
+/** Corpus-mixture shaping: temperature-flattened language sampling and
+  * token-budget-constrained selection — the two knobs a pretraining
+  * recipe turns after cleaning (mT5/XLM-R-style α-sampling; "best docs
+  * until the budget runs out" selection).
+  */
+object Mixing {
+
+  /** Temperature-based mixture sampling (α = 0.5): each language's keep
+    * rate is proportional to `count^α / count` — flattening the language
+    * distribution so high-resource languages are down-sampled and
+    * low-resource ones kept whole (the multilingual pretraining recipe
+    * from the mT5/XLM-R papers). The α-power runs in double precision
+    * with a pinned op sequence (sqrt of an integer count — bit-identical
+    * on any IEEE engine), is floored onto a per-mille integer grid, and
+    * the per-document draw is the engine's standard derandomized
+    * hash-threshold. Census reports realized vs target mass per language.
+    *
+    * Scale shape: language counts are ONE tiny aggregation (∝ languages);
+    * the rate table broadcasts back onto the scan (AQE picks broadcast
+    * at any corpus size — it is languages-sized); the draw never
+    * shuffles. Rates normalize so the smallest language is kept whole
+    * (1000‰) and every larger one is flattened by sqrt(n_min/n_l). */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    // rate_l ∝ n_l^(α−1) = n_l^(−1/2), normalized so the SMALLEST language
+    // is kept whole: rate_l = 1000·sqrt(n_min/n_l) — computed on the tiny
+    // per-language count table
+    val minN = counts.agg(min(col("n")).as("n_min"))
+    val rates = counts.crossJoin(minN)
+      .select(col("lang"), col("n"),
+        least(lit(1000L),
+          floor(sqrt(col("n_min").cast("double") / col("n").cast("double"))
+            * 1000.0).cast("long")).as("rate_pm"))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .join(rates, "lang")
+      .select(col("lang"), col("n"), col("rate_pm"), col("doc_id"), col("n_chars"),
+        (hashMod(col("doc_id")) % 1000).as("u"))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n_total"),
+        max(col("rate_pm")).as("rate_pm"),
+        sum(when(col("u") < col("rate_pm"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("u") < col("rate_pm"), col("n_chars"))).as("kept_chars"),
+        sum(when(col("u") < col("rate_pm"), col("doc_id"))).as("kept_id_sum"))
+  }
+
+  private val temperatureMixSql =
+    """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      |m AS (SELECT MIN(n) AS n_min FROM c),
+      |r AS (SELECT lang, n,
+      |        LEAST(1000, CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE))
+      |          * 1000.0) AS BIGINT)) AS rate_pm
+      |      FROM c CROSS JOIN m),
+      |d AS (
+      |  SELECT doc.lang, r.n, r.rate_pm, doc.doc_id, doc.n_chars,
+      |    CAST('0x' || substring(md5(CAST(doc.doc_id AS VARCHAR)),1,15) AS BIGINT)
+      |      % 1000000007 % 1000 AS u
+      |  FROM documents doc JOIN r USING (lang))
+      |SELECT lang, MAX(n) AS n_total, MAX(rate_pm) AS rate_pm,
+      |  CAST(SUM(CASE WHEN u < rate_pm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN u < rate_pm THEN n_chars END) AS BIGINT) AS kept_chars,
+      |  CAST(SUM(CASE WHEN u < rate_pm THEN doc_id END) AS BIGINT) AS kept_id_sum
+      |FROM d GROUP BY lang""".stripMargin
+
+  /** Token-budget-constrained selection: documents ranked corpus-wide by
+    * a quality key (longest-first here; a real run plugs its quality
+    * score in) are taken in order until a global 200k-token budget is
+    * exhausted — "the best data that fits the budget", the data-selection
+    * step of budgeted pretraining (e.g. the DoReMi / data-mixing
+    * literature). The straddling document (the one that crosses the
+    * budget line) is kept, so the budget is met-or-just-exceeded;
+    * per-language census of the selection.
+    *
+    * Scale shape: the ranking is a RANGE-partitioned global sort (the
+    * GraySort machinery — sampled boundaries, no single-reducer sort)
+    * and the running total is one window cumsum over it; only (id,
+    * n_tok, lang) triples ever sort — never document text. */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val Budget = 200000L
+    // DISTRIBUTED global cumsum — an unpartitioned window would drag the
+    // whole corpus onto one task. Phase 1: range-partition by the global
+    // order (sampled boundaries — the GraySort machinery) so partition i
+    // holds ranks strictly before partition i+1. Phase 2: per-partition
+    // token totals (a #partitions-row collect, the boundary-broadcast
+    // pattern) become prefix offsets joined back broadcast. Phase 3: the
+    // cumsum window runs PER PARTITION, in parallel, offset by phase 2.
+    // The result is a function of the global order alone, so the sampled
+    // partition boundaries never affect the output.
+    val ranked = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tok"))
+      .repartitionByRange(col("n_tok").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    try {
+      val ptot = ranked.groupBy(col("pid")).agg(sum(col("n_tok")).as("ptot"))
+        .collect().map(r => r.getAs[Int]("pid") -> r.getAs[Long]("ptot"))
+        .sortBy(_._1)
+      val offsets = ptot.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
+        (pid, acc + tot)
+      }.init.zip(ptot).map { case ((_, off), (pid, _)) => (pid, off) }
+      val offDf = broadcast(
+        s.createDataFrame(offsets.toSeq).toDF("pid", "offset"))
+      val w = Window.partitionBy(col("pid"))
+        .orderBy(col("n_tok").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranked.join(offDf, "pid")
+        .withColumn("cum", col("offset") + sum(col("n_tok")).over(w))
+        .filter(col("cum") - col("n_tok") < Budget) // straddler kept
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("n_tok")).as("min_tok"), sum(col("doc_id")).as("id_sum"))
+        .localCheckpoint(eager = true)
+    } finally ranked.unpersist()
+  }
+
+  private val tokenBudgetSql =
+    s"""WITH t AS (
+      |  SELECT lang, doc_id, CAST(len($wordsSqlDoc) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id, n_tok,
+      |    SUM(n_tok) OVER (ORDER BY n_tok DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(MIN(n_tok) AS BIGINT) AS min_tok, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM r WHERE cum - n_tok < 200000 GROUP BY lang""".stripMargin
+
+  val defs: Seq[GQuery] = Seq(
+    GQuery("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),
+    GQuery("q_token_budget", tokenBudget, Some(tokenBudgetSql)))
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Mixing
+
+/** Mixture-shaping laws: temperature sampling must keep the smallest
+  * language whole and flatten larger ones monotonically; the token-budget
+  * selection must land exactly on the budget boundary (met or straddled
+  * by one document) and take a longest-first prefix.
+  */
+class MixingSpec extends SparkSpec {
+
+  test("temperature mix keeps the smallest language whole, flattens the rest") {
+    val rows = Mixing.temperatureMix(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byN = rows.sortBy(_.getAs[Long]("n_total"))
+    assert(byN.head.getAs[Long]("rate_pm") == 1000L,
+      "smallest language must be kept whole")
+    // rates are non-increasing in language size
+    byN.sliding(2).foreach { case Array(small, big) =>
+      assert(small.getAs[Long]("rate_pm") >= big.getAs[Long]("rate_pm"))
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
+    }
+  }
+
+  test("token budget is met or straddled by exactly the boundary doc") {
+    val out = Mixing.tokenBudget(spark, sfDir).persist()
+    try {
+      val total = out.agg(sum(col("n_tokens"))).head().getLong(0)
+      val minSel = out.agg(min(col("min_tok"))).head().getLong(0)
+      val corpusTotal = graft.core.Tables.documents(spark, sfDir)
+        .select(size(graft.queries.Qdsl.words(col("text"))).cast("long").as("n_tok"))
+        .agg(sum(col("n_tok"))).head().getLong(0)
+      if (corpusTotal <= 200000L)
+        // under-budget corpus: everything is selected
+        assert(total == corpusTotal, s"under budget, expected all: $total")
+      else {
+        // the selection covers the budget...
+        assert(total >= 200000L, s"budget not covered: $total")
+        // ...and removing the straddler would drop below it
+        assert(total - minSel < 200000L,
+          s"selection overshoots by more than the boundary doc: $total, min=$minSel")
+      }
+      // longest-first prefix: every selected doc is at least as long as
+      // the shortest selected one by construction; verify the shortest
+      // UNSELECTED doc bound — no excluded doc is longer than minSel
+      // except ties broken by doc_id
+      val excludedLonger = graft.core.Tables.documents(spark, sfDir)
+        .select(size(graft.queries.Qdsl.words(col("text"))).cast("long").as("n_tok"))
+        .filter(col("n_tok") > minSel).count()
+      val selectedAtLeast = out.agg(sum(col("n_docs"))).head().getLong(0)
+      assert(excludedLonger <= selectedAtLeast,
+        "a longer document was excluded while shorter ones were selected")
+    } finally out.unpersist()
+  }
+}
