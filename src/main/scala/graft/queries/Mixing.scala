@@ -84,7 +84,11 @@ object Mixing {
     * Scale shape: the ranking is a RANGE-partitioned global sort (the
     * GraySort machinery — sampled boundaries, no single-reducer sort)
     * and the running total is one window cumsum over it; only (id,
-    * n_tok, lang) triples ever sort — never document text. */
+    * n_tok, lang) triples ever sort — never document text.
+    *
+    * NOTE: like q_text_lines, construction runs Spark jobs (the ranked
+    * triples materialize and the #partitions-row offset collect happens
+    * before the final plan exists) — plan-only callers pay that cost. */
   def tokenBudget(s: SparkSession, dir: String): DataFrame = {
     val Budget = 200000L
     // DISTRIBUTED global cumsum — an unpartitioned window would drag the
