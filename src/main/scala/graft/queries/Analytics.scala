@@ -247,6 +247,76 @@ object Analytics {
       |FROM v3 GROUP BY hop""".stripMargin
   }
 
+  // ------------------------------------------------- weighted SSSP
+
+  /** Single-source(-set) shortest paths over the weighted events graph
+    * (edge weight = min event_id%9+1 per (src,dst)), four Bellman-Ford
+    * relaxation rounds from the user_id%100=0 seed set. Completes the
+    * iterative-graph family: BFS is the unweighted special case, this is
+    * the min-plus form. Output is the per-round trajectory census
+    * (reached nodes, total distance) — distances only ever DECREASE and
+    * the reached set only GROWS, both visible (and oracle-pinned) per
+    * round.
+    *
+    * Scale shape: identical to BFS/components — the weighted edge list
+    * is cached pre-partitioned on src (built at session width, see
+    * LoopWidth), per round ONE edge↔distance join + min-aggregation over
+    * candidate rows; rounds needed = shortest-path hop radius. */
+  def sssp(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.events(s, dir)
+      .select(col("user_id").as("src"), (col("event_id") % 500).as("dst"),
+        (col("event_id") % 9 + 1).as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .repartition(8, col("src")).persist()
+    edges.count() // materialize at session width
+    try graft.core.LoopWidth.scoped(edges) { ssspLoop(edges) }
+    finally edges.unpersist()
+  }
+
+  private def ssspLoop(edges: DataFrame): DataFrame = {
+    var dist = edges.select(col("src").as("node"))
+      .filter(col("node") % 100 === 0).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(eager = true)
+    def census(round: Int, d: DataFrame) =
+      d.agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("dist_sum"))
+        .select(lit(round.toLong).as("round"), col("n_reached"), col("dist_sum"))
+    var out = census(0, dist)
+    for (r <- 1 to 4) {
+      val cand = edges.join(dist.hint("shuffle_hash"), col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(cand)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = true)
+      out = out.union(census(r, dist))
+    }
+    out
+  }
+
+  private val ssspSql = {
+    val rounds = (1 to 4).map { r =>
+      s"""d$r AS (
+        |  SELECT node, MIN(dist) AS dist FROM (
+        |    SELECT node, dist FROM d${r - 1}
+        |    UNION ALL
+        |    SELECT e.dst, d.dist + e.w FROM d${r - 1} d JOIN e ON e.src = d.node) t
+        |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    val census = (0 to 4).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, COUNT(*) AS n_reached,
+        |  CAST(SUM(dist) AS BIGINT) AS dist_sum FROM d$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+      |  SELECT user_id AS src, event_id % 500 AS dst,
+      |    MIN(event_id % 9 + 1) AS w
+      |  FROM events GROUP BY 1, 2),
+      |d0 AS (
+      |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+      |  FROM e WHERE src % 100 = 0),
+      |$rounds
+      |$census""".stripMargin
+  }
+
   // ----------------------------------------------- salted aggregation
 
   /** Two-level salted aggregation: rows first aggregate on
@@ -424,6 +494,7 @@ object Analytics {
     GQuery("q_bloom_membership", bloomMembership, Some(bloomMembershipSql),
       headline = true),
     GQuery("q_bfs_hops", bfsHops, Some(bfsHopsSql)),
+    GQuery("q_sssp", sssp, Some(ssspSql)),
     GQuery("q_salted_agg", saltedAgg, Some(saltedAggSql)),
     GQuery("q_trend_fit", trendFit, Some(trendFitSql)),
     GQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql),

@@ -579,7 +579,75 @@ object Temporal {
       |  CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS BIGINT) AS direction
       |FROM r WHERE rn = 1""".stripMargin
 
+  // ------------------------------------------- multi-touch attribution
+
+  private val AttrWindowMs = 1800000L // 30 minutes
+
+  /** Linear multi-touch attribution: every purchase spreads 1000‰ of
+    * credit equally (integer per-mille DIV; a purchase's credit sums to
+    * 1000 minus the division remainder) across the same user's click/view touches
+    * in the preceding 30 minutes — the complement of [[asofJoin]]'s
+    * last-touch rule. Census per touch type: touches credited, distinct
+    * purchases reached, total credit.
+    *
+    * Scale shape: the purchase↔touch pairing is the banded range join
+    * (coarse 30-minute bucket equi-join, ≤ 2 buckets per purchase, then
+    * the exact residual filter) — candidate volume ∝ bucket population,
+    * never clicks × purchases per user; the per-purchase touch count is
+    * one window over the matched pairs. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochMs(col("ts")).as("ms"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("ms").as("t_ms"), col("event_id").as("t_id"),
+        expr(s"ms DIV $AttrWindowMs").as("bkt"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms").as("p_ms"), col("event_id").as("p_id"),
+        explode(array(expr(s"ms DIV $AttrWindowMs"),
+          expr(s"ms DIV $AttrWindowMs - 1"))).as("bkt"))
+    val pairs = purchases.join(touches, Seq("user_id", "bkt"))
+      .filter(col("p_ms") - col("t_ms") >= 0 &&
+        col("p_ms") - col("t_ms") < AttrWindowMs)
+      .select(col("p_id"), col("touch_type"), col("t_id")).distinct()
+    val wn = Window.partitionBy(col("p_id"))
+    pairs
+      .withColumn("n_touches", count(lit(1)).over(wn))
+      .select(col("p_id"), col("touch_type"),
+        expr("1000 DIV n_touches").as("credit_pm"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        sum(col("credit_pm")).as("credit_total_pm"))
+  }
+
+  private val attributionSql =
+    s"""WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |t AS (
+      |  SELECT user_id, event_type AS touch_type, ms AS t_ms, event_id AS t_id,
+      |    ms // $AttrWindowMs AS bkt
+      |  FROM e WHERE event_type IN ('click', 'view')),
+      |p AS (
+      |  SELECT user_id, ms AS p_ms, event_id AS p_id, unnest([ms // $AttrWindowMs,
+      |    ms // $AttrWindowMs - 1]) AS bkt
+      |  FROM e WHERE event_type = 'purchase'),
+      |pairs AS (
+      |  SELECT DISTINCT p.p_id, t.touch_type, t.t_id
+      |  FROM p JOIN t USING (user_id, bkt)
+      |  WHERE p.p_ms - t.t_ms >= 0 AND p.p_ms - t.t_ms < $AttrWindowMs),
+      |c AS (
+      |  SELECT p_id, touch_type,
+      |    1000 // COUNT(*) OVER (PARTITION BY p_id) AS credit_pm
+      |  FROM pairs)
+      |SELECT touch_type, COUNT(*) AS n_touches,
+      |  COUNT(DISTINCT p_id) AS n_purchases,
+      |  CAST(SUM(credit_pm) AS BIGINT) AS credit_total_pm
+      |FROM c GROUP BY touch_type""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q_attribution", attribution, Some(attributionSql)),
     GQuery("q_scd2_intervals", scd2Intervals, Some(scd2IntervalsSql),
       headline = true),
     GQuery("q_cusum_change", cusumChange, Some(cusumChangeSql)),
