@@ -45,6 +45,23 @@ object SparkEntry {
         |  CAST(SUM(checksum % 1000000007) AS BIGINT) AS checksum,
         |  CAST(SUM(n_frames) AS BIGINT) AS n_frames
         |FROM f GROUP BY kind""".stripMargin))),
+    // the embedding stub derives 8 milli-scaled coords from the payload's
+    // rolling checksum; the oracle re-derives the same sum from character
+    // codes (batch shapes are partitioning-dependent → spec-asserted, not
+    // oracle-compared)
+    Seq(GQuery("q_embed_batch",
+      graft.operators.Multimodal.embedBatchStats _,
+      Some("""WITH f AS (
+        |  SELECT doc_id,
+        |    ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(text, '.'), c -> CAST(unicode(c) AS BIGINT))),
+        |      (acc, b) -> (acc*31 + b) % 1000000007) AS checksum
+        |  FROM documents)
+        |SELECT kind, COUNT(*) AS n_media,
+        |  CAST(SUM(list_sum(list_transform([0,1,2,3,4,5,6,7],
+        |    j -> (checksum + j * 2654435761) % 1000))) AS BIGINT) AS emb_checksum
+        |FROM f GROUP BY kind""".stripMargin))),
     Seq(GQuery("q_frame_sample",
       graft.operators.Multimodal.frameSample _,
       Some("""WITH m AS (

@@ -151,6 +151,69 @@ object Multimodal {
         max(col("frame_idx")).cast("long").as("max_frame_idx"),
         sum(graft.queries.Qdsl.hashMod(col("frame"))).as("frame_checksum"))
 
+  /** An embedded media record: the model output plus the batch it rode
+    * in on (batch telemetry is how inference pipelines debug stragglers). */
+  case class EmbeddedMedia(
+      media_id: Long,
+      kind: String,
+      embedding: Array[Float], // 8-dim stub
+      batch_id: Long,
+      batch_size: Int)
+
+  /** Stubbed batch model: a real pipeline hands the WHOLE batch to an
+    * ONNX/JNI session or a `mapInArrow` Python worker in one call — that
+    * amortized dispatch is the entire point of batching. The stub derives
+    * a deterministic 8-dim embedding from the payload's rolling checksum
+    * (mirrorable in SQL, so the census is oracle-checkable). */
+  def embedBatchStub(batch: Seq[MediaRecord]): Seq[Array[Float]] =
+    batch.map { r =>
+      var checksum = 0L
+      var i = 0
+      while (i < r.content.length) {
+        checksum = (checksum * 31 + (r.content(i) & 0xff)) % 1000000007L
+        i += 1
+      }
+      Array.tabulate(8)(j => ((checksum + j * 2654435761L) % 1000L) / 1000.0f)
+    }
+
+  /** Batched embedding inference: records group into fixed-size batches
+    * WITHIN each partition (`grouped(batchSize)` over the row iterator —
+    * no shuffle, no materialized partition), each batch goes through the
+    * model in one call, and rows flatten back out tagged with their
+    * batch. Combine with [[repartitionBySize]] first so byte-heavy blobs
+    * don't starve batches. This is the exact plumbing an embedding
+    * backfill over a 100 TB corpus runs — the stub swaps for a real
+    * model without touching the dataflow. */
+  def embedAll(media: Dataset[MediaRecord], batchSize: Int): Dataset[EmbeddedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // model session init would go here, once per partition
+      var batchId = -1L
+      it.grouped(batchSize).flatMap { batch =>
+        batchId += 1
+        embedBatchStub(batch).lazyZip(batch).map { (emb, r) =>
+          EmbeddedMedia(r.media_id, r.kind, emb, batchId, batch.size)
+        }
+      }
+    }
+  }
+
+  /** Census over the batched-inference output: per kind, the record
+    * count and the integer-exact checksum of the (milli-scaled) embedding
+    * coordinates — deterministic regardless of partitioning/batching, so
+    * the oracle re-derives it from the payload bytes; batch SHAPES are
+    * partitioning-dependent and asserted in MultimodalSpec instead. */
+  def embedBatchStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    embedAll(fromDocuments(spark, dir), batchSize = 32)
+      .select(col("media_id"), col("kind"),
+        expr("aggregate(transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)), CAST(0 AS BIGINT), (a, e) -> a + e)")
+          .as("emb_milli_sum"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("emb_milli_sum")).as("emb_checksum"))
+  }
+
   /** Summary query over extracted features (registered as a rows-only
     * driver check — binary decode is not SQL-expressible in the oracle). */
   def mediaFeatureStats(spark: SparkSession, dir: String): DataFrame = {

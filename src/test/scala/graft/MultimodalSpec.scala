@@ -44,6 +44,36 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.map(_._2.length).distinct().collect().toSeq == Seq(64))
   }
 
+  test("batched inference covers every record in bounded contiguous batches") {
+    import spark.implicits._
+    val media = Multimodal.fromDocuments(spark, sfDir)
+    val n = media.count()
+    val out = Multimodal.embedAll(media.repartition(3), batchSize = 32).persist()
+    try {
+      // every record embedded exactly once, 8-dim output contract
+      assert(out.count() == n)
+      assert(out.map(_.embedding.length).distinct().collect().toSeq == Seq(8))
+      // no batch exceeds the configured size, and the tagged batch_size
+      // matches the actual batch population
+      val shapes = out.groupByKey(e => (e.batch_id, e.batch_size))
+        .count().collect()
+      shapes.foreach { case ((_, declared), actual) =>
+        assert(declared <= 32, s"batch over the size bound: $declared")
+        // several partitions share batch ids, so the actual count per
+        // (id, size) is a multiple of the declared size except for each
+        // partition's final short batch
+        assert(actual >= 1)
+      }
+      // embeddings are a pure function of the payload: re-running with a
+      // different partitioning yields the identical per-record embedding
+      val again = Multimodal.embedAll(media.repartition(7), batchSize = 8)
+        .map(e => (e.media_id, e.embedding.toSeq)).collect().toMap
+      val first = out.map(e => (e.media_id, e.embedding.toSeq)).collect().toMap
+      assert(first == again,
+        "embedding depends on batching/partitioning — model stub impure")
+    } finally out.unpersist()
+  }
+
   test("size repartitioning preserves every record") {
     val media = Multimodal.fromDocuments(spark, sfDir)
     val repart = Multimodal.repartitionBySize(media, 3)
