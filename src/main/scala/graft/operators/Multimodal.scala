@@ -37,19 +37,30 @@ object Multimodal {
       byte_histogram: Array[Long], // 16 buckets over the high nibble
       n_frames_sampled: Int)
 
+  /** The ONE rolling payload checksum both stubs (and both oracle CTEs)
+    * derive from: (cs·31 + byte) mod 1e9+7 over the raw bytes. */
+  def payloadChecksum(content: Array[Byte]): Long = {
+    var checksum = 0L
+    var i = 0
+    while (i < content.length) {
+      checksum = (checksum * 31 + (content(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    checksum
+  }
+
   /** The decoder stub: a real pipeline would decode pixels / PCM here
     * (e.g. via a JNI codec or `mapInArrow` to a Python worker). The fake
     * is deterministic in the payload bytes so tests are stable. */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val hist = new Array[Long](16)
-    var checksum = 0L
     var i = 0
     while (i < r.content.length) {
       val b = r.content(i) & 0xff
       hist(b >> 4) += 1
-      checksum = (checksum * 31 + b) % 1000000007L
       i += 1
     }
+    val checksum = payloadChecksum(r.content)
     // "frame sampling": one frame per 64-byte stride, as a real video
     // sampler would pull every k-th frame
     MediaFeatures(r.media_id, r.kind, r.content.length.toLong, checksum,
@@ -167,12 +178,7 @@ object Multimodal {
     * (mirrorable in SQL, so the census is oracle-checkable). */
   def embedBatchStub(batch: Seq[MediaRecord]): Seq[Array[Float]] =
     batch.map { r =>
-      var checksum = 0L
-      var i = 0
-      while (i < r.content.length) {
-        checksum = (checksum * 31 + (r.content(i) & 0xff)) % 1000000007L
-        i += 1
-      }
+      val checksum = payloadChecksum(r.content)
       Array.tabulate(8)(j => ((checksum + j * 2654435761L) % 1000L) / 1000.0f)
     }
 

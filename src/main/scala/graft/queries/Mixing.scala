@@ -74,7 +74,7 @@ object Mixing {
 
   /** Token-budget-constrained selection: documents ranked corpus-wide by
     * a quality key (longest-first here; a real run plugs its quality
-    * score in) are taken in order until a global 200k-token budget is
+    * score in) are taken in order until a global 10k-token budget is
     * exhausted — "the best data that fits the budget", the data-selection
     * step of budgeted pretraining (e.g. the DoReMi / data-mixing
     * literature). The straddling document (the one that crosses the
@@ -90,7 +90,7 @@ object Mixing {
     * triples materialize and the #partitions-row offset collect happens
     * before the final plan exists) — plan-only callers pay that cost. */
   def tokenBudget(s: SparkSession, dir: String): DataFrame = {
-    val Budget = 200000L
+    val Budget = 10000L
     // DISTRIBUTED global cumsum — an unpartitioned window would drag the
     // whole corpus onto one task. Phase 1: range-partition by the global
     // order (sampled boundaries — the GraySort machinery) so partition i
@@ -139,7 +139,7 @@ object Mixing {
       |  FROM t)
       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
       |  CAST(MIN(n_tok) AS BIGINT) AS min_tok, CAST(SUM(doc_id) AS BIGINT) AS id_sum
-      |FROM r WHERE cum - n_tok < 200000 GROUP BY lang""".stripMargin
+      |FROM r WHERE cum - n_tok < 10000 GROUP BY lang""".stripMargin
 
   val defs: Seq[GQuery] = Seq(
     GQuery("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),

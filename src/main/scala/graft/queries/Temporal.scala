@@ -581,17 +581,17 @@ object Temporal {
 
   // ------------------------------------------- multi-touch attribution
 
-  private val AttrWindowMs = 1800000L // 30 minutes
+  private val AttrWindowMs = 86400000L // 24 hours
 
   /** Linear multi-touch attribution: every purchase spreads 1000‰ of
     * credit equally (integer per-mille DIV; a purchase's credit sums to
     * 1000 minus the division remainder) across the same user's click/view touches
-    * in the preceding 30 minutes — the complement of [[asofJoin]]'s
+    * in the preceding 24 hours — the complement of [[asofJoin]]'s
     * last-touch rule. Census per touch type: touches credited, distinct
     * purchases reached, total credit.
     *
     * Scale shape: the purchase↔touch pairing is the banded range join
-    * (coarse 30-minute bucket equi-join, ≤ 2 buckets per purchase, then
+    * (coarse 24-hour bucket equi-join, ≤ 2 buckets per purchase, then
     * the exact residual filter) — candidate volume ∝ bucket population,
     * never clicks × purchases per user; the per-purchase touch count is
     * one window over the matched pairs. */

@@ -18,8 +18,10 @@ class MixingSpec extends SparkSpec {
     assert(byN.head.getAs[Long]("rate_pm") == 1000L,
       "smallest language must be kept whole")
     // rates are non-increasing in language size
-    byN.sliding(2).foreach { case Array(small, big) =>
-      assert(small.getAs[Long]("rate_pm") >= big.getAs[Long]("rate_pm"))
+    byN.sliding(2).foreach {
+      case Array(small, big) =>
+        assert(small.getAs[Long]("rate_pm") >= big.getAs[Long]("rate_pm"))
+      case _ => // single-language corpus: nothing to compare
     }
     rows.foreach { r =>
       assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
@@ -34,14 +36,14 @@ class MixingSpec extends SparkSpec {
       val corpusTotal = graft.core.Tables.documents(spark, sfDir)
         .select(size(graft.queries.Qdsl.words(col("text"))).cast("long").as("n_tok"))
         .agg(sum(col("n_tok"))).head().getLong(0)
-      if (corpusTotal <= 200000L)
+      if (corpusTotal <= 10000L)
         // under-budget corpus: everything is selected
         assert(total == corpusTotal, s"under budget, expected all: $total")
       else {
         // the selection covers the budget...
-        assert(total >= 200000L, s"budget not covered: $total")
+        assert(total >= 10000L, s"budget not covered: $total")
         // ...and removing the straddler would drop below it
-        assert(total - minSel < 200000L,
+        assert(total - minSel < 10000L,
           s"selection overshoots by more than the boundary doc: $total, min=$minSel")
       }
       // longest-first prefix: every selected doc is at least as long as

@@ -53,17 +53,18 @@ class MultimodalSpec extends SparkSpec {
       // every record embedded exactly once, 8-dim output contract
       assert(out.count() == n)
       assert(out.map(_.embedding.length).distinct().collect().toSeq == Seq(8))
-      // no batch exceeds the configured size, and the tagged batch_size
-      // matches the actual batch population
-      val shapes = out.groupByKey(e => (e.batch_id, e.batch_size))
-        .count().collect()
-      shapes.foreach { case ((_, declared), actual) =>
-        assert(declared <= 32, s"batch over the size bound: $declared")
-        // several partitions share batch ids, so the actual count per
-        // (id, size) is a multiple of the declared size except for each
-        // partition's final short batch
-        assert(actual >= 1)
-      }
+      // within every PARTITION, each tagged (batch_id, batch_size) group
+      // must hold exactly batch_size rows and stay under the bound —
+      // checked partition-locally so shared batch ids across partitions
+      // cannot mask a wrong tag
+      val shapeViolations = out.mapPartitions { it =>
+        val groups = it.toSeq.groupBy(e => (e.batch_id, e.batch_size))
+        Iterator(groups.count { case ((_, declared), rows) =>
+          declared > 32 || rows.size != declared
+        })
+      }.collect().sum
+      assert(shapeViolations == 0,
+        s"$shapeViolations batches with wrong or over-bound batch_size tags")
       // embeddings are a pure function of the payload: re-running with a
       // different partitioning yields the identical per-record embedding
       val again = Multimodal.embedAll(media.repartition(7), batchSize = 8)
