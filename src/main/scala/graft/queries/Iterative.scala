@@ -124,6 +124,66 @@ object Iterative {
       |SELECT node, rank FROM r3""".stripMargin
   }
 
+  /** HITS hubs & authorities over the DIRECTED part→supplier purchase
+    * graph (hubs = parts, authorities = suppliers), 3 max-normalized
+    * iterations in scaled-integer arithmetic: h(p) ← Σ a(s) over p's
+    * suppliers, a(s) ← Σ h(p) over s's parts, each renormalized to
+    * max = 1e6 with integer DIV (max-normalization converges to the same
+    * ranking as the textbook L2 form and stays oracle-exact). Completes
+    * the link-analysis family next to [[pagerank]].
+    *
+    * Scale shape: the edge list is cached TWICE, once hash-partitioned
+    * per join side (`by p` for the authority update, `by sup` for the hub
+    * update) — each half-iteration then exchanges only the node-score
+    * side, never the edges; the normalizer is a 1-row aggregate
+    * cross-joined back (a broadcast, not a driver round-trip). Scores
+    * checkpoint per half-step because the max aggregate references the
+    * same subtree a second time (lazy chaining would double the plan per
+    * half-step). */
+  def hits(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sup")).distinct()
+    val edgesByP = base.repartition(col("p")).persist()
+    val edgesBySup = base.repartition(col("sup")).persist()
+    try {
+      var a = edgesBySup.select(col("sup")).distinct()
+        .select(col("sup"), lit(1000000L).as("a"))
+        .localCheckpoint(eager = true)
+      var h: DataFrame = null
+      for (_ <- 1 to 3) {
+        val hRaw = edgesBySup.join(a.hint("shuffle_hash"), "sup")
+          .groupBy(col("p")).agg(sum(col("a")).as("hr"))
+        h = hRaw.crossJoin(hRaw.agg(max(col("hr")).as("hm")))
+          .select(col("p"), expr("(hr * 1000000) DIV hm").as("h"))
+          .localCheckpoint(eager = true)
+        val aRaw = edgesByP.join(h.hint("shuffle_hash"), "p")
+          .groupBy(col("sup")).agg(sum(col("h")).as("ar"))
+        a = aRaw.crossJoin(aRaw.agg(max(col("ar")).as("am")))
+          .select(col("sup"), expr("(ar * 1000000) DIV am").as("a"))
+          .localCheckpoint(eager = true)
+      }
+      h.select(lit("hub").as("role"), col("p").as("node"), col("h").as("score"))
+        .union(a.select(lit("authority").as("role"), col("sup").as("node"),
+          col("a").as("score")))
+    } finally { edgesByP.unpersist(); edgesBySup.unpersist() }
+  }
+
+  private val hitsSql = {
+    def iter(aPrev: String, i: Int) =
+      s"""h$i AS (SELECT p, SUM(a) AS hr FROM e JOIN $aPrev USING (sup) GROUP BY p),
+        |hn$i AS (SELECT p, hr * 1000000 // (SELECT MAX(hr) FROM h$i) AS h FROM h$i),
+        |a$i AS (SELECT sup, SUM(h) AS ar FROM e JOIN hn$i USING (p) GROUP BY sup),
+        |an$i AS (SELECT sup, ar * 1000000 // (SELECT MAX(ar) FROM a$i) AS a FROM a$i)""".stripMargin
+    s"""WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup FROM lineitem),
+      |an0 AS (SELECT DISTINCT sup, CAST(1000000 AS BIGINT) AS a FROM e),
+      |${iter("an0", 1)},
+      |${iter("an1", 2)},
+      |${iter("an2", 3)}
+      |SELECT 'hub' AS role, p AS node, CAST(h AS BIGINT) AS score FROM hn3
+      |UNION ALL
+      |SELECT 'authority', sup, CAST(a AS BIGINT) FROM an3""".stripMargin
+  }
+
   /** Two Lloyd iterations of k-means (k = 10, centers seeded from the
     * first 10 vectors), in the exploded-dimension relational form:
     * points live as (vec_id, dim, value) rows, centroid update is a
@@ -194,5 +254,6 @@ object Iterative {
     // rank-order parity with the integer form is spec-asserted
     GQuery("q_pagerank_double", (s, d) => pagerankDouble(s, d),
       None, headline = true),
+    GQuery("q_hits", hits, Some(hitsSql)),
     GQuery("q_kmeans_iter2", kmeansIter2, Some(kmeansIter2Sql)))
 }
