@@ -140,9 +140,12 @@ object Iterative {
     * checkpoint per half-step because the max aggregate references the
     * same subtree a second time (lazy chaining would double the plan per
     * half-step). */
-  def hits(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.lineitem(s, dir)
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("sup")).distinct()
+  def hits(s: SparkSession, dir: String): DataFrame =
+    hitsGraph(Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sup")).distinct())
+
+  /** [[hits]] over an explicit (p, sup) edge frame (spec surface). */
+  private[graft] def hitsGraph(base: DataFrame): DataFrame = {
     val edgesByP = base.repartition(col("p")).persist()
     val edgesBySup = base.repartition(col("sup")).persist()
     try {

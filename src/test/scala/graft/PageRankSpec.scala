@@ -24,6 +24,26 @@ class PageRankSpec extends SparkSpec {
       s"top-$top rank-order drift too large: only $overlap nodes shared")
   }
 
+  test("hits ranks the star center above the leaf on a controlled graph") {
+    import spark.implicits._
+    // part 1 buys from suppliers 10, 11, 12; part 2 only from 10:
+    // hub(1) > hub(2); supplier 10 (bought by both) out-ranks 11/12
+    val base = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L))
+      .toDF("p", "sup")
+    val out = Iterative.hitsGraph(base).collect()
+    def score(role: String, node: Long): Long =
+      out.find(r => r.getString(0) == role && r.getLong(1) == node)
+        .map(_.getLong(2)).getOrElse(fail(s"missing $role $node"))
+    assert(score("hub", 1L) == 1000000L, "dominant hub normalizes to 1e6")
+    assert(score("authority", 10L) == 1000000L,
+      "dominant authority normalizes to 1e6")
+    assert(score("hub", 1L) > score("hub", 2L))
+    assert(score("authority", 10L) > score("authority", 11L))
+    assert(score("authority", 11L) == score("authority", 12L),
+      "symmetric leaves must score identically")
+    assert(out.forall(_.getLong(2) > 0L), "scores stay positive")
+  }
+
   test("checkpoint-every-k long run converges (rank mass conserved-ish)") {
     val r = Iterative.pagerankDouble(spark, sfDir, iters = 7, checkpointEvery = 2)
       .agg(sum(col("rank")).as("mass"), count(lit(1)).as("n"))
