@@ -785,6 +785,74 @@ object TextPipeline {
       |  MIN(rate) AS rate_pm
       |FROM d GROUP BY lang""".stripMargin
 
+  // --------------------------------------------------- URL canonical dedup
+
+  /** URL canonicalization dedup — the single biggest dedup lever on web
+    * crawls (the same page arrives under scheme-case, trailing-slash,
+    * tracking-param and fragment variants). Noisy URLs are rendered
+    * deterministically (the q_link_extract trick: scheme case by
+    * doc_id%2, host case by %3, five path buckets per source so variants
+    * of the same page genuinely exist, trailing slash, utm query,
+    * fragment), then CANONICALIZED by parsing scheme/host/path
+    * back out with regexp_extract, lowercasing scheme+host, and
+    * stripping query+fragment+trailing slash — all codegen'd string ops
+    * inside the scan. Census per source: pages, canonical URLs, and the
+    * duplicate count the canonicalization recovered.
+    *
+    * Scale shape: canonicalization is scan-local; the dedup aggregation
+    * shuffles (source, canonical) group rows — at 100 TB group on
+    * hash60(canonical) so URLs never travel (same note as chunk dedup). */
+  def urlDedup(s: SparkSession, dir: String): DataFrame = {
+    val rendered = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+      when(col("doc_id") % 3 === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".example.com/a/"), hashMod(col("doc_id")) % 5,
+      when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("?utm_source=feed")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit("#section")).otherwise(lit("")))
+    val canonical =
+      concat(lower(regexp_extract(col("url"), "^([a-zA-Z]+)://", 1)), lit("://"),
+        lower(regexp_extract(col("url"), "^[a-zA-Z]+://([^/?#]+)", 1)),
+        regexp_replace(
+          regexp_extract(col("url"), "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1),
+          "/$", ""))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), rendered.as("url"))
+      .select(col("source"), canonical.as("curl"))
+      .groupBy(col("source"), col("curl"))
+      .agg(count(lit(1)).as("grp"))
+      .groupBy(col("source"))
+      .agg(sum(col("grp")).as("n_pages"),
+        count(lit(1)).as("n_canonical"),
+        (sum(col("grp")) - count(lit(1))).as("n_dups"),
+        max(col("grp")).as("max_group"),
+        sum(hashMod(col("curl"))).as("url_checksum"))
+  }
+
+  private val urlDedupSql =
+    """WITH u AS (
+      |  SELECT doc_id, source,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END) ||
+      |    '.example.com/a/' || CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 1000000007 % 5 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN '#section' ELSE '' END) AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT source,
+      |    lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) || '://' ||
+      |    lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)) ||
+      |    regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/$', '') AS curl
+      |  FROM u),
+      |g AS (SELECT source, curl, COUNT(*) AS grp FROM c GROUP BY 1, 2)
+      |SELECT source, CAST(SUM(grp) AS BIGINT) AS n_pages,
+      |  COUNT(*) AS n_canonical,
+      |  CAST(SUM(grp) - COUNT(*) AS BIGINT) AS n_dups,
+      |  CAST(MAX(grp) AS BIGINT) AS max_group,
+      |  CAST(SUM(CAST('0x' || substring(md5(curl),1,15) AS BIGINT) % 1000000007) AS BIGINT) AS url_checksum
+      |FROM g GROUP BY source""".stripMargin
+
   // ------------------------------------------------- weighted sampling
 
   /** Quality-weighted Bernoulli sampling: each document survives with
@@ -1417,6 +1485,7 @@ object TextPipeline {
     GQuery("q_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     GQuery("q_redact", redact, Some(redactSql)),
     GQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
+    GQuery("q_url_dedup", urlDedup, Some(urlDedupSql)),
     GQuery("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), headline = true),
     GQuery("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     GQuery("q_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
