@@ -41,6 +41,7 @@ object Bench {
     // first measured query
     SparkEntry.queries(names.head)(spark, sfDir).write
       .format("noop").mode("overwrite").save()
+    graft.core.Caches.release()
 
     // two passes per query, min taken: pass 1 pays whole-stage-codegen
     // compilation + JIT for that plan shape, pass 2 is the steady-state
@@ -58,6 +59,10 @@ object Bench {
             None
         }
       }
+      // tracked caches are dropped BETWEEN queries, not between the two
+      // passes — pass 2 keeps its warm-cache steady-state semantics while
+      // no query's cache survives into the next query's timing
+      graft.core.Caches.release()
       // a failed query is omitted from the per-query map entirely (a
       // sentinel value would poison naive min-over-rounds tooling) and
       // named in the separate `failed` array instead

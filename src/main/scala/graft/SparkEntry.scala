@@ -29,7 +29,13 @@ object SparkEntry {
     Analytics.defs,
     Ingest.defs,
     // the decode stub folds over the payload bytes (ASCII text here), so
-    // the oracle re-derives the same fold over character codes
+    // the oracle re-derives the same fold over character codes.
+    // ORACLE ASSUMPTION (here and q_embed_batch): the Spark side folds
+    // UTF-8 OCTETS of text↦binary while the oracle folds unicode code
+    // points, and `regexp_extract_all(text, '.')` skips newlines — the
+    // two agree only because the driver testdata is ASCII with no
+    // newlines. A non-ASCII fixture needs the oracle rewritten over
+    // encode(text) octets.
     Seq(GQuery("q_media_features",
       graft.operators.Multimodal.mediaFeatureStats _,
       Some("""WITH f AS (

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Caches
+import graft.core.Caches.TrackedOps
 import graft.queries.{Qdsl, TextPipeline}
 
 /** The library facade for corpus processing over ARBITRARY DataFrames —
@@ -84,7 +86,15 @@ object Corpus {
   /** Connected components over an undirected pair list: every node gets
     * the minimum reachable node id as `component`. Pointer-doubling to
     * fixpoint — O(log diameter) rounds, each one edge↔label join over a
-    * pre-partitioned cached edge list. */
+    * pre-partitioned cached edge list.
+    *
+    * Vertex-set contract: the component universe is `nodes` ∪ every id
+    * appearing in `pairs` — pair endpoints OUTSIDE `nodes` participate
+    * as real vertices (a–x–b with x ∉ nodes connects a and b, and an
+    * outside id can be the emitted minimum label). Only rows for ids in
+    * `nodes` are RETURNED. Semi-join `pairs` against `nodes` on both
+    * endpoints first if edges mentioning unknown ids should be ignored
+    * instead. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       nodeCol: String = "node", aCol: String = "a", bCol: String = "b")
       : DataFrame =
@@ -128,7 +138,7 @@ object Corpus {
       .select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist()
+      .trackedPersist()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("ltot"))
@@ -197,11 +207,13 @@ object Vectors {
 
   /** Semantic dedup (SemDeDup) over any vector frame: cluster into `k`
     * coarse cells (seeded from the k lowest ids; train real centroids
-    * first for production corpora), then mark the higher id of every
-    * within-cell pair at cosine ≥ `tau` as dropped. Returns one row per
-    * vector: (id, cell, is_dropped) — filter `!is_dropped` for the
-    * survivors. Cross-cell pairs are never materialized (the SemDeDup
-    * scaling contract: grow k ∝ √n so cells stay O(√n)). */
+    * first for production corpora — the oracle-checked q_semdedup shows
+    * the full shape, ⌈√n⌉ cells refined by a Lloyd update, all in-plan),
+    * then mark the higher id of every within-cell pair at cosine ≥ `tau`
+    * as dropped. Returns one row per vector: (id, cell, is_dropped) —
+    * filter `!is_dropped` for the survivors. Cross-cell pairs are never
+    * materialized (the SemDeDup scaling contract: grow k ∝ √n so cells
+    * stay O(√n)). */
   def semDedup(vectors: DataFrame, k: Int = 8, tau: Double = 0.3,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val base = canon(vectors, id, vec)
@@ -217,7 +229,7 @@ object Vectors {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vid"), col("v"), col("n2"), col("cid").as("cell"))
-      .persist()
+      .trackedPersist()
     val cos = expr(
       "aggregate(zip_with(av, bv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, e) -> a + e)")
       .cast("double") / sqrt(col("an2").cast("double")) / sqrt(col("bn2").cast("double"))

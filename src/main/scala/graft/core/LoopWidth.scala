@@ -14,7 +14,19 @@ import org.apache.spark.sql.DataFrame
   * afterwards re-plan at the session width at action time.
   *
   * At 100 TB the same rule holds with a bigger constant: width ∝ the
-  * derived structure's size, never the corpus's. */
+  * derived structure's size, never the corpus's.
+  *
+  * CONCURRENCY CONTRACT: the width is set on the session's SQLConf, so
+  * it applies to EVERY plan that reaches an action on this SparkSession
+  * while the body runs — `scoped` assumes the single-threaded-driver
+  * model the queries()/Verify/Bench harness uses (one query at a time
+  * per session). A multi-threaded driver sharing one session must
+  * instead give the loop its own `spark.newSession()` (isolated SQLConf
+  * over the same shared state and cache) and run `scoped` there, so a
+  * corpus-sized plan on another thread can never plan its shuffles at
+  * the loop's narrow width. Corpus-sized subtrees inside the loop body
+  * itself must be materialized (persist + action) BEFORE entering the
+  * scope for the same reason. */
 object LoopWidth {
   def scoped[T](df: DataFrame, width: Int = 8)(body: => T): T = {
     val conf = df.sparkSession.conf

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{GQuery, Tables}
+import graft.core.{Caches, GQuery, Tables}
+import graft.core.Caches.TrackedOps
 import Qdsl._
 
 /** Warehouse-analytics operators a production deployment runs alongside the
@@ -103,32 +104,46 @@ object Analytics {
 
   // ------------------------------------------- Bloom-filter semi-join
 
-  /** Bloom filter bits (16384) and the three affine re-hashes of the
-    * portable 60-bit hash that index them. Words hold 62 bits so every
-    * mask stays a positive BIGINT on both engines (DuckDB raises on
-    * `1<<63`; 62 also dodges the sign bit). */
-  private val BloomM = 16384L
+  /** Bloom sizing floor (bits) and the three affine re-hashes of the
+    * portable 60-bit hash that index them. The filter is sized per build
+    * side — `max(16384, BloomBitsPerKey · n_keys)` — so the
+    * false-positive contract holds at ANY corpus size: with 3 hashes and
+    * 16 bits/key, FP ≈ (1−e^(−3/16))³ ≈ 0.5% whether the segment has 3k
+    * keys or 3 billion (a fixed m saturates past ~m/16 keys). Words hold
+    * 62 bits so every mask stays a positive BIGINT on both engines
+    * (DuckDB raises on `1<<63`; 62 also dodges the sign bit). */
+  private val BloomMinBits = 16384L
+  private val BloomBitsPerKey = 16L
   private val BloomHashes = Seq((31L, 7L), (131L, 17L), (1031L, 29L))
 
   /** Bloom-filter membership probe — the distributed semi-join reduction:
-    * build a 16384-bit / 3-hash Bloom filter over one segment's customer
-    * keys (a ~260-row word table that always broadcasts), probe every
-    * order with a map-side bitwise check, and report the census against
-    * exact membership (false positives counted, false negatives
-    * structurally impossible). At 100 TB this is how a selective join
-    * avoids shuffling the big side: the filter is data-sized-independent
-    * metadata, the probe never leaves the scan, and only survivors reach
-    * the real join — the same role Spark's own `InjectRuntimeFilter`
-    * bloom plays (asserted in ScaleShapeSpec), here as an explicit,
-    * mergeable operator (word rows OR-merge across shards). */
+    * build a build-side-sized / 3-hash Bloom filter over one segment's
+    * customer keys (a word table ~m/62 rows ≈ keys/4 that broadcasts),
+    * probe every order with a map-side bitwise check, and report the
+    * census against exact membership (false positives counted, false
+    * negatives structurally impossible). The bit width m is DERIVED
+    * IN-PLAN from a 1-row count of the build side (see [[BloomMinBits]])
+    * — no driver-side count at construction, and the FP rate no longer
+    * decays as the build side grows. At 100 TB this is how a selective
+    * join avoids shuffling the big side: the filter is
+    * probe-size-independent metadata, the probe never leaves the scan,
+    * and only survivors reach the real join — the same role Spark's own
+    * `InjectRuntimeFilter` bloom plays (asserted in ScaleShapeSpec),
+    * here as an explicit, mergeable operator (word rows OR-merge across
+    * shards). */
   def bloomMembership(s: SparkSession, dir: String): DataFrame = {
     val posCols = BloomHashes.map { case (a, b) =>
-      (hashMod(col("k")) * a + b) % BloomM
+      (hashMod(col("k")) * a + b) % col("m")
     }
     val keys = Tables.customer(s, dir)
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey").cast("string").as("k")).distinct()
-    val words = keys.select(explode(array(posCols: _*)).as("p"))
+    // m as a 1-row broadcast joined into BOTH the build and probe sides:
+    // the bits-track-keys contract without a construction-time job
+    val mDf = keys.agg(
+      greatest(lit(BloomMinBits), count(lit(1)) * BloomBitsPerKey).as("m"))
+    val words = keys.crossJoin(broadcast(mDf))
+      .select(explode(array(posCols: _*)).as("p"))
       .select(expr("p DIV 62").as("word"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 62 AS INT))").as("mask"))
       .groupBy(col("word")).agg(expr("bit_or(mask)").as("bloom"))
@@ -136,9 +151,10 @@ object Analytics {
     // slim shared projection, lazily cached: probe-bit generation, the
     // exact-membership check, and the probe census all read it
     val ord = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_custkey")).persist()
+      .select(col("o_orderkey"), col("o_custkey")).trackedPersist()
     val probeBits = ord
       .select(col("o_orderkey"), col("o_custkey").cast("string").as("k"))
+      .crossJoin(broadcast(mDf))
       .select(col("o_orderkey"), explode(array(posCols: _*)).as("p"))
       .select(col("o_orderkey"), expr("p DIV 62").as("word"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 62 AS INT))").as("mask"))
@@ -163,15 +179,16 @@ object Analytics {
     s"""WITH h AS (SELECT * FROM (VALUES $h) t(a, b)),
       |bkeys AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
       |          FROM customer WHERE c_mktsegment = 'BUILDING'),
-      |bp AS (SELECT ((CAST('0x' || substring(md5(k),1,15) AS BIGINT) % 1000000007) * a + b) % $BloomM AS p
-      |       FROM bkeys CROSS JOIN h),
+      |mm AS (SELECT GREATEST($BloomMinBits, $BloomBitsPerKey * COUNT(*)) AS m FROM bkeys),
+      |bp AS (SELECT ((CAST('0x' || substring(md5(k),1,15) AS BIGINT) % 1000000007) * a + b) % m AS p
+      |       FROM bkeys CROSS JOIN h CROSS JOIN mm),
       |words AS (SELECT p // 62 AS word,
       |            bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INT)) AS bloom
       |          FROM bp GROUP BY 1),
       |bits AS (SELECT CAST(SUM(bit_count(bloom)) AS BIGINT) AS n_bits_set FROM words),
       |pb AS (SELECT o_orderkey,
-      |         ((CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),1,15) AS BIGINT) % 1000000007) * a + b) % $BloomM AS p
-      |       FROM orders CROSS JOIN h),
+      |         ((CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),1,15) AS BIGINT) % 1000000007) * a + b) % m AS p
+      |       FROM orders CROSS JOIN h CROSS JOIN mm),
       |pw AS (SELECT o_orderkey, p // 62 AS word,
       |         CAST(1 AS BIGINT) << CAST(p % 62 AS INT) AS mask FROM pb),
       |pass AS (

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{GQuery, Tables}
+import graft.core.{Caches, GQuery, Tables}
+import graft.core.Caches.TrackedOps
 import Qdsl._
 
 /** Markup/graph text operators from the reference's WEX and network
@@ -237,7 +238,7 @@ object GraphText {
     // closing-edge set)
     val edges = raw
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
-      .distinct().persist()
+      .distinct().trackedPersist()
     val deg = edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val da = deg.select(col("v").as("a"), col("deg").as("dega"))
@@ -254,7 +255,7 @@ object GraphText {
       // pre-partitioned on the wedge-join key so both cached sides of the
       // self-join arrive co-partitioned (only the closing semi-join
       // re-keys, on (v, w))
-      .repartition(col("src")).persist()
+      .repartition(col("src")).trackedPersist()
     val e1 = oriented.select(col("src"), col("dk").as("k1"), col("dst").as("v"))
     val e2 = oriented.select(col("src"), col("dk").as("k2"), col("dst").as("w"))
     val wedges = e1.join(e2, Seq("src")).filter(col("k1") < col("k2"))

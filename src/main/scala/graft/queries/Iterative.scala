@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{GQuery, Tables}
+import graft.core.{Caches, GQuery, Tables}
+import graft.core.Caches.TrackedOps
 
 /** Iterative dataflows — the reference's chained-job pattern
   * (`job_spec_generators/pagerank.py:16-39`, `utils.py:71-79
@@ -204,7 +205,7 @@ object Iterative {
         posexplode(transform(col("embedding"),
           x => floor(x.cast("double") * 1000000).cast("long"))))
       .select(col("vec_id"), (col("pos") + 1).as("dim"), col("col").as("x"))
-      .persist()
+      .trackedPersist()
     val c0 = pts.filter(col("vec_id") < 10)
       .select(col("vec_id").as("cid"), col("dim"), col("x").as("cx"))
 

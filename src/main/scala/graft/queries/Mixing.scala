@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{GQuery, Tables}
+import graft.core.{Caches, GQuery, Tables}
 import Qdsl._
 
 /** Corpus-mixture shaping: temperature-flattened language sampling and
@@ -84,48 +84,46 @@ object Mixing {
     * Scale shape: the ranking is a RANGE-partitioned global sort (the
     * GraySort machinery — sampled boundaries, no single-reducer sort)
     * and the running total is one window cumsum over it; only (id,
-    * n_tok, lang) triples ever sort — never document text.
-    *
-    * NOTE: like q_text_lines, construction runs Spark jobs (the ranked
-    * triples materialize and the #partitions-row offset collect happens
-    * before the final plan exists) — plan-only callers pay that cost. */
+    * n_tok, lang) triples ever sort — never document text. Construction
+    * is job-free: the prefix offsets are an IN-PLAN window over the
+    * #partitions-row per-partition totals, not a driver collect. */
   def tokenBudget(s: SparkSession, dir: String): DataFrame = {
     val Budget = 10000L
     // DISTRIBUTED global cumsum — an unpartitioned window would drag the
     // whole corpus onto one task. Phase 1: range-partition by the global
     // order (sampled boundaries — the GraySort machinery) so partition i
     // holds ranks strictly before partition i+1. Phase 2: per-partition
-    // token totals (a #partitions-row collect, the boundary-broadcast
-    // pattern) become prefix offsets joined back broadcast. Phase 3: the
-    // cumsum window runs PER PARTITION, in parallel, offset by phase 2.
-    // The result is a function of the global order alone, so the sampled
-    // partition boundaries never affect the output.
-    val ranked = Tables.documents(s, dir)
+    // token totals become prefix offsets via an exclusive-prefix window
+    // over the #partitions-row total table (single-task, but over ~32
+    // rows of metadata — never corpus data) and broadcast back. Phase 3:
+    // the cumsum window runs PER PARTITION, in parallel, offset by
+    // phase 2. The result is a function of the global order alone, so
+    // the sampled partition boundaries never affect the output.
+    //
+    // The cache below is what makes pid well-defined: both the offset
+    // agg and the final join read the SAME materialized partitioning
+    // (two independent executions of repartitionByRange could sample
+    // different boundaries). First action materializes it; the harness
+    // drains it via Caches.release().
+    val ranked = Caches.tracked(Tables.documents(s, dir)
       .select(col("lang"), col("doc_id"),
         size(words(col("text"))).cast("long").as("n_tok"))
       .repartitionByRange(col("n_tok").desc, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .persist()
-    try {
-      val ptot = ranked.groupBy(col("pid")).agg(sum(col("n_tok")).as("ptot"))
-        .collect().map(r => r.getAs[Int]("pid") -> r.getAs[Long]("ptot"))
-        .sortBy(_._1)
-      val offsets = ptot.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
-        (pid, acc + tot)
-      }.init.zip(ptot).map { case ((_, off), (pid, _)) => (pid, off) }
-      val offDf = broadcast(
-        s.createDataFrame(offsets.toSeq).toDF("pid", "offset"))
-      val w = Window.partitionBy(col("pid"))
-        .orderBy(col("n_tok").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ranked.join(offDf, "pid")
-        .withColumn("cum", col("offset") + sum(col("n_tok")).over(w))
-        .filter(col("cum") - col("n_tok") < Budget) // straddler kept
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
-          min(col("n_tok")).as("min_tok"), sum(col("doc_id")).as("id_sum"))
-        .localCheckpoint(eager = true)
-    } finally ranked.unpersist()
+      .withColumn("pid", spark_partition_id()))
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = ranked.groupBy(col("pid")).agg(sum(col("n_tok")).as("ptot"))
+      .withColumn("offset", coalesce(sum(col("ptot")).over(wOff), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("n_tok").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.join(broadcast(offDf), "pid")
+      .withColumn("cum", col("offset") + sum(col("n_tok")).over(w))
+      .filter(col("cum") - col("n_tok") < Budget) // straddler kept
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("n_tok")).as("min_tok"), sum(col("doc_id")).as("id_sum"))
   }
 
   private val tokenBudgetSql =

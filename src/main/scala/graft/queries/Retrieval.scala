@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{GQuery, Tables}
+import graft.core.{Caches, GQuery, Tables}
+import graft.core.Caches.TrackedOps
 import Qdsl._
 
 /** Full-text retrieval scoring over the `documents` corpus — the search
@@ -41,7 +42,7 @@ object Retrieval {
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist()
+      .trackedPersist()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("ltot"))

@@ -7,7 +7,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{GQuery, Tables}
+import graft.core.{Caches, GQuery, Tables}
+import graft.core.Caches.TrackedOps
 import Qdsl._
 
 /** Similarity search over the `embeddings` table (64-dim float vectors):
@@ -125,7 +126,7 @@ object Similarity {
       val w = array((1 to DIM).map(d => lit(lshWeight(b, d))): _*)
       when(dot(w, col("v")) > 0, 1L << b).otherwise(0L)
     }
-    all.withColumn("bucket", bucketBits.reduce(_ + _)).persist()
+    all.withColumn("bucket", bucketBits.reduce(_ + _)).trackedPersist()
   }
 
   /** Drop over-cap buckets — see [[AnnBucketCap]]. The guard anti-joins
@@ -267,7 +268,7 @@ object Similarity {
   def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
     // lazily cached: the scaled vector table anchors both argmin passes
     // and the Lloyd update join (3 full references)
-    val all = vecs(s, dir).persist()
+    val all = vecs(s, dir).trackedPersist()
     val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
@@ -540,35 +541,55 @@ object Similarity {
   // ---------------------------------------------- semantic dedup (SemDeDup)
 
   /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023): vectors
-    * are clustered by a k-means-like coarse quantizer (the same 8 seed
-    * cells as [[annIvf]] — a production run trains them first, see
-    * [[annIvfTrained]]), then ONLY within-cluster pairs are checked for
+    * are clustered by a TRAINED coarse quantizer — k = ⌈√n⌉ seed cells
+    * refined by one integer-exact Lloyd update, the [[annIvfTrained]]
+    * machinery — then ONLY within-cluster pairs are checked for
     * cosine ≥ 0.3, and of each such pair the higher id is marked dropped
     * (keep-first canonicalization). Output is the per-cell census:
     * population, drops, dropped-id checksum.
     *
     * Scale shape — the reason SemDeDup exists: the cross-cluster pair
-    * space is never touched, so candidate volume is Σ cell², with k grown
-    * ∝ √n to keep cells O(√n); centers broadcast (k×dim rows), cell
-    * assignment is a map-side argmin, and the in-cell join is an
-    * equi-join on cell id that hash-partitions clusters across the
-    * fleet. The embedding-space analogue of q_dup_clusters' MinHash
-    * canonicalization. */
+    * space is never touched, so candidate volume is Σ cell², and k is
+    * not a constant but ⌈√n⌉ DERIVED IN-PLAN from a 1-row count
+    * aggregate (construction stays job-free), keeping expected cells
+    * O(√n) and total pair volume O(n^1.5) at any corpus size; centers
+    * broadcast (k×dim rows), cell assignment is a map-side argmin, and
+    * the in-cell join is an equi-join on cell id that hash-partitions
+    * clusters across the fleet. The embedding-space analogue of
+    * q_dup_clusters' MinHash canonicalization. */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
-    val all = vecs(s, dir)
-    val c = all.filter(col("vec_id") < 8)
+    // the vector table anchors the count, the seed filter, both argmin
+    // passes and the Lloyd join — cache it once for the whole pipeline
+    val all = Caches.tracked(vecs(s, dir))
+    // k = ceil(sqrt(n)) as a 1-row broadcast: the k-grows-with-n contract
+    // without a driver-side count() at construction time
+    val kDf = all.agg(
+      ceil(sqrt(count(lit(1)).cast("double"))).cast("long").as("kcells"))
+    val c0 = all.crossJoin(broadcast(kDf))
+      .filter(col("vec_id") < col("kcells"))
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-    // assignment feeds both pair-join sides and the census — persist so
-    // the argmin over 8 cells runs once
-    val assigned = all.join(broadcast(c))
-      .select(col("vec_id"), col("v"), col("n2"), col("cid"), d2.as("dist"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
-      .persist()
+    def argmin(centers: DataFrame): DataFrame =
+      all.join(broadcast(centers))
+        .select(col("vec_id"), col("v"), col("n2"), col("cid"), d2.as("dist"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+    // one Lloyd update over the seed assignment: per-dim integer mean,
+    // arrays rebuilt in dim order (identical to the annIvfTrained step)
+    val a1 = argmin(c0).select(col("vec_id"), col("cid"))
+    val c1 = all.join(a1, "vec_id")
+      .select(col("cid"), posexplode(col("v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(expr("SUM(col) DIV COUNT(*)").as("cx"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        e => e.getField("cx")).as("cv"))
+    // assignment against the TRAINED centers feeds both pair-join sides
+    // and the census — cache so the k-way argmin runs once
+    val assigned = Caches.tracked(argmin(c1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell")))
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(cosine(dot(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")) >= 0.3)
@@ -588,26 +609,41 @@ object Similarity {
       |  SELECT vec_id, $ivecSql AS v FROM embeddings),
       |n AS (
       |  SELECT vec_id, v, list_sum([v[i]*v[i] for i in range(1,${DIM + 1})]) AS n2 FROM iv),
-      |c AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
+      |kk AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS kcells FROM n),
+      |pts AS (
+      |  SELECT vec_id, t.dim, v[t.dim] AS x FROM n CROSS JOIN range(1, ${DIM + 1}) t(dim)),
+      |c0 AS (
+      |  SELECT vec_id AS cid, dim, x AS cx FROM pts CROSS JOIN kk WHERE vec_id < kcells),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT p.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY p.vec_id
+      |                         ORDER BY SUM((p.x-c.cx)*(p.x-c.cx)), c.cid) AS rn
+      |    FROM pts p JOIN c0 c ON p.dim = c.dim
+      |    GROUP BY p.vec_id, c.cid) t WHERE rn = 1),
+      |c1 AS (
+      |  SELECT cid, dim, SUM(x) // COUNT(*) AS cx
+      |  FROM pts JOIN a1 USING (vec_id) GROUP BY cid, dim),
       |d AS (
-      |  SELECT n.vec_id, n.v, n.n2, c.cid,
-      |    list_sum([(v[i]-cv[i])*(v[i]-cv[i]) for i in range(1,${DIM + 1})]) AS dist
-      |  FROM n CROSS JOIN c),
+      |  SELECT p.vec_id, c.cid, SUM((p.x-c.cx)*(p.x-c.cx)) AS dist
+      |  FROM pts p JOIN c1 c ON p.dim = c.dim
+      |  GROUP BY p.vec_id, c.cid),
       |assigned AS (
-      |  SELECT vec_id, v, n2, cid AS cell FROM (
-      |    SELECT vec_id, v, n2, cid,
-      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
       |    FROM d) t WHERE rn = 1),
+      |aj AS (
+      |  SELECT a.vec_id, a.cell, n.v, n.n2 FROM assigned a JOIN n USING (vec_id)),
       |dropped AS (
       |  SELECT DISTINCT b.vec_id
-      |  FROM assigned a JOIN assigned b
+      |  FROM aj a JOIN aj b
       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
       |  WHERE CAST(list_sum([a.v[i]*b.v[i] for i in range(1,${DIM + 1})]) AS DOUBLE)
       |      / sqrt(CAST(a.n2 AS DOUBLE)) / sqrt(CAST(b.n2 AS DOUBLE)) >= 0.3)
       |SELECT cell, COUNT(*) AS n_vectors,
       |  CAST(SUM(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
       |  CAST(SUM(CASE WHEN dr.vec_id IS NOT NULL THEN a.vec_id ELSE 0 END) AS BIGINT) AS dropped_id_sum
-      |FROM assigned a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
+      |FROM aj a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
       |GROUP BY cell""".stripMargin
 
   val defs: Seq[GQuery] = Seq(

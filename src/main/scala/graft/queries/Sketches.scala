@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{GQuery, Tables}
+import graft.core.{Caches, GQuery, Tables}
+import graft.core.Caches.TrackedOps
 import Qdsl._
 
 /** Deterministic sketch operators: HyperLogLog distinct estimation and
@@ -189,7 +190,7 @@ object Sketches {
     // (DataFrames do no common-subplan reuse)
     val u = Tables.events(s, dir)
       .filter(col("event_type").isin("click", "purchase"))
-      .select(col("event_type"), col("user_id")).distinct().persist()
+      .select(col("event_type"), col("user_id")).distinct().trackedPersist()
     def users(t: String): DataFrame =
       u.filter(col("event_type") === t).select(col("user_id"))
     // distinct over the HASHES: a 60-bit collision inside the bottom-k

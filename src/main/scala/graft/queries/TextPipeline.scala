@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{GQuery, Tables}
+import graft.core.{Caches, GQuery, Tables}
+import graft.core.Caches.TrackedOps
 import Qdsl._
 
 /** Training-data pipeline operators over the `documents` corpus: exact and
@@ -104,7 +105,7 @@ object TextPipeline {
     // the signature table feeds the band explode on both join sides;
     // lazily cache it so the shingle/md5 scan runs once per action while
     // plan-only callers (explain/schema probes) still trigger no job
-    val sig = minhashSig(docs).persist()
+    val sig = minhashSig(docs).trackedPersist()
     // each band row carries the full signature, so pair agreement is
     // computed inline on the bucket join — no second lookup join, and the
     // duplicate candidates from multi-band collisions collapse in the
@@ -207,7 +208,7 @@ object TextPipeline {
     * MinHash: band equi-join, never O(n²). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     // lazy cache: one fingerprint computation feeding both join sides
-    val sig = dedupSimhash(s, dir).persist()
+    val sig = dedupSimhash(s, dir).trackedPersist()
     val bands = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b => struct(lit(b).as("b"),
         (expr(s"shiftright(simhash, ${8 * b})") % 256).as("v"))): _*)).as("bk"))
@@ -458,7 +459,7 @@ object TextPipeline {
     val tf = d.select(col("doc_id"), explode(ws).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-      .persist()
+      .trackedPersist()
     val df = tf.groupBy(col("word"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1219,7 +1220,7 @@ object TextPipeline {
         explode(expr("transform(sequence(1, size(w) - 1), " +
           "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))")).as("b"))
       .withColumn("w1", substring_index(col("b"), " ", 1))
-      .persist()
+      .trackedPersist()
     val c2 = bg.groupBy(col("b")).agg(count(lit(1)).as("n2"))
       .withColumn("w1", substring_index(col("b"), " ", 1))
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
@@ -1371,7 +1372,7 @@ object TextPipeline {
         hash60(col("text")).as("h"))
       .withColumn("n_tok", size(col("w")).cast("long"))
       .withColumn("q", col("n_tok") >= 10)
-      .persist()
+      .trackedPersist()
     // keep-first exact dedup among quality survivors
     val first = docs.filter(col("q"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))

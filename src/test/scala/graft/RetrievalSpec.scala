@@ -28,8 +28,9 @@ class RetrievalSpec extends SparkSpec {
   test("semdedup census partitions the vector set and bounds drops") {
     val out = Similarity.semDedup(spark, sfDir).persist()
     try {
-      assert(out.count() <= 8) // at most k cells
       val total = graft.core.Tables.embeddings(spark, sfDir).count()
+      // at most k = ceil(sqrt(n)) trained cells (the in-plan k contract)
+      assert(out.count() <= math.ceil(math.sqrt(total.toDouble)).toLong)
       val sums = out.agg(sum(col("n_vectors")).as("nv"),
         sum(col("n_dropped")).as("nd")).collect().head
       assert(sums.getAs[Long]("nv") == total,
