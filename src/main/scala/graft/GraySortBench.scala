@@ -7,23 +7,41 @@ import org.apache.spark.sql.{SparkSession, functions => F}
 
 import graft.sources.ThemisKV
 
-/** GraySort throughput measurement on the reference's native format —
-  * the baseline-comparable number: TritonSort's published Indy GraySort
-  * run is ~916 GB/min across 52 nodes (~17.6 GB/min/node, 2011 hardware;
-  * BASELINE.md). This main generates N 100-byte gensort-style records
-  * (10-byte keys), lands them as fixed-width binary, then TIMES the 2-IO
-  * pipeline the reference defines: disk read (record-aligned DSv2
-  * splits) → sample-based range partition → in-partition sort → disk
-  * write, followed by an untimed valsort-style validation (count +
-  * global boundary order).
+/** GraySort / MinuteSort throughput measurement on the reference's
+  * native format — the baseline-comparable numbers: TritonSort's
+  * published Indy GraySort run is ~916 GB/min across 52 nodes
+  * (~17.6 GB/min/node, 2011 hardware; BASELINE.md), and its MinuteSort
+  * entry is the same pipeline in the 1-IO regime (single pass, shuffle
+  * fetched to RAM, no intermediate materialization — the reference's
+  * mapreduce/minute_sort.cc vs the 2-IO phase-one/phase-two GraySort).
+  * This main generates N 100-byte gensort-style records (10-byte keys),
+  * lands them as fixed-width binary, then TIMES the pipeline: disk read
+  * (record-aligned DSv2 splits) → sample-based range partition →
+  * in-partition sort → disk write, followed by an untimed valsort-style
+  * validation (count + global boundary order).
+  *
+  * SPARK_GRAYSORT_MODE=minute additionally PROVES the 1-IO property
+  * from the run's own task metrics rather than assuming it:
+  *   - diskBytesSpilled == 0 across every task — the in-partition sort
+  *     and the shuffle fetch ran entirely in RAM (no external-sort
+  *     pass, the MinuteSort regime);
+  *   - shuffle records written == shuffle records read == N — every
+  *     record crossed the exchange exactly once (single-pass; a
+  *     multi-pass/merge plan would re-shuffle);
+  * and reports whether the sort landed inside the 60 s MinuteSort
+  * window. Spark's sort-shuffle always MATERIALIZES shuffle blocks via
+  * the filesystem; in the RAM regime they never reach the device (page
+  * cache), and the spill assertion is what certifies no task needed
+  * more than memory — the honest Spark statement of "fetch-to-memory".
   *
   * SPARK_GRAYSORT_GB sizes the run (default 2). Prints one JSON line:
-  * {"metric":"graysort_gb_per_min", ...}.
+  * {"metric":"graysort_gb_per_min"|"minutesort_gb_per_min", ...}.
   */
 object GraySortBench {
   def main(args: Array[String]): Unit = {
     val gb = sys.env.getOrElse("SPARK_GRAYSORT_GB", "2").toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val minute = sys.env.get("SPARK_GRAYSORT_MODE").exists(_ == "minute")
     val n = (gb * 1e9 / 100).toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,9 +52,36 @@ object GraySortBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // task-metrics accumulation for the minute-mode 1-IO proof
+    // (registered AFTER setup so the generator's repartition shuffle is
+    // not counted; listener delivery is async, so minute mode settles
+    // the counters after the timed action before asserting)
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    val shufWriteRecs = new java.util.concurrent.atomic.AtomicLong
+    val shufReadRecs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          spillBytes.addAndGet(m.diskBytesSpilled)
+          shufWriteRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          shufReadRecs.addAndGet(m.shuffleReadMetrics.recordsRead)
+        }
+      }
+    }
+
     val base = java.nio.file.Files.createTempDirectory("graysort_bench").toString
     val inDir = s"$base/in"
     val outDir = s"$base/out"
+    // input+output is 2× the run size on disk — always reclaim it, even
+    // when a regime assertion aborts the run mid-way
+    def rmrf(p: java.io.File): Unit = {
+      val kids = p.listFiles()
+      if (kids != null) kids.foreach(rmrf)
+      p.delete(); ()
+    }
+    sys.addShutdownHook(rmrf(new java.io.File(base)))
 
     // ---- untimed setup: deterministic gensort-style generation + land
     val gen = spark.range(n).mapPartitions { it =>
@@ -58,7 +103,8 @@ object GraySortBench {
     }.toDF()
     ThemisKV.writeFixed(gen.repartition(cpus.toInt), inDir, 100, 10)
 
-    // ---- timed: read → range partition on key → sort → write (the 2-IO path)
+    // ---- timed: read → range partition on key → sort → write
+    if (minute) spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
     val sorted = spark.read.format("graft-fixed")
       .option("record.length", 100).option("key.length", 10)
@@ -67,6 +113,27 @@ object GraySortBench {
       .sortWithinPartitions(F.col("key"))
     ThemisKV.writeFixed(sorted, outDir, 100, 10)
     val secs = (System.nanoTime() - t0) / 1e9
+
+    // ---- minute mode: settle async listener delivery, then PROVE 1-IO
+    if (minute) {
+      var last = -1L
+      var settled = 0
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (settled < 3 && System.nanoTime() < deadline) {
+        val cur = shufWriteRecs.get + shufReadRecs.get + spillBytes.get
+        if (cur == last) settled += 1 else { settled = 0; last = cur }
+        Thread.sleep(100)
+      }
+      spark.sparkContext.removeSparkListener(listener)
+      require(spillBytes.get == 0L,
+        s"1-IO violated: ${spillBytes.get} bytes spilled to disk " +
+          "(sort/fetch did not fit in RAM — this run is in the GraySort " +
+          "regime, not MinuteSort; shrink SPARK_GRAYSORT_GB)")
+      require(shufWriteRecs.get == n && shufReadRecs.get == n,
+        s"single-pass violated: shuffle wrote ${shufWriteRecs.get} / " +
+          s"read ${shufReadRecs.get} records for $n inputs " +
+          "(every record must cross the exchange exactly once)")
+    }
 
     // ---- untimed valsort-style checks: count + a REAL global-order proof
     // (each output split internally sorted + split key-ranges pairwise
@@ -117,7 +184,10 @@ object GraySortBench {
 
     val gbSorted = n * 100.0 / 1e9
     val rate = gbSorted / (secs / 60.0)
-    println(f"""{"metric":"graysort_gb_per_min","value":$rate%.2f,"gb":$gbSorted%.2f,"sec":$secs%.2f,"records":$n,"cpus":$cpus}""")
+    if (minute)
+      println(f"""{"metric":"minutesort_gb_per_min","value":$rate%.2f,"gb":$gbSorted%.2f,"sec":$secs%.2f,"under_minute":${secs <= 60.0},"spill_bytes":0,"shuffle_records":$n,"records":$n,"cpus":$cpus}""")
+    else
+      println(f"""{"metric":"graysort_gb_per_min","value":$rate%.2f,"gb":$gbSorted%.2f,"sec":$secs%.2f,"records":$n,"cpus":$cpus}""")
     spark.stop()
   }
 }
