@@ -300,6 +300,12 @@ object GraphText {
   private val KCore = 3L
   private val KCoreRounds = 4
 
+  /** k = 7 sits in the power-law graph's cascade band (k ≤ 4 barely
+    * peels, k ≥ 10 empties the core); 8 rounds cover the 6 non-trivial
+    * peels at sf0.01 plus two converged rounds that pin the fixpoint. */
+  private val KCorePowerlawK = 7L
+  private val KCorePowerlawRounds = 8
+
   /** k-core decomposition by iterative peeling (k = 3, 4 rounds): each
     * round drops every node of degree < k and the edges touching it; the
     * surviving subgraph after convergence is the 3-core — the dense
@@ -325,10 +331,40 @@ object GraphText {
         (col("event_id") % 4000 + 4000).as("b"))
       .distinct()
       .localCheckpoint(eager = true)
-    graft.core.LoopWidth.scoped(e0) { kcoreLoop(e0) }
+    graft.core.LoopWidth.scoped(e0) { kcoreLoop(e0, KCore, KCoreRounds) }
   }
 
-  private def kcoreLoop(e0: DataFrame): DataFrame = {
+  /** k-core on a HEAVY-TAILED graph — the multi-round peel exercise the
+    * bipartite slice above cannot provide (its near-uniform degrees
+    * converge in one bite; documented there). The graph is the
+    * power-law generator's degree sequence with explicit hash targets
+    * (outdeg(i) = max(1, 400/(1+h(i) mod 400)), dst = h(i‖j) mod 2000,
+    * undirected, deduped), and k = 7 sits inside the cascade band:
+    * removing the first wave of sub-7 nodes drags hub degrees down and
+    * triggers 6 successive non-trivial peels before the 1227-node
+    * 7-core stabilizes (at sf0.01; smaller fixtures cascade to an empty
+    * core). Every intermediate round is oracle-pinned, so the
+    * round-over-round trajectory — not just the fixpoint — is checked. */
+  def kcorePowerlaw(s: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.part(s, dir)
+      .select((col("p_partkey") % 2000).as("i")).distinct()
+    val e0 = nodes.select(col("i"), hashMod(col("i")).as("h"))
+      .select(col("i"),
+        greatest(lit(1L), expr("400 DIV (h % 400 + 1)")).as("outdeg"))
+      .select(col("i"),
+        explode(transform(sequence(lit(0), col("outdeg") - 1),
+          j => hashMod(concat_ws("_", col("i"), j)) % lit(2000))).as("dst"))
+      .filter(col("i") =!= col("dst"))
+      .select(least(col("i"), col("dst")).as("a"),
+        greatest(col("i"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    graft.core.LoopWidth.scoped(e0) {
+      kcoreLoop(e0, KCorePowerlawK, KCorePowerlawRounds)
+    }
+  }
+
+  private def kcoreLoop(e0: DataFrame, k: Long, rounds: Int): DataFrame = {
     var edges = e0
     def census(round: Int, e: org.apache.spark.sql.DataFrame) =
       e.select(explode(array(col("a"), col("b"))).as("v"))
@@ -338,10 +374,10 @@ object GraphText {
         .select(lit(round.toLong).as("round"), col("n_nodes"),
           col("n_edges"), col("node_id_sum"))
     var out = census(0, edges)
-    for (r <- 1 to KCoreRounds) {
+    for (r <- 1 to rounds) {
       val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("dg"))
-      val keep = deg.filter(col("dg") >= KCore).select(col("v"))
+      val keep = deg.filter(col("dg") >= k).select(col("v"))
       edges = edges
         .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
@@ -352,32 +388,48 @@ object GraphText {
     out
   }
 
-  private val kcoreSql = {
-    val rounds = (1 to KCoreRounds).map { r =>
+  /** The peel-trajectory oracle, shared by both k-core variants: one
+    * degree/keep/semi-join CTE triple per round over `e0Sql`'s edge
+    * list, censused at every round. */
+  private def kcoreTrajectorySql(e0Sql: String, k: Long, nRounds: Int)
+      : String = {
+    val rounds = (1 to nRounds).map { r =>
       s"""d$r AS (SELECT v, COUNT(*) AS dg FROM (
         |    SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) t
         |  GROUP BY v),
-        |k$r AS (SELECT v FROM d$r WHERE dg >= $KCore),
-        |e$r AS (SELECT e.a, e.b FROM e${r - 1} e
+        |k$r AS (SELECT v FROM d$r WHERE dg >= $k),
+        |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
         |  SEMI JOIN k$r x ON e.a = x.v
         |  SEMI JOIN k$r y ON e.b = y.v)""".stripMargin
     }.mkString(",\n")
-    val census = (0 to KCoreRounds).map { r =>
+    val census = (0 to nRounds).map { r =>
       s"""SELECT CAST($r AS BIGINT) AS round,
         |  COUNT(DISTINCT v) AS n_nodes,
         |  CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
         |  COALESCE(CAST(SUM(DISTINCT v) AS BIGINT), 0) AS node_id_sum
         |FROM (SELECT a AS v FROM e$r UNION ALL SELECT b FROM e$r) t""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH e0 AS (
-      |  SELECT DISTINCT user_id % 4000 AS a, event_id % 4000 + 4000 AS b
-      |  FROM events),
+    s"""WITH e0 AS MATERIALIZED (
+      |$e0Sql),
       |$rounds
       |$census""".stripMargin
   }
 
+  private val kcoreSql = kcoreTrajectorySql(
+    """  SELECT DISTINCT user_id % 4000 AS a, event_id % 4000 + 4000 AS b
+      |  FROM events""".stripMargin, KCore, KCoreRounds)
+
+  private val kcorePowerlawSql = kcoreTrajectorySql(
+    """  SELECT DISTINCT LEAST(i, dst) AS a, GREATEST(i, dst) AS b FROM (
+      |    SELECT i, CAST('0x' || substring(md5(CAST(i AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)),1,15) AS BIGINT) % 1000000007 % 2000 AS dst
+      |    FROM (SELECT i, GREATEST(1, 400 // (CAST('0x' || substring(md5(CAST(i AS VARCHAR)),1,15) AS BIGINT) % 1000000007 % 400 + 1)) AS outdeg
+      |          FROM (SELECT DISTINCT p_partkey % 2000 AS i FROM part))
+      |    CROSS JOIN range(400) j(j) WHERE j.j < outdeg)
+      |  WHERE i <> dst""".stripMargin, KCorePowerlawK, KCorePowerlawRounds)
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q_kcore", kcore, Some(kcoreSql)),
+    GQuery("q_kcore_powerlaw", kcorePowerlaw, Some(kcorePowerlawSql)),
     GQuery("q_link_extract", linkExtract, Some(linkExtractSql)),
     GQuery("q_triangles", triangles, Some(trianglesSql), headline = true),
     GQuery("q_wex_text", wexText, Some(wexTextSql)),

@@ -697,6 +697,103 @@ object TextPipeline {
     }
   }
 
+  /** Connected components by LARGE-STAR / SMALL-STAR rewriting (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC '14) —
+    * the third components variant: instead of propagating labels over a
+    * FIXED edge list (hash-min, pointer doubling), each round REWRITES
+    * the edge list itself toward a forest of stars centered at the
+    * component minima. Large-star re-hangs every neighbor LARGER than u
+    * onto m(u) = min(Γ(u) ∪ {u}); small-star re-hangs the smaller
+    * neighbors (and u itself) onto m(u). Both ops preserve connectivity
+    * and never grow the edge count, and the pair converges in
+    * O(log² n) rounds. Where this wins at 100 TB: pointer doubling
+    * carries a node-sized jump table through every round, while star
+    * state is the CURRENT edge list, which SHRINKS as stars form — the
+    * variant of choice when components are large and edge-dominated.
+    * Per round each op is one groupBy-min plus one join, edge-
+    * proportional, at the dup-graph loop width. */
+  private[graft] def starComponents(
+      nodes: DataFrame, pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    val edges = dupEdges(pairs)
+    try graft.core.LoopWidth.scoped(nodes, DupLoopWidth) {
+      starComponentsLoop(nodes, edges, maxIters)
+    } finally edges.unpersist()
+  }
+
+  private def starComponentsLoop(
+      nodes: DataFrame, edges: DataFrame, maxIters: Int): DataFrame = {
+    // the label universe is V(E) of the INPUT graph (star rounds rewrite
+    // the edge list, so the final list names only star endpoints);
+    // `edges` arrives symmetrized, so src alone covers every endpoint
+    val vset = edges.select(col("src").as("doc_id")).distinct()
+      .localCheckpoint(eager = true)
+    // canonical undirected pairs (a < b); input has no self-loops
+    var e = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var last = (-1L, -1L)
+    var iters = 0
+    while (iters < maxIters) {
+      // LARGE-STAR over symmetric neighborhoods: v > u re-hangs onto
+      // m(u); m(u) ≤ u < v keeps the output canonical and loop-free
+      val sym = e.select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("x"))
+        .select(col("x.u").as("u"), col("x.v").as("v"))
+      val mL = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val e1 = sym.filter(col("v") > col("u"))
+        .join(mL.hint("shuffle_hash"), "u")
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+      // SMALL-STAR over canonical pairs, grouped at the LARGER endpoint:
+      // its strictly-smaller neighbors (and itself) re-hang onto the
+      // minimum one; m < every emitted partner, canonical again
+      val mS = e1.groupBy(col("b")).agg(min(col("a")).as("m"))
+      val e2 = e1.join(mS.hint("shuffle_hash"), "b")
+        .filter(col("a") =!= col("m"))
+        .select(col("m").as("a"), col("a").as("b"))
+        .union(mS.select(col("m").as("a"), col("b")))
+        .distinct()
+        .localCheckpoint(eager = true)
+      e = e2
+      iters += 1
+      // fixpoint probe: one tiny agg per round. A (count, checksum)
+      // collision could only stop EARLY on a non-fixpoint — the census
+      // oracle (exact transitive closure) would catch that; rounds only
+      // rewrite monotonically toward stars, they never oscillate.
+      val row = e.agg(count(lit(1)),
+        coalesce(sum(col("a") * 1000003L + col("b")), lit(0L))).head()
+      val sig = (row.getLong(0), row.getLong(1))
+      if (sig == last || sig._1 == 0L) iters = maxIters
+      else last = sig
+    }
+    // at the fixpoint every canonical edge is (center, member): a
+    // member's label is its (unique) center, a center labels itself
+    val memberLbl = e.groupBy(col("b")).agg(min(col("a")).as("lbl"))
+      .select(col("b").as("doc_id"), col("lbl"))
+    nodes.join(vset.join(memberLbl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("lbl")),
+      Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
+  }
+
+  /** [[dupClusters]] computed by star rewriting — census-identical to
+    * the other two variants at any diameter, oracle = the exact
+    * transitive closure (shared with [[dupClustersConverged]]). */
+  def dupClustersStar(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(s, dir)
+      .filter(col("n_match") >= 6)
+      .select(col("doc_a"), col("doc_b"))
+    val nodes = Tables.documents(s, dir).select(col("doc_id"))
+    starComponents(nodes, pairs)
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .select(col("lbl").as("cluster_rep"), col("n_docs"), col("id_sum"))
+  }
+
   /** [[dupClusters]] computed by the converging production variant.
     * Its oracle is NOT the 5-round unrolling (that would silently
     * disagree on any component whose node sits > 5 hash-min hops from
@@ -1482,6 +1579,7 @@ object TextPipeline {
     GQuery("q_sample_group", sampleGroup, Some(sampleGroupSql)),
     GQuery("q_dup_clusters", dupClusters, Some(dupClustersSql), headline = true),
     GQuery("q_dup_clusters_conv", dupClustersConverged, Some(dupClustersConvSql)),
+    GQuery("q_dup_clusters_star", dupClustersStar, Some(dupClustersConvSql)),
     GQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     GQuery("q_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     GQuery("q_redact", redact, Some(redactSql)),

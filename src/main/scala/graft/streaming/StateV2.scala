@@ -48,4 +48,41 @@ object StateV2 {
       .transformWithState(new QuotaProcessor(step), TimeMode.None(),
         OutputMode.Append(), Encoders.product[QuotaCrossing])
   }
+
+  /** [[QuotaProcessor]] with a processing-time TTL on the per-user
+    * counter: a user idle longer than `ttlMillis` has its state EVICTED
+    * by the store, so the next event starts the count from zero — the
+    * state-boundedness contract for churning key populations (state size
+    * tracks ACTIVE users, not all users ever seen). Eviction is enforced
+    * by the state store, not processor code: an expired value simply
+    * stops being returned by `exists()`/`get()`. Spec-driven past its
+    * TTL in StateV2Spec. */
+  class TtlQuotaProcessor(step: Long, ttlMillis: Long)
+      extends StatefulProcessor[Long, QuotaEvent, QuotaCrossing] {
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(ttlMillis)))
+
+    override def handleInputRows(key: Long, rows: Iterator[QuotaEvent],
+        timers: TimerValues): Iterator[QuotaCrossing] = {
+      val prev = if (count.exists()) count.get() else 0L
+      val next = prev + rows.size
+      count.update(next)
+      ((prev / step + 1) to (next / step))
+        .map(k => QuotaCrossing(key, k * step, next)).iterator
+    }
+  }
+
+  /** TTL'd quota stream — TimeMode must be ProcessingTime for the store
+    * to stamp and expire values. */
+  def quotaStreamTtl(events: Dataset[QuotaEvent], step: Long,
+      ttlMillis: Long): Dataset[QuotaCrossing] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TtlQuotaProcessor(step, ttlMillis),
+        TimeMode.ProcessingTime(), OutputMode.Append(),
+        Encoders.product[QuotaCrossing])
+  }
 }

@@ -60,6 +60,33 @@ class DupClustersSpec extends SparkSpec {
     assert(b.exceptAll(a).count() == 0)
   }
 
+  test("star rewriting labels a long path inside its O(log^2 n) budget") {
+    // 200-path: hash-min would need 199 rounds; large-star/small-star
+    // must collapse it to a single star within the 30-round default
+    val nodes = (0L until 200L)
+    val path = (0L until 199L).map(i => (i, i + 1))
+    val lbl = TextPipeline.starComponents(
+      nodes.toDF("doc_id"), path.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nodes.forall(lbl(_) == 0L),
+      "star fixpoint must label the whole 200-path with its minimum")
+    // two components + singletons: labels stay within each component
+    val two = TextPipeline.starComponents(
+      (0L to 6L).toDF("doc_id"),
+      Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(two(_) == 1L))
+    assert(Seq(4L, 5L).forall(two(_) == 4L))
+    assert(two(0L) == 0L && two(6L) == 6L)
+  }
+
+  test("star and converged variants agree on the corpus census") {
+    val a = TextPipeline.dupClustersStar(spark, sfDir)
+    val b = TextPipeline.dupClustersConverged(spark, sfDir)
+    assert(a.exceptAll(b).count() == 0)
+    assert(b.exceptAll(a).count() == 0)
+  }
+
   test("census over the corpus partitions all documents") {
     val out = TextPipeline.dupClusters(spark, sfDir)
     val total = out.agg(sum(col("n_docs"))).head().getLong(0)

@@ -47,4 +47,72 @@ class StateV2Spec extends SparkSpec {
       }
     }
   }
+
+  test("TTL actually evicts idle state between batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // TimeMode.ProcessingTime makes the engine schedule continuous
+    // timer-sweep micro-batches (even under AvailableNow the stateful
+    // operator keeps requesting another batch), so a long-lived query
+    // never quiesces for processAllAvailable — drive each batch as its
+    // own single-batch (Trigger.Once) run over a shared checkpoint
+    // instead: state and value expirations live in RocksDB across
+    // restarts, and an expired value is filtered at get() time no
+    // matter which run wrote it.
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ttl_ckpt").toString
+    val input = MemoryStream[QuotaEvent]
+    // memory sink cannot RECOVER from a checkpoint, so crossings are
+    // collected via foreachBatch (which can)
+    val crossings =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]
+    def runBatch(): Unit = {
+      val q = StateV2.quotaStreamTtl(input.toDS(), step = 5, ttlMillis = 1000)
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[StateV2.QuotaCrossing], _: Long) =>
+            df.collect().foreach(c =>
+              crossings.add((c.user_id, c.threshold, c.total)))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      assert(q.awaitTermination(120000), "single-batch run did not finish")
+    }
+    try {
+      // run 1: 4 events — below the quota, no crossing, state = 4
+      input.addData((1 to 4).map(_ => QuotaEvent(1L, 1.0)): _*)
+      runBatch()
+      // idle past the 1 s TTL: the counter must be evicted
+      Thread.sleep(3000)
+      // run 2: 4 more. With state EVICTED the count restarts at 4 (no
+      // crossing). If TTL were inert, the carried 4 would make 8 and
+      // wrongly emit the threshold-5 crossing here with total 8.
+      input.addData((1 to 4).map(_ => QuotaEvent(1L, 1.0)): _*)
+      runBatch()
+      // run 3 immediately (inside the TTL): +2 → 6, crossing at 5 —
+      // proving post-eviction state accumulates again
+      input.addData((1 to 2).map(_ => QuotaEvent(1L, 1.0)): _*)
+      runBatch()
+
+      val got = {
+        val it = crossings.iterator()
+        val b = Set.newBuilder[(Long, Long, Long)]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      val want = Set((1L, 5L, 6L))
+      assert(got == want,
+        s"expected eviction then fresh accumulation ($want), got $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

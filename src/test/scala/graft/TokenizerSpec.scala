@@ -102,6 +102,29 @@ class TokenizerSpec extends SparkSpec {
       assert(p.getAs[Long]("n_edges") == n.getAs[Long]("n_edges")) }
   }
 
+  test("power-law kcore actually cascades: multiple non-trivial peels") {
+    val out = graft.queries.GraphText.kcorePowerlaw(spark, sfDir)
+      .orderBy(col("round")).collect()
+    assert(out.length == 9)
+    // monotone like the bipartite variant
+    out.sliding(2).foreach { case Array(p, n) =>
+      assert(n.getAs[Long]("n_nodes") <= p.getAs[Long]("n_nodes"))
+      assert(n.getAs[Long]("n_edges") <= p.getAs[Long]("n_edges"))
+    }
+    // the property the uniform graph can't provide: at least TWO rounds
+    // each remove a nonzero set (a cascade — round 2's removals are
+    // CAUSED by round 1's, so rounds ≥ 2 of the loop run against real
+    // shrinkage, not a converged fixpoint)
+    val shrinks = out.sliding(2).count { case Array(p, n) =>
+      n.getAs[Long]("n_nodes") < p.getAs[Long]("n_nodes") }
+    assert(shrinks >= 2,
+      s"expected a multi-round peel cascade, got $shrinks shrinking rounds")
+    // and the trajectory converges within the round budget
+    val last2 = out.takeRight(2)
+    assert(last2(0).getAs[Long]("n_edges") == last2(1).getAs[Long]("n_edges"),
+      "peel did not converge within the round budget")
+  }
+
   test("k-anonymity census bounds risk rows by class counts") {
     val rows = graft.queries.Analytics.kAnonymity(spark, sfDir).collect()
     assert(rows.nonEmpty)
