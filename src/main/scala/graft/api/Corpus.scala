@@ -152,6 +152,30 @@ object Corpus {
       .withColumnRenamed("doc_id", id)
   }
 
+  /** Temperature-flattened mixture sampling (α = 0.5, the mT5/XLM-R
+    * recipe) over any frame: each `group`'s keep rate is
+    * 1000·√(n_min/n_group) per-mille — the smallest group is kept whole,
+    * larger ones are √-flattened — and the per-row draw is the engine's
+    * derandomized hash threshold on `id`, so the drawn sample is
+    * identical on any rerun, engine, or cluster layout. Returns the kept
+    * rows with the input schema. Scale shape: group counts are one tiny
+    * aggregation (∝ groups), the rate table joins back group-keyed (AQE
+    * broadcasts it at any corpus size), the draw never shuffles. The
+    * oracle-checked census form is q_temperature_mix. */
+  def temperatureSample(df: DataFrame, group: String,
+      id: String = "doc_id"): DataFrame = {
+    val counts = df.groupBy(col(group)).agg(count(lit(1)).as("__n"))
+    val rates = counts.crossJoin(counts.agg(min(col("__n")).as("__n_min")))
+      .select(col(group),
+        least(lit(1000L),
+          floor(sqrt(col("__n_min").cast("double") / col("__n").cast("double"))
+            * 1000.0).cast("long")).as("__rate_pm"))
+    df.join(rates, group)
+      .filter(Qdsl.hashMod(col(id)) % 1000 < col("__rate_pm"))
+      .drop("__rate_pm")
+      .select(df.columns.map(col): _*)
+  }
+
   /** Overlapping context-window chunking: (doc, chunk_idx, chunk,
     * n_tokens) rows, `window` tokens at `stride` — scan-local
     * sequence+explode, no shuffle. */

@@ -511,7 +511,7 @@ object Analytics {
     GQuery("q_bloom_membership", bloomMembership, Some(bloomMembershipSql),
       headline = true),
     GQuery("q_bfs_hops", bfsHops, Some(bfsHopsSql)),
-    GQuery("q_sssp", sssp, Some(ssspSql)),
+    GQuery("q_sssp", sssp, Some(ssspSql), headline = true),
     GQuery("q_salted_agg", saltedAgg, Some(saltedAggSql)),
     GQuery("q_trend_fit", trendFit, Some(trendFitSql)),
     GQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql),

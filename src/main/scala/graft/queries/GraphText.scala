@@ -429,7 +429,7 @@ object GraphText {
 
   val defs: Seq[GQuery] = Seq(
     GQuery("q_kcore", kcore, Some(kcoreSql)),
-    GQuery("q_kcore_powerlaw", kcorePowerlaw, Some(kcorePowerlawSql)),
+    GQuery("q_kcore_powerlaw", kcorePowerlaw, Some(kcorePowerlawSql), headline = true),
     GQuery("q_link_extract", linkExtract, Some(linkExtractSql)),
     GQuery("q_triangles", triangles, Some(trianglesSql), headline = true),
     GQuery("q_wex_text", wexText, Some(wexTextSql)),

@@ -1579,7 +1579,7 @@ object TextPipeline {
     GQuery("q_sample_group", sampleGroup, Some(sampleGroupSql)),
     GQuery("q_dup_clusters", dupClusters, Some(dupClustersSql), headline = true),
     GQuery("q_dup_clusters_conv", dupClustersConverged, Some(dupClustersConvSql)),
-    GQuery("q_dup_clusters_star", dupClustersStar, Some(dupClustersConvSql)),
+    GQuery("q_dup_clusters_star", dupClustersStar, Some(dupClustersConvSql), headline = true),
     GQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     GQuery("q_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     GQuery("q_redact", redact, Some(redactSql)),

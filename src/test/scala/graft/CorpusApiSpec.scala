@@ -135,6 +135,26 @@ class CorpusApiSpec extends SparkSpec {
     assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
   }
 
+  test("temperature sampling flattens groups and keeps the smallest whole") {
+    import spark.implicits._
+    // 400 docs in lang a, 4 in lang b: sqrt-flattening keeps b whole
+    // (rate 1000‰) and samples a at ~sqrt(4/400) = 100‰
+    val df = ((1L to 400L).map(i => (i, "a")) ++
+      (1001L to 1004L).map(i => (i, "b"))).toDF("my_id", "group_col")
+    val kept = Corpus.temperatureSample(df, group = "group_col", id = "my_id")
+    assert(kept.filter(col("group_col") === "b").count() == 4,
+      "smallest group must be kept whole")
+    val keptA = kept.filter(col("group_col") === "a").count()
+    // derandomized hash draw at 100 per-mille over 400 ids: around 40,
+    // generous band for hash dispersion
+    assert(keptA >= 15 && keptA <= 75, s"flattened keep-count off: $keptA")
+    // deterministic: same call, same sample
+    val again = Corpus.temperatureSample(df, group = "group_col", id = "my_id")
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+    // schema passthrough: no helper columns leak
+    assert(kept.columns.toSeq == df.columns.toSeq)
+  }
+
   test("semDedup drops the later of two near-identical vectors only") {
     import spark.implicits._
     val vecs = Seq(
