@@ -193,4 +193,13 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"in-cell pairing must stay an equi-join on cell id:\n$p")
   }
+
+  test("token budget: range-partitioned global order, no cartesian") {
+    val p = plan(graft.queries.Mixing.tokenBudget(spark, sfDir))
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"the global order must be a sampled range partition (GraySort " +
+        s"machinery), not a single-task sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row/#partitions-row side tables must broadcast:\n$p")
+  }
 }
