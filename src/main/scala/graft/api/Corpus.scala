@@ -176,6 +176,37 @@ object Corpus {
       .select(df.columns.map(col): _*)
   }
 
+  /** Reciprocal-rank fusion of any number of ranked candidate lists —
+    * the calibration-free way to combine retrieval towers (BM25 +
+    * dense, multiple indexes, query rewrites). Each input frame carries
+    * (`query`, `id`, `rank`) rows; a candidate's fused score is
+    * Σ 1/(k + rank) over the lists that surfaced it, and the top `topK`
+    * per query are returned with the count of contributing lists. The
+    * oracle-checked two-tower form is q_hybrid_rrf. Scale shape: rank
+    * lists are (queries × depth)-sized metadata regardless of corpus
+    * size, so the union + fused aggregation never touches corpus rows.
+    * Determinism note: with > 2 lists the double sum depends on
+    * aggregation order in the last few ulps; rank ties under fusion
+    * break on id. */
+  def rrfFuse(lists: Seq[DataFrame], query: String = "q_id",
+      id: String = "doc_id", rank: String = "rank", k: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val contrib = lists.map(_.select(
+      col(query).as("__q"), col(id).as("__id"),
+      (lit(1.0) / (col(rank).cast("long") + k.toLong).cast("double"))
+        .as("__c")))
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy(col("__q"))
+      .orderBy(col("rrf").desc, col("__id"))
+    contrib.groupBy(col("__q"), col("__id"))
+      .agg(sum(col("__c")).as("rrf"), count(lit(1)).as("n_lists"))
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= topK)
+      .select(col("__q").as(query), col("fused_rank"), col("__id").as(id),
+        col("rrf"), col("n_lists"))
+  }
+
   /** Overlapping context-window chunking: (doc, chunk_idx, chunk,
     * n_tokens) rows, `window` tokens at `stride` — scan-local
     * sequence+explode, no shuffle. */

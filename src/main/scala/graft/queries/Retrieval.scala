@@ -85,6 +85,94 @@ object Retrieval {
       |    row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rank
       |  FROM scored) t WHERE rank <= 3""".stripMargin
 
+  // --------------------------------------------- hybrid retrieval (RRF)
+
+  /** Reciprocal-rank-fusion constant: the standard k = 60 from Cormack &
+    * Clarke's RRF paper — large enough that rank-1 vs rank-2 differences
+    * don't dominate, small enough that tail ranks still contribute. */
+  private val RrfK = 60L
+
+  /** Hybrid retrieval by RECIPROCAL RANK FUSION — the modern two-tower
+    * retrieval recipe (lexical + dense, fused without score calibration)
+    * that curation pipelines run for retrieval-based decontamination and
+    * domain mining. For each of the 20 query documents: a LEXICAL
+    * ranking (distinct-token overlap vs every other document — the
+    * exact-term leg) and a SEMANTIC ranking (the oracle-checked
+    * brute-cosine top-5 over the embedded subset, doc_id ≡ vec_id in
+    * the testdata) are fused as Σ 1/(k + rank) and the top 3 fused
+    * candidates emitted. Ranks are integers, each fused score is a sum
+    * of at MOST TWO correctly-rounded divisions (order-free: a+b is
+    * exact-commutative), so the fusion is bit-deterministic on both
+    * engines with ties broken on doc_id.
+    *
+    * Scale shape: both legs are query-set-broadcast one-pass scans (the
+    * knnBrute shape); the fusion joins two ≤(queries × top-k) rank lists
+    * — metadata-sized at any corpus size — with a full-outer join so a
+    * candidate surfaced by only one tower still scores. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val TopLex = 10L
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(words(col("text"))).as("w"))
+    val qt = toks.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("q_id"), col("w").as("qw"))
+    val wLex = Window.partitionBy(col("q_id"))
+      .orderBy(col("overlap").desc, col("doc_id"))
+    val lex = toks.join(broadcast(qt), col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        size(array_intersect(col("w"), col("qw"))).cast("long").as("overlap"))
+      .filter(col("overlap") >= 1)
+      .withColumn("lrank", row_number().over(wLex).cast("long"))
+      .filter(col("lrank") <= TopLex)
+      .select(col("q_id"), col("doc_id"), col("lrank"))
+    val sem = Similarity.knnBrute(s, dir)
+      .select(col("q_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("srank"))
+    val wFuse = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (col("lrank") + RrfK).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (col("srank") + RrfK).cast("double"), lit(0.0)))
+          .as("rrf"),
+        (col("lrank").isNotNull.cast("long") +
+          col("srank").isNotNull.cast("long")).as("n_towers"))
+      .withColumn("rank", row_number().over(wFuse).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("rrf"),
+        col("n_towers"))
+  }
+
+  private val hybridRrfSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, list_distinct($wordsSqlDoc) AS w FROM documents),
+      |qt AS (SELECT doc_id AS q_id, w AS qw FROM toks WHERE doc_id < 20),
+      |lexall AS (
+      |  SELECT q.q_id, t.doc_id,
+      |    CAST(len(list_intersect(t.w, q.qw)) AS BIGINT) AS overlap
+      |  FROM toks t CROSS JOIN qt q WHERE t.doc_id <> q.q_id),
+      |lex AS (
+      |  SELECT q_id, doc_id, lrank FROM (
+      |    SELECT q_id, doc_id,
+      |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY overlap DESC, doc_id) AS BIGINT) AS lrank
+      |    FROM lexall WHERE overlap >= 1) t WHERE lrank <= 10),
+      |sem AS (
+      |  SELECT q_id, neighbor_id AS doc_id, rank AS srank
+      |  FROM (${Similarity.knnBruteSql})),
+      |fused AS (
+      |  SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+      |    COALESCE(l.doc_id, s.doc_id) AS doc_id,
+      |    COALESCE(CAST(1 AS DOUBLE) / CAST(l.lrank + $RrfK AS DOUBLE), CAST(0 AS DOUBLE))
+      |      + COALESCE(CAST(1 AS DOUBLE) / CAST(s.srank + $RrfK AS DOUBLE), CAST(0 AS DOUBLE)) AS rrf,
+      |    CAST(CASE WHEN l.lrank IS NULL THEN 0 ELSE 1 END
+      |      + CASE WHEN s.srank IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_towers
+      |  FROM lex l FULL OUTER JOIN sem s
+      |    ON l.q_id = s.q_id AND l.doc_id = s.doc_id)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf, n_towers FROM (
+      |  SELECT q_id, doc_id, rrf, n_towers,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
+      |  FROM fused) t WHERE rank <= 3""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
-    GQuery("q_bm25_topk", bm25TopK, Some(bm25TopKSql), headline = true))
+    GQuery("q_bm25_topk", bm25TopK, Some(bm25TopKSql), headline = true),
+    GQuery("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)))
 }

@@ -69,7 +69,7 @@ object Similarity {
         col("vec_id").as("neighbor_id"))
   }
 
-  private val knnBruteSql =
+  private[queries] val knnBruteSql =
     s"""WITH iv AS (
       |  SELECT vec_id, $ivecSql AS v FROM embeddings),
       |n AS (

@@ -155,6 +155,22 @@ class CorpusApiSpec extends SparkSpec {
     assert(kept.columns.toSeq == df.columns.toSeq)
   }
 
+  test("rrf fusion stacks towers and respects per-list depth") {
+    import spark.implicits._
+    val lex = Seq((1L, 100L, 1L), (1L, 101L, 2L), (1L, 102L, 3L))
+      .toDF("q", "cand", "r")
+    val sem = Seq((1L, 101L, 1L), (1L, 103L, 2L))
+      .toDF("q", "cand", "r")
+    val fused = Corpus.rrfFuse(Seq(lex, sem),
+      query = "q", id = "cand", rank = "r", k = 60, topK = 10)
+      .collect().map(row => row.getAs[Long]("cand") ->
+        (row.getAs[Long]("fused_rank"), row.getAs[Long]("n_lists"))).toMap
+    // 101 appears in both lists (1/62 + 1/61) and must outrank 100 (1/61)
+    assert(fused(101L)._1 == 1L && fused(101L)._2 == 2L)
+    assert(fused(100L)._1 == 2L && fused(100L)._2 == 1L)
+    assert(fused.keySet == Set(100L, 101L, 102L, 103L))
+  }
+
   test("semDedup drops the later of two near-identical vectors only") {
     import spark.implicits._
     val vecs = Seq(

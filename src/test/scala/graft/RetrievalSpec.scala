@@ -25,6 +25,34 @@ class RetrievalSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("hybrid RRF fuses both towers and ranks by the fused score") {
+    val out = Retrieval.hybridRrf(spark, sfDir).persist()
+    try {
+      // 20 query docs × top 3 fused candidates
+      assert(out.select(col("q_id")).distinct().count() == 20)
+      assert(out.count() == 60)
+      // rank order == fused-score order within each query
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("rank"))
+      val withPrev = out.withColumn("prev", lag(col("rrf"), 1).over(w))
+      assert(withPrev.filter(col("prev").isNotNull &&
+        col("prev") < col("rrf")).count() == 0,
+        "a lower rank carried a lower fused score")
+      // every fused score is positive and no candidate claims more
+      // towers than exist
+      assert(out.filter(col("rrf") <= 0).count() == 0)
+      assert(out.filter(col("n_towers") < 1 || col("n_towers") > 2).count() == 0)
+      // a two-tower candidate at the same ranks beats one-tower: the
+      // max possible one-tower score is 1/61, the min two-tower score
+      // is 1/70 + 1/65 > 1/61 at the list depths used here
+      val twoTower = out.filter(col("n_towers") === 2)
+      if (twoTower.count() > 0) {
+        val minTwo = twoTower.agg(min(col("rrf"))).head().getDouble(0)
+        assert(minTwo > 1.0 / 70.0, s"two-tower scores must stack: $minTwo")
+      }
+    } finally out.unpersist()
+  }
+
   test("semdedup census partitions the vector set and bounds drops") {
     val out = Similarity.semDedup(spark, sfDir).persist()
     try {
