@@ -108,7 +108,13 @@ object Retrieval {
     * Scale shape: both legs are query-set-broadcast one-pass scans (the
     * knnBrute shape); the fusion joins two ≤(queries × top-k) rank lists
     * — metadata-sized at any corpus size — with a full-outer join so a
-    * candidate surfaced by only one tower still scores. */
+    * candidate surfaced by only one tower still scores. Like knnBrute,
+    * the towers HERE are the exact baselines (each per-query rank
+    * window reads its query's full candidate set); at 100 TB the same
+    * fusion runs over the engine's pruned towers instead — q_bm25_topk
+    * (postings pruned before scoring) and q_ann_ivf (cell-local
+    * candidates) plug into [[graft.api.Corpus.rrfFuse]] unchanged,
+    * since RRF only consumes rank lists. */
   def hybridRrf(s: SparkSession, dir: String): DataFrame = {
     val TopLex = 10L
     val toks = Tables.documents(s, dir)
