@@ -743,10 +743,14 @@ object TextPipeline {
         .select(col("x.u").as("u"), col("x.v").as("v"))
       val mL = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // small-star reads e1 twice (min agg + re-hang join) — materialize
+      // so the large-star subtree doesn't execute twice per round (the
+      // same double-reference rule as the hash-min label rounds)
       val e1 = sym.filter(col("v") > col("u"))
         .join(mL.hint("shuffle_hash"), "u")
         .select(col("m").as("a"), col("v").as("b"))
         .distinct()
+        .localCheckpoint(eager = true)
       // SMALL-STAR over canonical pairs, grouped at the LARGER endpoint:
       // its strictly-smaller neighbors (and itself) re-hang onto the
       // minimum one; m < every emitted partner, canonical again
