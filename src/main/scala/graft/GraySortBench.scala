@@ -91,7 +91,7 @@ object GraySortBench {
         val key = JArrays.copyOfRange(d, 0, 10)
         // value bytes don't affect sort cost; fill from one more digest
         val value = new Array[Byte](90)
-        val block = md.digest((i + "_v").getBytes("UTF-8"))
+        val block = md.digest(s"${i}_v".getBytes("UTF-8"))
         var off = 0
         while (off < 90) {
           val take = math.min(16, 90 - off)

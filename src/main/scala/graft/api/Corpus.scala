@@ -173,7 +173,7 @@ object Corpus {
     df.join(rates, group)
       .filter(Qdsl.hashMod(col(id)) % 1000 < col("__rate_pm"))
       .drop("__rate_pm")
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
   /** Reciprocal-rank fusion of any number of ranked candidate lists —
