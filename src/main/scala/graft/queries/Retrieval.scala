@@ -92,6 +92,51 @@ object Retrieval {
     * don't dominate, small enough that tail ranks still contribute. */
   private val RrfK = 60L
 
+  /** Lexical rank-list depth shared by both hybrid forms. */
+  private val TopLex = 10L
+
+  /** EXACT lexical tower: distinct-token overlap of every document vs
+    * the broadcast query set, scored with `array_intersect` inside one
+    * corpus scan — the per-query rank window reads its query's full
+    * candidate set (the knnBrute-style baseline shape). */
+  private[graft] def lexRanksExact(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(words(col("text"))).as("w"))
+    val qt = toks.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("q_id"), col("w").as("qw"))
+    val wLex = Window.partitionBy(col("q_id"))
+      .orderBy(col("overlap").desc, col("doc_id"))
+    toks.join(broadcast(qt), col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        size(array_intersect(col("w"), col("qw"))).cast("long").as("overlap"))
+      .filter(col("overlap") >= 1)
+      .withColumn("lrank", row_number().over(wLex).cast("long"))
+      .filter(col("lrank") <= TopLex)
+      .select(col("q_id"), col("doc_id"), col("lrank"))
+  }
+
+  /** PRUNED lexical tower: candidates surface through the inverted-index
+    * (doc, term) ⋈ broadcast query-term join, so only documents sharing
+    * ≥ 1 token with a query are ever touched and the group-by count IS
+    * |A∩B| on distinct token sets — rank-for-rank identical output to
+    * [[lexRanksExact]] (spec-pinned in RetrievalSpec) at postings cost. */
+  private[graft] def lexRanksPruned(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(words(col("text")))).as("term"))
+    val qt = toks.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("q_id"), col("term"))
+    val wLex = Window.partitionBy(col("q_id"))
+      .orderBy(col("overlap").desc, col("doc_id"))
+    toks.join(broadcast(qt), "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("lrank", row_number().over(wLex).cast("long"))
+      .filter(col("lrank") <= TopLex)
+      .select(col("q_id"), col("doc_id"), col("lrank"))
+  }
+
   /** Hybrid retrieval by RECIPROCAL RANK FUSION — the modern two-tower
     * retrieval recipe (lexical + dense, fused without score calibration)
     * that curation pipelines run for retrieval-based decontamination and
@@ -116,20 +161,7 @@ object Retrieval {
     * candidates) plug into [[graft.api.Corpus.rrfFuse]] unchanged,
     * since RRF only consumes rank lists. */
   def hybridRrf(s: SparkSession, dir: String): DataFrame = {
-    val TopLex = 10L
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), array_distinct(words(col("text"))).as("w"))
-    val qt = toks.filter(col("doc_id") < 20)
-      .select(col("doc_id").as("q_id"), col("w").as("qw"))
-    val wLex = Window.partitionBy(col("q_id"))
-      .orderBy(col("overlap").desc, col("doc_id"))
-    val lex = toks.join(broadcast(qt), col("doc_id") =!= col("q_id"))
-      .select(col("q_id"), col("doc_id"),
-        size(array_intersect(col("w"), col("qw"))).cast("long").as("overlap"))
-      .filter(col("overlap") >= 1)
-      .withColumn("lrank", row_number().over(wLex).cast("long"))
-      .filter(col("lrank") <= TopLex)
-      .select(col("q_id"), col("doc_id"), col("lrank"))
+    val lex = lexRanksExact(s, dir)
     val sem = Similarity.knnBrute(s, dir)
       .select(col("q_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("srank"))
@@ -178,7 +210,70 @@ object Retrieval {
       |    row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
       |  FROM fused) t WHERE rank <= 3""".stripMargin
 
+  /** [[hybridRrf]] with BOTH towers on their 100 TB scale paths — the
+    * production form of the fusion. The lexical tower generates
+    * candidates through an INVERTED-INDEX join instead of scanning every
+    * document per query: corpus (doc, term) postings equi-join the
+    * broadcast query-term list, so only documents sharing ≥ 1 token with
+    * a query ever surface, and the per-candidate overlap count falls out
+    * of the join group-by — work ∝ Σ postings(query tokens), pruned by
+    * vocabulary exactly like BM25 scoring. (On distinct token sets the
+    * join count IS |A∩B|, so the ranking law matches the exact tower.)
+    * The dense tower is the 2-probe IVF search (cell-local candidates,
+    * q_ann_ivf) instead of the brute scan. Fusion is unchanged — RRF
+    * only consumes rank lists. */
+  def hybridPruned(s: SparkSession, dir: String): DataFrame = {
+    val lex = lexRanksPruned(s, dir)
+    val sem = Similarity.annIvf(s, dir)
+      .select(col("q_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("srank"))
+    val wFuse = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (col("lrank") + RrfK).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (col("srank") + RrfK).cast("double"), lit(0.0)))
+          .as("rrf"),
+        (col("lrank").isNotNull.cast("long") +
+          col("srank").isNotNull.cast("long")).as("n_towers"))
+      .withColumn("rank", row_number().over(wFuse).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("rrf"),
+        col("n_towers"))
+  }
+
+  private val hybridPrunedSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(list_distinct($wordsSqlDoc)) AS term FROM documents),
+      |qt AS (SELECT doc_id AS q_id, term FROM toks WHERE doc_id < 20),
+      |cand AS (
+      |  SELECT q.q_id, t.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
+      |  FROM toks t JOIN qt q USING (term) WHERE t.doc_id <> q.q_id
+      |  GROUP BY 1, 2),
+      |lex AS (
+      |  SELECT q_id, doc_id, lrank FROM (
+      |    SELECT q_id, doc_id,
+      |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY overlap DESC, doc_id) AS BIGINT) AS lrank
+      |    FROM cand) t WHERE lrank <= 10),
+      |sem AS (
+      |  SELECT q_id, neighbor_id AS doc_id, rank AS srank
+      |  FROM (${Similarity.annIvfSql})),
+      |fused AS (
+      |  SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+      |    COALESCE(l.doc_id, s.doc_id) AS doc_id,
+      |    COALESCE(CAST(1 AS DOUBLE) / CAST(l.lrank + $RrfK AS DOUBLE), CAST(0 AS DOUBLE))
+      |      + COALESCE(CAST(1 AS DOUBLE) / CAST(s.srank + $RrfK AS DOUBLE), CAST(0 AS DOUBLE)) AS rrf,
+      |    CAST(CASE WHEN l.lrank IS NULL THEN 0 ELSE 1 END
+      |      + CASE WHEN s.srank IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_towers
+      |  FROM lex l FULL OUTER JOIN sem s
+      |    ON l.q_id = s.q_id AND l.doc_id = s.doc_id)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf, n_towers FROM (
+      |  SELECT q_id, doc_id, rrf, n_towers,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
+      |  FROM fused) t WHERE rank <= 3""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q_bm25_topk", bm25TopK, Some(bm25TopKSql), headline = true),
-    GQuery("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)))
+    GQuery("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
+    GQuery("q_hybrid_pruned", hybridPruned, Some(hybridPrunedSql)))
 }

@@ -225,7 +225,7 @@ object Similarity {
         col("vec_id").as("neighbor_id"))
   }
 
-  private val annIvfSql =
+  private[queries] val annIvfSql =
     s"""WITH iv AS (
       |  SELECT vec_id, $ivecSql AS v FROM embeddings),
       |n AS (

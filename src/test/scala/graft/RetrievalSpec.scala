@@ -53,6 +53,14 @@ class RetrievalSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("pruned lexical tower equals the exact intersect tower rank-for-rank") {
+    val exact = Retrieval.lexRanksExact(spark, sfDir)
+    val pruned = Retrieval.lexRanksPruned(spark, sfDir)
+    assert(exact.exceptAll(pruned).count() == 0 &&
+      pruned.exceptAll(exact).count() == 0,
+      "inverted-index candidate generation changed the lexical ranking")
+  }
+
   test("semdedup census partitions the vector set and bounds drops") {
     val out = Similarity.semDedup(spark, sfDir).persist()
     try {
