@@ -34,6 +34,16 @@ import graft.sources.ThemisKV
   * cache), and the spill assertion is what certifies no task needed
   * more than memory — the honest Spark statement of "fetch-to-memory".
   *
+  * SPARK_GRAYSORT_SKEW=1 switches the generator from uniform keys to a
+  * Daytona-style skewed distribution — 25% of records share one 4-byte
+  * hot prefix (a 2^32-fold over-representation) — and the summary
+  * reports the output-split row balance (max/mean). The sample-based
+  * range partitioner must place boundary cuts INSIDE the hot prefix
+  * using the remaining key bytes; a partitioner that only sampled
+  * coarse prefixes would funnel 25% of the data into one task (the
+  * failure mode the reference's skew-aware daytona_minute_sort.cc
+  * exists for).
+  *
   * SPARK_GRAYSORT_GB sizes the run (default 2). Prints one JSON line:
   * {"metric":"graysort_gb_per_min"|"minutesort_gb_per_min", ...}.
   */
@@ -42,6 +52,7 @@ object GraySortBench {
     val gb = sys.env.getOrElse("SPARK_GRAYSORT_GB", "2").toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val minute = sys.env.get("SPARK_GRAYSORT_MODE").exists(_ == "minute")
+    val skew = sys.env.get("SPARK_GRAYSORT_SKEW").exists(_ == "1")
     val n = (gb * 1e9 / 100).toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -89,6 +100,10 @@ object GraySortBench {
       it.map { i =>
         val d = md.digest(i.toString.getBytes("UTF-8"))
         val key = JArrays.copyOfRange(d, 0, 10)
+        // skew mode: every 4th record collapses onto one hot 4-byte
+        // prefix; bytes 4..9 still differ, so a global order exists and
+        // boundary cuts must land inside the hot range
+        if (skew && i % 4 == 0) { key(0) = 0; key(1) = 0; key(2) = 0; key(3) = 0 }
         // value bytes don't affect sort cost; fill from one more digest
         val value = new Array[Byte](90)
         val block = md.digest(s"${i}_v".getBytes("UTF-8"))
@@ -161,17 +176,20 @@ object GraySortBench {
           var first: Array[Byte] = null
           var prev: Array[Byte] = null
           var sorted = true
+          var cnt = 0L
           it.foreach { k =>
             if (first == null) first = k
             else if (cmp(prev, k) > 0) sorted = false
             prev = k
+            cnt += 1
           }
-          Iterator((first, prev, sorted))
+          Iterator((first, prev, sorted, cnt))
         }
       }(org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.BINARY,
         org.apache.spark.sql.Encoders.BINARY,
-        org.apache.spark.sql.Encoders.scalaBoolean))
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.Encoders.scalaLong))
       .collect()
     require(parts.forall(_._3), "a sorted-output split is internally unsorted")
     val ranges = parts.sortWith((x, y) => cmp(x._1, y._1) < 0)
@@ -181,13 +199,19 @@ object GraySortBench {
           "output split key-ranges overlap: global order violated")
       case _ =>
     }
+    // split balance (max/mean rows): the skew-robustness number — 1.0 is
+    // perfect; a prefix-funnel failure would show ~#splits/4 in skew mode
+    val counts = parts.map(_._4)
+    val balance =
+      if (counts.isEmpty) 1.0
+      else counts.max.toDouble / (counts.sum.toDouble / counts.length)
 
     val gbSorted = n * 100.0 / 1e9
     val rate = gbSorted / (secs / 60.0)
     if (minute)
-      println(f"""{"metric":"minutesort_gb_per_min","value":$rate%.2f,"gb":$gbSorted%.2f,"sec":$secs%.2f,"under_minute":${secs <= 60.0},"spill_bytes":0,"shuffle_records":$n,"records":$n,"cpus":$cpus}""")
+      println(f"""{"metric":"minutesort_gb_per_min","value":$rate%.2f,"gb":$gbSorted%.2f,"sec":$secs%.2f,"under_minute":${secs <= 60.0},"spill_bytes":0,"shuffle_records":$n,"records":$n,"cpus":$cpus,"skew":$skew,"balance":$balance%.3f}""")
     else
-      println(f"""{"metric":"graysort_gb_per_min","value":$rate%.2f,"gb":$gbSorted%.2f,"sec":$secs%.2f,"records":$n,"cpus":$cpus}""")
+      println(f"""{"metric":"graysort_gb_per_min","value":$rate%.2f,"gb":$gbSorted%.2f,"sec":$secs%.2f,"records":$n,"cpus":$cpus,"skew":$skew,"balance":$balance%.3f}""")
     spark.stop()
   }
 }
