@@ -345,10 +345,13 @@ object GraphText {
     * 7-core stabilizes (at sf0.01; smaller fixtures cascade to an empty
     * core). Every intermediate round is oracle-pinned, so the
     * round-over-round trajectory — not just the fixpoint — is checked. */
-  def kcorePowerlaw(s: SparkSession, dir: String): DataFrame = {
-    val nodes = Tables.part(s, dir)
+  /** The power-law generator's undirected edge list (canonical a < b,
+    * deduped, self-loops dropped) — shared by [[kcorePowerlaw]] and the
+    * star-components cross-validation spec. */
+  private[graft] def powerlawEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
       .select((col("p_partkey") % 2000).as("i")).distinct()
-    val e0 = nodes.select(col("i"), hashMod(col("i")).as("h"))
+      .select(col("i"), hashMod(col("i")).as("h"))
       .select(col("i"),
         greatest(lit(1L), expr("400 DIV (h % 400 + 1)")).as("outdeg"))
       .select(col("i"),
@@ -358,7 +361,9 @@ object GraphText {
       .select(least(col("i"), col("dst")).as("a"),
         greatest(col("i"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint(eager = true)
+
+  def kcorePowerlaw(s: SparkSession, dir: String): DataFrame = {
+    val e0 = powerlawEdges(s, dir).localCheckpoint(eager = true)
     graft.core.LoopWidth.scoped(e0) {
       kcoreLoop(e0, KCorePowerlawK, KCorePowerlawRounds)
     }

@@ -87,6 +87,21 @@ class DupClustersSpec extends SparkSpec {
     assert(b.exceptAll(a).count() == 0)
   }
 
+  test("star and pointer doubling agree on the heavy-tailed power-law graph") {
+    // ~1k-edge hub-dominated graph (sf0.001 slice of the generator):
+    // star rewriting exercises real high-degree star formation here, not
+    // just the small near-clique dup groups
+    val pairs = graft.queries.GraphText.powerlawEdges(spark, sfDir)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b")))
+      .distinct()
+    val star = TextPipeline.starComponents(nodes, pairs)
+    val pd = TextPipeline.pointerDoublingComponents(nodes, pairs)
+    assert(star.exceptAll(pd).count() == 0 && pd.exceptAll(star).count() == 0,
+      "star rewriting and pointer doubling disagree on component labels")
+  }
+
   test("census over the corpus partitions all documents") {
     val out = TextPipeline.dupClusters(spark, sfDir)
     val total = out.agg(sum(col("n_docs"))).head().getLong(0)
