@@ -275,5 +275,5 @@ object Retrieval {
   val defs: Seq[GQuery] = Seq(
     GQuery("q_bm25_topk", bm25TopK, Some(bm25TopKSql), headline = true),
     GQuery("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
-    GQuery("q_hybrid_pruned", hybridPruned, Some(hybridPrunedSql)))
+    GQuery("q_hybrid_pruned", hybridPruned, Some(hybridPrunedSql), headline = true))
 }
