@@ -96,13 +96,23 @@ object Corpus {
     * endpoints first if edges mentioning unknown ids should be ignored
     * instead. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      nodeCol: String = "node", aCol: String = "a", bCol: String = "b")
-      : DataFrame =
-    TextPipeline.pointerDoublingComponents(
-      nodes.select(col(nodeCol).cast("long").as("doc_id")),
-      pairs.select(col(aCol).cast("long").as("doc_a"),
-        col(bCol).cast("long").as("doc_b")))
-      .select(col("doc_id").as(nodeCol), col("lbl").as("component"))
+      nodeCol: String = "node", aCol: String = "a", bCol: String = "b",
+      algorithm: String = "pointer"): DataFrame = {
+    val n = nodes.select(col(nodeCol).cast("long").as("doc_id"))
+    val p = pairs.select(col(aCol).cast("long").as("doc_a"),
+      col(bCol).cast("long").as("doc_b"))
+    val labeled = algorithm match {
+      case "pointer" => TextPipeline.pointerDoublingComponents(n, p)
+      // star rewriting (Kiveris et al.): edge-list-only state that
+      // SHRINKS as stars form — prefer when edges dwarf nodes (the
+      // pointer variant carries a node-sized jump table per round);
+      // label-for-label identical output, spec-pinned in DupClustersSpec
+      case "star" => TextPipeline.starComponents(n, p)
+      case other => throw new IllegalArgumentException(
+        s"unknown components algorithm '$other' (pointer | star)")
+    }
+    labeled.select(col("doc_id").as(nodeCol), col("lbl").as("component"))
+  }
 
   /** Keep-first exact dedup: one survivor per key set, the row with the
     * smallest `orderCol` (deterministic tie-break). One hash shuffle on

@@ -194,6 +194,15 @@ class ScaleShapeSpec extends SparkSpec {
       s"in-cell pairing must stay an equi-join on cell id:\n$p")
   }
 
+  test("pruned hybrid: query terms broadcast into the postings join") {
+    val p = plan(graft.queries.Retrieval.hybridPruned(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the query-term list must broadcast so lexical work stays " +
+        s"postings-proportional:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation must be the inverted-index equi-join:\n$p")
+  }
+
   test("token budget: range-partitioned global order, no cartesian") {
     val p = plan(graft.queries.Mixing.tokenBudget(spark, sfDir))
     assert(p.toLowerCase.contains("rangepartitioning"),
