@@ -195,9 +195,12 @@ object Corpus {
     * oracle-checked two-tower form is q_hybrid_rrf. Scale shape: rank
     * lists are (queries × depth)-sized metadata regardless of corpus
     * size, so the union + fused aggregation never touches corpus rows.
-    * Determinism note: with > 2 lists the double sum depends on
-    * aggregation order in the last few ulps; rank ties under fusion
-    * break on id. */
+    * Determinism: per-candidate contributions are folded in SORTED
+    * order (collect → array_sort → fold), so the fused double is
+    * bit-identical on any engine, run, or partitioning for ANY list
+    * count — a plain SUM would drift in the last ulps with ≥ 3 lists;
+    * rank ties under fusion break on id. The per-candidate list is at
+    * most `lists.size` elements, so the collect_list is bounded. */
   def rrfFuse(lists: Seq[DataFrame], query: String = "q_id",
       id: String = "doc_id", rank: String = "rank", k: Int = 60,
       topK: Int = 10): DataFrame = {
@@ -210,7 +213,9 @@ object Corpus {
     val w = Window.partitionBy(col("__q"))
       .orderBy(col("rrf").desc, col("__id"))
     contrib.groupBy(col("__q"), col("__id"))
-      .agg(sum(col("__c")).as("rrf"), count(lit(1)).as("n_lists"))
+      .agg(aggregate(array_sort(collect_list(col("__c"))), lit(0.0),
+          (acc, x) => acc + x).as("rrf"),
+        count(lit(1)).as("n_lists"))
       .withColumn("fused_rank", row_number().over(w).cast("long"))
       .filter(col("fused_rank") <= topK)
       .select(col("__q").as(query), col("fused_rank"), col("__id").as(id),
