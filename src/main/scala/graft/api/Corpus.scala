@@ -171,19 +171,25 @@ object Corpus {
     * rows with the input schema. Scale shape: group counts are one tiny
     * aggregation (∝ groups), the rate table joins back group-keyed (AQE
     * broadcasts it at any corpus size), the draw never shuffles. The
-    * oracle-checked census form is q_temperature_mix. */
+    * oracle-checked census form is q_temperature_mix. A NULL `group`
+    * value is its own stratum (the join is null-safe, so such rows are
+    * sampled at the null-group's rate rather than silently dropped);
+    * internal columns are `__graft_`-prefixed, so any user column not
+    * starting with that prefix is collision-safe. */
   def temperatureSample(df: DataFrame, group: String,
       id: String = "doc_id"): DataFrame = {
-    val counts = df.groupBy(col(group)).agg(count(lit(1)).as("__n"))
-    val rates = counts.crossJoin(counts.agg(min(col("__n")).as("__n_min")))
-      .select(col(group),
+    val counts = df.groupBy(col(group).as("__graft_g"))
+      .agg(count(lit(1)).as("__graft_n"))
+    val rates = counts
+      .crossJoin(counts.agg(min(col("__graft_n")).as("__graft_n_min")))
+      .select(col("__graft_g"),
         least(lit(1000L),
-          floor(sqrt(col("__n_min").cast("double") / col("__n").cast("double"))
-            * 1000.0).cast("long")).as("__rate_pm"))
-    df.join(rates, group)
-      .filter(Qdsl.hashMod(col(id)) % 1000 < col("__rate_pm"))
-      .drop("__rate_pm")
-      .select(df.columns.toIndexedSeq.map(col): _*)
+          floor(sqrt(col("__graft_n_min").cast("double") /
+              col("__graft_n").cast("double"))
+            * 1000.0).cast("long")).as("__graft_rate_pm"))
+    df.join(rates, df(group) <=> rates("__graft_g"))
+      .filter(Qdsl.hashMod(col(id)) % 1000 < col("__graft_rate_pm"))
+      .select(df.columns.toIndexedSeq.map(df(_)): _*)
   }
 
   /** Reciprocal-rank fusion of any number of ranked candidate lists —
@@ -199,16 +205,21 @@ object Corpus {
     * order (collect → array_sort → fold), so the fused double is
     * bit-identical on any engine, run, or partitioning for ANY list
     * count — a plain SUM would drift in the last ulps with ≥ 3 lists;
-    * rank ties under fusion break on id. The per-candidate list is at
-    * most `lists.size` elements, so the collect_list is bounded. */
+    * rank ties under fusion break on id. Duplicate (`query`, `id`) rows
+    * WITHIN one list collapse to that list's best (lowest) rank before
+    * fusion, so a list contributes at most once per candidate and the
+    * per-candidate fold stays bounded by `lists.size` elements. */
   def rrfFuse(lists: Seq[DataFrame], query: String = "q_id",
       id: String = "doc_id", rank: String = "rank", k: Int = 60,
       topK: Int = 10): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     val contrib = lists.map(_.select(
-      col(query).as("__q"), col(id).as("__id"),
-      (lit(1.0) / (col(rank).cast("long") + k.toLong).cast("double"))
-        .as("__c")))
+        col(query).as("__q"), col(id).as("__id"),
+        (lit(1.0) / (col(rank).cast("long") + k.toLong).cast("double"))
+          .as("__c"))
+      // per-list dedup: rank lists are metadata-sized, so this agg is
+      // free; max(__c) ≡ min(rank) since the contribution is monotone
+      .groupBy(col("__q"), col("__id")).agg(max(col("__c")).as("__c")))
       .reduce(_.unionByName(_))
     val w = Window.partitionBy(col("__q"))
       .orderBy(col("rrf").desc, col("__id"))
@@ -275,31 +286,65 @@ object Vectors {
         col("vid").as("neighbor_id"), col("cos"))
   }
 
-  /** Semantic dedup (SemDeDup) over any vector frame: cluster into `k`
-    * coarse cells (seeded from the k lowest ids; train real centroids
-    * first for production corpora — the oracle-checked q_semdedup shows
-    * the full shape, ⌈√n⌉ cells refined by a Lloyd update, all in-plan),
-    * then mark the higher id of every within-cell pair at cosine ≥ `tau`
-    * as dropped. Returns one row per vector: (id, cell, is_dropped) —
-    * filter `!is_dropped` for the survivors. Cross-cell pairs are never
-    * materialized (the SemDeDup scaling contract: grow k ∝ √n so cells
-    * stay O(√n)). */
-  def semDedup(vectors: DataFrame, k: Int = 8, tau: Double = 0.3,
+  /** Semantic dedup (SemDeDup) over any vector frame: cluster into
+    * coarse cells, then mark the higher id of every within-cell pair at
+    * cosine ≥ `tau` as dropped. Returns one row per vector:
+    * (id, cell, is_dropped) — filter `!is_dropped` for the survivors.
+    * Cross-cell pairs are never materialized (the SemDeDup scaling
+    * contract: cells grow ∝ √n so pair volume stays O(n^1.5)).
+    *
+    * By DEFAULT (`k = 0`) the quantizer is TRAINED, the q_semdedup
+    * contract: ⌈√n⌉ expected seed cells are drawn by an in-plan hash
+    * threshold on the id (density-free — ids need not be dense or start
+    * at 0), then refined by one integer-exact Lloyd update. Everything
+    * derives in-plan from a 1-row count, so construction stays job-free
+    * and the cell count tracks the corpus at any size. An explicit
+    * `k > 0` overrides with k lowest-id UNtrained seed cells — a debug /
+    * tiny-corpus shortcut, not the production path (fixed k re-creates
+    * the quadratic in-cell risk the √n rule exists to avoid). */
+  def semDedup(vectors: DataFrame, k: Int = 0, tau: Double = 0.3,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val base = canon(vectors, id, vec)
-    val seedIds = base.select(col("vid")).orderBy(col("vid")).limit(k)
-    val c = base.join(seedIds.withColumnRenamed("vid", "svid"),
-        col("vid") === col("svid"))
-      .select(col("vid").as("cid"), col("v").as("cv"))
+    val base = canon(vectors, id, vec).trackedPersist()
     val d2 = expr(
       "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (a, e) -> a + e)")
     val wAssign = Window.partitionBy(col("vid")).orderBy(col("dist"), col("cid"))
-    val assigned = base.join(broadcast(c))
-      .select(col("vid"), col("v"), col("n2"), col("cid"), d2.as("dist"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vid"), col("v"), col("n2"), col("cid").as("cell"))
-      .trackedPersist()
+    def argmin(centers: DataFrame): DataFrame =
+      base.join(broadcast(centers))
+        .select(col("vid"), col("v"), col("n2"), col("cid"), d2.as("dist"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vid"), col("v"), col("n2"), col("cid").as("cell"))
+    val assigned = (if (k > 0) {
+      val seedIds = base.select(col("vid")).orderBy(col("vid")).limit(k)
+      val c = base.join(seedIds.withColumnRenamed("vid", "svid"),
+          col("vid") === col("svid"))
+        .select(col("vid").as("cid"), col("v").as("cv"))
+      argmin(c)
+    } else {
+      // expected ⌈√n⌉ seeds: keep vid iff hash60(vid) < 2^60·k/n, both
+      // factors from the same 1-row broadcast — no driver-side count
+      val stats = base.agg(count(lit(1)).as("__graft_n"),
+        ceil(sqrt(count(lit(1)).cast("double"))).cast("long").as("__graft_k"),
+        min(col("vid")).as("__graft_min_vid"))
+      val c0 = base.crossJoin(broadcast(stats))
+        .filter(Qdsl.hash60(col("vid")) <
+            (lit(1L << 60) / col("__graft_n")) * col("__graft_k") ||
+          // the min id always seeds, so a tiny corpus (where the
+          // expected-√n draw can come up empty) still gets one cell
+          col("vid") === col("__graft_min_vid"))
+        .select(col("vid").as("cid"), col("v").as("cv"))
+      // one Lloyd update over the seed assignment: per-dim integer mean,
+      // arrays rebuilt in dim order (the q_semdedup training step)
+      val a1 = argmin(c0).select(col("vid"), col("cell").as("cid"))
+      val c1 = base.join(a1, "vid")
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(expr("SUM(col) DIV COUNT(*)").as("cx"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          e => e.getField("cx")).as("cv"))
+      argmin(c1)
+    }).trackedPersist()
     val cos = expr(
       "aggregate(zip_with(av, bv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, e) -> a + e)")
       .cast("double") / sqrt(col("an2").cast("double")) / sqrt(col("bn2").cast("double"))

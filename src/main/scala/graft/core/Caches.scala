@@ -21,12 +21,37 @@ import org.apache.spark.sql.DataFrame
   * `unpersist(blocking = false)` keeps release off the critical path; a
   * plan re-persisted before its async drop completes simply re-marks the
   * same cache entry (Spark dedupes by canonicalized plan).
+  *
+  * CONCURRENCY CONTRACT — single driver thread, same as
+  * [[LoopWidth]]: the registry is process-global, so [[release]] drains
+  * every tracked frame in the JVM, including ones another thread or
+  * SparkSession is still computing over (the result is a silent
+  * recompute, never a wrong answer — Spark re-evaluates the lineage).
+  * Embedders running concurrent queries in one JVM must serialize
+  * query+release sequences on one thread, or scope their own
+  * persist/unpersist instead of tracking here.
   */
 object Caches {
   private val live = new ConcurrentLinkedQueue[DataFrame]()
 
-  /** `df.persist()`, registered for a later [[release]] sweep. */
+  /** `df.persist()`, registered for a later [[release]] sweep.
+    *
+    * Deduped by canonicalized plan: re-constructing the same query
+    * (Bench's second timed pass, a library caller rebuilding a plan)
+    * re-tracks a frame whose plan Spark's cache manager would dedupe
+    * anyway — calling persist() on it again only spams "Asked to cache
+    * already cached data" warnings and, right after a [[release]],
+    * races the async unpersist ("Block already exists"). Returning the
+    * already-tracked frame instead keeps one persist() per distinct
+    * plan per drain cycle. The scan is O(live entries), a handful per
+    * query. */
   def tracked(df: DataFrame): DataFrame = {
+    val it = live.iterator()
+    while (it.hasNext) {
+      val d = it.next()
+      if (d.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+        return d
+    }
     val p = df.persist()
     live.add(p)
     p

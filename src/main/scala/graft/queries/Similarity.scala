@@ -538,6 +538,31 @@ object Similarity {
       |  ON t.q_id = g.q_id AND t.neighbor_id = g.neighbor_id
       |GROUP BY t.q_id""".stripMargin
 
+  /** Mean recall@3 of every ANN index variant against the exact
+    * brute-force truth, one row per variant — the bench telemetry dial
+    * that catches an index-QUALITY regression (probe count, codebook,
+    * hash width) which wall-clock timing alone would wave through.
+    * [[graft.Bench]] runs this after the timed sweep and emits the
+    * values in its JSON line; the per-query distribution lives in the
+    * oracle-checked q_ann_recall. */
+  def recallSummary(s: SparkSession, dir: String): DataFrame = {
+    val truth = knnBrute(s, dir).filter(col("rank") <= 3)
+      .select(col("q_id"), col("neighbor_id")).trackedPersist()
+    def one(variant: String, got: DataFrame): DataFrame = {
+      val g = got.select(col("q_id").as("g_q"),
+        col("neighbor_id").as("g_n"))
+      truth.join(g,
+          col("q_id") === col("g_q") && col("neighbor_id") === col("g_n"),
+          "left")
+        .agg((sum(when(col("g_n").isNotNull, 1.0).otherwise(0.0)) /
+          count(lit(1))).as("recall_at_3"))
+        .select(lit(variant).as("variant"), col("recall_at_3"))
+    }
+    one("ann_lsh", annLsh(s, dir))
+      .unionByName(one("ann_ivf", annIvf(s, dir)))
+      .unionByName(one("ann_ivf_trained", annIvfTrained(s, dir)))
+  }
+
   // ---------------------------------------------- semantic dedup (SemDeDup)
 
   /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023): vectors

@@ -734,7 +734,8 @@ object TextPipeline {
       .localCheckpoint(eager = true)
     var last = (-1L, -1L)
     var iters = 0
-    while (iters < maxIters) {
+    var converged = false
+    while (iters < maxIters && !converged) {
       // LARGE-STAR over symmetric neighborhoods: v > u re-hangs onto
       // m(u); m(u) ≤ u < v keeps the output canonical and loop-free
       val sym = e.select(explode(array(
@@ -770,9 +771,15 @@ object TextPipeline {
       val row = e.agg(count(lit(1)),
         coalesce(sum(col("a") * 1000003L + col("b")), lit(0L))).head()
       val sig = (row.getLong(0), row.getLong(1))
-      if (sig == last || sig._1 == 0L) iters = maxIters
+      if (sig == last || sig._1 == 0L) converged = true
       else last = sig
     }
+    // the member/center read-off below is only valid AT the fixpoint —
+    // a budget-exhausted exit would silently emit labels where a node
+    // can be both center and member, so fail loudly instead
+    require(converged,
+      s"star components did not reach the star fixpoint in $maxIters " +
+        "rounds — raise maxIters (rounds needed grow O(log² n))")
     // at the fixpoint every canonical edge is (center, member): a
     // member's label is its (unique) center, a center labels itself
     val memberLbl = e.groupBy(col("b")).agg(min(col("a")).as("lbl"))

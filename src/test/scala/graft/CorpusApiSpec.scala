@@ -199,4 +199,69 @@ class CorpusApiSpec extends SparkSpec {
       assert(out.filter(!col("is_dropped")).count() == 3)
     } finally out.unpersist()
   }
+
+  test("semDedup default trains ⌈√n⌉ cells and works on sparse ids") {
+    import spark.implicits._
+    // 96 well-spread vectors + 4 exact duplicates, ids nowhere near
+    // dense-from-0 (the hash-threshold seeding must not assume density)
+    val base = (0 until 96).map { i =>
+      (5000L + 7L * i,
+        Array(math.cos(i * 0.39).toFloat, math.sin(i * 0.39).toFloat,
+          (i % 7).toFloat, (i % 11).toFloat))
+    }
+    val dups = Seq(0, 13, 26, 39).map(i =>
+      (9000L + i, base(i)._2.clone()))
+    val vecs = (base ++ dups).toDF("vid", "emb")
+    val out = Vectors.semDedup(vecs, tau = 0.9999, id = "vid", vec = "emb")
+      .persist()
+    try {
+      assert(out.count() == 100) // one row per vector
+      // an exact duplicate always shares its original's cell (identical
+      // argmin input), and 9000+i > 5000+7i, so all four must drop
+      val dropped = out.filter(col("is_dropped"))
+        .collect().map(_.getAs[Long]("vid")).toSet
+      assert(Set(9000L, 9013L, 9026L, 9039L).subsetOf(dropped),
+        s"exact dups must be dropped, got $dropped")
+      // originals survive (keep-first canonicalization)
+      assert(out.filter(!col("is_dropped"))
+        .filter(col("vid").isin(5000L, 5091L, 5182L, 5273L)).count() == 4)
+      // the quantizer really is multi-cell (expected ⌈√100⌉ = 10 seeds;
+      // the draw is hash-thresholded, so allow dispersion but not
+      // collapse to a single brute-force cell)
+      val nCells = out.select(col("cell")).distinct().count()
+      assert(nCells >= 2 && nCells <= 30, s"cell count off: $nCells")
+    } finally {
+      out.unpersist()
+      graft.core.Caches.release()
+    }
+  }
+
+  test("rrfFuse collapses duplicate (query,id) rows within one list") {
+    import spark.implicits._
+    // 100 appears twice in lex (ranks 1 and 3): one contribution, best
+    // rank; n_lists counts LISTS, not rows
+    val lex = Seq((1L, 100L, 1L), (1L, 100L, 3L), (1L, 101L, 2L))
+      .toDF("q", "cand", "r")
+    val sem = Seq((1L, 101L, 1L)).toDF("q", "cand", "r")
+    val fused = Corpus.rrfFuse(Seq(lex, sem),
+      query = "q", id = "cand", rank = "r", k = 60, topK = 10)
+      .collect().map(row => row.getAs[Long]("cand") ->
+        (row.getAs[Double]("rrf"), row.getAs[Long]("n_lists"))).toMap
+    assert(fused(100L)._2 == 1L, "duplicate rows must not inflate n_lists")
+    assert(fused(100L)._1 == 1.0 / 61, "best in-list rank must win")
+    assert(fused(101L)._2 == 2L && fused(101L)._1 == 1.0 / 61 + 1.0 / 62)
+  }
+
+  test("temperatureSample treats NULL group as its own stratum") {
+    import spark.implicits._
+    // 400 docs in lang a, 4 with a NULL lang: the null stratum is the
+    // smallest -> kept whole; an inner join would have dropped it
+    val df = ((1L to 400L).map(i => (i, Option("a"))) ++
+      (1001L to 1004L).map(i => (i, Option.empty[String])))
+      .toDF("my_id", "group_col")
+    val kept = Corpus.temperatureSample(df, group = "group_col", id = "my_id")
+    assert(kept.filter(col("group_col").isNull).count() == 4,
+      "null-group rows must be sampled, not silently dropped")
+    assert(kept.columns.toSeq == df.columns.toSeq)
+  }
 }

@@ -80,6 +80,18 @@ class DupClustersSpec extends SparkSpec {
     assert(two(0L) == 0L && two(6L) == 6L)
   }
 
+  test("star rewriting fails loudly when the round budget is exhausted") {
+    // maxIters = 1 cannot reach the star fixpoint of a 50-path; the
+    // member/center read-off would silently mislabel, so the loop must
+    // raise instead of returning (the budget-exhaustion guard)
+    val nodes = (0L until 50L).toDF("doc_id")
+    val path = (0L until 49L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      TextPipeline.starComponents(nodes, path, maxIters = 1)
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
   test("star and converged variants agree on the corpus census") {
     val a = TextPipeline.dupClustersStar(spark, sfDir)
     val b = TextPipeline.dupClustersConverged(spark, sfDir)
