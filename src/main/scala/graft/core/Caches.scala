@@ -49,7 +49,11 @@ object Caches {
     val it = live.iterator()
     while (it.hasNext) {
       val d = it.next()
-      if (d.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+      // sameResult canonicalizes names away, so two queries' plans can
+      // collide while exposing different column names — require the
+      // schema to match too before handing back the earlier frame
+      if (d.schema == df.schema &&
+          d.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
         return d
     }
     val p = df.persist()

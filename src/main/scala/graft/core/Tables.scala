@@ -4,17 +4,50 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the driver-provided parquet testdata tables
   * (see /root/repo/TESTDATA.md). One parquet file per table under
-  * `\$dir/<name>.parquet`. Reads are plain `spark.read.parquet` so Catalyst
-  * handles column pruning / predicate pushdown into the scan.
+  * `\$dir/<name>.parquet`. Reads are `spark.read.parquet` so Catalyst
+  * handles column pruning / predicate pushdown into the scan — with the
+  * schema passed EXPLICITLY: schema inference reads parquet footers in a
+  * Spark job at DataFrame-construction time, which both bills a job
+  * before any action (RegistryPlanSpec pins construction at zero jobs)
+  * and, on a 100 TB landing directory, is a full footer sweep per
+  * query construction. The declared schemas mirror TESTDATA.md;
+  * a mismatch fails loudly at scan time, and the correctness gate
+  * re-validates every column through the DuckDB oracle.
   */
 object Tables {
+
+  private val schemas: Map[String, String] = Map(
+    "region" -> "r_regionkey INT, r_name STRING",
+    "nation" -> "n_nationkey INT, n_name STRING, n_regionkey INT",
+    "customer" -> ("c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+      "c_acctbal DOUBLE, c_mktsegment STRING"),
+    "supplier" -> ("s_suppkey BIGINT, s_name STRING, s_nationkey INT, " +
+      "s_acctbal DOUBLE"),
+    "part" -> ("p_partkey BIGINT, p_name STRING, p_brand STRING, " +
+      "p_type STRING, p_size INT, p_retailprice DOUBLE"),
+    "orders" -> ("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+      "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING"),
+    "lineitem" -> ("l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, " +
+      "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, " +
+      "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, " +
+      "l_linestatus STRING, l_shipdate TIMESTAMP_NTZ"),
+    // ts is TIMESTAMP(NANOS) in the file, surfaced as BIGINT under the
+    // nanosAsLong flag (see events())
+    "events" -> ("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"),
+    "documents" -> ("doc_id BIGINT, text STRING, lang STRING, " +
+      "source STRING, n_chars BIGINT"),
+    "embeddings" -> "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table '$name' (know: ${names.mkString(",")})")
-    spark.read.parquet(s"$dir/$name.parquet")
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schemas(name)))
+      .parquet(s"$dir/$name.parquet")
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")

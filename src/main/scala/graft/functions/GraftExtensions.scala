@@ -32,5 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "graft_hash60 takes exactly one argument")
         GraftHash60(children.head)
       }))
+    // the deferred sink→source stage (write files at EXECUTE time, then
+    // read them back) — see graft.plans.DeferredIngest
+    ext.injectPlannerStrategy(_ => graft.plans.DeferredIngestStrategy)
   }
 }

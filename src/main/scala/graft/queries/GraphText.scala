@@ -105,11 +105,13 @@ object GraphText {
     * by construction). */
   def textLines(s: SparkSession, dir: String): DataFrame = {
     val out = graft.core.Scratch.dir("textlines", dir)
-    Tables.documents(s, dir)
-      .select(concat_ws("|", col("doc_id"), col("text")).as("value"))
-      .repartition(4)
-      .write.mode("overwrite").text(out)
-    graft.sources.TextLines.read(s, out)
+    graft.plans.DeferredIngest(s, "key STRING, value STRING") {
+      Tables.documents(s, dir)
+        .select(concat_ws("|", col("doc_id"), col("text")).as("value"))
+        .repartition(4)
+        .write.mode("overwrite").text(out)
+      graft.sources.TextLines.read(s, out)
+    }
       .agg(count(lit(1)).as("n_lines"),
         sum(hashMod(col("value"))).as("line_checksum"),
         min(length(col("value"))).cast("long").as("min_len"),

@@ -22,26 +22,31 @@ object Ingest {
     * `spark.read.csv` with an explicit schema, and censused with a
     * per-row hash checksum the oracle recomputes from the parquet
     * original — any quoting/typing/precision drift in the CSV codec
-    * breaks the hash. Like q_text_lines, the write happens at
-    * construction time (the read needs files on disk) under a
-    * run-unique path, so concurrent runs never race. CSV scans split by
+    * breaks the hash. Like q_text_lines, the write lands under a
+    * run-unique path (concurrent runs never race) and runs INSIDE the
+    * deferred sink→source stage ([[graft.plans.DeferredIngest]]), so
+    * construction is job-free and the file round-trip executes exactly
+    * when the query does. CSV scans split by
     * line at any file size, so a 100 TB landing dir reads at full
     * cluster width; the explicit schema skips the inference pass Spark
     * would otherwise pay (one extra full scan). */
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val out = graft.core.Scratch.dir("csv", dir)
-    Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        dec(col("o_totalprice")).as("o_totalprice"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
-        col("o_orderpriority"))
-      .repartition(4)
-      .write.mode("overwrite").option("header", "true").csv(out)
-    s.read.option("header", "true")
-      .schema(StructType.fromDDL("o_orderkey BIGINT, o_custkey BIGINT, " +
-        "o_orderstatus STRING, o_totalprice DECIMAL(12,2), o_date STRING, " +
-        "o_orderpriority STRING"))
-      .csv(out)
+    val csvDdl = "o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DECIMAL(12,2), o_date STRING, " +
+      "o_orderpriority STRING"
+    graft.plans.DeferredIngest(s, csvDdl) {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          dec(col("o_totalprice")).as("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
+        .repartition(4)
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema(StructType.fromDDL(csvDdl))
+        .csv(out)
+    }
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("o_orderkey")).as("n_keys"),
         sum(col("o_totalprice")).cast("double").as("total_price"),
@@ -148,10 +153,16 @@ object Ingest {
     * doesn't survive `lang=<value>` path encoding breaks the hash. */
   def partitionedWrite(s: SparkSession, dir: String): DataFrame = {
     val out = graft.core.Scratch.dir("pwrite", dir)
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      .write.mode("overwrite").partitionBy("lang").parquet(out)
-    s.read.parquet(out)
+    graft.plans.DeferredIngest(s,
+      "doc_id BIGINT, source STRING, n_chars BIGINT, lang STRING") {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      // partition discovery appends the partition column last; the
+      // explicit select pins the declared column order either way
+      s.read.parquet(out)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+    }
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
         sum(hashMod(concat_ws("|", col("doc_id"), col("source"))))
