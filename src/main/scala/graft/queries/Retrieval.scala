@@ -272,8 +272,69 @@ object Retrieval {
       |    row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
       |  FROM fused) t WHERE rank <= 3""".stripMargin
 
+  /** THREE-tower fusion through [[graft.api.Corpus.rrfFuse]] itself —
+    * the n-list facade path under the oracle, not just spec cover. The
+    * towers: exact lexical overlap, exact brute cosine, and the 2-probe
+    * IVF search (a deliberately diverse panel — at 100 TB a fusion
+    * stack routinely mixes an exact re-rank tower with approximate
+    * candidate towers). Determinism with ≥ 3 lists is exactly what
+    * rrfFuse's sorted-contribution fold exists for: both engines sum
+    * the SAME doubles in the SAME (ascending) order from the same 0.0
+    * accumulator, so the fused score is bit-identical; ties break on
+    * doc_id. Scale shape: three metadata-sized rank lists union and
+    * aggregate — corpus rows are only touched inside each tower. */
+  def hybridRrf3(s: SparkSession, dir: String): DataFrame = {
+    val lex = lexRanksExact(s, dir)
+      .select(col("q_id"), col("doc_id"), col("lrank").as("rank"))
+    val sem = Similarity.knnBrute(s, dir)
+      .select(col("q_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val ivf = Similarity.annIvf(s, dir)
+      .select(col("q_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    graft.api.Corpus.rrfFuse(Seq(lex, sem, ivf), query = "q_id",
+      id = "doc_id", rank = "rank", k = RrfK.toInt, topK = 3)
+  }
+
+  private val hybridRrf3Sql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, list_distinct($wordsSqlDoc) AS w FROM documents),
+      |qt AS (SELECT doc_id AS q_id, w AS qw FROM toks WHERE doc_id < 20),
+      |lexall AS (
+      |  SELECT q.q_id, t.doc_id,
+      |    CAST(len(list_intersect(t.w, q.qw)) AS BIGINT) AS overlap
+      |  FROM toks t CROSS JOIN qt q WHERE t.doc_id <> q.q_id),
+      |lex AS (
+      |  SELECT q_id, doc_id, lrank FROM (
+      |    SELECT q_id, doc_id,
+      |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY overlap DESC, doc_id) AS BIGINT) AS lrank
+      |    FROM lexall WHERE overlap >= 1) t WHERE lrank <= 10),
+      |sem AS (
+      |  SELECT q_id, neighbor_id AS doc_id, rank AS srank
+      |  FROM (${Similarity.knnBruteSql})),
+      |ivf AS (
+      |  SELECT q_id, neighbor_id AS doc_id, rank AS irank
+      |  FROM (${Similarity.annIvfSql})),
+      |contrib AS (
+      |  SELECT q_id, doc_id,
+      |    CAST(1 AS DOUBLE) / CAST(lrank + $RrfK AS DOUBLE) AS c FROM lex
+      |  UNION ALL SELECT q_id, doc_id,
+      |    CAST(1 AS DOUBLE) / CAST(srank + $RrfK AS DOUBLE) FROM sem
+      |  UNION ALL SELECT q_id, doc_id,
+      |    CAST(1 AS DOUBLE) / CAST(irank + $RrfK AS DOUBLE) FROM ivf),
+      |fused AS (
+      |  SELECT q_id, doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(c))),
+      |      (a, b) -> a + b) AS rrf,
+      |    CAST(COUNT(*) AS BIGINT) AS n_lists
+      |  FROM contrib GROUP BY q_id, doc_id)
+      |SELECT q_id, CAST(rn AS BIGINT) AS fused_rank, doc_id, rrf, n_lists
+      |FROM (
+      |  SELECT q_id, doc_id, rrf, n_lists,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rn
+      |  FROM fused) t WHERE rn <= 3""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q_bm25_topk", bm25TopK, Some(bm25TopKSql), headline = true),
     GQuery("q_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
+    GQuery("q_hybrid_rrf3", hybridRrf3, Some(hybridRrf3Sql)),
     GQuery("q_hybrid_pruned", hybridPruned, Some(hybridPrunedSql), headline = true))
 }
