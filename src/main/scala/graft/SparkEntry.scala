@@ -13,6 +13,20 @@ import graft.queries._
   */
 object SparkEntry {
 
+  /** DuckDB rolling checksum over the UTF-8 octets of a payload, exactly
+    * mirroring [[graft.operators.Multimodal.payloadChecksum]]'s
+    * `(cs·31 + byte) mod 1e9+7` over `text.cast("binary")`. Expects the
+    * enclosing CTE to provide `h = hex(encode(text))` and
+    * `n_bytes = octet_length(encode(text))`; each byte is decoded from
+    * its hex pair, so multi-byte characters and newlines contribute the
+    * same octets on both sides. */
+  private val octetChecksumSql: String =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(0, n_bytes), i ->
+      |        CAST((strpos('0123456789ABCDEF', substring(h, 2*i+1, 1)) - 1) * 16
+      |           + (strpos('0123456789ABCDEF', substring(h, 2*i+2, 1)) - 1) AS BIGINT))),
+      |      (acc, b) -> (acc*31 + b) % 1000000007)""".stripMargin
+
   val registry: Seq[GQuery] = GQuery.registry(
     Relational.defs,
     ThemisOps.defs,
@@ -28,42 +42,44 @@ object SparkEntry {
     Sketches.defs,
     Analytics.defs,
     Ingest.defs,
-    // the decode stub folds over the payload bytes (ASCII text here), so
-    // the oracle re-derives the same fold over character codes.
-    // ORACLE ASSUMPTION (here and q_embed_batch): the Spark side folds
-    // UTF-8 OCTETS of text↦binary while the oracle folds unicode code
-    // points, and `regexp_extract_all(text, '.')` skips newlines — the
-    // two agree only because the driver testdata is ASCII with no
-    // newlines. A non-ASCII fixture needs the oracle rewritten over
-    // encode(text) octets.
+    // the decode stub folds over the payload's UTF-8 OCTETS, and the
+    // oracle now folds the exact same octets: it walks hex(encode(text))
+    // two characters at a time (hex computed once per row in the CTE),
+    // so non-ASCII text and embedded newlines hash identically on both
+    // sides — no code-point/regexp divergence. Proven on a non-ASCII
+    // fixture by MultimodalSpec + tools/nonascii_fixture.py.
     Seq(GQuery("q_media_features",
       graft.operators.Multimodal.mediaFeatureStats _,
-      Some("""WITH f AS (
+      Some(s"""WITH h0 AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents),
+        |f AS (
         |  SELECT doc_id,
         |    ['image','audio','video'][(doc_id % 3) + 1] AS kind,
-        |    length(text) AS n_bytes,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(regexp_extract_all(text, '.'), c -> CAST(unicode(c) AS BIGINT))),
-        |      (acc, b) -> (acc*31 + b) % 1000000007) AS checksum,
-        |    (length(text) + 63) // 64 AS n_frames
-        |  FROM documents)
+        |    n_bytes,
+        |    $octetChecksumSql AS checksum,
+        |    (n_bytes + 63) // 64 AS n_frames
+        |  FROM h0)
         |SELECT kind, COUNT(*) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         |  CAST(SUM(checksum % 1000000007) AS BIGINT) AS checksum,
         |  CAST(SUM(n_frames) AS BIGINT) AS n_frames
         |FROM f GROUP BY kind""".stripMargin))),
     // the embedding stub derives 8 milli-scaled coords from the payload's
-    // rolling checksum; the oracle re-derives the same sum from character
-    // codes (batch shapes are partitioning-dependent → spec-asserted, not
-    // oracle-compared)
+    // rolling octet checksum; the oracle re-derives the same sum from the
+    // same octets (batch shapes are partitioning-dependent →
+    // spec-asserted, not oracle-compared)
     Seq(GQuery("q_embed_batch",
       graft.operators.Multimodal.embedBatchStats _,
-      Some("""WITH f AS (
+      Some(s"""WITH h0 AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents),
+        |f AS (
         |  SELECT doc_id,
         |    ['image','audio','video'][(doc_id % 3) + 1] AS kind,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(regexp_extract_all(text, '.'), c -> CAST(unicode(c) AS BIGINT))),
-        |      (acc, b) -> (acc*31 + b) % 1000000007) AS checksum
-        |  FROM documents)
+        |    $octetChecksumSql AS checksum
+        |  FROM h0)
         |SELECT kind, COUNT(*) AS n_media,
         |  CAST(SUM(list_sum(list_transform([0,1,2,3,4,5,6,7],
         |    j -> (checksum + j * 2654435761) % 1000))) AS BIGINT) AS emb_checksum

@@ -75,6 +75,50 @@ class MultimodalSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("census math is octet-exact on non-ASCII, newline-bearing payloads") {
+    import spark.implicits._
+    // multi-byte UTF-8 (accents, CJK, emoji) and embedded newlines: the
+    // payload octets differ from the code points, so any code-point or
+    // regexp shortcut in the census (the pre-r7 oracle divergence)
+    // produces a different checksum here
+    val texts = Seq(
+      "héllo wörld — Dünya 🌍 café\nnaïve emoji 🚀 line",
+      "日本語のテキストと中文混在、改行も\nあり。München Zürich",
+      "plain ascii control row")
+    val dir = java.nio.file.Files.createTempDirectory("graft_nonascii_").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "xx", "fixture", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    def kindOf(id: Long) = Seq("image", "audio", "video")((id % 3).toInt)
+    val expected = texts.zipWithIndex.map { case (t, i) =>
+      val bytes = t.getBytes("UTF-8")
+      (i.toLong, kindOf(i.toLong), bytes.length.toLong,
+        Multimodal.payloadChecksum(bytes))
+    }
+
+    val feats = Multimodal.mediaFeatureStats(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val expFeats = expected.groupBy(_._2).map { case (kind, rows) =>
+      kind -> ((rows.size.toLong, rows.map(_._3).sum,
+        rows.map(_._4 % 1000000007L).sum, rows.map(r => (r._3 + 63) / 64).sum))
+    }
+    assert(feats === expFeats,
+      "media census must fold UTF-8 octets, not code points")
+
+    val emb = Multimodal.embedBatchStats(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expEmb = expected.groupBy(_._2).map { case (kind, rows) =>
+      kind -> ((rows.size.toLong, rows.map { r =>
+        (0 until 8).map(j => (r._4 + j * 2654435761L) % 1000L).sum
+      }.sum))
+    }
+    assert(emb === expEmb,
+      "embedding census must derive from the octet checksum")
+  }
+
   test("size repartitioning preserves every record") {
     val media = Multimodal.fromDocuments(spark, sfDir)
     val repart = Multimodal.repartitionBySize(media, 3)

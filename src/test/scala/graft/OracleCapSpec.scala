@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Qdsl
+
+/** Gate-maintenance tripwire for the oracles' `range(N)` fan-out caps.
+  *
+  * Several DuckDB oracles explode per-document positions through a fixed
+  * `CROSS JOIN range(N)` (DuckDB has no lateral `sequence` explode), so
+  * each cap silently truncates — and hash-diverges from the Spark side —
+  * the moment the testdata grows a document longer than the cap covers.
+  * This spec computes the ACTUAL max fan-out per sf slice and asserts it
+  * under every cap, so testdata growth fails loudly here instead of as an
+  * opaque oracle hash mismatch:
+  *
+  *   - q_chunk_dedup   range(1024), 10-token stride → (maxTok-1)/10 ≤ 1023
+  *   - q_chunk_overlap range(4096), 24-token stride → (maxTok-1)/24 ≤ 4095
+  *   - q_decontaminate / q_pipeline_clean range(4096) over 8-gram starts
+  *     (1-based j ≤ len-7) → maxTok-7 ≤ 4095
+  *   - q_frame_sample  range(512), 64-byte frames   → (maxBytes-1)/64 ≤ 511
+  *
+  * Runs over every local sf slice (the driver gates correctness at sf0.01
+  * and benches at sf0.1 — both must stay inside the caps).
+  */
+class OracleCapSpec extends SparkSpec {
+
+  private val slices =
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(s"$d/documents.parquet").exists())
+
+  test("every oracle range(N) cap covers the real document fan-out") {
+    assert(slices.nonEmpty, "no local testdata slices found")
+    for (dir <- slices) {
+      val row = graft.core.Tables.documents(spark, dir)
+        .agg(
+          max(size(Qdsl.words(col("text")))).as("max_tok"),
+          max(length(col("text").cast("binary"))).as("max_bytes"))
+        .head()
+      val maxTok = row.getInt(0)
+      val maxBytes = row.getInt(1)
+      withClue(s"$dir (maxTok=$maxTok, maxBytes=$maxBytes): ") {
+        assert((maxTok - 1) / 10 <= 1023,
+          "q_chunk_dedup's range(1024) no longer covers the longest document")
+        assert((maxTok - 1) / 24 <= 4095,
+          "q_chunk_overlap's range(4096) no longer covers the longest document")
+        assert(maxTok - 7 <= 4095,
+          "the 8-gram oracles' range(4096) no longer covers the longest document")
+        assert((maxBytes - 1) / 64 <= 511,
+          "q_frame_sample's range(512) no longer covers the largest payload")
+      }
+    }
+  }
+}
