@@ -1100,6 +1100,122 @@ object TextPipeline {
       |  CAST(SUM(first_occ) AS BIGINT) AS first_occ_sum
       |FROM g GROUP BY cnt""".stripMargin
 
+  // -------------------------------------------- exact substring spans
+
+  /** Window length for exact substring-span dedup: 16 whitespace tokens,
+    * the order of the ~50-BPE-token threshold the published algorithm
+    * uses. */
+  private val SpanL = 16
+
+  /** Exact substring-level deduplication (the ExactSubstr pass of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): every [[SpanL]]-token window at stride 1 whose
+    * content recurs ANYWHERE in the corpus — cross- or intra-document —
+    * marks its [i, i+L) token span as duplicated, and a document's
+    * duplicated mass is the interval UNION of its marked spans (the
+    * measure the paper trims). This is span-level redundancy the rest of
+    * the dedup family cannot see: exact/MinHash/SimHash judge whole
+    * documents, chunk dedup judges disjoint stride-10 blocks, SemDeDup
+    * judges embeddings; a 30-token boilerplate run straddling chunk
+    * boundaries only shows up here.
+    *
+    * Plan shape, 100 TB posture: windows carry an 8-byte content hash
+    * ([[Qdsl.hash60]] of the window string), never the window text, so
+    * the corpus-sized exchange moves (doc_id, pos, key) triples only.
+    * Recurrence detection is a count-over-key WINDOW on that one
+    * exchange — no aggregate + self-join back. The span union is a
+    * lag() interval sweep on a doc-partitioned second exchange:
+    * identical-length intervals union as sum(min(L, start-gap)) with no
+    * interval stack. Stride-1 windows cost O(corpus·L) hash bytes, the
+    * same corpus-linear budget as the paper's suffix-array build, and
+    * partial aggregation cannot help a mostly-unique key space — this IS
+    * the honest price of exact span recall, pinned by fixed L. The
+    * tokenized projection is built once and shared by the window explode
+    * and the per-lang totals. */
+  def substringDedup(s: SparkSession, dir: String): DataFrame =
+    substringDedupDocs(Tables.documents(s, dir))
+
+  private[graft] def substringDedupDocs(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), col("lang"), ws.as("w"))
+      .select(col("doc_id"), col("lang"), col("w"),
+        size(col("w")).cast("long").as("n"))
+      .trackedPersist()
+    // sequence(1, n-L+1) only under n >= L: Spark's sequence DESCENDS
+    // when start > stop, so an unguarded short doc would fabricate
+    // windows instead of contributing none
+    val wins = d.filter(col("n") >= SpanL)
+      .select(col("doc_id"), col("lang"), col("w"),
+        explode(expr(s"sequence(1, size(w) - ${SpanL - 1})")).as("i"))
+      .select(col("doc_id"), col("lang"), col("i"),
+        hash60(concat_ws(" ", expr(s"slice(w, i, $SpanL)"))).as("wkey"))
+    val dupWins = wins
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("wkey"))))
+      .filter(col("cnt") >= 2)
+    // equal-length interval union: sorted starts i_1 < i_2 < …
+    // contribute min(L, i_k − i_{k−1}) each (first contributes L); the
+    // groupBy reuses the lag window's doc_id partitioning — no extra
+    // exchange
+    val perDoc = dupWins
+      .withColumn("gap", col("i") - lag(col("i"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_wins"),
+        sum(least(lit(SpanL.toLong), coalesce(col("gap"), lit(SpanL.toLong))))
+          .as("dup_tok"))
+    d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .join(perDoc.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_dup_docs"),
+            sum(col("n_wins")).as("n_dup_windows"),
+            sum(col("dup_tok")).as("n_dup_tokens"),
+            sum(col("doc_id")).as("dup_doc_id_sum")),
+        Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("dup_doc_id_sum"), lit(0L)).as("dup_doc_id_sum"))
+  }
+
+  private val substringDedupSql =
+    s"""WITH dn AS (
+      |  SELECT doc_id, lang, $wordsSqlDoc AS w,
+      |    CAST(len($wordsSqlDoc) AS BIGINT) AS n
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id, lang, j.j AS i,
+      |    CAST('0x' || substring(md5(array_to_string(w[j.j : j.j + ${SpanL - 1}], ' ')),1,15) AS BIGINT) AS wkey
+      |  FROM dn CROSS JOIN range(4096) j(j)
+      |  WHERE n >= $SpanL AND j.j BETWEEN 1 AND n - ${SpanL - 1}),
+      |dup AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, lang, i, COUNT(*) OVER (PARTITION BY wkey) AS cnt
+      |    FROM wins) t
+      |  WHERE cnt >= 2),
+      |gaps AS (
+      |  SELECT doc_id, lang,
+      |    LEAST($SpanL, COALESCE(i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i), $SpanL)) AS cov
+      |  FROM dup),
+      |per AS (
+      |  SELECT doc_id, lang, COUNT(*) AS n_wins, SUM(cov) AS dup_tok
+      |  FROM gaps GROUP BY doc_id, lang),
+      |tot AS (
+      |  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+      |  FROM dn GROUP BY lang),
+      |pc AS (
+      |  SELECT lang, COUNT(*) AS n_dup_docs,
+      |    CAST(SUM(n_wins) AS BIGINT) AS n_dup_windows,
+      |    CAST(SUM(dup_tok) AS BIGINT) AS n_dup_tokens,
+      |    CAST(SUM(doc_id) AS BIGINT) AS dup_doc_id_sum
+      |  FROM per GROUP BY lang)
+      |SELECT tot.lang, n_docs, n_tokens,
+      |  CAST(COALESCE(n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+      |  CAST(COALESCE(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+      |  CAST(COALESCE(n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+      |  CAST(COALESCE(dup_doc_id_sum, 0) AS BIGINT) AS dup_doc_id_sum
+      |FROM tot LEFT JOIN pc ON tot.lang = pc.lang""".stripMargin
+
   // --------------------------------------------- per-group fixed sample
 
   /** Deterministic fixed-size per-stratum sample: the k=10 documents per
@@ -1605,5 +1721,7 @@ object TextPipeline {
     GQuery("q_lang_id", langId, Some(langIdSql)),
     GQuery("q_token_count", tokenCount, Some(tokenCountSql)),
     GQuery("q_fingerprint", fingerprint, Some(fingerprintSql)),
+    GQuery("q_substring_dedup", substringDedup, Some(substringDedupSql),
+      headline = true),
     GQuery("q_tfidf_top", tfidfTop, Some(tfidfTopSql)))
 }

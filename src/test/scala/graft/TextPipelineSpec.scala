@@ -38,6 +38,34 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("substring dedup: interval union and recurrence are hand-exact") {
+    import spark.implicits._
+    // S = a 20-token run shared by docs 1 and 2 (distinct surroundings, so
+    // only the 5 windows fully inside S recur); doc 3 repeats its own
+    // 16-token run T with a 4-token gap (intra-doc recurrence, overlap-free
+    // union = 32); doc 4 is all-unique; doc 5 is shorter than one window.
+    val S = (1 to 20).map(i => f"s$i%02d").mkString(" ")
+    val T = (1 to 16).map(i => f"t$i%02d").mkString(" ")
+    val docs = Seq(
+      (1L, "xx", s"a1 a2 a3 a4 a5 $S b1 b2 b3 b4 b5"),
+      (2L, "xx", s"c1 c2 c3 c4 c5 $S d1 d2 d3 d4 d5"),
+      (3L, "xx", s"$T e1 e2 e3 e4 $T"),
+      (4L, "xx", (1 to 20).map(i => f"u$i%02d").mkString(" ")),
+      (5L, "xx", (1 to 10).map(i => f"v$i%02d").mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val row = TextPipeline.substringDedupDocs(docs).head()
+    graft.core.Caches.release()
+    assert(row.getString(0) === "xx")
+    assert(row.getLong(1) === 5L, "n_docs")
+    assert(row.getLong(2) === (30 + 30 + 36 + 20 + 10).toLong, "n_tokens")
+    assert(row.getLong(3) === 3L, "docs with a recurring span")
+    // docs 1/2: window starts 6..10 inside S (5 each); doc 3: starts 1 and 21
+    assert(row.getLong(4) === 12L, "recurring windows")
+    // union: 20 + 20 (S spans) + 16 + min(16, gap 20) = 32 for doc 3
+    assert(row.getLong(5) === (20 + 20 + 32).toLong, "duplicated tokens (interval union)")
+    assert(row.getLong(6) === 6L, "dup doc id sum")
+  }
+
   test("fingerprint is deterministic across runs") {
     val a = TextPipeline.fingerprint(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
