@@ -139,7 +139,58 @@ object Mixing {
       |  CAST(MIN(n_tok) AS BIGINT) AS min_tok, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       |FROM r WHERE cum - n_tok < 10000 GROUP BY lang""".stripMargin
 
+  /** Deterministic training-shard export manifest: every document lands
+    * in shard hash60(doc_id) % 64, is ordered within its shard by
+    * (hash60(doc_id), doc_id) — a stable corpus-wide pseudo-random
+    * permutation, the "global shuffle" a training run wants with zero
+    * random state — and receives the exclusive cumulative token offset
+    * where its tokens start in the shard file. The census pins docs,
+    * token mass, AND the per-shard offset SUM: any different intra-shard
+    * order changes that sum, so the manifest's byte layout is
+    * oracle-pinned, not just its membership.
+    *
+    * Scale shape: ONE shuffle — the shard exchange the export itself
+    * requires — and the offset prefix-sum window rides it
+    * (partitionBy(shard) reuses the exchange, no second one). Only
+    * (id, hash, n_tok) triples move; document text would flow straight
+    * from scan to shard writer in the real export. 64 shards at equal
+    * hash mass also demonstrates the skew posture: shard sizes
+    * concentrate around n/64 regardless of any doc_id clustering. */
+  def shardManifest(s: SparkSession, dir: String): DataFrame =
+    shardManifestDocs(Tables.documents(s, dir))
+
+  private[graft] def shardManifestDocs(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), hash60(col("doc_id")).as("h"),
+        size(words(col("text"))).cast("long").as("n_tok"))
+      .select(col("doc_id"), (col("h") % 64).as("shard"), col("h"),
+        col("n_tok"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("offset", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("offset")).as("offset_sum"))
+  }
+
+  private val shardManifestSql =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) AS h,
+      |    CAST(len($wordsSqlDoc) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |o AS (
+      |  SELECT h % 64 AS shard, n_tok,
+      |    COALESCE(SUM(n_tok) OVER (PARTITION BY h % 64 ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+      |  FROM t)
+      |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM("offset") AS BIGINT) AS offset_sum
+      |FROM o GROUP BY shard""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),
-    GQuery("q_token_budget", tokenBudget, Some(tokenBudgetSql)))
+    GQuery("q_token_budget", tokenBudget, Some(tokenBudgetSql)),
+    GQuery("q_shard_manifest", shardManifest, Some(shardManifestSql)))
 }

@@ -1216,6 +1216,117 @@ object TextPipeline {
       |  CAST(COALESCE(dup_doc_id_sum, 0) AS BIGINT) AS dup_doc_id_sum
       |FROM tot LEFT JOIN pc ON tot.lang = pc.lang""".stripMargin
 
+  // ------------------------------------- model-based quality classifier
+
+  /** Hashed-feature linear quality classifier — the MODEL-based filtering
+    * step of modern pretraining pipelines (the fastText classifiers of
+    * CCNet and the FineWeb-Edu / DCLM quality filters), as opposed to the
+    * heuristic ratios of [[textQuality]]: each token hashes straight into
+    * a weight slot (hashed features are what let fastText score without a
+    * vocabulary join), the document's logit is the sum of its token
+    * weights, and documents with a positive logit are kept. Census per
+    * language: docs, kept docs, logit mass, kept-id checksum.
+    *
+    * The per-token weight derives deterministically from the term hash
+    * (hash60 % 2001 − 1000 ∈ [−1000, 1000]) so the DuckDB oracle
+    * reproduces the "model" bit-for-bit; a production deployment replaces
+    * that one expression with its trained bucket weights. The plumbing is
+    * the part that must survive 100 TB, and it is shaped for it: the
+    * whole per-document score is ONE codegen'd aggregate over the token
+    * array inside the scan — no explode, no per-doc shuffle — and the
+    * only exchange is the languages-sized census. Integer weights make
+    * the logit exact, so keep/drop never flips on float order. */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    qualityClassifierDocs(Tables.documents(s, dir))
+
+  private[graft] def qualityClassifierDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("doc_id"),
+        aggregate(transform(ws, t => hash60(t) % 2001L - 1000L),
+          lit(0L), (a, x) => a + x).as("logit"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("logit") > 0, 1L).otherwise(0L)).as("n_keep"),
+        sum(col("logit")).as("logit_sum"),
+        coalesce(sum(when(col("logit") > 0, col("doc_id"))), lit(0L))
+          .as("keep_id_sum"))
+
+  private val qualityClassifierSql =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, $wordsSqlDoc AS w FROM documents),
+      |lg AS (
+      |  SELECT doc_id,
+      |    SUM(CAST('0x' || substring(md5(t.t),1,15) AS BIGINT) % 2001 - 1000)
+      |      AS logit
+      |  FROM d, unnest(w) AS t(t) GROUP BY doc_id),
+      |j AS (
+      |  SELECT d.lang, d.doc_id, COALESCE(lg.logit, 0) AS logit
+      |  FROM d LEFT JOIN lg ON d.doc_id = lg.doc_id)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |  CAST(SUM(logit) AS BIGINT) AS logit_sum,
+      |  CAST(COALESCE(SUM(CASE WHEN logit > 0 THEN doc_id END), 0) AS BIGINT)
+      |    AS keep_id_sum
+      |FROM j GROUP BY lang""".stripMargin
+
+  // --------------------------------------------- boilerplate detection
+
+  /** Boilerplate census: the 10 most-recurring [[SpanL]]-token windows in
+    * the corpus. Navigation chrome, license headers, and templated
+    * footers surface here long before any whole-document near-dup fires —
+    * this is the discovery dial [[substringDedup]]'s removal measure
+    * assumes someone looked at. Stride-1 windows hash to 8-byte keys
+    * inside the scan (the same corpus·L budget note as substringDedup),
+    * then ONE count-by-key aggregation and a global top-10 by
+    * (occurrences, key) — a TakeOrdered over the aggregated key space,
+    * never a global sort of the windows. Each row carries the window's
+    * spread (total occurrences, distinct docs) and its earliest
+    * (doc, position) exemplar so an operator can open the offending text
+    * directly. */
+  def boilerplateTop(s: SparkSession, dir: String): DataFrame =
+    boilerplateTopDocs(Tables.documents(s, dir))
+
+  private[graft] def boilerplateTopDocs(docs: DataFrame): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"), ws.as("w"))
+      .filter(size(col("w")) >= SpanL)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, size(w) - ${SpanL - 1})")).as("i"),
+        col("w"))
+      .select(col("doc_id"), col("i"),
+        hash60(concat_ws(" ", expr(s"slice(w, i, $SpanL)"))).as("wkey"))
+    wins.groupBy(col("wkey"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("i"))).as("f"))
+      .filter(col("n_occ") >= 2)
+      .select(col("wkey"), col("n_occ"), col("n_docs"),
+        col("f.doc_id").as("first_doc"),
+        col("f.i").cast("long").as("first_pos"))
+      .orderBy(col("n_occ").desc, col("wkey"))
+      .limit(10)
+  }
+
+  private val boilerplateTopSql =
+    s"""WITH d AS (
+      |  SELECT doc_id, $wordsSqlDoc AS w FROM documents),
+      |wins AS (
+      |  SELECT doc_id, j.j AS i,
+      |    CAST('0x' || substring(md5(array_to_string(w[j.j : j.j + ${SpanL - 1}], ' ')),1,15) AS BIGINT) AS wkey
+      |  FROM d CROSS JOIN range(4096) j(j)
+      |  WHERE len(w) >= $SpanL AND j.j BETWEEN 1 AND len(w) - ${SpanL - 1}),
+      |agg AS (
+      |  SELECT wkey, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs,
+      |    MIN(doc_id) AS first_doc
+      |  FROM wins GROUP BY wkey HAVING COUNT(*) >= 2),
+      |fp AS (
+      |  SELECT w.wkey, MIN(w.i) AS first_pos
+      |  FROM wins w JOIN agg ON w.wkey = agg.wkey AND w.doc_id = agg.first_doc
+      |  GROUP BY w.wkey)
+      |SELECT agg.wkey, n_occ, n_docs, first_doc, first_pos
+      |FROM agg JOIN fp ON agg.wkey = fp.wkey
+      |ORDER BY n_occ DESC, agg.wkey LIMIT 10""".stripMargin
+
   // --------------------------------------------- per-group fixed sample
 
   /** Deterministic fixed-size per-stratum sample: the k=10 documents per
@@ -1723,5 +1834,8 @@ object TextPipeline {
     GQuery("q_fingerprint", fingerprint, Some(fingerprintSql)),
     GQuery("q_substring_dedup", substringDedup, Some(substringDedupSql),
       headline = true),
+    GQuery("q_quality_classifier", qualityClassifier,
+      Some(qualityClassifierSql), headline = true),
+    GQuery("q_boilerplate_top", boilerplateTop, Some(boilerplateTopSql)),
     GQuery("q_tfidf_top", tfidfTop, Some(tfidfTopSql)))
 }

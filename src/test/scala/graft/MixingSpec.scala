@@ -28,6 +28,28 @@ class MixingSpec extends SparkSpec {
     }
   }
 
+  test("shard manifest: totals, membership, and offsets match a driver replay") {
+    import graft.queries.Qdsl
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Qdsl.hash60(col("doc_id")).as("h"),
+        size(Qdsl.words(col("text"))).cast("long").as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent replay of the manifest contract on the driver: shard by
+    // h % 64, order by (h, doc_id), exclusive prefix-sum the token counts
+    val expect = docs.groupBy { case (_, h, _) => h % 64 }
+      .map { case (shard, ds) =>
+        val ordered = ds.sortBy { case (id, h, _) => (h, id) }
+        val offsets = ordered.map(_._3).scanLeft(0L)(_ + _).init
+        shard -> (ordered.length.toLong, ordered.map(_._3).sum, offsets.sum)
+      }
+    val got = Mixing.shardManifest(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expect)
+    // every document landed in exactly one shard
+    assert(got.values.map(_._1).sum === docs.length.toLong)
+  }
+
   test("token budget is met or straddled by exactly the boundary doc") {
     val out = Mixing.tokenBudget(spark, sfDir).persist()
     try {

@@ -18,6 +18,8 @@ import graft.queries.Qdsl
   *   - q_chunk_overlap range(4096), 24-token stride → (maxTok-1)/24 ≤ 4095
   *   - q_decontaminate / q_pipeline_clean range(4096) over 8-gram starts
   *     (1-based j ≤ len-7) → maxTok-7 ≤ 4095
+  *   - q_substring_dedup / q_boilerplate_top range(4096) over 16-token
+  *     window starts (j ≤ len-15) → maxTok-15 ≤ 4095
   *   - q_frame_sample  range(512), 64-byte frames   → (maxBytes-1)/64 ≤ 511
   *
   * Runs over every local sf slice (the driver gates correctness at sf0.01
@@ -46,6 +48,8 @@ class OracleCapSpec extends SparkSpec {
           "q_chunk_overlap's range(4096) no longer covers the longest document")
         assert(maxTok - 7 <= 4095,
           "the 8-gram oracles' range(4096) no longer covers the longest document")
+        assert(maxTok - 15 <= 4095,
+          "the 16-token window oracles' range(4096) no longer cover the longest document")
         assert((maxBytes - 1) / 64 <= 511,
           "q_frame_sample's range(512) no longer covers the largest payload")
       }

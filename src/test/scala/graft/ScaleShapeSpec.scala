@@ -211,4 +211,25 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"the 1-row/#partitions-row side tables must broadcast:\n$p")
   }
+
+  test("quality classifier: no explode, census agg is the only exchange") {
+    val p = plan(TextPipeline.qualityClassifier(spark, sfDir))
+    // the logit is one array aggregate INSIDE the scan — a Generate
+    // (explode) node would mean per-token rows and a per-doc shuffle
+    assert(!p.contains("Generate"),
+      s"hashed-feature scoring must not explode tokens:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"only the languages-sized census may shuffle, got $exchanges:\n$p")
+  }
+
+  test("shard manifest: offset window rides the shard exchange (one total)") {
+    val p = plan(graft.queries.Mixing.shardManifest(spark, sfDir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    // window partitionBy(shard) and groupBy(shard) share one hash
+    // exchange — the export's own shuffle and nothing else
+    assert(exchanges == 1,
+      s"prefix-sum + census must reuse the shard exchange, got $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Generate"), p)
+  }
 }

@@ -66,6 +66,67 @@ class TextPipelineSpec extends SparkSpec {
     assert(row.getLong(6) === 6L, "dup doc id sum")
   }
 
+  test("quality classifier: scan-local logit matches an explode+groupBy plan") {
+    import spark.implicits._
+    import graft.queries.Qdsl
+    val docs = Seq(
+      (1L, "xx", "the quick brown fox jumps over the lazy dog"),
+      (2L, "xx", "the quick brown fox jumps over the lazy dog"), // byte-dup of 1
+      (3L, "yy", "completely different content here with more words"),
+      (4L, "yy", ""),                                            // empty: logit 0
+      (5L, "yy", "one")
+    ).toDF("doc_id", "lang", "text")
+    // independent plan for the same model: explode tokens, sum hashed
+    // weights per doc, re-aggregate the census
+    val perDoc = docs
+      .select(col("lang"), col("doc_id"),
+        explode_outer(Qdsl.words(col("text"))).as("t"))
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(coalesce(sum(Qdsl.hash60(col("t")) % 2001L - 1000L), lit(0L))
+        .as("logit"))
+    val expect = perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("logit") > 0, 1L).otherwise(0L)).as("n_keep"),
+        sum(col("logit")).as("logit_sum"),
+        coalesce(sum(when(col("logit") > 0, col("doc_id"))), lit(0L))
+          .as("keep_id_sum"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val got = TextPipeline.qualityClassifierDocs(docs)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expect)
+    // the two byte-identical documents must agree on keep/drop: n_keep in
+    // lang xx is 0 or 2, never 1
+    assert(Set(0L, 2L).contains(got("xx")._2),
+      s"identical docs disagreed on keep: ${got("xx")}")
+    assert(got("yy")._1 === 3L)
+  }
+
+  test("boilerplate top-k finds the planted recurring window") {
+    import spark.implicits._
+    // B = a 16-token boilerplate block planted in docs 1, 2, 3 (twice in
+    // doc 3); doc 4 is all-unique filler long enough to windowize
+    val B = (1 to 16).map(i => f"b$i%02d").mkString(" ")
+    val docs = Seq(
+      (1L, s"$B x1 x2 x3"),
+      (2L, s"y1 y2 $B"),
+      (3L, s"$B z1 z2 z3 z4 $B"),
+      (4L, (1 to 30).map(i => f"u$i%02d").mkString(" "))
+    ).toDF("doc_id", "text").withColumn("lang", lit("xx"))
+    val rows = TextPipeline.boilerplateTopDocs(docs).collect()
+    assert(rows.nonEmpty, "planted boilerplate not found")
+    // the top row is the planted block: 4 occurrences across 3 docs,
+    // earliest exemplar doc 1 position 1
+    val top = rows.head
+    assert(top.getLong(1) === 4L, s"n_occ: $top")
+    assert(top.getLong(2) === 3L, s"n_docs: $top")
+    assert(top.getLong(3) === 1L && top.getLong(4) === 1L,
+      s"first exemplar: $top")
+    // doc 4's unique windows never appear
+    rows.foreach(r => assert(r.getLong(1) >= 2L))
+  }
+
   test("fingerprint is deterministic across runs") {
     val a = TextPipeline.fingerprint(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
