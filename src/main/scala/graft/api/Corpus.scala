@@ -233,6 +233,59 @@ object Corpus {
         col("rrf"), col("n_lists"))
   }
 
+  /** Model-based quality score for any (id, text) frame: one row per
+    * document with its hashed-feature linear `logit` and the `keep`
+    * decision (logit > 0) — the fastText-style classifier filter (CCNet /
+    * FineWeb-Edu / DCLM recipes). The score is ONE codegen'd array
+    * aggregate inside the scan: no vocabulary join, no explode, zero
+    * shuffles — point it at 100 TB and the cost is the scan. The weight
+    * expression is [[Qdsl.hashedLogit]], shared with the oracle-checked
+    * q_quality_classifier (swap in trained bucket weights there and both
+    * surfaces move together). */
+  def classifierLogit(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    canon(docs, id, text)
+      .select(col("doc_id").as(id),
+        Qdsl.hashedLogit(tokenize(col("text"))).as("logit"))
+      .withColumn("keep", col("logit") > 0)
+
+  /** Exact substring-span duplication per document (the ExactSubstr pass
+    * of Lee et al., arXiv:2107.06499): one row per document owning at
+    * least one 16-token window that recurs ANYWHERE in the corpus, with
+    * the count of recurring windows and the interval-UNION token mass
+    * they cover (the measure the paper trims). Shares the
+    * window/recurrence/union plan of the oracle-checked
+    * q_substring_dedup ([[graft.queries.TextPipeline.spanDupStats]]);
+    * documents absent from the result have zero duplicated spans. */
+  def substringSpans(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    TextPipeline.spanDupStats(
+      canon(docs, id, text)
+        .select(col("doc_id"), tokenize(col("text")).as("w"))
+        .withColumn("n", size(col("w")).cast("long")),
+      Nil)
+      .select(col("doc_id").as(id), col("n_wins").as("n_dup_windows"),
+        col("dup_tok").as("n_dup_tokens"))
+
+  /** Deterministic training-shard export manifest for any (id, text)
+    * frame: (id, shard, n_tokens, offset) — shard by id-hash,
+    * pseudo-random stable order within shard, exclusive cumulative token
+    * offsets (where each document's tokens start in its shard file).
+    * Shares the oracle-checked q_shard_manifest plan
+    * ([[graft.queries.Mixing.shardOffsets]]): ONE exchange — the
+    * export's own — with the prefix-sum window riding it. */
+  def shardManifest(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", shards: Int = 64): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    graft.queries.Mixing.shardOffsets(
+      canon(docs, id, text)
+        .select(col("doc_id"),
+          size(tokenize(col("text"))).cast("long").as("n_tok")),
+      shards)
+      .select(col("doc_id").as(id), col("shard"),
+        col("n_tok").as("n_tokens"), col("offset"))
+  }
+
   /** Overlapping context-window chunking: (doc, chunk_idx, chunk,
     * n_tokens) rows, `window` tokens at `stride` — scan-local
     * sequence+explode, no shuffle. */

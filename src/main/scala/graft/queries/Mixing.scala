@@ -159,20 +159,28 @@ object Mixing {
   def shardManifest(s: SparkSession, dir: String): DataFrame =
     shardManifestDocs(Tables.documents(s, dir))
 
-  private[graft] def shardManifestDocs(docs: DataFrame): DataFrame = {
-    val d = docs
-      .select(col("doc_id"), hash60(col("doc_id")).as("h"),
-        size(words(col("text"))).cast("long").as("n_tok"))
-      .select(col("doc_id"), (col("h") % 64).as("shard"), col("h"),
+  /** Per-document shard assignment + exclusive prefix-sum offsets over a
+    * (doc_id, n_tok) frame: (doc_id, shard, n_tok, offset). ONE
+    * definition shared by the oracle-checked [[shardManifest]] census and
+    * the `Corpus.shardManifest` facade so the two can never drift. */
+  private[graft] def shardOffsets(d0: DataFrame, nShards: Int): DataFrame = {
+    val d = d0
+      .select(col("doc_id"), hash60(col("doc_id")).as("h"), col("n_tok"))
+      .select(col("doc_id"), (col("h") % nShards).as("shard"), col("h"),
         col("n_tok"))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     d.withColumn("offset", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+  }
+
+  private[graft] def shardManifestDocs(docs: DataFrame): DataFrame =
+    shardOffsets(
+      docs.select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tok")), 64)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
         sum(col("offset")).as("offset_sum"))
-  }
 
   private val shardManifestSql =
     s"""WITH t AS (

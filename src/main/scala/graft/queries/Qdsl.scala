@@ -95,6 +95,17 @@ object Qdsl {
       (tf * ltot * 20 + ltot * 6 + dl * nd * 18).cast("double")
   }
 
+  /** Hashed-feature linear logit of a token array:
+    * Σ (hash60(token) % 2001 − 1000) — the fastText-style classifier
+    * score with deterministic hash-derived bucket weights. ONE definition
+    * shared by the oracle-checked q_quality_classifier and
+    * `Corpus.classifierLogit`, so the facade and the gate can never
+    * drift; a production model swaps exactly this expression for its
+    * trained weights. */
+  def hashedLogit(tokens: Column): Column =
+    aggregate(transform(tokens, t => hash60(t) % 2001L - 1000L),
+      lit(0L), (a, x) => a + x)
+
   /** All space-joined 8-grams of a token-array column (caller filters
     * size ≥ 8). ONE definition shared by decontamination and the curate
     * funnel — the gram construction is load-bearing for oracle parity

@@ -1135,34 +1135,46 @@ object TextPipeline {
   def substringDedup(s: SparkSession, dir: String): DataFrame =
     substringDedupDocs(Tables.documents(s, dir))
 
-  private[graft] def substringDedupDocs(docs: DataFrame): DataFrame = {
-    val d = docs
-      .select(col("doc_id"), col("lang"), ws.as("w"))
-      .select(col("doc_id"), col("lang"), col("w"),
-        size(col("w")).cast("long").as("n"))
-      .trackedPersist()
+  /** Per-document recurring-span stats over a tokenized projection `d`
+    * with columns (doc_id, `carry`..., w, n): one row per document that
+    * owns at least one recurring [[SpanL]]-token window, carrying
+    * (doc_id, carry..., n_wins, dup_tok) where dup_tok is the interval
+    * UNION of the marked spans. ONE definition shared by the
+    * oracle-checked [[substringDedup]] census and the
+    * `Corpus.substringSpans` facade so the two can never drift. */
+  private[graft] def spanDupStats(d: DataFrame, carry: Seq[String]): DataFrame = {
+    val cs = carry.map(col)
     // sequence(1, n-L+1) only under n >= L: Spark's sequence DESCENDS
     // when start > stop, so an unguarded short doc would fabricate
     // windows instead of contributing none
     val wins = d.filter(col("n") >= SpanL)
-      .select(col("doc_id"), col("lang"), col("w"),
-        explode(expr(s"sequence(1, size(w) - ${SpanL - 1})")).as("i"))
-      .select(col("doc_id"), col("lang"), col("i"),
-        hash60(concat_ws(" ", expr(s"slice(w, i, $SpanL)"))).as("wkey"))
+      .select(col("doc_id") +: cs ++: Seq(col("w"),
+        explode(expr(s"sequence(1, size(w) - ${SpanL - 1})")).as("i")): _*)
+      .select(col("doc_id") +: cs ++: Seq(col("i"),
+        hash60(concat_ws(" ", expr(s"slice(w, i, $SpanL)"))).as("wkey")): _*)
     val dupWins = wins
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("wkey"))))
       .filter(col("cnt") >= 2)
     // equal-length interval union: sorted starts i_1 < i_2 < …
     // contribute min(L, i_k − i_{k−1}) each (first contributes L); the
     // groupBy reuses the lag window's doc_id partitioning — no extra
-    // exchange
-    val perDoc = dupWins
+    // exchange (hash(doc_id) satisfies clustering on (doc_id, carry…))
+    dupWins
       .withColumn("gap", col("i") - lag(col("i"), 1).over(
         Window.partitionBy(col("doc_id")).orderBy(col("i"))))
-      .groupBy(col("doc_id"), col("lang"))
+      .groupBy(col("doc_id") +: cs: _*)
       .agg(count(lit(1)).as("n_wins"),
         sum(least(lit(SpanL.toLong), coalesce(col("gap"), lit(SpanL.toLong))))
           .as("dup_tok"))
+  }
+
+  private[graft] def substringDedupDocs(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), col("lang"), ws.as("w"))
+      .select(col("doc_id"), col("lang"), col("w"),
+        size(col("w")).cast("long").as("n"))
+      .trackedPersist()
+    val perDoc = spanDupStats(d, Seq("lang"))
     d.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
       .join(perDoc.groupBy(col("lang"))
@@ -1241,9 +1253,7 @@ object TextPipeline {
 
   private[graft] def qualityClassifierDocs(docs: DataFrame): DataFrame =
     docs
-      .select(col("lang"), col("doc_id"),
-        aggregate(transform(ws, t => hash60(t) % 2001L - 1000L),
-          lit(0L), (a, x) => a + x).as("logit"))
+      .select(col("lang"), col("doc_id"), Qdsl.hashedLogit(ws).as("logit"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("logit") > 0, 1L).otherwise(0L)).as("n_keep"),

@@ -264,4 +264,53 @@ class CorpusApiSpec extends SparkSpec {
       "null-group rows must be sampled, not silently dropped")
     assert(kept.columns.toSeq == df.columns.toSeq)
   }
+
+  test("classifierLogit matches the registered query's model per doc") {
+    import spark.implicits._
+    import graft.queries.Qdsl
+    val scored = Corpus.classifierLogit(docs, id = "my_id", text = "body")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(scored.size == 6)
+    // byte-identical docs 10/11 score identically
+    assert(scored(10L) == scored(11L))
+    assert(scored.values.forall { case (lg, keep) => keep == (lg > 0) })
+    // the model IS the query's model: recompute one logit through the
+    // shared expression the query uses
+    val expect = docs.filter(col("my_id") === 13L)
+      .select(Qdsl.hashedLogit(Qdsl.words(col("body")))).head().getLong(0)
+    assert(scored(13L)._1 == expect)
+  }
+
+  test("substringSpans reports the planted shared run with interval union") {
+    import spark.implicits._
+    val s = (1 to 20).map(i => f"s$i%02d").mkString(" ")
+    val df = Seq(
+      (21L, s"a1 a2 a3 a4 a5 $s b1 b2 b3 b4 b5"),
+      (22L, s"c1 c2 c3 c4 c5 $s d1 d2 d3 d4 d5"),
+      (23L, (1 to 25).map(i => f"u$i%02d").mkString(" "))
+    ).toDF("my_id", "body")
+    val got = Corpus.substringSpans(df, id = "my_id", text = "body")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 5 recurring window starts inside the 20-token shared run; union 20
+    assert(got == Map(21L -> (5L, 20L), 22L -> (5L, 20L)), s"got $got")
+  }
+
+  test("shardManifest facade: offsets replay exactly, shards parameterized") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, s"tok${i} x y z")).toDF("my_id", "body")
+    val rows = Corpus.shardManifest(df, id = "my_id", text = "body",
+        shards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 200 && rows.map(_._2).distinct.forall(s => s >= 0 && s < 8))
+    // within every shard, offsets are the exclusive prefix sums of token
+    // counts in (hash, id) order — replay on the driver
+    rows.groupBy(_._2).foreach { case (_, shard) =>
+      // order by offset is the shard order; check prefix-sum identity
+      val ordered = shard.sortBy(_._4)
+      val expect = ordered.map(_._3).scanLeft(0L)(_ + _).init
+      assert(ordered.map(_._4).toSeq == expect.toSeq,
+        s"offsets are not an exclusive prefix sum: $ordered")
+    }
+  }
 }
