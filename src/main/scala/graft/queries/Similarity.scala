@@ -184,6 +184,98 @@ object Similarity {
       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
       |  FROM c) t WHERE rank <= 3""".stripMargin
 
+  // ----------------------------------------------------- multi-table LSH
+
+  private val LSH_TABLES = 4
+
+  /** Multi-table LSH ANN: [[LSH_TABLES]] independent 6-bit hyperplane
+    * indexes (table t uses hyperplanes t·6+b, so table 0 IS the
+    * [[annLsh]] index), candidates unioned across tables and deduped,
+    * then exact-cosine top-3. THE standard recall repair for sign-bit
+    * LSH: a true neighbor is missed only if it disagrees with the query
+    * in EVERY table (miss rate (1−p^6)^4 vs 1−p^6), which is what the
+    * bench recall telemetry shows ann_lsh leaving on the table. Extra
+    * cost is a constant factor T in signature volume and candidate
+    * generation — the classic recall/work dial, tuned by (bits, tables).
+    *
+    * Plan shape: all T signatures come from ONE scan (a T-element
+    * struct-array explode), the per-(table, bucket) guard and bucket
+    * equi-join work exactly as single-table, and the cross-table dedup
+    * is a (q, candidate) max-agg carrying 8-byte cosines — never vector
+    * payloads. At 100 TB one would join bucket ids back to a vector
+    * store instead of carrying `v` through the explode; the bucket
+    * structure is unchanged. */
+  def annLshMulti(s: SparkSession, dir: String): DataFrame =
+    annLshMultiVecs(vecs(s, dir), AnnBucketCap)
+
+  private[graft] def annLshMultiVecs(all: DataFrame, cap: Int): DataFrame = {
+    val tb = array((0 until LSH_TABLES).map { t =>
+      val bits = (0 until LSH_BITS).map { b =>
+        val wgt = array((1 to DIM).map(d =>
+          lit(lshWeight(t * LSH_BITS + b, d))): _*)
+        when(dot(wgt, col("v")) > 0, 1L << b).otherwise(0L)
+      }
+      struct(lit(t.toLong).as("t"), bits.reduce(_ + _).as("bucket"))
+    }: _*)
+    val sig = all.select(col("vec_id"), col("v"), col("n2"),
+        explode(tb).as("x"))
+      .select(col("vec_id"), col("v"), col("n2"),
+        col("x.t").as("t"), col("x.bucket").as("bucket"))
+      .trackedPersist()
+    val hot = sig.groupBy(col("t"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+      .select(col("t"), col("bucket"))
+    val guarded = sig.join(hot, Seq("t", "bucket"), "left_anti")
+    val q = guarded.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("t").as("qt"), col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    guarded.join(broadcast(q),
+        col("t") === col("qt") && col("bucket") === col("qbucket") &&
+          col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("v"), col("qv")), col("n2"), col("qn2")).as("cos"))
+      // cross-table dedup AFTER scoring: the agg dedupes (q, candidate)
+      // carrying one double, not 64-long vectors (cos is identical on
+      // every duplicate, so max is just "pick one")
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(max(col("cos")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+
+  private val annLshMultiSql =
+    s"""WITH iv AS (
+      |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v, list_sum([v[i]*v[i] for i in range(1,${DIM + 1})]) AS n2 FROM iv),
+      |bits AS (
+      |  SELECT vec_id, t.b,
+      |    list_sum([(CAST('0x' || substring(md5(t.b::VARCHAR || '_' || i::VARCHAR),1,15) AS BIGINT) % 2001 - 1000) * v[i]
+      |              for i in range(1,${DIM + 1})]) AS d
+      |  FROM n CROSS JOIN range(${LSH_TABLES * LSH_BITS}) t(b)),
+      |bk AS (
+      |  SELECT vec_id, b // $LSH_BITS AS t,
+      |    SUM(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << (b % $LSH_BITS) ELSE 0 END) AS bucket
+      |  FROM bits GROUP BY vec_id, b // $LSH_BITS),
+      |okb AS (SELECT t, bucket FROM bk GROUP BY t, bucket HAVING COUNT(*) <= $AnnBucketCap),
+      |nv AS (SELECT n.vec_id, v, n2, t, bucket
+      |       FROM n JOIN bk ON n.vec_id = bk.vec_id JOIN okb USING (t, bucket)),
+      |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, t AS qt, bucket AS qbucket FROM nv WHERE vec_id < 20),
+      |c AS (
+      |  SELECT q_id, vec_id,
+      |    MAX(CAST(list_sum([v[i]*qv[i] for i in range(1,${DIM + 1})]) AS DOUBLE)
+      |      / sqrt(CAST(n2 AS DOUBLE)) / sqrt(CAST(qn2 AS DOUBLE))) AS cos
+      |  FROM nv JOIN q ON t = qt AND bucket = qbucket AND vec_id <> q_id
+      |  GROUP BY q_id, vec_id)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
+      |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM c) t WHERE rank <= 3""".stripMargin
+
   // -------------------------------------------------------------- IVF ANN
 
   /** IVF-style approximate nearest neighbors: k=8 coarse cells (seeded
@@ -559,6 +651,7 @@ object Similarity {
         .select(lit(variant).as("variant"), col("recall_at_3"))
     }
     one("ann_lsh", annLsh(s, dir))
+      .unionByName(one("ann_lsh_multi", annLshMulti(s, dir)))
       .unionByName(one("ann_ivf", annIvf(s, dir)))
       .unionByName(one("ann_ivf_trained", annIvfTrained(s, dir)))
   }
@@ -676,6 +769,7 @@ object Similarity {
     GQuery("q_embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     GQuery("q_knn_brute", knnBrute, Some(knnBruteSql), headline = true),
     GQuery("q_ann_lsh", annLsh, Some(annLshSql)),
+    GQuery("q_ann_lsh_multi", annLshMulti, Some(annLshMultiSql)),
     GQuery("q_ann_ivf", annIvf, Some(annIvfSql)),
     GQuery("q_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql)),
     GQuery("q_ann_recall", annRecall, Some(annRecallSql)),

@@ -25,6 +25,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-table LSH recall dominates single-table per query") {
+    def hits(ann: org.apache.spark.sql.DataFrame): Map[Long, Int] = {
+      val truth = Similarity.knnBrute(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("rank") <= 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val got = ann.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      truth.map { case (q, t) =>
+        q -> got.getOrElse(q, Set.empty).count(t)
+      }
+    }
+    val single = hits(Similarity.annLsh(spark, sfDir))
+    val multi = hits(Similarity.annLshMulti(spark, sfDir))
+    graft.core.Caches.release()
+    // table 0 of the multi index IS the single-table index, so the multi
+    // candidate set is a per-query superset; under identical exact-cosine
+    // ranking, recall@3 is monotone in the candidate set — any candidate
+    // displacing a true-top-3 hit ranks above it, hence is itself a
+    // true-top-3 member
+    single.keys.foreach { q =>
+      assert(multi(q) >= single(q),
+        s"query $q: multi ${multi(q)} < single ${single(q)}")
+    }
+    // and the repair must actually repair something on this fixture
+    assert(multi.values.sum > single.values.sum,
+      s"multi-table index recovered nothing new: $multi vs $single")
+  }
+
   test("lshWeight stays in [-1000, 1000] and is deterministic") {
     val w1 = for (b <- 0 until 6; d <- 1 to 64) yield Similarity.lshWeight(b, d)
     val w2 = for (b <- 0 until 6; d <- 1 to 64) yield Similarity.lshWeight(b, d)
