@@ -267,6 +267,20 @@ object Corpus {
       .select(col("doc_id").as(id), col("n_wins").as("n_dup_windows"),
         col("dup_tok").as("n_dup_tokens"))
 
+  /** Boilerplate census for any (id, text) frame: the `topK`
+    * most-recurring 16-token windows with their spread (occurrences,
+    * distinct docs) and earliest (doc, position) exemplar — the discovery
+    * dial for navigation chrome / license headers / templated footers
+    * that [[substringSpans]]' removal measure assumes someone inspected.
+    * Shares the oracle-checked q_boilerplate_top plan: scan-local window
+    * hashing, one count-by-key agg, TakeOrdered top-k. */
+  def boilerplate(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", topK: Int = 10): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    TextPipeline.boilerplateTopDocs(canon(docs, id, text), topK)
+      .withColumnRenamed("first_doc", s"first_$id")
+  }
+
   /** Deterministic training-shard export manifest for any (id, text)
     * frame: (id, shard, n_tokens, offset) — shard by id-hash,
     * pseudo-random stable order within shard, exclusive cumulative token

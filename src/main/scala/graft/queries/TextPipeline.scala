@@ -1294,9 +1294,11 @@ object TextPipeline {
     * (doc, position) exemplar so an operator can open the offending text
     * directly. */
   def boilerplateTop(s: SparkSession, dir: String): DataFrame =
-    boilerplateTopDocs(Tables.documents(s, dir))
+    boilerplateTopDocs(Tables.documents(s, dir), 10)
 
-  private[graft] def boilerplateTopDocs(docs: DataFrame): DataFrame = {
+  /** Core shared by the oracle-checked query (topK = 10) and the
+    * `Corpus.boilerplate` facade. */
+  private[graft] def boilerplateTopDocs(docs: DataFrame, topK: Int): DataFrame = {
     val wins = docs
       .select(col("doc_id"), ws.as("w"))
       .filter(size(col("w")) >= SpanL)
@@ -1314,7 +1316,7 @@ object TextPipeline {
         col("f.doc_id").as("first_doc"),
         col("f.i").cast("long").as("first_pos"))
       .orderBy(col("n_occ").desc, col("wkey"))
-      .limit(10)
+      .limit(topK)
   }
 
   private val boilerplateTopSql =

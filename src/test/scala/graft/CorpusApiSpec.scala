@@ -296,6 +296,21 @@ class CorpusApiSpec extends SparkSpec {
     assert(got == Map(21L -> (5L, 20L), 22L -> (5L, 20L)), s"got $got")
   }
 
+  test("boilerplate facade surfaces the recurring block on custom names") {
+    import spark.implicits._
+    val block = (1 to 16).map(i => f"bp$i%02d").mkString(" ")
+    val df = Seq(
+      (31L, s"$block tail1 tail2"),
+      (32L, s"head1 head2 $block"),
+      (33L, (1 to 20).map(i => f"q$i%02d").mkString(" "))
+    ).toDF("my_id", "body")
+    val rows = Corpus.boilerplate(df, id = "my_id", text = "body", topK = 5)
+      .collect()
+    assert(rows.length == 1, s"only the planted block recurs: ${rows.toSeq}")
+    assert(rows.head.getAs[Long]("n_occ") == 2L)
+    assert(rows.head.getAs[Long]("first_my_id") == 31L)
+  }
+
   test("shardManifest facade: offsets replay exactly, shards parameterized") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (i, s"tok${i} x y z")).toDF("my_id", "body")

@@ -223,6 +223,14 @@ class ScaleShapeSpec extends SparkSpec {
       s"only the languages-sized census may shuffle, got $exchanges:\n$p")
   }
 
+  test("multi-table LSH: query side broadcasts; candidate dedup is an agg, not a distinct-on-vectors") {
+    val p = plan(graft.queries.Similarity.annLshMulti(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the query signature table must broadcast into the bucket join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates must come from the (table, bucket) equi-join:\n$p")
+  }
+
   test("shard manifest: offset window rides the shard exchange (one total)") {
     val p = plan(graft.queries.Mixing.shardManifest(spark, sfDir))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

@@ -114,7 +114,7 @@ class TextPipelineSpec extends SparkSpec {
       (3L, s"$B z1 z2 z3 z4 $B"),
       (4L, (1 to 30).map(i => f"u$i%02d").mkString(" "))
     ).toDF("doc_id", "text").withColumn("lang", lit("xx"))
-    val rows = TextPipeline.boilerplateTopDocs(docs).collect()
+    val rows = TextPipeline.boilerplateTopDocs(docs, 10).collect()
     assert(rows.nonEmpty, "planted boilerplate not found")
     // the top row is the planted block: 4 occurrences across 3 docs,
     // earliest exemplar doc 1 position 1
