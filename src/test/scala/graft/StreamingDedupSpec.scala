@@ -44,4 +44,33 @@ class StreamingDedupSpec extends SparkSpec {
       assert(spark.table("dedup_test").count() == 3)
     } finally q.stop()
   }
+
+  test("classifier quality filter runs unchanged on a stream (stateless scan op)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the model-based quality filter is one scan-local expression, so the
+    // SAME facade call compiles into a streaming plan with zero state —
+    // the online-ingest filtering mode of the batch q_quality_classifier
+    val input = MemoryStream[(Long, String)]
+    val scored = graft.api.Corpus.classifierLogit(
+      input.toDF().toDF("my_id", "body"), id = "my_id", text = "body")
+    val q = scored.writeStream.format("memory")
+      .queryName("clf_stream").outputMode("append").start()
+    try {
+      val batch = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different content with more words here"),
+        (3L, ""))
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      val got = spark.table("clf_stream").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      val expect = graft.api.Corpus.classifierLogit(
+          batch.toDF("my_id", "body"), id = "my_id", text = "body")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+        .toMap
+      assert(got == expect, s"stream and batch scoring diverged: $got vs $expect")
+      assert(got(3L)._1 == 0L && !got(3L)._2, "empty doc scores 0 and drops")
+    } finally q.stop()
+  }
 }

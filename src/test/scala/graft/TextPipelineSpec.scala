@@ -66,6 +66,54 @@ class TextPipelineSpec extends SparkSpec {
     assert(row.getLong(6) === 6L, "dup doc id sum")
   }
 
+  test("substring dedup: fuzz parity with a driver-side reference") {
+    import spark.implicits._
+    val L = 16
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // tiny vocab + doc lengths straddling L force real collisions,
+      // short-doc exclusion, and intra-doc repeats
+      val corpus = (1L to 30L).map { id =>
+        val n = rnd.nextInt(41)
+        val toks = Vector.fill(n)(s"t${rnd.nextInt(8)}")
+        (id, if (id % 2 == 0) "aa" else "bb", toks)
+      }
+      // reference implementation: hash-free, string-keyed, sequential
+      val occ = scala.collection.mutable.Map.empty[String, Int]
+      for ((_, _, toks) <- corpus; i <- 0 to toks.length - L)
+        occ.updateWith(toks.slice(i, i + L).mkString(" "))(c => Some(c.getOrElse(0) + 1))
+      case class PerDoc(lang: String, nTok: Long, starts: Seq[Int])
+      val perDoc = corpus.map { case (id, lang, toks) =>
+        val starts = (0 to toks.length - L)
+          .filter(i => occ(toks.slice(i, i + L).mkString(" ")) >= 2)
+        id -> PerDoc(lang, toks.length.toLong, starts)
+      }.toMap
+      val expect = perDoc.values.groupBy(_.lang).map { case (lang, ds) =>
+        val dup = perDoc.collect {
+          case (id, d) if d.lang == lang && d.starts.nonEmpty => (id, d.starts)
+        }
+        val unions = dup.map { case (_, ss) =>
+          ss.zip(-1 +: ss.init.map(identity)).map {
+            case (s, prev) if prev < 0 => L.toLong
+            case (s, prev) => math.min(L, s - prev).toLong
+          }.sum
+        }
+        lang -> (ds.size.toLong, ds.map(_.nTok).sum,
+          dup.size.toLong, dup.map(_._2.size.toLong).sum, unions.sum,
+          dup.map(_._1).sum)
+      }
+      val docsDf = corpus.map { case (id, lang, toks) =>
+        (id, lang, toks.mkString(" "))
+      }.toDF("doc_id", "lang", "text")
+      val got = TextPipeline.substringDedupDocs(docsDf).collect().map { r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))
+      }.toMap
+      graft.core.Caches.release()
+      assert(got === expect, s"seed $seed diverged")
+    }
+  }
+
   test("quality classifier: scan-local logit matches an explode+groupBy plan") {
     import spark.implicits._
     import graft.queries.Qdsl
