@@ -77,16 +77,20 @@ object TextPipeline {
     * already held, and at 100 TB the shingle-hash traffic IS the cost
     * of the signature stage. Docs with < 2 tokens have no shingles and
     * carry no signature (same as the exploded form's dropped groups). */
+  /** Distinct word-2-gram shingles of a token array — the set the
+    * MinHash signature sketches (shared with the calibration census). */
+  private def shingleArr(w: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(w) - 1),
+      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+
   private def minhashSig(docs: DataFrame): DataFrame = {
     val w = col("w")
-    val shingles = array_distinct(transform(sequence(lit(1), size(w) - 1),
-      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
     val mins = minhashAB.zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("hs"), h => (h * a + b) % P)).as(s"m$i")
     }
     docs.select(col("doc_id"), ws.as("w"))
       .filter(size(w) >= 2)
-      .select(col("doc_id"), shingles.as("sh"))
+      .select(col("doc_id"), shingleArr(w).as("sh"))
       .select(col("doc_id"), transform(col("sh"), s => hashMod(s)).as("hs"))
       .select(col("doc_id") +: mins: _*)
   }
@@ -161,6 +165,91 @@ object TextPipeline {
       |  FROM guarded l JOIN guarded r ON l.bk = r.bk AND l.doc_id < r.doc_id)
       |SELECT doc_a, doc_b, CAST($eqs AS BIGINT) AS n_match
       |FROM pairs JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id""".stripMargin
+  }
+
+  // --------------------------------------------- minhash calibration
+
+  /** MinHash estimator calibration — the dedup leg's analogue of the ANN
+    * recall telemetry: for every LSH candidate pair, the signature
+    * agreement estimate (n_match/8) is compared against the EXACT Jaccard
+    * of the same 2-gram shingle sets the signature sketches, censused by
+    * agreement level (ratio-of-sums mean per level). Estimator drift — a
+    * hash change, a band re-tune, a shingle definition forked on one
+    * side — pulls mean_jaccard away from est_jaccard at some level while
+    * every membership-based gate stays green. Integer sums are exact;
+    * the two doubles are single IEEE divisions of exact integers.
+    *
+    * Scale shape: candidates come from the guarded LSH join (never the
+    * pair space), the shingle sets join back by doc id (hash equi-joins),
+    * and the census is ≤ 9 rows. At 100 TB the shingle arrays would be
+    * replaced by their hash60 arrays on both sides of the intersect —
+    * same join shape, 8-byte elements. */
+  def minhashCalibration(s: SparkSession, dir: String): DataFrame =
+    minhashCalibrationDocs(Tables.documents(s, dir))
+
+  private[graft] def minhashCalibrationDocs(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), ws.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), shingleArr(col("w")).as("sh"))
+    minhashCalibrationFrom(dedupMinhashDocs(docs, LshBucketCap), sh)
+  }
+
+  /** Census stage over explicit (doc_a, doc_b, n_match) candidates and
+    * per-doc shingle sets. */
+  private def minhashCalibrationFrom(cand: DataFrame, sh: DataFrame): DataFrame =
+    cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("n_match"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
+          .as("ninter"),
+        (size(col("a.sh")) + size(col("b.sh"))).cast("long").as("nsum"))
+      .groupBy(col("n_match"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ninter")).as("inter_sum"),
+        sum(col("nsum") - col("ninter")).as("union_sum"))
+      .select(col("n_match"), col("n_pairs"), col("inter_sum"),
+        col("union_sum"),
+        (col("inter_sum").cast("double") / col("union_sum").cast("double"))
+          .as("mean_jaccard"),
+        (col("n_match").cast("double") / 8.0).as("est_jaccard"))
+
+  private val minhashCalibrationSql = {
+    val mins = minhashAB.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a*h+$b) % 1000000007) AS m$i" }.mkString(", ")
+    val eqs = minhashAB.indices.map(i =>
+      s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ws AS (
+      |  SELECT doc_id, list_filter(string_split(translate(regexp_replace(text, '\\n', ' n', 'g'), '".,/()?;', '        '), ' '), w -> w != '') AS w FROM documents),
+      |shl AS (
+      |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS sh
+      |  FROM ws WHERE len(w) >= 2),
+      |hh AS (
+      |  SELECT doc_id, CAST('0x' || substring(md5(t.s),1,15) AS BIGINT) % 1000000007 AS h
+      |  FROM shl, unnest(sh) AS t(s)),
+      |sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, unnest([[0,m0,m1],[1,m2,m3],[2,m4,m5],[3,m6,m7]]) AS bk FROM sig),
+      |okb AS (
+      |  SELECT bk FROM bands GROUP BY bk HAVING COUNT(*) <= $LshBucketCap),
+      |guarded AS (SELECT bands.doc_id, bands.bk FROM bands JOIN okb USING (bk)),
+      |pairs AS (
+      |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      |  FROM guarded l JOIN guarded r ON l.bk = r.bk AND l.doc_id < r.doc_id),
+      |pm AS (
+      |  SELECT doc_a, doc_b, CAST($eqs AS BIGINT) AS n_match
+      |  FROM pairs JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id),
+      |j AS (
+      |  SELECT pm.n_match,
+      |    CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS BIGINT) AS ninter,
+      |    CAST(len(a.sh) + len(b.sh) AS BIGINT) AS nsum
+      |  FROM pm JOIN shl a ON doc_a = a.doc_id JOIN shl b ON doc_b = b.doc_id)
+      |SELECT n_match, COUNT(*) AS n_pairs,
+      |  CAST(SUM(ninter) AS BIGINT) AS inter_sum,
+      |  CAST(SUM(nsum - ninter) AS BIGINT) AS union_sum,
+      |  CAST(SUM(ninter) AS DOUBLE) / CAST(SUM(nsum - ninter) AS DOUBLE) AS mean_jaccard,
+      |  CAST(n_match AS DOUBLE) / 8.0 AS est_jaccard
+      |FROM j GROUP BY n_match""".stripMargin
   }
 
   // -------------------------------------------------------------- simhash
@@ -1836,6 +1925,8 @@ object TextPipeline {
     GQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     GQuery("q_url_dedup", urlDedup, Some(urlDedupSql)),
     GQuery("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), headline = true),
+    GQuery("q_minhash_calibration", minhashCalibration,
+      Some(minhashCalibrationSql)),
     GQuery("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     GQuery("q_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     GQuery("q_jaccard_neardup", jaccardNeardup, Some(jaccardNeardupSql)),

@@ -66,6 +66,29 @@ class TextPipelineSpec extends SparkSpec {
     assert(row.getLong(6) === 6L, "dup doc id sum")
   }
 
+  test("minhash calibration: exact dups read 8/8 with jaccard 1, laws hold") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base),                       // exact dup: 8/8, J=1
+      (3L, base + " extra tail words here"),        // near dup of 1/2
+      (4L, "totally different words nothing shared at all whatsoever")
+    ).toDF("doc_id", "text").withColumn("lang", lit("xx"))
+    val rows = TextPipeline.minhashCalibrationDocs(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    graft.core.Caches.release()
+    // the exact-dup pair must sit at full agreement with exact J = 1
+    assert(rows.contains(8L), s"no full-agreement bucket: $rows")
+    assert(rows(8L)._4 == 1.0, s"exact dup pair must have jaccard 1: $rows")
+    assert(rows(8L)._5 == 1.0)
+    rows.foreach { case (m, (n, inter, union, mj, est)) =>
+      assert(m >= 2 && m <= 8, "a band collision implies >= 2 matches")
+      assert(n > 0 && inter <= union, s"bucket $m inconsistent")
+      assert(mj >= 0.0 && mj <= 1.0 && est == m / 8.0)
+    }
+  }
+
   test("substring dedup: fuzz parity with a driver-side reference") {
     import spark.implicits._
     val L = 16
