@@ -1317,6 +1317,47 @@ object TextPipeline {
       |  CAST(COALESCE(dup_doc_id_sum, 0) AS BIGINT) AS dup_doc_id_sum
       |FROM tot LEFT JOIN pc ON tot.lang = pc.lang""".stripMargin
 
+  // --------------------------------------------- per-source curation report
+
+  /** Per-source curation census — the report a curation decision is made
+    * FROM: for every `source` (crawl/domain/provenance bucket), document
+    * and token mass, byte-exact distinct-text count (upper bound on what
+    * exact dedup retains), and the model-based keep rate
+    * ([[qualityClassifier]]'s logit via the shared [[Qdsl.hashedLogit]]).
+    * Everything per-row is scan-local (text hash + one array aggregate);
+    * the exchanges move (source)-keyed partials and 8-byte text hashes,
+    * never documents — the whole report costs one corpus scan at any
+    * size. */
+  def sourceCensus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), hash60(col("text")).as("th"),
+        Qdsl.hashedLogit(ws).as("logit"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("th")).as("n_distinct_texts"),
+        sum(when(col("logit") > 0, 1L).otherwise(0L)).as("n_keep"),
+        sum(col("logit")).as("logit_sum"))
+
+  private val sourceCensusSql =
+    s"""WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST('0x' || substring(md5(text),1,15) AS BIGINT) AS th,
+      |    $wordsSqlDoc AS w
+      |  FROM documents),
+      |lg AS (
+      |  SELECT d.source, d.doc_id, d.th, COALESCE(s.logit, 0) AS logit
+      |  FROM d LEFT JOIN (
+      |    SELECT doc_id,
+      |      SUM(CAST('0x' || substring(md5(t.t),1,15) AS BIGINT) % 2001 - 1000)
+      |        AS logit
+      |    FROM d, unnest(w) AS t(t) GROUP BY doc_id) s
+      |  ON d.doc_id = s.doc_id)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT th) AS BIGINT) AS n_distinct_texts,
+      |  CAST(SUM(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |  CAST(SUM(logit) AS BIGINT) AS logit_sum
+      |FROM lg GROUP BY source""".stripMargin
+
   // ------------------------------------- model-based quality classifier
 
   /** Hashed-feature linear quality classifier — the MODEL-based filtering
@@ -1939,6 +1980,7 @@ object TextPipeline {
       headline = true),
     GQuery("q_quality_classifier", qualityClassifier,
       Some(qualityClassifierSql), headline = true),
+    GQuery("q_source_census", sourceCensus, Some(sourceCensusSql)),
     GQuery("q_boilerplate_top", boilerplateTop, Some(boilerplateTopSql)),
     GQuery("q_tfidf_top", tfidfTop, Some(tfidfTopSql)))
 }

@@ -66,6 +66,18 @@ class TextPipelineSpec extends SparkSpec {
     assert(row.getLong(6) === 6L, "dup doc id sum")
   }
 
+  test("source census: distinct texts and keep counts add up") {
+    val rows = TextPipeline.sourceCensus(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, (n, distinct, keep)) =>
+      assert(distinct >= 1 && distinct <= n, s"$src distinct out of range")
+      assert(keep >= 0 && keep <= n, s"$src keep out of range")
+    }
+    val total = rows.map(_._2._1).sum
+    assert(total == graft.core.Tables.documents(spark, sfDir).count())
+  }
+
   test("minhash calibration: exact dups read 8/8 with jaccard 1, laws hold") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
