@@ -90,12 +90,29 @@ object Bench {
         System.err.println(s"[bench] recall telemetry failed: ${e.getMessage}")
         "{}"
     }
+    // estimator-calibration telemetry, untimed: per signature-agreement
+    // level, the exact shingle-Jaccard mean the MinHash estimate m/8
+    // stands in for. The VALUES are corpus posteriors (selection at low
+    // agreement pulls them off m/8); the tripwire is their
+    // round-over-round STABILITY — a hash/band/shingle drift moves them
+    // while membership gates stay green.
+    val calibJson = try {
+      val rows = graft.queries.TextPipeline.minhashCalibration(spark, sfDir)
+        .collect().sortBy(_.getLong(0))
+      graft.core.Caches.release()
+      rows.map(r => "\"" + r.getLong(0) + "\":" + r.getDouble(4))
+        .mkString("{", ",", "}")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] calibration telemetry failed: ${e.getMessage}")
+        "{}"
+    }
     val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => k }
     val total = results.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"recall":$recallJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"recall":$recallJson,"minhash_calibration":$calibJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
