@@ -287,7 +287,12 @@ object Corpus {
     * offsets (where each document's tokens start in its shard file).
     * Shares the oracle-checked q_shard_manifest plan
     * ([[graft.queries.Mixing.shardOffsets]]): ONE exchange — the
-    * export's own — with the prefix-sum window riding it. */
+    * export's own — with the prefix-sum window riding it. The offset
+    * sweep is sequential WITHIN a shard (exact file offsets are
+    * inherently a per-file scan, the same serialization the shard
+    * writer itself pays), so parallelism = `shards`: size it to the
+    * cluster width (hundreds–thousands at 100 TB), not the default
+    * 64. */
   def shardManifest(docs: DataFrame, id: String = "doc_id",
       text: String = "text", shards: Int = 64): DataFrame = {
     require(shards > 0, s"shards must be positive: $shards")
