@@ -310,6 +310,33 @@ object TextPipeline {
       .filter(col("hamming") <= 3)
   }
 
+  /** SimHash estimator calibration — the fingerprint-side twin of
+    * [[minhashCalibration]]: for every Hamming-≤3 candidate pair, the
+    * exact distinct-word Jaccard (the set the fingerprint's votes
+    * sketch), censused by Hamming distance. Together the three dials
+    * (ANN recall, MinHash agreement, SimHash distance) give every
+    * approximate index in the engine an exact-truth readout; the gate
+    * value is curve stability across rounds. */
+  def simhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(ws).as("w"))
+    simhashPairs(s, dir)
+      .join(d.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(d.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("hamming"),
+        size(array_intersect(col("a.w"), col("b.w"))).cast("long")
+          .as("ninter"),
+        (size(col("a.w")) + size(col("b.w"))).cast("long").as("nsum"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ninter")).as("inter_sum"),
+        sum(col("nsum") - col("ninter")).as("union_sum"))
+      .select(col("hamming"), col("n_pairs"), col("inter_sum"),
+        col("union_sum"),
+        (col("inter_sum").cast("double") / col("union_sum").cast("double"))
+          .as("mean_jaccard"))
+  }
+
   private val simhashPairsSql =
     s"""WITH sig AS ($dedupSimhashSql),
       |bands AS (
@@ -321,6 +348,21 @@ object TextPipeline {
       |  FROM bands l JOIN bands r ON l.bk = r.bk AND l.doc_id < r.doc_id
       |  GROUP BY l.doc_id, r.doc_id) t
       |WHERE hamming <= 3""".stripMargin
+
+  private val simhashCalibrationSql =
+    s"""WITH p AS (SELECT * FROM ($simhashPairsSql)),
+      |dw AS (
+      |  SELECT doc_id, list_distinct($wordsSqlDoc) AS w FROM documents),
+      |j AS (
+      |  SELECT p.hamming,
+      |    CAST(len(list_distinct(list_intersect(a.w, b.w))) AS BIGINT) AS ninter,
+      |    CAST(len(a.w) + len(b.w) AS BIGINT) AS nsum
+      |  FROM p JOIN dw a ON p.doc_a = a.doc_id JOIN dw b ON p.doc_b = b.doc_id)
+      |SELECT hamming, COUNT(*) AS n_pairs,
+      |  CAST(SUM(ninter) AS BIGINT) AS inter_sum,
+      |  CAST(SUM(nsum - ninter) AS BIGINT) AS union_sum,
+      |  CAST(SUM(ninter) AS DOUBLE) / CAST(SUM(nsum - ninter) AS DOUBLE) AS mean_jaccard
+      |FROM j GROUP BY hamming""".stripMargin
 
   // -------------------------------------------------- n-gram jaccard dedup
 
@@ -1220,7 +1262,16 @@ object TextPipeline {
     * partial aggregation cannot help a mostly-unique key space — this IS
     * the honest price of exact span recall, pinned by fixed L. The
     * tokenized projection is built once and shared by the window explode
-    * and the per-lang totals. */
+    * and the per-lang totals.
+    *
+    * Skew note: the count window serializes each wkey in one task, so a
+    * window repeated ~corpus-scale times (pathological boilerplate) is a
+    * straggler — trivial compute, spill-safe, but single-task. On such a
+    * corpus run [[boilerplateTop]] FIRST (its count is a hash
+    * aggregation, map-side-combined, skew-immune) and strip or cap the
+    * offenders; the alternative plan (agg + join back) pays the same
+    * exchange when the recurring-key table outgrows broadcast, which is
+    * exactly when the straggler would bite. */
   def substringDedup(s: SparkSession, dir: String): DataFrame =
     substringDedupDocs(Tables.documents(s, dir))
 
@@ -1970,6 +2021,8 @@ object TextPipeline {
       Some(minhashCalibrationSql)),
     GQuery("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     GQuery("q_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
+    GQuery("q_simhash_calibration", simhashCalibration,
+      Some(simhashCalibrationSql)),
     GQuery("q_jaccard_neardup", jaccardNeardup, Some(jaccardNeardupSql)),
     GQuery("q_containment", containmentNeardup, Some(containmentNeardupSql)),
     GQuery("q_text_quality", textQuality, Some(textQualitySql)),

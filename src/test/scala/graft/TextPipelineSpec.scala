@@ -101,6 +101,24 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("simhash calibration: laws hold, hamming 0 means high overlap") {
+    val rows = TextPipeline.simhashCalibration(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    graft.core.Caches.release()
+    rows.foreach { case (h, (n, inter, union, mj)) =>
+      assert(h >= 0 && h <= 3)
+      assert(n > 0 && inter <= union)
+      assert(mj >= 0.0 && mj <= 1.0)
+    }
+    // monotone in expectation on real data: hamming-0 pairs overlap at
+    // least as much (ratio-of-sums) as hamming-3 pairs if both exist
+    val m = rows.toMap
+    for (lo <- m.get(0L); hi <- m.get(3L))
+      assert(lo._4 >= hi._4,
+        s"hamming-0 pairs less similar than hamming-3: $m")
+  }
+
   test("substring dedup: fuzz parity with a driver-side reference") {
     import spark.implicits._
     val L = 16
