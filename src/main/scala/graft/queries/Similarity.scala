@@ -769,7 +769,8 @@ object Similarity {
     GQuery("q_embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     GQuery("q_knn_brute", knnBrute, Some(knnBruteSql), headline = true),
     GQuery("q_ann_lsh", annLsh, Some(annLshSql)),
-    GQuery("q_ann_lsh_multi", annLshMulti, Some(annLshMultiSql)),
+    GQuery("q_ann_lsh_multi", annLshMulti, Some(annLshMultiSql),
+      headline = true),
     GQuery("q_ann_ivf", annIvf, Some(annIvfSql)),
     GQuery("q_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql)),
     GQuery("q_ann_recall", annRecall, Some(annRecallSql)),
