@@ -139,6 +139,66 @@ class BoundariesSpec extends SparkSpec {
     }
   }
 
+  test("partitionIdExpr binary-searches: O(log P) comparisons on 1e5 bounds") {
+    // counting comparator wrapped around the real interpreted ordering:
+    // lower-bound search over 100k boundaries must touch ≤ ceil(log2 P)+1
+    // comparisons — the KeyList::findLowerBound bound — not O(P)
+    val n = 100000
+    val bounds = Array.tabulate[AnyRef](n)(i => java.lang.Long.valueOf(i * 10L))
+    var comparisons = 0L
+    val counting = new Ordering[AnyRef] {
+      override def compare(a: AnyRef, b: AnyRef): Int = {
+        comparisons += 1
+        java.lang.Long.compare(
+          a.asInstanceOf[java.lang.Long], b.asInstanceOf[java.lang.Long])
+      }
+    }
+    val maxPerLookup = math.ceil(math.log(n.toDouble) / math.log(2.0)).toLong + 1
+    val probes = Seq(-5L, 0L, 5L, 499995L, 999990L, 1000005L, 123457L)
+    probes.foreach { k =>
+      comparisons = 0
+      val pid = graft.functions.GraftBoundaryId.search(
+        java.lang.Long.valueOf(k), bounds, counting)
+      // ground truth: count of bounds <= k
+      val expected = bounds.count(_.asInstanceOf[java.lang.Long] <= k)
+      assert(pid == expected, s"wrong pid for key $k")
+      assert(comparisons <= maxPerLookup,
+        s"key $k took $comparisons comparisons; O(log P) bound is $maxPerLookup")
+    }
+  }
+
+  test("partitionIdExpr matches the filter-count semantics exactly (fuzz)") {
+    // the binary-search expression must be value-identical to the naive
+    // count-of-bounds<=key form it replaced, including keys equal to a
+    // boundary, below the min, and above the max
+    val bounds = Seq(10L, 20L, 20L, 50L, 90L).map(_.asInstanceOf[Any])
+    val keys = (-5L to 100L).toSeq
+    val df = keys.toDF("k")
+    val got = df.select(col("k"),
+        Boundaries.partitionIdExpr(col("k"), bounds).as("pid"),
+        size(filter(array(bounds.map(lit): _*), b => b <= col("k"))).as("naive"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"key ${r.getLong(0)}: binary-search pid ${r.getInt(1)} != naive ${r.getInt(2)}")
+    }
+  }
+
+  test("partitionIdExpr handles string keys through codegen") {
+    val bounds = Seq("banana", "mango", "peach").map(_.asInstanceOf[Any])
+    val df = Seq("apple", "banana", "cherry", "mango", "melon", "zebra").toDF("s")
+    val got = df.select(col("s"),
+        Boundaries.partitionIdExpr(col("s"), bounds).as("pid"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("apple" -> 0, "banana" -> 1, "cherry" -> 1,
+      "mango" -> 2, "melon" -> 2, "zebra" -> 3))
+    // and a null key stays null, not partition 0
+    val withNull = Seq(Some("kiwi"), None).toDF("s")
+      .select(Boundaries.partitionIdExpr(col("s"), bounds).as("pid"))
+      .collect()
+    assert(withNull.exists(_.isNullAt(0)))
+  }
+
   test("boundary list survives a disk round-trip (DiskBackedBoundaryKeyList)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bounds").toString
     val df = graft.core.Tables.orders(spark, sfDir).repartition(3)
