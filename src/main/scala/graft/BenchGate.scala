@@ -1,0 +1,67 @@
+package graft
+
+/** Round-over-round gate for the index-quality telemetry Bench emits.
+  *
+  * BENCH_r07 recorded recall@3 per ANN variant and the MinHash
+  * calibration curve for the first time; this object turns those numbers
+  * from "visible" into "enforced": the current run's values must sit
+  * inside a tolerance band around the recorded r07 baseline or Bench
+  * exits nonzero. An IVF codebook or probe-count regression now FAILS the
+  * bench instead of silently shifting a telemetry field — the same stance
+  * the reference takes on partition quality, which BoundaryDecider
+  * (`mapreduce/workers/boundarydecider/BoundaryDecider.cc:22-169`)
+  * actively enforces rather than merely reports.
+  *
+  * The baseline is tied to the driver's bench corpus (sf0.1): recall and
+  * the calibration posterior are corpus statistics, so Bench only applies
+  * the gate when it is pointed at that corpus. New telemetry keys (e.g. a
+  * new index variant) pass freely and become the next round's baseline;
+  * a DISAPPEARED baselined key is a violation — deleting an index is a
+  * regression too.
+  */
+object BenchGate {
+
+  /** Mean recall@3 vs exact brute force, BENCH_r07.json at sf0.1. */
+  val recallBaseline: Map[String, Double] = Map(
+    "ann_ivf" -> 0.75,
+    "ann_ivf_trained" -> 0.7833333333333333,
+    "ann_lsh" -> 0.06666666666666667,
+    "ann_lsh_multi" -> 0.23333333333333334)
+  val recallTol: Double = 0.05
+
+  /** Exact shingle-Jaccard posterior per MinHash agreement level,
+    * BENCH_r07.json at sf0.1. Gated at agreement ≥ 7 only — below that
+    * the posterior is the corpus noise floor (~0.05), dominated by
+    * selection rather than the estimator. */
+  val calibBaseline: Map[Long, Double] = Map(
+    7L -> 0.20569867291178767,
+    8L -> 0.8848012470771629)
+  val calibTol: Double = 0.1
+
+  /** Violations of the tolerance bands; empty = gate passes. */
+  def check(recall: Map[String, Double], calib: Map[Long, Double]): Seq[String] = {
+    val r = recallBaseline.toSeq.sortBy(_._1).flatMap { case (k, base) =>
+      recall.get(k) match {
+        case None => Some(s"recall[$k] missing (baseline $base)")
+        case Some(v) if v.isNaN || (v - base).abs > recallTol =>
+          Some(f"recall[$k]=$v%.4f outside +-$recallTol%.2f of baseline $base%.4f")
+        case _ => None
+      }
+    }
+    val c = calibBaseline.toSeq.sortBy(_._1).flatMap { case (k, base) =>
+      calib.get(k) match {
+        case None => Some(s"minhash_calibration[$k] missing (baseline $base)")
+        case Some(v) if v.isNaN || (v - base).abs > calibTol =>
+          Some(f"minhash_calibration[$k]=$v%.4f outside +-$calibTol%.2f of baseline $base%.4f")
+        case _ => None
+      }
+    }
+    r ++ c
+  }
+
+  /** JSON-safe number rendering: NaN/Infinity (e.g. a 0/0 recall from an
+    * empty truth set) become `null` instead of the bare literals JSON
+    * parsers reject. */
+  def jsonNum(v: Double): String =
+    if (v.isNaN || v.isInfinite) "null" else v.toString
+}

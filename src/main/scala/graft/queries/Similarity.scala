@@ -121,8 +121,8 @@ object Similarity {
     * callers (explain, schema probes, plan-shape specs) never trigger a
     * Spark job — and the blocks are reclaimed by the context cleaner once
     * the plan is unreachable. */
-  private def lshBucketed(all: DataFrame): DataFrame = {
-    val bucketBits = (0 until LSH_BITS).map { b =>
+  private def lshBucketed(all: DataFrame, bits: Int = LSH_BITS): DataFrame = {
+    val bucketBits = (0 until bits).map { b =>
       val w = array((1 to DIM).map(d => lit(lshWeight(b, d))): _*)
       when(dot(w, col("v")) > 0, 1L << b).otherwise(0L)
     }
@@ -141,8 +141,19 @@ object Similarity {
   }
 
   /** [[annLsh]] over explicit vectors with an explicit cap (spec surface). */
-  private[graft] def annLshVecs(all: DataFrame, cap: Int): DataFrame = {
-    val guarded = guardBuckets(lshBucketed(all), cap)
+  private[graft] def annLshVecs(all: DataFrame, cap: Int): DataFrame =
+    annLshVecsBits(all, cap, LSH_BITS)
+
+  /** The BITS axis of the (bits, tables) LSH dial — SURVEY §10's
+    * "6 bits at sf0.1 → 16+ at 100 TB" scaling knob, demonstrated rather
+    * than asserted: [[annLshWide]] runs this at [[LSH_BITS_WIDE]] bits,
+    * and [[lshOccupancy]] censuses how mean bucket occupancy falls
+    * ∝ 2^-bits while single-table recall falls with it — the recall that
+    * [[annLshMulti]]'s table union then buys back. The reference's
+    * analogous ship-tuned load-balance knob is the hashed-boundary
+    * partition count (`HashedBoundaryListPartitionFunction.cc:9-33`). */
+  private[graft] def annLshVecsBits(all: DataFrame, cap: Int, bits: Int): DataFrame = {
+    val guarded = guardBuckets(lshBucketed(all, bits), cap)
     val q = guarded.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("n2").as("qn2"), col("bucket").as("qbucket"))
@@ -158,7 +169,7 @@ object Similarity {
         col("vec_id").as("neighbor_id"))
   }
 
-  private val annLshSql =
+  private def annLshSqlFor(bits: Int) =
     s"""WITH iv AS (
       |  SELECT vec_id, $ivecSql AS v FROM embeddings),
       |n AS (
@@ -167,7 +178,7 @@ object Similarity {
       |  SELECT vec_id, t.b,
       |    list_sum([(CAST('0x' || substring(md5(t.b::VARCHAR || '_' || i::VARCHAR),1,15) AS BIGINT) % 2001 - 1000) * v[i]
       |              for i in range(1,${DIM + 1})]) AS d
-      |  FROM n CROSS JOIN range($LSH_BITS) t(b)),
+      |  FROM n CROSS JOIN range($bits) t(b)),
       |bk AS (
       |  SELECT vec_id, SUM(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
       |  FROM bits GROUP BY vec_id),
@@ -183,6 +194,71 @@ object Similarity {
       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
       |  FROM c) t WHERE rank <= 3""".stripMargin
+
+  private val annLshSql = annLshSqlFor(LSH_BITS)
+
+  // ------------------------------------------------------ LSH bits axis
+
+  /** The wide-signature bit count demonstrated at test scale. Production
+    * sizes bits so buckets hold ~n/2^bits candidates (16+ bits at 100 TB);
+    * doubling 6 → 12 here shows the occupancy/recall trade moving the
+    * right way on a real corpus. */
+  private val LSH_BITS_WIDE = 12
+
+  /** Single-table LSH ANN at [[LSH_BITS_WIDE]] bits — the bits axis made
+    * runnable (see [[annLshVecsBits]]). Hyperplanes are the same
+    * deterministic family (`lshWeight(b, d)`, b < 12), so the first six
+    * bits ARE the [[annLsh]] signature: each 12-bit bucket is a refinement
+    * of a 6-bit bucket, never a re-shuffle of the space. */
+  def annLshWide(s: SparkSession, dir: String): DataFrame =
+    annLshVecsBits(vecs(s, dir), AnnBucketCap, LSH_BITS_WIDE)
+
+  private val annLshWideSql = annLshSqlFor(LSH_BITS_WIDE)
+
+  /** Bucket-occupancy census per bit width — the telemetry behind the
+    * bits dial: at b bits a corpus of n vectors spreads over ≤ 2^b
+    * buckets, so mean occupancy must fall ∝ 2^-bits (6 → 12 bits ≈ 64×
+    * here) while max occupancy exposes residual skew the hot-bucket
+    * guard would absorb. One row per bit width; exact integer census
+    * with a single final double divide, so the oracle matches bit-for-bit. */
+  def lshOccupancy(s: SparkSession, dir: String): DataFrame = {
+    val all = Caches.tracked(vecs(s, dir))
+    def one(bits: Int): DataFrame =
+      lshBucketed(all, bits)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("n")).as("n_vectors"),
+          max(col("n")).as("max_occupancy"))
+        .select(lit(bits.toLong).as("bits"), col("n_buckets"),
+          col("n_vectors"),
+          (col("n_vectors").cast("double") / col("n_buckets").cast("double"))
+            .as("mean_occupancy"),
+          col("max_occupancy"))
+    one(LSH_BITS).unionByName(one(LSH_BITS_WIDE))
+  }
+
+  private def lshOccSqlFor(bits: Int) =
+    s"""SELECT CAST($bits AS BIGINT) AS bits, COUNT(*) AS n_buckets,
+      |  CAST(SUM(n) AS BIGINT) AS n_vectors,
+      |  CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_occupancy,
+      |  MAX(n) AS max_occupancy FROM (
+      |  SELECT bucket, COUNT(*) AS n FROM (
+      |    SELECT vec_id, SUM(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
+      |    FROM (
+      |      SELECT vec_id, t.b,
+      |        list_sum([(CAST('0x' || substring(md5(t.b::VARCHAR || '_' || i::VARCHAR),1,15) AS BIGINT) % 2001 - 1000) * v[i]
+      |                  for i in range(1,${DIM + 1})]) AS d
+      |      FROM n CROSS JOIN range($bits) t(b)) bits_$bits
+      |    GROUP BY vec_id) bk_$bits
+      |  GROUP BY bucket) occ_$bits""".stripMargin
+
+  private val lshOccupancySql =
+    s"""WITH iv AS (
+      |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+      |n AS (SELECT vec_id, v FROM iv)
+      |${lshOccSqlFor(LSH_BITS)}
+      |UNION ALL
+      |${lshOccSqlFor(LSH_BITS_WIDE)}""".stripMargin
 
   // ----------------------------------------------------- multi-table LSH
 
@@ -651,6 +727,7 @@ object Similarity {
         .select(lit(variant).as("variant"), col("recall_at_3"))
     }
     one("ann_lsh", annLsh(s, dir))
+      .unionByName(one("ann_lsh_12bit", annLshWide(s, dir)))
       .unionByName(one("ann_lsh_multi", annLshMulti(s, dir)))
       .unionByName(one("ann_ivf", annIvf(s, dir)))
       .unionByName(one("ann_ivf_trained", annIvfTrained(s, dir)))
@@ -769,6 +846,8 @@ object Similarity {
     GQuery("q_embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     GQuery("q_knn_brute", knnBrute, Some(knnBruteSql), headline = true),
     GQuery("q_ann_lsh", annLsh, Some(annLshSql)),
+    GQuery("q_ann_lsh_12bit", annLshWide, Some(annLshWideSql)),
+    GQuery("q_lsh_occupancy", lshOccupancy, Some(lshOccupancySql)),
     GQuery("q_ann_lsh_multi", annLshMulti, Some(annLshMultiSql),
       headline = true),
     GQuery("q_ann_ivf", annIvf, Some(annIvfSql)),

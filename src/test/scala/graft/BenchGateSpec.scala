@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The telemetry gate must actually fail when an index regresses — the
+  * r7 verdict's point was that recall/calibration were visible but not
+  * enforced. Pure unit tests (no Spark): the gate is arithmetic over the
+  * recorded r07 baseline.
+  */
+class BenchGateSpec extends AnyFunSuite {
+
+  private val goodRecall = BenchGate.recallBaseline
+  private val goodCalib = BenchGate.calibBaseline
+
+  test("baseline values pass the gate") {
+    assert(BenchGate.check(goodRecall, goodCalib).isEmpty)
+  }
+
+  test("values inside the tolerance band pass") {
+    val drifted = goodRecall.map { case (k, v) => k -> (v + 0.04) }
+    val calibDrift = goodCalib.map { case (k, v) => k -> (v - 0.09) }
+    assert(BenchGate.check(drifted, calibDrift).isEmpty)
+  }
+
+  test("an IVF recall drop to 0.5 fails the gate") {
+    val regressed = goodRecall.updated("ann_ivf", 0.5)
+    val v = BenchGate.check(regressed, goodCalib)
+    assert(v.exists(_.contains("recall[ann_ivf]")), v.mkString("; "))
+  }
+
+  test("a disappeared baselined index fails the gate") {
+    val v = BenchGate.check(goodRecall - "ann_lsh_multi", goodCalib)
+    assert(v.exists(_.contains("recall[ann_lsh_multi] missing")))
+  }
+
+  test("calibration drift beyond 0.1 at agreement >= 7 fails") {
+    val v = BenchGate.check(goodRecall, goodCalib.updated(8L, 0.6))
+    assert(v.exists(_.contains("minhash_calibration[8]")))
+  }
+
+  test("NaN telemetry fails rather than passing silently") {
+    val v = BenchGate.check(goodRecall.updated("ann_ivf", Double.NaN), goodCalib)
+    assert(v.exists(_.contains("recall[ann_ivf]")))
+  }
+
+  test("new non-baselined telemetry keys pass freely") {
+    val extra = goodRecall + ("ann_lsh_12bit" -> 0.42)
+    assert(BenchGate.check(extra, goodCalib).isEmpty)
+  }
+
+  test("jsonNum renders NaN/Infinity as null, numbers as themselves") {
+    assert(BenchGate.jsonNum(Double.NaN) == "null")
+    assert(BenchGate.jsonNum(Double.PositiveInfinity) == "null")
+    assert(BenchGate.jsonNum(Double.NegativeInfinity) == "null")
+    assert(BenchGate.jsonNum(0.75) == "0.75")
+  }
+}

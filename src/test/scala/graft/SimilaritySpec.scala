@@ -54,6 +54,22 @@ class SimilaritySpec extends SparkSpec {
       s"multi-table index recovered nothing new: $multi vs $single")
   }
 
+  test("bits axis: 12-bit signatures refine 6-bit buckets and thin occupancy") {
+    // one row per bit width (6, 12): more bits must mean more, smaller
+    // buckets — mean occupancy strictly falls, bucket count strictly
+    // rises. The production scaling direction (SURVEY §10: 16+ bits at
+    // 100 TB) demonstrated on a real corpus rather than asserted.
+    val occ = Similarity.lshOccupancy(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(occ.keySet == Set(6L, 12L))
+    val (b6, n6, m6) = occ(6L)
+    val (b12, n12, m12) = occ(12L)
+    assert(n6 == n12, "same corpus censused at both widths")
+    assert(b12 > b6, s"12-bit bucket count $b12 should exceed 6-bit $b6")
+    assert(m12 < m6, s"12-bit mean occupancy $m12 should be below 6-bit $m6")
+  }
+
   test("lshWeight stays in [-1000, 1000] and is deterministic") {
     val w1 = for (b <- 0 until 6; d <- 1 to 64) yield Similarity.lshWeight(b, d)
     val w2 = for (b <- 0 until 6; d <- 1 to 64) yield Similarity.lshWeight(b, d)
