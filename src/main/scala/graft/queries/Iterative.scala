@@ -104,6 +104,72 @@ object Iterative {
     } finally edgesD.unpersist()
   }
 
+  /** Conserved-mass census of the double-precision PageRank — the
+    * portable face of [[pagerankDouble]]: one row per iteration with the
+    * node count and total rank mass scaled to integer milli-units.
+    *
+    * Why this IS oracle-exact when the per-node doubles are not: on the
+    * symmetrized graph every node has out-degree ≥ 1, so each
+    * iteration's total mass obeys S_i = 0.15·N + 0.85·S_{i-1} with
+    * S_0 = N — identically N at every iteration in real arithmetic. The
+    * engines disagree only in floating-point summation ORDER, an error
+    * ~1e-11·N, so `round(S·1000)` = N·1000 exactly on both. A real
+    * regression (degree bug, dropped edges, wrong damping) shifts mass
+    * by whole units and fails loudly. The per-node double ranks stay a
+    * library surface ([[pagerankDouble]]), rank-order-parity-checked
+    * against the integer-exact form in PageRankSpec.
+    *
+    * Each iteration is referenced twice (census + next round), so ranks
+    * checkpoint every round — which is also what cuts lineage for long
+    * runs. */
+  def pagerankDoubleMass(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val edgesD = edgesWithDegree(s, dir).persist()
+    try {
+      var ranks = edgesD.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(1.0).as("rank"))
+      val census = (1 to iters).map { i =>
+        ranks = edgesD.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(col("rank") / col("d")).as("contrib"))
+          .select(col("dst").as("node"),
+            (lit(0.15) + lit(0.85) * col("contrib")).as("rank"))
+          .localCheckpoint(eager = true)
+        ranks.agg(count(lit(1)).as("n_nodes"),
+            expr("CAST(round(SUM(rank) * 1000) AS BIGINT)").as("mass_milli"))
+          .select(lit(i.toLong).as("iter"), col("n_nodes"), col("mass_milli"))
+      }
+      census.reduce(_.unionByName(_))
+    } finally edgesD.unpersist()
+  }
+
+  private val pagerankDoubleMassSql = {
+    def iter(prev: String, out: String) =
+      s"""$out AS (
+        |  SELECT dst AS node, 0.15 + 0.85 * contrib AS rank FROM (
+        |    SELECT e.dst, SUM(r.rank / e.d) AS contrib
+        |    FROM ed e JOIN $prev r ON e.src = r.node GROUP BY e.dst) t)""".stripMargin
+    def census(i: Int) =
+      s"""SELECT CAST($i AS BIGINT) AS iter, COUNT(*) AS n_nodes,
+        |  CAST(round(SUM(rank) * 1000) AS BIGINT) AS mass_milli FROM r$i""".stripMargin
+    s"""WITH base AS (
+      |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |edges AS (
+      |  SELECT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM base
+      |  UNION ALL
+      |  SELECT l_suppkey*2+1 AS src, l_partkey*2 AS dst FROM base),
+      |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+      |ed AS (SELECT e.src, e.dst, d.d FROM edges e JOIN deg d ON e.src = d.src),
+      |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg),
+      |${iter("r0", "r1")},
+      |${iter("r1", "r2")},
+      |${iter("r2", "r3")}
+      |${census(1)}
+      |UNION ALL
+      |${census(2)}
+      |UNION ALL
+      |${census(3)}""".stripMargin
+  }
+
   private val pagerankSql = {
     def iter(prev: String, out: String) =
       s"""$out AS (
@@ -254,10 +320,13 @@ object Iterative {
 
   val defs: Seq[GQuery] = Seq(
     GQuery("q_pagerank", pagerank, Some(pagerankSql), headline = true),
-    // rows-only driver check (double ranks are not oracle-exact);
-    // rank-order parity with the integer form is spec-asserted
-    GQuery("q_pagerank_double", (s, d) => pagerankDouble(s, d),
-      None, headline = true),
+    // the double path's registry face is the conserved-mass census
+    // (oracle-exact — see pagerankDoubleMass scaladoc); it forces the
+    // same full double-precision iteration, so the headline timing is
+    // comparable with prior rounds. The per-node double ranks stay a
+    // library surface, rank-order-parity-checked in PageRankSpec.
+    GQuery("q_pagerank_double", (s, d) => pagerankDoubleMass(s, d),
+      Some(pagerankDoubleMassSql), headline = true),
     GQuery("q_hits", hits, Some(hitsSql)),
     GQuery("q_kmeans_iter2", kmeansIter2, Some(kmeansIter2Sql)))
 }
