@@ -1,0 +1,105 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming parity for the corpus-relative Corpus facades.
+  *
+  * [[graft.api.Corpus.classifierLogit]] is scan-local, so it compiles
+  * into a streaming plan directly (StreamingDedupSpec). substringSpans
+  * and shardManifest are CORPUS-RELATIVE — window recurrence is a count
+  * over the corpus, shard offsets are a prefix sum over the corpus — so
+  * "run it on a stream" requires choosing the corpus scope, and the
+  * idiomatic Spark scope is the micro-batch via `foreachBatch` (their
+  * plans contain agg-then-join and unbounded window stacks that
+  * Structured Streaming cannot express incrementally). These specs prove
+  * the SAME facade call, unchanged, drives each micro-batch and agrees
+  * with the batch call on identical data — and that recurrence state is
+  * per-batch, never leaked across batches.
+  */
+class StreamingFacadeSpec extends SparkSpec {
+
+  // 16-token window machinery needs >= 16-token docs; two docs sharing
+  // this exact sentence own one recurring window per shared position
+  private val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
+  private val unique = (1 to 20).map(i => s"only$i").mkString(" ")
+
+  test("substringSpans drives micro-batches unchanged via foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val seen = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = input.toDF().toDF("my_id", "body").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= graft.api.Corpus
+            .substringSpans(batch, id = "my_id", text = "body")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        }
+        ()
+      }
+      .start()
+    try {
+      val batch1 = Seq((1L, shared), (2L, shared), (3L, unique))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      val expect = graft.api.Corpus
+        .substringSpans(batch1.toDF("my_id", "body"), id = "my_id", text = "body")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(seen.synchronized(seen.toSet) == expect,
+        s"stream and batch span stats diverged: $seen vs $expect")
+      assert(expect.map(_._1) == Set(1L, 2L), "only the shared-window docs flagged")
+
+      // doc 4 repeats batch 1's shared sentence, but arrives in a LATER
+      // batch: recurrence scope is the micro-batch, so it must NOT be
+      // flagged — no recurrence state leaks across batches
+      input.addData((4L, shared))
+      q.processAllAvailable()
+      assert(!seen.synchronized(seen.exists(_._1 == 4L)),
+        "cross-batch recurrence must not be counted in per-batch scope")
+    } finally q.stop()
+  }
+
+  test("shardManifest drives micro-batches unchanged via foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val seen = mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = input.toDF().toDF("my_id", "body").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= graft.api.Corpus
+            .shardManifest(batch, id = "my_id", text = "body", shards = 4)
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        }
+        ()
+      }
+      .start()
+    try {
+      val batch1 = (1L to 12L).map(i => (i, s"doc $i has exactly seven words total"))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      val expect = graft.api.Corpus
+        .shardManifest(batch1.toDF("my_id", "body"), id = "my_id",
+          text = "body", shards = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(seen.synchronized(seen.toSet) == expect,
+        "stream and batch manifests diverged")
+      // manifest invariants survive the streaming drive: offsets are an
+      // exclusive prefix sum of token counts within each shard
+      val byShard = seen.synchronized(seen.toVector).groupBy(_._2)
+      byShard.foreach { case (_, rows) =>
+        val inOrder = rows.sortBy(_._4)
+        inOrder.foldLeft(0L) { (expectOff, r) =>
+          assert(r._4 == expectOff, s"offset gap in shard ${r._2}: $r")
+          expectOff + r._3
+        }
+      }
+    } finally q.stop()
+  }
+}
