@@ -253,13 +253,17 @@ object Corpus {
     * of Lee et al., arXiv:2107.06499): one row per document owning at
     * least one 16-token window that recurs ANYWHERE in the corpus, with
     * the count of recurring windows and the interval-UNION token mass
-    * they cover (the measure the paper trims). Shares the
-    * window/recurrence/union plan of the oracle-checked
-    * q_substring_dedup ([[graft.queries.TextPipeline.spanDupStats]]);
-    * documents absent from the result have zero duplicated spans. */
+    * they cover (the measure the paper trims). Runs the HOT-WINDOW
+    * GUARDED plan ([[graft.queries.TextPipeline.spanDupStatsGuarded]],
+    * value-identical to the oracle-checked q_substring_dedup form —
+    * q_substring_dedup_guarded pins that): a production corpus with a
+    * 1000×-repeated boilerplate block keeps bounded per-key window
+    * tasks instead of a straggler, with no manual boilerplateTop pass
+    * needed first; documents absent from the result have zero
+    * duplicated spans. */
   def substringSpans(docs: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame =
-    TextPipeline.spanDupStats(
+    TextPipeline.spanDupStatsGuarded(
       canon(docs, id, text)
         .select(col("doc_id"), tokenize(col("text")).as("w"))
         .withColumn("n", size(col("w")).cast("long")),

@@ -1275,6 +1275,14 @@ object TextPipeline {
   def substringDedup(s: SparkSession, dir: String): DataFrame =
     substringDedupDocs(Tables.documents(s, dir))
 
+  /** [[substringDedup]] through the hot-window guard
+    * ([[spanDupStatsGuarded]]) — value-identical output, straggler-bounded
+    * plan; registered against the SAME oracle SQL so the driver itself
+    * pins the equivalence every round. */
+  def substringDedupGuarded(s: SparkSession, dir: String): DataFrame =
+    substringDedupDocs(Tables.documents(s, dir),
+      spanDupStatsGuarded(_, Seq("lang")))
+
   /** Per-document recurring-span stats over a tokenized projection `d`
     * with columns (doc_id, `carry`..., w, n): one row per document that
     * owns at least one recurring [[SpanL]]-token window, carrying
@@ -1282,23 +1290,27 @@ object TextPipeline {
     * UNION of the marked spans. ONE definition shared by the
     * oracle-checked [[substringDedup]] census and the
     * `Corpus.substringSpans` facade so the two can never drift. */
-  private[graft] def spanDupStats(d: DataFrame, carry: Seq[String]): DataFrame = {
+  /** Stride-1 [[SpanL]]-token windows of a tokenized projection, each
+    * carrying its 8-byte content hash — the shared front half of the
+    * plain and guarded span-stats paths. */
+  private[graft] def spanWindows(d: DataFrame, carry: Seq[String]): DataFrame = {
     val cs = carry.map(col)
     // sequence(1, n-L+1) only under n >= L: Spark's sequence DESCENDS
     // when start > stop, so an unguarded short doc would fabricate
     // windows instead of contributing none
-    val wins = d.filter(col("n") >= SpanL)
+    d.filter(col("n") >= SpanL)
       .select(col("doc_id") +: cs ++: Seq(col("w"),
         explode(expr(s"sequence(1, size(w) - ${SpanL - 1})")).as("i")): _*)
       .select(col("doc_id") +: cs ++: Seq(col("i"),
         hash60(concat_ws(" ", expr(s"slice(w, i, $SpanL)"))).as("wkey")): _*)
-    val dupWins = wins
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("wkey"))))
-      .filter(col("cnt") >= 2)
-    // equal-length interval union: sorted starts i_1 < i_2 < …
-    // contribute min(L, i_k − i_{k−1}) each (first contributes L); the
-    // groupBy reuses the lag window's doc_id partitioning — no extra
-    // exchange (hash(doc_id) satisfies clustering on (doc_id, carry…))
+  }
+
+  /** Equal-length interval union over recurring windows: sorted starts
+    * i_1 < i_2 < … contribute min(L, i_k − i_{k−1}) each (first
+    * contributes L); the groupBy reuses the lag window's doc_id
+    * partitioning — no extra exchange (hash(doc_id) satisfies clustering
+    * on (doc_id, carry…)). */
+  private def spanUnion(dupWins: DataFrame, cs: Seq[Column]): DataFrame =
     dupWins
       .withColumn("gap", col("i") - lag(col("i"), 1).over(
         Window.partitionBy(col("doc_id")).orderBy(col("i"))))
@@ -1306,15 +1318,70 @@ object TextPipeline {
       .agg(count(lit(1)).as("n_wins"),
         sum(least(lit(SpanL.toLong), coalesce(col("gap"), lit(SpanL.toLong))))
           .as("dup_tok"))
+
+  private[graft] def spanDupStats(d: DataFrame, carry: Seq[String]): DataFrame =
+    spanUnion(
+      spanWindows(d, carry)
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("wkey"))))
+        .filter(col("cnt") >= 2)
+        .drop("cnt"),
+      carry.map(col))
+
+  /** Hot-window population above which a key is diverted off the count
+    * window onto the aggregate path — sized like [[LshBucketCap]]: far
+    * above anything a benign corpus produces per key, low enough that a
+    * boilerplate storm cannot serialize a task. */
+  private[graft] val SpanHotCap = 256L
+
+  /** [[spanDupStats]] with the hot-window straggler guard the plain
+    * form's scaladoc prescribes as a manual posture ("run boilerplateTop
+    * first"), automated: window keys with more than `cap` occurrences —
+    * counted by a hash AGGREGATION, map-side-combined and skew-immune —
+    * take the aggregate path (their recurrence is already proven by
+    * kcnt > cap ≥ 2, no per-row count window needed), and only the
+    * remaining keys, each now ≤ cap rows, go through the count window.
+    * Unlike [[LshBucketCap]]'s drop, the diversion LOSES NOTHING: hot
+    * windows still mark their spans, so the result is value-identical to
+    * the unguarded form (q_substring_dedup_guarded pins that equivalence
+    * against the SAME oracle SQL), while the worst per-key window task is
+    * bounded by `cap` instead of corpus-scale. [[spanHotCensus]] reports
+    * the diversion loudly. */
+  private[graft] def spanDupStatsGuarded(d: DataFrame, carry: Seq[String],
+      cap: Long = SpanHotCap): DataFrame = {
+    val cs = carry.map(col)
+    // referenced three times (key census + both paths)
+    val wins = spanWindows(d, carry).trackedPersist()
+    val hotKeys = wins.groupBy(col("wkey")).agg(count(lit(1)).as("kcnt"))
+      .filter(col("kcnt") > cap)
+      .select(col("wkey"))
+    val cold = wins.join(hotKeys, Seq("wkey"), "left_anti")
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("wkey"))))
+      .filter(col("cnt") >= 2)
+      .drop("cnt")
+    val hot = wins.join(hotKeys, Seq("wkey"), "left_semi")
+    spanUnion(cold.unionByName(hot), cs)
   }
 
-  private[graft] def substringDedupDocs(docs: DataFrame): DataFrame = {
+  /** The diversion census for [[spanDupStatsGuarded]]: how many window
+    * keys and rows exceeded `cap` (took the aggregate path) and the
+    * hottest key's population — the loud accounting that makes the guard
+    * observable rather than silent. */
+  private[graft] def spanHotCensus(d: DataFrame, carry: Seq[String],
+      cap: Long = SpanHotCap): DataFrame =
+    spanWindows(d, carry).groupBy(col("wkey")).agg(count(lit(1)).as("kcnt"))
+      .agg(sum(when(col("kcnt") > cap, 1L).otherwise(0L)).as("n_hot_keys"),
+        coalesce(sum(when(col("kcnt") > cap, col("kcnt"))), lit(0L))
+          .as("n_hot_rows"),
+        max(col("kcnt")).as("max_key_rows"))
+
+  private[graft] def substringDedupDocs(docs: DataFrame,
+      perDocOf: DataFrame => DataFrame = spanDupStats(_, Seq("lang"))): DataFrame = {
     val d = docs
       .select(col("doc_id"), col("lang"), ws.as("w"))
       .select(col("doc_id"), col("lang"), col("w"),
         size(col("w")).cast("long").as("n"))
       .trackedPersist()
-    val perDoc = spanDupStats(d, Seq("lang"))
+    val perDoc = perDocOf(d)
     d.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
       .join(perDoc.groupBy(col("lang"))
@@ -2031,6 +2098,9 @@ object TextPipeline {
     GQuery("q_fingerprint", fingerprint, Some(fingerprintSql)),
     GQuery("q_substring_dedup", substringDedup, Some(substringDedupSql),
       headline = true),
+    // deliberately the SAME oracle SQL: the guard must not change values
+    GQuery("q_substring_dedup_guarded", substringDedupGuarded,
+      Some(substringDedupSql)),
     GQuery("q_quality_classifier", qualityClassifier,
       Some(qualityClassifierSql), headline = true),
     GQuery("q_source_census", sourceCensus, Some(sourceCensusSql)),
