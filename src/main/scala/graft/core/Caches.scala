@@ -51,8 +51,13 @@ object Caches {
       val d = it.next()
       // sameResult canonicalizes names away, so two queries' plans can
       // collide while exposing different column names — require the
-      // schema to match too before handing back the earlier frame
-      if (d.schema == df.schema &&
+      // schema to match too before handing back the earlier frame. A
+      // frame persisted under a since-stopped session (the queue drains
+      // only on release()) must not be handed to a fresh session: it
+      // would fail at action time with a confusing stopped-context error
+      // instead of recomputing
+      if (!d.sparkSession.sparkContext.isStopped &&
+          d.schema == df.schema &&
           d.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
         return d
     }

@@ -67,6 +67,12 @@ final case class DeferredIngestExec(
     require(df.schema.length == output.length,
       s"DeferredIngest body produced ${df.schema.length} columns, " +
         s"declared ${output.length}")
+    // rows hand off positionally as InternalRows: a type (or order) drift
+    // between the declared DDL and the read-back plan would surface far
+    // away as corrupted values or opaque casts — fail loudly here instead
+    require(output.map(_.dataType) == df.schema.map(_.dataType),
+      s"DeferredIngest body schema ${df.schema.map(_.dataType).mkString(",")} " +
+        s"does not match declared ${output.map(_.dataType).mkString(",")}")
     df.queryExecution.toRdd
   }
 }

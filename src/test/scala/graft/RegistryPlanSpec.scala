@@ -41,13 +41,18 @@ class RegistryPlanSpec extends SparkSpec {
     try {
       SparkEntry.registry.foreach { q =>
         sc.setJobGroup(s"construct:${q.name}", "RegistryPlanSpec", false)
-        try q.run(spark, sfDir)
-        finally sc.clearJobGroup()
+        try {
+          // construct AND physically plan: a query that analyzes but
+          // fails planning, or plans a cartesian product, must be caught
+          // registry-wide (ScaleShapeSpec only covers a hand-picked set)
+          val plan = q.run(spark, sfDir).queryExecution.executedPlan
+          assert(!plan.toString.contains("CartesianProduct"),
+            s"${q.name} plans a CartesianProduct")
+        } finally sc.clearJobGroup()
       }
-      // the listener bus is async — give it a beat to drain before
-      // reading the counts (events for a run job post within millis;
-      // 2 s is orders of magnitude of slack)
-      Thread.sleep(2000)
+      // the listener bus is async — drain it deterministically before
+      // reading the counts (a fixed sleep flakes on a loaded host)
+      org.apache.spark.GraftTestListenerBus.drain(sc)
       val offenders = SparkEntry.registry.map(_.name)
         .filterNot(iterativeByDesign)
         .filter(n => counts.containsKey(s"construct:$n"))
