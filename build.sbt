@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout/stderr through verbatim: the bench
+// driver scans stdout for the one-line JSON metrics record, and sbt's
+// default logged-output strategy prefixes every line with [info]/[error],
+// which defeats that parse (BENCH_r0{7,8}.json show parsed: null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -31,8 +31,9 @@ object Tables {
       "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, " +
       "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, " +
       "l_linestatus STRING, l_shipdate TIMESTAMP_NTZ"),
-    // ts is TIMESTAMP(NANOS) in the file, surfaced as BIGINT under the
-    // nanosAsLong flag (see events())
+    // ts schema is resolved per-file: TIMESTAMP(NANOS) testdata surfaces
+    // as BIGINT under the nanosAsLong flag, TIMESTAMP(MICROS/MILLIS)
+    // testdata reads natively (see events() / eventsTsSchema())
     "events" -> ("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
       "event_type STRING, value DOUBLE, props STRING"),
     "documents" -> ("doc_id BIGINT, text STRING, lang STRING, " +
@@ -57,16 +58,92 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses to map
-    * to a timestamp type; read the nanos as long and surface `ts` as a
-    * microsecond timestamp (the data is micro-aligned, see TESTDATA notes).
-    * `DIV` keeps the arithmetic integral — a double division would lose
+  /** How `ts` is physically stored in an events parquet file. The driver
+    * has shipped two generations of testdata: TIMESTAMP(NANOS) — which
+    * Spark 4 refuses to map to a timestamp type, so it must be read as
+    * long under the nanosAsLong flag and rescaled — and native
+    * TIMESTAMP(MICROS) (round 8+), which reads directly. Mis-guessing is
+    * catastrophic (a micros file read as nanos compresses 30 days of
+    * events into 43 minutes and every temporal query silently degrades),
+    * so the unit is PROBED from the parquet footer, driver-side, with no
+    * Spark job (query construction stays at zero jobs — RegistryPlanSpec). */
+  private[graft] sealed trait TsStorage
+  private[graft] case object TsNanosAsLong extends TsStorage
+  private[graft] case class TsNativeTimestamp(utcAdjusted: Boolean) extends TsStorage
+
+  private val tsStorageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TsStorage]()
+
+  /** Footer-probe the `ts` column's logical type. Accepts a single .parquet
+    * file or a directory of part files (first part wins — the driver writes
+    * one homogeneous table per path). Falls back to the current driver
+    * format (native micros) when no file exists yet, e.g. an empty
+    * streaming source directory. */
+  private[graft] def probeTsStorage(path: String): TsStorage =
+    tsStorageCache.computeIfAbsent(path, { p =>
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
+      val f = new java.io.File(p)
+      val target: Option[java.io.File] =
+        if (f.isFile) Some(f)
+        else if (f.isDirectory)
+          f.listFiles().filter(x => x.isFile && x.getName.endsWith(".parquet"))
+            .sortBy(_.getName).headOption
+        else None
+      target match {
+        case None => TsNativeTimestamp(utcAdjusted = false)
+        case Some(file) =>
+          val in = HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+            new org.apache.hadoop.conf.Configuration())
+          val reader = ParquetFileReader.open(in)
+          try {
+            val schema = reader.getFooter.getFileMetaData.getSchema
+            if (!schema.containsField("ts")) TsNativeTimestamp(utcAdjusted = false)
+            else schema.getFields.get(schema.getFieldIndex("ts"))
+              .getLogicalTypeAnnotation match {
+              case t: TimestampLogicalTypeAnnotation if t.getUnit == TimeUnit.NANOS =>
+                TsNanosAsLong
+              case t: TimestampLogicalTypeAnnotation =>
+                TsNativeTimestamp(t.isAdjustedToUTC)
+              case _ =>
+                // bare INT64: the legacy generator's convention was nanos
+                TsNanosAsLong
+            }
+          } finally reader.close()
+      }
+    })
+
+  private[graft] def eventsTsDdl(storage: TsStorage): String = storage match {
+    case TsNanosAsLong => "ts BIGINT"
+    case TsNativeTimestamp(true) => "ts TIMESTAMP"
+    case TsNativeTimestamp(false) => "ts TIMESTAMP_NTZ"
+  }
+
+  /** Load events and surface `ts` as a microsecond-precision timestamp
+    * regardless of the file generation. For legacy TIMESTAMP(NANOS) files
+    * `DIV` keeps the rescale integral — a double division would lose
     * precision above 2^53 ns. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    val storage = probeTsStorage(s"$dir/events.parquet")
+    val ddl = schemas("events").replace("ts BIGINT", eventsTsDdl(storage))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val df = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .parquet(s"$dir/events.parquet")
+    storage match {
+      case TsNanosAsLong =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case TsNativeTimestamp(_) =>
+        // normalize to TimestampType (what the legacy path produced) so
+        // every downstream epochMs/window/interval expression sees the
+        // same type across file generations; session tz is pinned to UTC
+        // by every entry point, so the NTZ->TS reinterpretation is exact
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

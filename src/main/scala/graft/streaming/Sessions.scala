@@ -98,14 +98,23 @@ object Sessions {
   }
 
   /** File-source streaming ingest of an events directory: the engine's
-    * `readStream` entry for parquet drops. The driver testdata carries
-    * TIMESTAMP(NANOS), which Spark 4 maps to long (see
-    * `core/Tables.events`); surfaced here as a microsecond timestamp. */
+    * `readStream` entry for parquet drops. The `ts` physical type differs
+    * across testdata generations (TIMESTAMP(NANOS)-as-long vs native
+    * micros); probe the first file's footer like `core/Tables.events` and
+    * surface a uniform microsecond timestamp either way. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Tables
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+    val storage = Tables.probeTsStorage(dir)
+    val tsDdl = Tables.eventsTsDdl(storage)
+    val raw = spark.readStream
+      .schema(s"event_id LONG, $tsDdl, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    storage match {
+      case Tables.TsNanosAsLong =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case Tables.TsNativeTimestamp(_) =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }
