@@ -59,6 +59,23 @@ class TablesTsSpec extends SparkSpec {
     assert(hi - lo > 86400000L, s"events ts span under one day: ${hi - lo} ms")
   }
 
+  test("orders and lineitem dates survive load at sane wall-clock scale") {
+    // same drift class as the events regression: if a testdata regen
+    // changes the physical timestamp encoding, the declared read schema
+    // would either fail loudly (fine) or silently mis-scale (this check)
+    for ((df, c) <- Seq(
+      Tables.orders(spark, sfDir) -> "o_orderdate",
+      Tables.lineitem(spark, sfDir) -> "l_shipdate")) {
+      val r = df.agg(min(col(c)).cast("timestamp").as("lo"),
+          max(col(c)).cast("timestamp").as("hi"))
+        .selectExpr("unix_millis(lo)", "unix_millis(hi)").head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      assert(lo > 631152000000L, s"$c starts before 1990: $lo") // 1990-01-01
+      assert(hi < 4102444800000L, s"$c ends after 2100: $hi")
+      assert(hi - lo > 86400000L, s"$c span under one day")
+    }
+  }
+
   test("streaming eventsStream agrees with the batch loader on ts") {
     val batchFirst = Tables.events(spark, sfDir)
       .select(unix_millis(col("ts")).as("ms")).orderBy("ms").limit(1)
