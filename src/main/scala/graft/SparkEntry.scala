@@ -39,6 +39,7 @@ object SparkEntry {
     Tokenizer.defs,
     Retrieval.defs,
     Mixing.defs,
+    Curation.defs,
     Sketches.defs,
     Analytics.defs,
     Ingest.defs,
