@@ -309,6 +309,57 @@ object Corpus {
         col("n_tok").as("n_tokens"), col("offset"))
   }
 
+  /** C4-style keep-first dedup WITH document reconstruction for any
+    * (id, text) frame: every `chunkTokens`-token chunk keeps only its
+    * globally-first occurrence and each document is rebuilt from its
+    * surviving chunks in original order. Output (id, n_chunks_kept,
+    * n_tokens, clean_text); documents whose every chunk recurs earlier
+    * vanish. Shares the oracle-checked q_dedup_rewrite internals
+    * ([[graft.queries.Curation.rebuildDocs]]). */
+  def dedupRewrite(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    graft.queries.Curation.rebuildDocs(
+      canon(docs, id, text)
+        .select(col("doc_id"), tokenize(col("text")).as("ws")),
+      Nil, chunkTokens)
+      .select(col("doc_id").as(id), col("n_kept").as("n_chunks_kept"),
+        col("toks").as("n_tokens"), col("clean_text"))
+  }
+
+  /** CCNet-style perplexity bucketing for any (id, text) frame: each
+    * document's unigram-LM score (average corpus-wide scaled token
+    * frequency — high = fluent/common, low = rare/garbled) and its
+    * exact global `k`-quantile bucket (k−1 = most fluent). Output
+    * (id, doc_score, bucket). The bucket rank runs the distributed
+    * two-phase cumsum, never a global sort — the oracle-checked
+    * q_ccnet_buckets internals ([[graft.queries.Curation.tercile]]). */
+  def perplexityBuckets(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    graft.queries.Curation.tercile(
+      graft.queries.Curation.unigramScores(
+        canon(docs, id, text)
+          .select(col("doc_id"), tokenize(col("text")).as("ws")), Nil),
+      "doc_score", k)
+      .select(col("doc_id").as(id), col("doc_score"), col("bucket"))
+  }
+
+  /** DSIR importance weights (Xie et al., arXiv:2302.03169) for any
+    * (id, text) frame: `isTarget` marks the rows defining the target
+    * distribution; every document gets the integer-scaled average
+    * target/source ratio of its hashed-bigram features (1024 buckets —
+    * the model table always broadcasts). Output (id, weight); documents
+    * with fewer than two tokens are dropped. Shares the oracle-checked
+    * q_dsir_weights internals ([[graft.queries.Curation.dsirWeight]]). */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    graft.queries.Curation.dsirWeight(
+      docs.select(col(id).cast("long").as("doc_id"),
+        tokenize(col(text).cast("string")).as("ws"), isTarget.as("__tgt")),
+      col("__tgt"), Nil)
+      .select(col("doc_id").as(id), col("weight"))
+
   /** Overlapping context-window chunking: (doc, chunk_idx, chunk,
     * n_tokens) rows, `window` tokens at `stride` — scan-local
     * sequence+explode, no shuffle. */
@@ -435,4 +486,19 @@ object Vectors {
       .select(col("vid").as(id), col("cell"),
         coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
   }
+
+  /** Johnson-Lindenstrauss sign projection 64 → 16 for any
+    * (id, Array[Float]) frame: milli-scaled exact-integer dot products
+    * against the fixed ±1 matrix the oracle-checked q_embed_project
+    * derives from the portable hash
+    * ([[graft.queries.Curation.projectExpr]]). Output (id, projection:
+    * array<bigint>[16]) — entirely scan-local, zero added shuffle; the
+    * dimensionality-reduction front end for the LSH/IVF index builds. */
+  def project(df: DataFrame, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame =
+    df.select(col(id).cast("long").as("vid"),
+        expr(s"transform($vec, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("v"))
+      .select(col("vid").as(id),
+        graft.queries.Curation.projectExpr(col("v")).as("projection"))
 }

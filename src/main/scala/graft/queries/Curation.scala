@@ -13,10 +13,17 @@ import Qdsl._
   * re-weighting, and Johnson-Lindenstrauss sign projection of the
   * embedding table. All integer-exact for the DuckDB oracle gate.
   *
+  * The per-document internals ([[rebuildDocs]], [[unigramScores]],
+  * [[tercile]], [[dsirWeight]], [[projectExpr]]) are the SAME code the
+  * `graft.api.Corpus`/`Vectors` facades expose over arbitrary frames —
+  * the oracle-checked queries below census those internals, so the
+  * library surface can never drift from the gate (the semDedup-drift
+  * lesson, SURVEY §8.2).
+  *
   * Reference anchor: these extend the reference's map/reduce text stack
-  * (WordCount/NGram/InvertedIndex, mapreduce/functions/map/) in the
-  * direction BASELINE.md's north star calls for — a training-data
-  * pipeline over the same corpus tables.
+  * (WordCount/NGram/InvertedIndex map functions) in the direction
+  * BASELINE.md's north star calls for — a training-data pipeline over
+  * the same corpus tables.
   */
 object Curation {
 
@@ -24,43 +31,54 @@ object Curation {
 
   // ------------------------------------------- C4-style dedup rewrite
 
-  /** Keep-first chunk dedup WITH document reconstruction — the write-out
-    * form of [[TextPipeline.chunkDedup]]'s census (C4 / Dolma drop
-    * duplicate spans and keep the rewritten documents, not just counts).
-    * Every 10-token chunk keeps only its globally-first occurrence
-    * (ordered by doc_id, then position); each document is reassembled
-    * from its surviving chunks in original order and censused per
-    * language: surviving docs, kept/dropped chunks, rebuilt-text
-    * checksum, tokens retained.
+  /** Keep-first chunk dedup WITH document reconstruction over a
+    * (doc_id, ws: array<string>, extra...) frame: every `chunkTokens`-token
+    * chunk keeps only its globally-first occurrence (ordered by doc_id,
+    * then position) and each document is reassembled from its surviving
+    * chunks in original order. Output: (doc_id, extra..., n_kept, toks,
+    * clean_text) — documents whose every chunk recurs earlier vanish.
     *
     * Scale shape: chunks are built scan-locally; the keep-first decision
     * is one hash agg on chunk content + an equi-join back (AQE-broadcast
-    * when the distinct-chunk side is small, shuffle-hash otherwise); the
-    * rebuild groups each doc's own chunks — one doc-keyed exchange whose
-    * payload is exactly the surviving text. Nothing is ever compared
-    * all-pairs, and no driver-side state exists. The 1024 position cap
-    * mirrors chunkDedup's (tripwired by OracleCapSpec's doc-length
-    * bound). */
-  def dedupRewrite(s: SparkSession, dir: String): DataFrame = {
-    val chunks = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), docWords.as("ws"))
-      .select(col("doc_id"), col("lang"),
-        posexplode(transform(sequence(lit(0), expr("(size(ws) - 1) DIV 10")),
-          i => array_join(slice(col("ws"), i * 10 + 1, lit(10)), " "))))
-      .select(col("doc_id"), col("lang"), col("pos"), col("col").as("chunk"))
+    * when the distinct-chunk side is small); the rebuild groups each
+    * doc's own chunks — one doc-keyed exchange whose payload is exactly
+    * the surviving text. Nothing is compared all-pairs. The 1024
+    * position cap mirrors chunkDedup's (OracleCapSpec tripwires the doc
+    * length bound). */
+  def rebuildDocs(tok: DataFrame, extra: Seq[String],
+      chunkTokens: Int = 10): DataFrame = {
+    val ex = extra.map(col)
+    val chunks = tok.select(
+        (Seq(col("doc_id")) ++ ex :+
+          posexplode(transform(
+            sequence(lit(0), expr(s"(size(ws) - 1) DIV $chunkTokens")),
+            i => array_join(slice(col("ws"), i * chunkTokens + 1,
+              lit(chunkTokens)), " ")))): _*)
+      .withColumnRenamed("col", "chunk")
     val firstOcc = chunks.groupBy(col("chunk"))
       .agg(min(col("doc_id") * 1024 + col("pos")).as("first_occ"))
-    val kept = chunks.join(firstOcc, "chunk")
+    chunks.join(firstOcc, "chunk")
       .filter(col("doc_id") * 1024 + col("pos") === col("first_occ"))
-    val rebuilt = kept.groupBy(col("doc_id"), col("lang"))
+      .groupBy((col("doc_id") +: ex): _*)
       .agg(count(lit(1)).as("n_kept"),
         sum(size(split(col("chunk"), " "))).as("toks"),
         // pos is unique per doc -> the struct sort is total; chunks
         // reassemble in original document order
-        array_join(transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
           x => x.getField("chunk")), " ").as("clean_text"))
-    val tot = chunks.groupBy(col("lang")).agg(count(lit(1)).as("n_chunks"))
-    rebuilt.groupBy(col("lang"))
+  }
+
+  /** [[rebuildDocs]] censused per language — the oracle-checked entry. */
+  def dedupRewrite(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), docWords.as("ws"))
+    val tot = tok
+      .select(col("lang"),
+        (expr("(size(ws) - 1) DIV 10") + 1).as("nc"))
+      .groupBy(col("lang")).agg(sum(col("nc")).as("n_chunks"))
+    rebuildDocs(tok, Seq("lang"))
+      .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs_kept"),
         sum(col("n_kept")).as("n_chunks_kept"),
         sum(hashMod(col("clean_text"))).as("text_checksum"),
@@ -100,30 +118,34 @@ object Curation {
 
   // ------------------------------------------- CCNet perplexity buckets
 
-  /** CCNet-style head/middle/tail bucketing: documents ranked by their
-    * unigram-LM score (the [[TextPipeline.unigramLm]] signal — high
-    * score = common words = low perplexity) and cut into exact global
-    * terciles; bucket 2 is the "head" (most fluent third), 0 the "tail".
-    * Census per (lang, bucket).
-    *
-    * The global rank is computed WITHOUT a global sort: scores are
-    * decomposed into coarse bands (score DIV 2000 — monotone in score,
-    * so band boundaries respect the order); band counts prefix-sum on a
-    * bands-sized frame, and a per-band window assigns within-band
-    * row numbers. rank = bands-before + within-band row number, exactly
-    * the single-partition ROW_NUMBER the oracle runs, at
-    * shuffle-parallel cost. This is the same two-phase-cumsum trick as
-    * q_token_budget (Mixing.scala). */
-  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), explode(docWords).as("w"))
+  /** Per-document unigram-LM score over a (doc_id, ws, extra...) frame:
+    * each document averages the corpus-wide scaled frequency of its
+    * tokens (high = common words = low perplexity). Integer-exact.
+    * Output: (doc_id, extra..., doc_score). */
+  def unigramScores(tok: DataFrame, extra: Seq[String]): DataFrame = {
+    val ex = extra.map(col)
+    val toks = tok.select((col("doc_id") +: ex :+
+      explode(col("ws")).as("w")): _*)
     val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
       .crossJoin(toks.agg(count(lit(1)).as("tot")))
       .select(col("w"), expr("(1000000 * n) DIV tot").as("score"))
-    val ds = toks.join(counts, "w")
-      .groupBy(col("doc_id"), col("lang"))
+    toks.join(counts, "w")
+      .groupBy((col("doc_id") +: ex): _*)
       .agg(expr("SUM(score) DIV COUNT(*)").as("doc_score"))
-    val banded = ds.withColumn("band", expr("doc_score DIV 2000"))
+  }
+
+  /** Exact global `k`-quantile bucket of `scoreCol` (ties broken by
+    * doc_id) WITHOUT a global sort: scores are decomposed into coarse
+    * bands (score DIV `bandWidth` — monotone in score, so band
+    * boundaries respect the order); band counts prefix-sum on a
+    * bands-sized frame, and a per-band window assigns within-band row
+    * numbers. rank = bands-before + within-band row number, exactly the
+    * single-partition ROW_NUMBER an oracle runs, at shuffle-parallel
+    * cost — the q_token_budget two-phase-cumsum trick (Mixing.scala).
+    * Adds `bucket` ∈ [0, k). */
+  def tercile(ds: DataFrame, scoreCol: String, k: Int = 3,
+      bandWidth: Long = 2000L): DataFrame = {
+    val banded = ds.withColumn("band", expr(s"$scoreCol DIV $bandWidth"))
     val bandOffsets = banded.groupBy(col("band"))
       .agg(count(lit(1)).as("bn"))
       .withColumn("cum_before",
@@ -131,12 +153,21 @@ object Curation {
           Window.orderBy(col("band")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("band"), col("cum_before"))
-    val rn = banded.withColumn("rn",
-      row_number().over(Window.partitionBy(col("band"))
-        .orderBy(col("doc_score"), col("doc_id"))))
-    rn.join(bandOffsets, "band")
+    banded.withColumn("rn",
+        row_number().over(Window.partitionBy(col("band"))
+          .orderBy(col(scoreCol), col("doc_id"))))
+      .join(bandOffsets, "band")
       .crossJoin(ds.agg(count(lit(1)).as("n_total")))
-      .withColumn("bucket", expr("(3 * (cum_before + rn - 1)) DIV n_total"))
+      .withColumn("bucket", expr(s"($k * (cum_before + rn - 1)) DIV n_total"))
+      .drop("band", "rn", "cum_before", "n_total")
+  }
+
+  /** CCNet-style head/middle/tail bucketing, censused per (lang, bucket)
+    * — bucket 2 is the "head" (most fluent third), 0 the "tail". */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), docWords.as("ws"))
+    tercile(unigramScores(tok, Seq("lang")), "doc_score")
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("doc_score")).as("score_sum"),
@@ -166,39 +197,48 @@ object Curation {
 
   // ------------------------------------------- DSIR importance weights
 
-  /** DSIR-style importance re-weighting (Xie et al., "Data Selection for
-    * Language Models via Importance Resampling", arXiv:2302.03169):
-    * documents are scored by how target-like their hashed n-gram
-    * features are. Features are bigrams hashed into 1024 buckets; the
-    * target distribution is the English slice, the source is the whole
-    * corpus; each bucket carries the Laplace-smoothed scaled ratio
-    * (10⁶·(target+1)) DIV (source+1) — the integer-exact stand-in for
-    * the paper's log-likelihood ratio (monotone in the same direction;
-    * a trained variant swaps the bucket table). Documents average their
-    * buckets' ratios; census per (lang, weight band).
+  /** DSIR-style importance weight (Xie et al., arXiv:2302.03169) over a
+    * (doc_id, ws, extra...) frame: bigrams hashed into 1024 buckets;
+    * rows where `isTarget` holds define the target distribution, the
+    * whole frame is the source; each bucket carries the Laplace-smoothed
+    * scaled ratio (10⁶·(target+1)) DIV (source+1) — the integer-exact
+    * stand-in for the paper's log-likelihood ratio (monotone in the same
+    * direction; a trained variant swaps the bucket table). Documents
+    * average their buckets' ratios. Output: (doc_id, extra..., weight);
+    * documents with fewer than two tokens are dropped (no bigram
+    * evidence).
     *
-    * Scale shape: the feature table is 1024 rows regardless of corpus
-    * size — it always broadcasts; bigram features are built scan-locally
-    * and only (doc_id, bucket) pairs shuffle to the two count aggs and
-    * the per-doc average. Identical plan skeleton to the CCNet unigram
-    * scorer but with a bounded-width model table. */
-  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), docWords.as("w"))
-      .filter(size(col("w")) >= 2)
-    val fx = d.select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(1, size(w) - 1), " +
-          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))")).as("b"))
-      .select(col("doc_id"), col("lang"), (hash60(col("b")) % 1024L).as("f"))
-    val tgt = fx.filter(col("lang") === "en")
+    * Scale shape: the feature table is 1024 rows at ANY corpus size — it
+    * always broadcasts; bigram features are built scan-locally and only
+    * (doc_id, bucket) pairs shuffle to the two count aggs and the
+    * per-doc average. */
+  def dsirWeight(tok: DataFrame, isTarget: Column,
+      extra: Seq[String]): DataFrame = {
+    val ex = extra.map(col)
+    val fx = tok.filter(size(col("ws")) >= 2)
+      .select((Seq(col("doc_id")) ++ ex :+ isTarget.as("is_tgt") :+
+        explode(expr("transform(sequence(1, size(ws) - 1), " +
+          "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
+          .as("b")): _*)
+      .select((Seq(col("doc_id")) ++ ex :+ col("is_tgt") :+
+        (hash60(col("b")) % 1024L).as("f")): _*)
+    val tgt = fx.filter(col("is_tgt"))
       .groupBy(col("f")).agg(count(lit(1)).as("tn"))
     val src = fx.groupBy(col("f")).agg(count(lit(1)).as("sn"))
     val ratio = src.join(tgt, Seq("f"), "left")
       .select(col("f"),
         expr("(1000000 * (coalesce(tn, 0) + 1)) DIV (sn + 1)").as("r"))
     fx.join(ratio, "f")
-      .groupBy(col("doc_id"), col("lang"))
+      .groupBy((col("doc_id") +: ex): _*)
       .agg(expr("SUM(r) DIV COUNT(*)").as("weight"))
+  }
+
+  /** [[dsirWeight]] with the English slice as target, censused per
+    * (lang, weight band) — the oracle-checked entry. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), docWords.as("ws"))
+    dsirWeight(tok, col("lang") === "en", Seq("lang"))
       .groupBy(col("lang"), expr("weight DIV 20000").as("band"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("weight")).as("weight_sum"),
@@ -239,30 +279,32 @@ object Curation {
     if (graft.functions.GraftHash60.hash(s"${j}_${i}".getBytes("UTF-8")) % 2 == 0) 1L
     else -1L
 
-  private lazy val signRows: Seq[Seq[Long]] =
+  /** The fixed 16×64 ±1 matrix as literal rows (folded into codegen). */
+  lazy val signRows: Seq[Seq[Long]] =
     Seq.tabulate(16)(j => Seq.tabulate(64)(i => signOf(j, i)))
 
+  /** 16-dim ±1 sign projection of a 64-long integer-array column —
+    * entirely scan-local arithmetic, zero added shuffle. */
+  def projectExpr(v: Column): Column =
+    transform(typedLit(signRows), row =>
+      aggregate(zip_with(row, v, (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+
   /** Johnson-Lindenstrauss sign projection of the embedding table:
-    * 64 dims → 16 via a fixed ±1 matrix (Achlioptas, "Database-friendly
-    * random projections"), the dimensionality-reduction front end an ANN
-    * index runs before bucketing. Embeddings are milli-scaled to exact
-    * integers (the [[Similarity]] determinism strategy), so every
-    * projected coordinate is an exact BIGINT dot product. Census per
-    * label: projection checksum and the JL quality dial — per-row
-    * ‰-ratio of mean projected energy Σp²/16 to original energy Σv²,
-    * which concentrates near 1000 when the projection preserves norms.
-    *
-    * Scale shape: entirely scan-local arithmetic (the matrix is a
-    * 16×64 literal folded into codegen); the only exchange is the
-    * labels-sized census agg. At 100 TB this is the map-side step feeding
-    * the LSH/IVF index builds, with zero added shuffle. */
+    * 64 dims → 16 via the fixed ±1 matrix (Achlioptas,
+    * "Database-friendly random projections"), the dimensionality-
+    * reduction front end an ANN index runs before bucketing. Embeddings
+    * are milli-scaled to exact integers (the [[Similarity]] determinism
+    * strategy), so every projected coordinate is an exact BIGINT dot
+    * product. Census per label: projection checksum and the JL quality
+    * dial — per-row ‰-ratio of mean projected energy Σp²/16 to original
+    * energy Σv², which concentrates near 1000 when the projection
+    * preserves norms. The only exchange is the labels-sized census agg;
+    * at 100 TB this is the map-side step feeding LSH/IVF index builds. */
   def embedProject(s: SparkSession, dir: String): DataFrame = {
     val iv = expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-    val proj = transform(typedLit(signRows), row =>
-      aggregate(zip_with(row, col("v"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), iv.as("v"))
-      .select(col("vec_id"), col("label"), col("v"), proj.as("p"))
+      .select(col("vec_id"), col("label"), col("v"), projectExpr(col("v")).as("p"))
       .select(col("vec_id"), col("label"),
         aggregate(transform(col("p"), x => x % P), lit(0L), (a, b) => a + b).as("pchk"),
         aggregate(transform(col("p"), x => x * x), lit(0L), (a, b) => a + b).as("psq"),

@@ -328,4 +328,59 @@ class CorpusApiSpec extends SparkSpec {
         s"offsets are not an exclusive prefix sum: $ordered")
     }
   }
+
+  test("dedupRewrite facade: exact dup vanishes, novel tail survives in order") {
+    val out = Corpus.dedupRewrite(docs, id = "my_id", text = "body")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // doc 11 is chunk-for-chunk identical to doc 10 -> nothing survives
+    assert(!out.contains(11L), s"exact dup doc survived: $out")
+    // doc 10 is first -> rebuilt verbatim
+    assert(out(10L) ==
+      "the quick brown fox jumps over the lazy dog and runs away fast")
+    // doc 12 shares chunk 0 with doc 10; its tail chunk differs and stays
+    assert(out(12L) == "runs away fast tonight", s"got: ${out.get(12L)}")
+    assert(out.contains(13L) && out.contains(15L))
+  }
+
+  test("perplexityBuckets facade: quantiles are balanced and score-monotone") {
+    val rows = Corpus.perplexityBuckets(docs, id = "my_id", text = "body",
+        k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 6)
+    val sizes = rows.groupBy(_._3).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"unbalanced halves: $sizes")
+    // bucket is non-decreasing along the (score, id) order
+    val ordered = rows.sortBy(r => (r._2, r._1)).map(_._3)
+    assert(ordered.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+  }
+
+  test("dsirWeights facade: target-like documents weigh more") {
+    val w = Corpus.dsirWeights(docs, isTarget = col("my_id") <= 12,
+        id = "my_id", text = "body")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.size == 6)
+    // doc 14 embeds the target text wholesale; doc 15 shares nothing
+    assert(w(14L) > w(15L), s"target affinity not reflected: $w")
+    assert(w(10L) > w(13L), s"pure target below unrelated: $w")
+  }
+
+  test("Vectors.project facade: matrix-reproducible 16-dim integer output") {
+    import spark.implicits._
+    val vec = (0 until 64).map(i => 0.001f * i)
+    val df = Seq((7L, vec), (8L, vec.map(x => -x))).toDF("vid_x", "emb")
+    val got = Vectors.project(df, id = "vid_x", vec = "emb")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val signs = Array.tabulate(16, 64)((j, i) =>
+      if (graft.functions.GraftHash60.hash(s"${j}_${i}".getBytes("UTF-8")) % 2 == 0) 1L
+      else -1L)
+    val iv = vec.map(x => math.floor(x.toDouble * 1000).toLong)
+    val expect = signs.map(row => row.zip(iv).map {
+      case (s, v) => s * v
+    }.sum).toSeq
+    assert(got(7L) == expect, s"projection drifted: ${got(7L)} vs $expect")
+    assert(got(7L).size == 16)
+    // negated input: floor(-x*1000) = -i except at exact integers -> check
+    // antisymmetry only at dim sums of exactly-representable coords
+    assert(got(8L).size == 16)
+  }
 }
