@@ -134,7 +134,89 @@ object Tokenizer {
       |SELECT n_vocab, n_blocks, max_block, n_blocks_dropped, n_pairs, pair_checksum
       |FROM c1 CROSS JOIN c2 CROSS JOIN c3""".stripMargin
 
+  // ----------------------------------------------- BPE merge training
+
+  /** Three unrolled BPE merge-training rounds (Sennrich et al.,
+    * arXiv:1508.07909): the vocabulary starts as space-separated
+    * character sequences; each round counts adjacent symbol pairs
+    * weighted by word frequency, picks the argmax pair (ties broken
+    * lexicographically), and applies the merge to every word via
+    * single-pass left-to-right sentinel replacement — the same
+    * non-overlapping scan-and-continue semantics Spark's and DuckDB's
+    * `replace` share (pinned by TokenizerSpec on an overlapping-run
+    * case), so the oracle replays the identical merge. Output: one row
+    * per round — the learned merge rule, its count, and a checksum of
+    * the entire post-merge vocabulary state (proving the rewrite, not
+    * just the argmax, matches).
+    *
+    * Scale shape: everything after the corpus→(word, freq) collapse is
+    * vocabulary-sized (the real-trainer trick, see object doc); each
+    * round is one vocabulary-sized pair agg + a 1-row argmax broadcast
+    * onto the vocabulary rewrite. Round states are cached so round k
+    * never replays rounds < k, and the rule table the loop emits is
+    * exactly what a production trainer checkpoints per merge. */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caches.TrackedOps
+    val v0 = Tables.documents(s, dir)
+      .select(explode(words(col("text"))).as("raw"))
+      .filter(length(col("raw")) >= 2 && length(col("raw")) <= MaxWordLen)
+      .groupBy(col("raw")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "),
+        array_join(expr("transform(sequence(1, length(raw)), i -> substring(raw, i, 1))"), " "),
+        lit(" ")).as("w"), col("freq"))
+      .trackedPersist()
+    val rounds = (1 to 3).scanLeft((v0, Option.empty[DataFrame])) {
+      case ((v, _), k) =>
+        val pc = v.select(col("freq"), split(trim(col("w")), " ").as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> concat_ws(' ', element_at(syms, i), element_at(syms, i + 1)))"))
+            .as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+        val best = pc.orderBy(col("pair_count").desc, col("pair")).limit(1)
+        val vNext = v.crossJoin(best)
+          .select(expr(
+            "replace(w, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')")
+            .as("w"), col("freq"))
+          .trackedPersist()
+        val row = best
+          .crossJoin(vNext.agg(sum(hashMod(col("w"))).as("vocab_checksum")))
+          .select(lit(k.toLong).as("round"), col("pair"), col("pair_count"),
+            col("vocab_checksum"))
+        (vNext, Some(row))
+    }
+    rounds.flatMap(_._2).reduce(_ union _)
+  }
+
+  /** One oracle round: pair census → argmax → vocabulary rewrite. */
+  private def bpeRoundSql(k: Int): String = {
+    val (p, c, b, vIn, vOut) = (s"p$k", s"c$k", s"b$k", s"v${k - 1}", s"v$k")
+    s"""s$k AS (SELECT w, freq, string_split(trim(w), ' ') AS sy FROM $vIn),
+      |$p AS (SELECT freq, unnest([sy[i] || ' ' || sy[i+1] for i in range(1, len(sy))]) AS pair
+      |       FROM s$k WHERE len(sy) >= 2),
+      |$c AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM $p GROUP BY pair),
+      |$b AS (SELECT pair, pair_count FROM $c ORDER BY pair_count DESC, pair LIMIT 1),
+      |$vOut AS (SELECT replace(w, ' ' || $b.pair || ' ', ' ' || replace($b.pair, ' ', '') || ' ') AS w, freq
+      |       FROM $vIn, $b),
+      |k$k AS (SELECT CAST($k AS BIGINT) AS round, pair, pair_count,
+      |  (SELECT CAST(SUM(CAST('0x' || substring(md5(w),1,15) AS BIGINT) % 1000000007) AS BIGINT)
+      |   FROM $vOut) AS vocab_checksum FROM $b)""".stripMargin
+  }
+
+  private val bpeTrainSql =
+    s"""WITH toks AS (SELECT unnest($wordsSqlDoc) AS raw FROM documents),
+      |vf AS (SELECT raw, COUNT(*) AS freq FROM toks
+      |       WHERE length(raw) >= 2 AND length(raw) <= $MaxWordLen GROUP BY raw),
+      |v0 AS (SELECT ' ' || array_to_string([raw[i+1] for i in range(0, length(raw))], ' ') || ' ' AS w,
+      |         freq FROM vf),
+      |${bpeRoundSql(1)},
+      |${bpeRoundSql(2)},
+      |${bpeRoundSql(3)}
+      |SELECT * FROM k1 UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
+    GQuery("q_bpe_train", bpeTrain, Some(bpeTrainSql)),
     GQuery("q_fuzzy_match", fuzzyMatch, Some(fuzzyMatchSql)))
 }

@@ -176,4 +176,45 @@ class TokenizerSpec extends SparkSpec {
     val n = real.count()
     assert(n > 0 && n == real.select(col("event_type")).distinct().count())
   }
+
+  test("replace merge semantics: single-pass left-to-right, as the oracle") {
+    import spark.implicits._
+    // ' a a a a ' under merge (a,a): DuckDB-verified value — the scan
+    // consumes the separator and continues AFTER the replacement, so the
+    // run collapses to 'aa a a', not 'aa aa'. Both engines must agree or
+    // q_bpe_train's vocabulary checksums drift.
+    val got = Seq(" a a a a ").toDF("w")
+      .select(expr("replace(w, ' a a ', ' aa ')")).head.getString(0)
+    assert(got == " aa a a ", s"Spark replace semantics drifted: '$got'")
+  }
+
+  test("bpe training replays exactly on the driver: rules, counts, rewrite") {
+    val vocab = graft.core.Tables.documents(spark, sfDir)
+      .select(explode(graft.queries.Qdsl.words(col("text"))).as("raw"))
+      .filter(length(col("raw")) >= 2 && length(col("raw")) <= 64)
+      .groupBy(col("raw")).agg(count(lit(1)).as("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var v = vocab.map { case (w, f) => (" " + w.mkString(" ") + " ", f) }
+    val expect = (1 to 3).map { k =>
+      val counts = v.flatMap { case (w, f) =>
+        val sy = w.trim.split(" ")
+        sy.sliding(2).withFilter(_.length == 2)
+          .map(p => p.mkString(" ") -> f).toSeq
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      val (pair, pc) = counts.toSeq.sortBy { case (p, c) => (-c, p) }.head
+      v = v.map { case (w, f) =>
+        (w.replace(" " + pair + " ", " " + pair.replace(" ", "") + " "), f)
+      }
+      val checksum = v.map { case (w, _) =>
+        graft.functions.GraftHash60.hash(w.getBytes("UTF-8")) % 1000000007L
+      }.sum
+      (k.toLong, pair, pc, checksum)
+    }
+    val got = Tokenizer.bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == expect, s"bpe rounds drifted:\n got   $got\n expect $expect")
+    // the three learned rules are distinct merges
+    assert(got.map(_._2).distinct.size == 3)
+  }
 }
