@@ -102,4 +102,77 @@ class StreamingFacadeSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("dedupRewrite drives micro-batches unchanged via foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val seen = mutable.ArrayBuffer.empty[(Long, String)]
+    val q = input.toDF().toDF("my_id", "body").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= graft.api.Corpus
+            .dedupRewrite(batch, id = "my_id", text = "body")
+            .collect().map(r => (r.getLong(0), r.getString(3)))
+        }
+        ()
+      }
+      .start()
+    try {
+      val batch1 = Seq((1L, shared), (2L, shared), (3L, unique))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      val expect = graft.api.Corpus
+        .dedupRewrite(batch1.toDF("my_id", "body"), id = "my_id", text = "body")
+        .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+      assert(seen.synchronized(seen.toSet) == expect,
+        s"stream and batch rewrites diverged: $seen vs $expect")
+      // doc 2 duplicated doc 1 chunk-for-chunk inside the batch -> vanished
+      assert(!expect.exists(_._1 == 2L) && expect.exists(_._1 == 1L))
+
+      // keep-first scope is the micro-batch: the same text in a LATER
+      // batch survives whole — no first-occurrence state leaks forward
+      input.addData((4L, shared))
+      q.processAllAvailable()
+      val doc4 = seen.synchronized(seen.find(_._1 == 4L))
+      assert(doc4.exists(_._2 == shared),
+        s"cross-batch keep-first must not drop later batches: $doc4")
+    } finally q.stop()
+  }
+
+  test("perplexityBuckets drives micro-batches unchanged via foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val seen = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = input.toDF().toDF("my_id", "body").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= graft.api.Corpus
+            .perplexityBuckets(batch, id = "my_id", text = "body", k = 2)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        }
+        ()
+      }
+      .start()
+    try {
+      val batch1 = (1L to 8L).map(i =>
+        (i, if (i % 2 == 0) "common common common words here"
+            else s"rare$i unique$i singleton$i tokens$i here"))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      val expect = graft.api.Corpus
+        .perplexityBuckets(batch1.toDF("my_id", "body"), id = "my_id",
+          text = "body", k = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(seen.synchronized(seen.toSet) == expect,
+        "stream and batch buckets diverged")
+      // rare-token docs sink to the low half, common-token docs rise
+      val byDoc = expect.map(e => e._1 -> e._3).toMap
+      assert((1L to 8L).forall(i => byDoc(i) == (if (i % 2 == 0) 1L else 0L)),
+        s"bucket assignment drifted: $byDoc")
+    } finally q.stop()
+  }
 }
