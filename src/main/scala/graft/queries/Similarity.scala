@@ -215,6 +215,78 @@ object Similarity {
 
   private val annLshWideSql = annLshSqlFor(LSH_BITS_WIDE)
 
+  // ------------------------------------------------- multi-probe LSH ANN
+
+  /** Hamming-1 multi-probe LSH ANN (Lv et al., "Multi-Probe LSH: Efficient
+    * Indexing for High-Dimensional Similarity Search", VLDB 2007): ONE
+    * 6-bit table — the exact [[annLsh]] index — but each query also probes
+    * the [[LSH_BITS]] buckets at Hamming distance 1 from its own (one sign
+    * bit flipped). A near neighbor that lands across a single hyperplane
+    * from the query is recovered without building more tables: the recall
+    * repair [[annLshMulti]] buys with 4× index memory, bought here with
+    * probe fan-out instead — the production trade when index memory is the
+    * constraint (probes cost query work, tables cost RAM; real deployments
+    * tune both).
+    *
+    * Scale shape: the probe explosion rides the BROADCAST query side
+    * (queries × (bits+1) rows — metadata-sized at any corpus); the index
+    * side is the same guarded bucketed frame annLsh joins, scanned once.
+    * Sign-LSH buckets are disjoint, so multi-probe candidates never
+    * duplicate and need no dedup agg (unlike the multi-table union). */
+  def annLshMultiProbe(s: SparkSession, dir: String): DataFrame =
+    annLshMultiProbeVecs(vecs(s, dir), AnnBucketCap)
+
+  private[graft] def annLshMultiProbeVecs(all: DataFrame, cap: Int): DataFrame = {
+    val guarded = guardBuckets(lshBucketed(all), cap)
+    val flips = array((lit(0L) +: (0 until LSH_BITS).map(b => lit(1L << b))): _*)
+    val q = guarded.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("bucket").as("qbucket"),
+        explode(flips).as("flip"))
+      .select(col("q_id"), col("qv"), col("qn2"),
+        expr("qbucket ^ flip").as("pbucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    guarded.join(broadcast(q),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("v"), col("qv")), col("n2"), col("qn2")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+
+  private val annLshMultiProbeSql =
+    s"""WITH iv AS (
+      |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v, list_sum([v[i]*v[i] for i in range(1,${DIM + 1})]) AS n2 FROM iv),
+      |bits AS (
+      |  SELECT vec_id, t.b,
+      |    list_sum([(CAST('0x' || substring(md5(t.b::VARCHAR || '_' || i::VARCHAR),1,15) AS BIGINT) % 2001 - 1000) * v[i]
+      |              for i in range(1,${DIM + 1})]) AS d
+      |  FROM n CROSS JOIN range($LSH_BITS) t(b)),
+      |bk AS (
+      |  SELECT vec_id, SUM(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
+      |  FROM bits GROUP BY vec_id),
+      |okb AS (SELECT bucket FROM bk GROUP BY bucket HAVING COUNT(*) <= $AnnBucketCap),
+      |nv AS (SELECT n.vec_id, v, n2, bucket
+      |       FROM n JOIN bk ON n.vec_id = bk.vec_id JOIN okb USING (bucket)),
+      |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, bucket AS qbucket FROM nv WHERE vec_id < 20),
+      |probes AS (
+      |  SELECT q_id, qv, qn2, xor(qbucket, f.f) AS pbucket
+      |  FROM q CROSS JOIN (SELECT unnest([CAST(0 AS BIGINT)] ||
+      |    [CAST(1 AS BIGINT) << b for b in range($LSH_BITS)]) AS f) f),
+      |c AS (
+      |  SELECT q_id, vec_id,
+      |    CAST(list_sum([v[i]*qv[i] for i in range(1,${DIM + 1})]) AS DOUBLE)
+      |      / sqrt(CAST(n2 AS DOUBLE)) / sqrt(CAST(qn2 AS DOUBLE)) AS cos
+      |  FROM nv JOIN probes ON bucket = pbucket AND vec_id <> q_id)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
+      |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM c) t WHERE rank <= 3""".stripMargin
+
   /** Bucket-occupancy census per bit width — the telemetry behind the
     * bits dial: at b bits a corpus of n vectors spreads over ≤ 2^b
     * buckets, so mean occupancy must fall ∝ 2^-bits (6 → 12 bits ≈ 64×
@@ -729,6 +801,7 @@ object Similarity {
     one("ann_lsh", annLsh(s, dir))
       .unionByName(one("ann_lsh_12bit", annLshWide(s, dir)))
       .unionByName(one("ann_lsh_multi", annLshMulti(s, dir)))
+      .unionByName(one("ann_lsh_multiprobe", annLshMultiProbe(s, dir)))
       .unionByName(one("ann_ivf", annIvf(s, dir)))
       .unionByName(one("ann_ivf_trained", annIvfTrained(s, dir)))
   }
@@ -850,6 +923,7 @@ object Similarity {
     GQuery("q_lsh_occupancy", lshOccupancy, Some(lshOccupancySql)),
     GQuery("q_ann_lsh_multi", annLshMulti, Some(annLshMultiSql),
       headline = true),
+    GQuery("q_ann_lsh_multiprobe", annLshMultiProbe, Some(annLshMultiProbeSql)),
     GQuery("q_ann_ivf", annIvf, Some(annIvfSql)),
     GQuery("q_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql)),
     GQuery("q_ann_recall", annRecall, Some(annRecallSql)),

@@ -54,6 +54,32 @@ class SimilaritySpec extends SparkSpec {
       s"multi-table index recovered nothing new: $multi vs $single")
   }
 
+  test("multi-probe LSH recall dominates single-probe per query, zero extra index") {
+    def hits(ann: org.apache.spark.sql.DataFrame): Map[Long, Int] = {
+      val truth = Similarity.knnBrute(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("rank") <= 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val got = ann.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      truth.map { case (q, t) =>
+        q -> got.getOrElse(q, Set.empty).count(t)
+      }
+    }
+    val single = hits(Similarity.annLsh(spark, sfDir))
+    val probed = hits(Similarity.annLshMultiProbe(spark, sfDir))
+    graft.core.Caches.release()
+    // flip=0 probes the query's own bucket, so the probe candidate set is
+    // a per-query superset of the single-probe set; identical exact-cosine
+    // ranking makes recall@3 monotone in the candidate set
+    single.keys.foreach { q =>
+      assert(probed(q) >= single(q),
+        s"query $q: multiprobe ${probed(q)} < single ${single(q)}")
+    }
+    assert(probed.values.sum > single.values.sum,
+      s"Hamming-1 probing recovered nothing new: $probed vs $single")
+  }
+
   test("bits axis: 12-bit signatures refine 6-bit buckets and thin occupancy") {
     // one row per bit width (6, 12): more bits must mean more, smaller
     // buckets — mean occupancy strictly falls, bucket count strictly
