@@ -287,6 +287,122 @@ object Similarity {
       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
       |  FROM c) t WHERE rank <= 3""".stripMargin
 
+  // ------------------------------------------------- product quantization
+
+  /** Subspace count, dims per subspace, centroids per codebook. 8×8 over
+    * 64 dims with 16 centroids = 8 nibble codes (4 bytes) per vector —
+    * a 64× compression of the 256-byte float vector, the memory ratio
+    * PQ deployments run for. */
+  private val PQ_M = 8
+  private val PQ_SUB = 8
+  private val PQ_K = 16
+
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011) — the remaining piece of the
+    * production ANN stack next to LSH (bits/tables/probes) and IVF
+    * (cells/probes/training): vectors compress to [[PQ_M]] codebook codes
+    * (one per [[PQ_SUB]]-dim subspace, [[PQ_K]] centroids each, codebook =
+    * the subvectors of 16 hash-order pivot vectors, the untrained-seed
+    * convention [[annIvf]] uses), and queries score candidates by
+    * asymmetric distance (ADC): a per-query LUT of exact subspace
+    * distances to every centroid, summed over the candidate's 8 codes —
+    * 8 integer adds per candidate instead of 64 multiplies. Integer-exact
+    * end to end, so the oracle replays encode+LUT+rank bit-for-bit.
+    *
+    * Scale shape: the codebook is PQ_M×PQ_K subvectors — broadcast at any
+    * corpus size; encoding is scan-local against it (one shuffle to the
+    * per-(vector, subspace) argmin, amortized into the index build);
+    * the LUT is (queries × PQ_M × PQ_K) rows — metadata-sized, broadcast;
+    * the ADC sum is a map-side-partial agg of 8 rows per (query,
+    * candidate). At 100 TB the serving scan reads 4-byte codes, not
+    * 256-byte vectors — the bandwidth win that makes exhaustive ADC scans
+    * viable where float scans are not; composing with the IVF cell filter
+    * (scan only probed cells) is the same join with `cell` added to the
+    * code key. */
+  /** Per-(vector, subspace) views and the codebook over them. */
+  private def pqSub(all: DataFrame): DataFrame = {
+    val subIdx = posexplode(expr(
+      s"transform(sequence(0, ${PQ_M - 1}), m -> slice(v, m * $PQ_SUB + 1, $PQ_SUB))"))
+    all.select(col("vec_id"), subIdx)
+      .select(col("vec_id"), col("pos").as("m"), col("col").as("vm"))
+  }
+
+  private def pqCodebook(sv: DataFrame): DataFrame =
+    sv.filter(col("vec_id") < PQ_K)
+      .select(col("m").as("cm"), col("vec_id").as("cid"), col("vm").as("cv"))
+
+  private def pqD2 = aggregate(
+    zip_with(col("vm"), col("cv"), (x, y) => (x - y) * (x - y)),
+    lit(0L), (acc, v) => acc + v)
+
+  /** (vec_id, m, code) nibble codes — the compressed index (spec surface). */
+  private[graft] def pqCodesVecs(all: DataFrame): DataFrame = {
+    val sv = pqSub(all)
+    val wCode = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist"), col("cid"))
+    sv.join(broadcast(pqCodebook(sv)), col("m") === col("cm"))
+      .select(col("vec_id"), col("m"), col("cid"), pqD2.as("dist"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+  }
+
+  private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
+    pqCodesVecs(vecs(s, dir))
+
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val sv = pqSub(all)
+    val cb = pqCodebook(sv)
+    val d2 = pqD2
+    val codes = pqCodesVecs(all)
+    val lut = sv.filter(col("vec_id") < 20)
+      .join(broadcast(cb), col("m") === col("cm"))
+      .select(col("vec_id").as("q_id"), col("m").as("lm"),
+        col("cid").as("lcid"), d2.as("lutd"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    codes.join(broadcast(lut),
+        col("m") === col("lm") && col("code") === col("lcid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("lutd")).as("adc"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+
+  private val annPqSql =
+    s"""WITH iv AS (
+      |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+      |sv AS (
+      |  SELECT vec_id, m.m AS m, v[m.m*$PQ_SUB+1 : m.m*$PQ_SUB+$PQ_SUB] AS vm
+      |  FROM iv CROSS JOIN range($PQ_M) m(m)),
+      |cb AS (SELECT m AS cm, vec_id AS cid, vm AS cv FROM sv WHERE vec_id < $PQ_K),
+      |dists AS (
+      |  SELECT sv.vec_id, sv.m, cb.cid,
+      |    list_sum([(vm[i]-cv[i])*(vm[i]-cv[i]) for i in range(1,${PQ_SUB + 1})]) AS dist
+      |  FROM sv JOIN cb ON sv.m = cb.cm),
+      |codes AS (
+      |  SELECT vec_id, m, cid AS code FROM (
+      |    SELECT vec_id, m, cid,
+      |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+      |    FROM dists) t WHERE rn = 1),
+      |lut AS (
+      |  SELECT vec_id AS q_id, m AS lm, cid AS lcid, dist AS lutd
+      |  FROM dists WHERE vec_id < 20),
+      |adc AS (
+      |  SELECT q_id, c.vec_id, CAST(SUM(lutd) AS BIGINT) AS adc
+      |  FROM codes c JOIN lut l ON c.m = l.lm AND c.code = l.lcid
+      |  GROUP BY q_id, c.vec_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+      |  FROM adc WHERE vec_id <> q_id)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+      |FROM ranked WHERE rank <= 3""".stripMargin
+
   /** Bucket-occupancy census per bit width — the telemetry behind the
     * bits dial: at b bits a corpus of n vectors spreads over ≤ 2^b
     * buckets, so mean occupancy must fall ∝ 2^-bits (6 → 12 bits ≈ 64×
@@ -802,6 +918,7 @@ object Similarity {
       .unionByName(one("ann_lsh_12bit", annLshWide(s, dir)))
       .unionByName(one("ann_lsh_multi", annLshMulti(s, dir)))
       .unionByName(one("ann_lsh_multiprobe", annLshMultiProbe(s, dir)))
+      .unionByName(one("ann_pq", annPq(s, dir)))
       .unionByName(one("ann_ivf", annIvf(s, dir)))
       .unionByName(one("ann_ivf_trained", annIvfTrained(s, dir)))
   }
@@ -924,6 +1041,7 @@ object Similarity {
     GQuery("q_ann_lsh_multi", annLshMulti, Some(annLshMultiSql),
       headline = true),
     GQuery("q_ann_lsh_multiprobe", annLshMultiProbe, Some(annLshMultiProbeSql)),
+    GQuery("q_ann_pq", annPq, Some(annPqSql)),
     GQuery("q_ann_ivf", annIvf, Some(annIvfSql)),
     GQuery("q_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql)),
     GQuery("q_ann_recall", annRecall, Some(annRecallSql)),

@@ -80,6 +80,32 @@ class SimilaritySpec extends SparkSpec {
       s"Hamming-1 probing recovered nothing new: $probed vs $single")
   }
 
+  test("PQ codes: complete, bounded, pivots self-encode, ADC finds real neighbors") {
+    val codes = Similarity.pqCodes(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    graft.core.Caches.release()
+    val n = codes.map(_._1).distinct.length
+    // every vector carries exactly 8 codes, each in [0, 16)
+    assert(codes.length == n * 8, s"${codes.length} codes for $n vectors")
+    assert(codes.forall(c => c._3 >= 0 && c._3 < 16))
+    // a codebook pivot's own subvector is at distance 0 from itself, so
+    // each pivot self-encodes (ties impossible unless subvectors collide)
+    codes.filter(_._1 < 16).foreach { case (vid, m, code) =>
+      assert(code == vid, s"pivot $vid subspace $m encoded to $code")
+    }
+    // the ADC ranking recovers true neighbors well above chance
+    val truth = Similarity.knnBrute(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.annPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    graft.core.Caches.release()
+    val hits = truth.map { case (q, t) => got.getOrElse(q, Set.empty).count(t) }.sum
+    assert(hits > 0, "PQ/ADC recovered no true top-3 neighbor at all")
+  }
+
   test("bits axis: 12-bit signatures refine 6-bit buckets and thin occupancy") {
     // one row per bit width (6, 12): more bits must mean more, smaller
     // buckets — mean occupancy strictly falls, bucket count strictly
