@@ -403,6 +403,102 @@ object Similarity {
       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
       |FROM ranked WHERE rank <= 3""".stripMargin
 
+  /** PQ with TRAINED codebooks — the [[annIvf]] → [[annIvfTrained]] lift
+    * applied to the quantization axis: the pivot codebooks of [[annPq]]
+    * are refined by ONE integer-exact Lloyd update per subspace (per-dim
+    * truncated-mean of each code's assigned subvectors — the k-means step
+    * real PQ training iterates), then vectors re-encode and queries score
+    * by ADC against the refined centroids. Everything stays integer-exact
+    * (both engines truncate integer division identically, negatives
+    * included), so the oracle replays train+encode+LUT+rank bit-for-bit.
+    *
+    * Scale shape: identical to [[annPq]] plus one (PQ_M×PQ_K×PQ_SUB)-row
+    * training agg — the update costs one pass over the (vector, subspace)
+    * rows and produces a table that still broadcasts at any corpus size;
+    * more Lloyd rounds repeat the same two-step plan. The refined-distance
+    * frame is computed ONCE and shared by re-encoding and the query LUT. */
+  def annPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val sv = Caches.tracked(pqSub(vecs(s, dir)))
+    val wCode = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist"), col("cid"))
+    val codes0 = sv.join(broadcast(pqCodebook(sv)), col("m") === col("cm"))
+      .select(col("vec_id"), col("m"), col("cid"), pqD2.as("dist"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+    val cb1 = sv.join(codes0, Seq("vec_id", "m"))
+      .select(col("m"), col("code"), posexplode(col("vm")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg(expr("SUM(col) DIV COUNT(*)").as("cx"))
+      .groupBy(col("m"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        e => e.getField("cx")).as("cv"))
+      .select(col("m").as("cm"), col("code").as("cid"), col("cv"))
+    val dists1 = Caches.tracked(
+      sv.join(broadcast(cb1), col("m") === col("cm"))
+        .select(col("vec_id"), col("m"), col("cid"), pqD2.as("dist")))
+    val codes1 = dists1.withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+    val lut = dists1.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("m").as("lm"),
+        col("cid").as("lcid"), col("dist").as("lutd"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    codes1.join(broadcast(lut),
+        col("m") === col("lm") && col("code") === col("lcid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("lutd")).as("adc"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+
+  private val annPqTrainedSql =
+    s"""WITH iv AS (
+      |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+      |svl AS (
+      |  SELECT vec_id, m.m AS m, i.i AS i, v[m.m*$PQ_SUB + i.i] AS x
+      |  FROM iv CROSS JOIN range($PQ_M) m(m) CROSS JOIN range(1, ${PQ_SUB + 1}) i(i)),
+      |cb0 AS (SELECT m, vec_id AS cid, i, x AS cx FROM svl WHERE vec_id < $PQ_K),
+      |d0 AS (
+      |  SELECT s.vec_id, s.m, c.cid, SUM((s.x - c.cx)*(s.x - c.cx)) AS dist
+      |  FROM svl s JOIN cb0 c ON s.m = c.m AND s.i = c.i
+      |  GROUP BY s.vec_id, s.m, c.cid),
+      |codes0 AS (
+      |  SELECT vec_id, m, cid AS code FROM (
+      |    SELECT vec_id, m, cid,
+      |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+      |    FROM d0) t WHERE rn = 1),
+      |cb1 AS (
+      |  SELECT s.m, c.code AS cid, s.i, SUM(s.x) // COUNT(*) AS cx
+      |  FROM svl s JOIN codes0 c ON s.vec_id = c.vec_id AND s.m = c.m
+      |  GROUP BY s.m, c.code, s.i),
+      |d1 AS (
+      |  SELECT s.vec_id, s.m, c.cid, SUM((s.x - c.cx)*(s.x - c.cx)) AS dist
+      |  FROM svl s JOIN cb1 c ON s.m = c.m AND s.i = c.i
+      |  GROUP BY s.vec_id, s.m, c.cid),
+      |codes1 AS (
+      |  SELECT vec_id, m, cid AS code FROM (
+      |    SELECT vec_id, m, cid,
+      |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+      |    FROM d1) t WHERE rn = 1),
+      |lut AS (
+      |  SELECT vec_id AS q_id, m AS lm, cid AS lcid, dist AS lutd
+      |  FROM d1 WHERE vec_id < 20),
+      |adc AS (
+      |  SELECT q_id, c.vec_id, CAST(SUM(lutd) AS BIGINT) AS adc
+      |  FROM codes1 c JOIN lut l ON c.m = l.lm AND c.code = l.lcid
+      |  GROUP BY q_id, c.vec_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+      |  FROM adc WHERE vec_id <> q_id)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+      |FROM ranked WHERE rank <= 3""".stripMargin
+
   /** Bucket-occupancy census per bit width — the telemetry behind the
     * bits dial: at b bits a corpus of n vectors spreads over ≤ 2^b
     * buckets, so mean occupancy must fall ∝ 2^-bits (6 → 12 bits ≈ 64×
@@ -919,6 +1015,7 @@ object Similarity {
       .unionByName(one("ann_lsh_multi", annLshMulti(s, dir)))
       .unionByName(one("ann_lsh_multiprobe", annLshMultiProbe(s, dir)))
       .unionByName(one("ann_pq", annPq(s, dir)))
+      .unionByName(one("ann_pq_trained", annPqTrained(s, dir)))
       .unionByName(one("ann_ivf", annIvf(s, dir)))
       .unionByName(one("ann_ivf_trained", annIvfTrained(s, dir)))
   }
@@ -1042,6 +1139,7 @@ object Similarity {
       headline = true),
     GQuery("q_ann_lsh_multiprobe", annLshMultiProbe, Some(annLshMultiProbeSql)),
     GQuery("q_ann_pq", annPq, Some(annPqSql)),
+    GQuery("q_ann_pq_trained", annPqTrained, Some(annPqTrainedSql)),
     GQuery("q_ann_ivf", annIvf, Some(annIvfSql)),
     GQuery("q_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql)),
     GQuery("q_ann_recall", annRecall, Some(annRecallSql)),

@@ -106,6 +106,26 @@ class SimilaritySpec extends SparkSpec {
     assert(hits > 0, "PQ/ADC recovered no true top-3 neighbor at all")
   }
 
+  test("trained PQ codebooks do not lose recall vs the pivot seeds") {
+    def hitSum(ann: org.apache.spark.sql.DataFrame): Int = {
+      val truth = Similarity.knnBrute(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("rank") <= 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val got = ann.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      truth.map { case (q, t) => got.getOrElse(q, Set.empty).count(t) }.sum
+    }
+    val seeded = hitSum(Similarity.annPq(spark, sfDir))
+    val trained = hitSum(Similarity.annPqTrained(spark, sfDir))
+    graft.core.Caches.release()
+    // one Lloyd round lowers quantization error; on this fixture that
+    // must not COST aggregate recall (no per-query guarantee exists —
+    // the law is the training direction, pinned loosely)
+    assert(trained >= seeded,
+      s"Lloyd-refined codebooks lost recall: $trained < $seeded")
+  }
+
   test("bits axis: 12-bit signatures refine 6-bit buckets and thin occupancy") {
     // one row per bit width (6, 12): more bits must mean more, smaller
     // buckets — mean occupancy strictly falls, bucket count strictly
