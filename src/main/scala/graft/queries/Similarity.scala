@@ -499,6 +499,125 @@ object Similarity {
       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
       |FROM ranked WHERE rank <= 3""".stripMargin
 
+  /** IVF+PQ with RESIDUAL encoding (Jégou et al. §V — the FAISS IVFPQ
+    * index): the coarse quantizer assigns every vector to a cell
+    * ([[annIvf]]'s centers), PQ codebooks quantize the RESIDUAL
+    * v − center(cell) — residuals concentrate near zero, which is what
+    * makes 16 centroids per subspace enough — and queries probe their 2
+    * nearest cells, building a SEPARATE ADC LUT per probed cell from the
+    * query's residual against THAT center. Candidates are scored only
+    * inside probed cells (the IVF pruning) by 8 integer LUT adds (the PQ
+    * compression): the full composed production serving path, demonstrated
+    * end-to-end and integer-exact so the oracle replays it bit-for-bit.
+    *
+    * Scale shape: [[annIvf]]'s pruning (work ∝ probed cells, not corpus)
+    * × [[annPq]]'s bandwidth (4-byte codes, broadcast codebooks + LUTs);
+    * the candidate join carries (cell, m, code) keys only. Per-candidate
+    * dedup is structural — a vector lives in ONE cell. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val all = Caches.tracked(vecs(s, dir))
+    val cc = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("ccid"), col("v").as("ccv"))
+    val dCell = aggregate(zip_with(col("v"), col("ccv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("ccid"))
+    val distToCells = Caches.tracked(
+      all.join(broadcast(cc))
+        .select(col("vec_id"), col("v"), col("ccid"), col("ccv"), dCell.as("dist")))
+    val residual = zip_with(col("v"), col("ccv"), (x, y) => x - y)
+    val assigned = distToCells
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("ccid").as("cell"), residual.as("r"))
+    val subIdx = posexplode(expr(
+      s"transform(sequence(0, ${PQ_M - 1}), m -> slice(r, m * $PQ_SUB + 1, $PQ_SUB))"))
+    val sv = assigned.select(col("vec_id"), col("cell"), subIdx)
+      .select(col("vec_id"), col("cell"), col("pos").as("m"), col("col").as("vm"))
+    val cb = sv.filter(col("vec_id") < PQ_K)
+      .select(col("m").as("cm"), col("vec_id").as("cid"), col("vm").as("cv"))
+    val wCode = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist"), col("cid"))
+    val codes = sv.join(broadcast(cb), col("m") === col("cm"))
+      .select(col("vec_id"), col("cell"), col("m"), col("cid"), pqD2.as("dist"))
+      .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("m"), col("cid").as("code"))
+    // per probed cell, the query's residual against THAT center
+    val qsv = distToCells.filter(col("vec_id") < 20)
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("ccid").as("qcell"), residual.as("r"))
+      .select(col("q_id"), col("qcell"), subIdx)
+      .select(col("q_id"), col("qcell"), col("pos").as("m"), col("col").as("vm"))
+    val lut = qsv.join(broadcast(cb), col("m") === col("cm"))
+      .select(col("q_id"), col("qcell"), col("m").as("lm"),
+        col("cid").as("lcid"), pqD2.as("lutd"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    codes.join(broadcast(lut),
+        col("cell") === col("qcell") && col("m") === col("lm") &&
+          col("code") === col("lcid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("lutd")).as("adc"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+
+  private val annIvfPqSql =
+    s"""WITH iv AS (
+      |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+      |cc AS (SELECT vec_id AS ccid, v AS ccv FROM iv WHERE vec_id < 8),
+      |dc AS (
+      |  SELECT i.vec_id, cc.ccid,
+      |    list_sum([(v[d]-ccv[d])*(v[d]-ccv[d]) for d in range(1,${DIM + 1})]) AS dist
+      |  FROM iv i CROSS JOIN cc),
+      |assigned AS (
+      |  SELECT vec_id, ccid AS cell FROM (
+      |    SELECT vec_id, ccid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccid) AS rn
+      |    FROM dc) t WHERE rn = 1),
+      |resid AS (
+      |  SELECT i.vec_id, a.cell, [v[d] - ccv[d] for d in range(1,${DIM + 1})] AS r
+      |  FROM iv i JOIN assigned a USING (vec_id) JOIN cc ON a.cell = cc.ccid),
+      |svl AS (
+      |  SELECT vec_id, cell, m.m AS m, i.i AS i, r[m.m*$PQ_SUB + i.i] AS x
+      |  FROM resid CROSS JOIN range($PQ_M) m(m) CROSS JOIN range(1, ${PQ_SUB + 1}) i(i)),
+      |cb AS (SELECT m, vec_id AS cid, i, x AS cx FROM svl WHERE vec_id < $PQ_K),
+      |d0 AS (
+      |  SELECT s.vec_id, s.cell, s.m, c.cid, SUM((s.x - c.cx)*(s.x - c.cx)) AS dist
+      |  FROM svl s JOIN cb c ON s.m = c.m AND s.i = c.i
+      |  GROUP BY s.vec_id, s.cell, s.m, c.cid),
+      |codes AS (
+      |  SELECT vec_id, cell, m, cid AS code FROM (
+      |    SELECT vec_id, cell, m, cid,
+      |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+      |    FROM d0) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, ccid AS qcell FROM (
+      |    SELECT vec_id, ccid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccid) AS rn
+      |    FROM dc WHERE vec_id < 20) t WHERE rn <= 2),
+      |qresid AS (
+      |  SELECT p.q_id, p.qcell, [v[d] - ccv[d] for d in range(1,${DIM + 1})] AS r
+      |  FROM probes p JOIN iv ON iv.vec_id = p.q_id JOIN cc ON p.qcell = cc.ccid),
+      |qsvl AS (
+      |  SELECT q_id, qcell, m.m AS m, i.i AS i, r[m.m*$PQ_SUB + i.i] AS x
+      |  FROM qresid CROSS JOIN range($PQ_M) m(m) CROSS JOIN range(1, ${PQ_SUB + 1}) i(i)),
+      |lut AS (
+      |  SELECT q.q_id, q.qcell, q.m, c.cid AS lcid, SUM((q.x - c.cx)*(q.x - c.cx)) AS lutd
+      |  FROM qsvl q JOIN cb c ON q.m = c.m AND q.i = c.i
+      |  GROUP BY q.q_id, q.qcell, q.m, c.cid),
+      |adc AS (
+      |  SELECT l.q_id, cd.vec_id, CAST(SUM(lutd) AS BIGINT) AS adc
+      |  FROM codes cd JOIN lut l
+      |    ON cd.cell = l.qcell AND cd.m = l.m AND cd.code = l.lcid
+      |  GROUP BY l.q_id, cd.vec_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+      |  FROM adc WHERE vec_id <> q_id)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+      |FROM ranked WHERE rank <= 3""".stripMargin
+
   /** Bucket-occupancy census per bit width — the telemetry behind the
     * bits dial: at b bits a corpus of n vectors spreads over ≤ 2^b
     * buckets, so mean occupancy must fall ∝ 2^-bits (6 → 12 bits ≈ 64×
@@ -1016,6 +1135,7 @@ object Similarity {
       .unionByName(one("ann_lsh_multiprobe", annLshMultiProbe(s, dir)))
       .unionByName(one("ann_pq", annPq(s, dir)))
       .unionByName(one("ann_pq_trained", annPqTrained(s, dir)))
+      .unionByName(one("ann_ivfpq", annIvfPq(s, dir)))
       .unionByName(one("ann_ivf", annIvf(s, dir)))
       .unionByName(one("ann_ivf_trained", annIvfTrained(s, dir)))
   }
@@ -1140,6 +1260,7 @@ object Similarity {
     GQuery("q_ann_lsh_multiprobe", annLshMultiProbe, Some(annLshMultiProbeSql)),
     GQuery("q_ann_pq", annPq, Some(annPqSql)),
     GQuery("q_ann_pq_trained", annPqTrained, Some(annPqTrainedSql)),
+    GQuery("q_ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
     GQuery("q_ann_ivf", annIvf, Some(annIvfSql)),
     GQuery("q_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql)),
     GQuery("q_ann_recall", annRecall, Some(annRecallSql)),

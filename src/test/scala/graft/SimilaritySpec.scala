@@ -126,6 +126,28 @@ class SimilaritySpec extends SparkSpec {
       s"Lloyd-refined codebooks lost recall: $trained < $seeded")
   }
 
+  test("IVFPQ: well-formed ranks per query, real neighbors recovered") {
+    val rows = Similarity.annIvfPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.core.Caches.release()
+    val byQ = rows.groupBy(_._1)
+    // every query reports at most 3 neighbors with dense distinct ranks
+    byQ.foreach { case (q, rs) =>
+      val ranks = rs.map(_._2).sorted.toSeq
+      assert(ranks == (1L to ranks.length), s"query $q ranks: $ranks")
+      assert(rs.forall(_._3 != q), s"query $q returned itself")
+    }
+    assert(byQ.size > 10, s"only ${byQ.size} queries produced candidates")
+    // the composed index still finds true neighbors
+    val truth = Similarity.knnBrute(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    graft.core.Caches.release()
+    val hits = rows.count { case (q, _, n) => truth.getOrElse(q, Set.empty)(n) }
+    assert(hits > 0, "IVFPQ recovered no true top-3 neighbor at all")
+  }
+
   test("bits axis: 12-bit signatures refine 6-bit buckets and thin occupancy") {
     // one row per bit width (6, 12): more bits must mean more, smaller
     // buckets — mean occupancy strictly falls, bucket count strictly
