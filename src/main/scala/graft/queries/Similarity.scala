@@ -507,8 +507,11 @@ object Similarity {
     * nearest cells, building a SEPARATE ADC LUT per probed cell from the
     * query's residual against THAT center. Candidates are scored only
     * inside probed cells (the IVF pruning) by 8 integer LUT adds (the PQ
-    * compression): the full composed production serving path, demonstrated
-    * end-to-end and integer-exact so the oracle replays it bit-for-bit.
+    * compression), and the ADC top-[[PQ_RERANK]] shortlist is re-ranked
+    * by exact cosine (the FAISS IndexRefine stage — codes find the
+    * neighborhood, ten exact distances per query fix the order
+    * quantization error scrambled): the full composed production serving
+    * path, integer-exact so the oracle replays it bit-for-bit.
     *
     * Scale shape: [[annIvf]]'s pruning (work ∝ probed cells, not corpus)
     * × [[annPq]]'s bandwidth (4-byte codes, broadcast codebooks + LUTs);
@@ -549,18 +552,36 @@ object Similarity {
     val lut = qsv.join(broadcast(cb), col("m") === col("cm"))
       .select(col("q_id"), col("qcell"), col("m").as("lm"),
         col("cid").as("lcid"), pqD2.as("lutd"))
-    val wRank = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
-    codes.join(broadcast(lut),
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val shortlist = codes.join(broadcast(lut),
         col("cell") === col("qcell") && col("m") === col("lm") &&
           col("code") === col("lcid"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("lutd")).as("adc"))
       .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= PQ_RERANK)
+      .select(col("q_id"), col("vec_id"))
+    // refine: exact-cosine re-rank of the ADC shortlist (FAISS
+    // IndexRefine) — the codes find the neighborhood, 10 exact
+    // distances per query fix the order quantization error scrambled
+    val qv = all.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    shortlist
+      .join(all.select(col("vec_id"), col("v"), col("n2")), "vec_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("v"), col("qv")), col("n2"), col("qn2")).as("cos"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"))
   }
+
+  /** ADC shortlist size the exact refine pass re-ranks. */
+  private val PQ_RERANK = 10
 
   private val annIvfPqSql =
     s"""WITH iv AS (
@@ -611,10 +632,24 @@ object Similarity {
       |  FROM codes cd JOIN lut l
       |    ON cd.cell = l.qcell AND cd.m = l.m AND cd.code = l.lcid
       |  GROUP BY l.q_id, cd.vec_id),
+      |short AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS arn
+      |    FROM adc WHERE vec_id <> q_id) t WHERE arn <= 10),
+      |n2t AS (
+      |  SELECT vec_id, v, list_sum([v[d]*v[d] for d in range(1,${DIM + 1})]) AS n2
+      |  FROM iv),
+      |rr AS (
+      |  SELECT s.q_id, s.vec_id,
+      |    CAST(list_sum([a.v[d]*q.v[d] for d in range(1,${DIM + 1})]) AS DOUBLE)
+      |      / sqrt(CAST(a.n2 AS DOUBLE)) / sqrt(CAST(q.n2 AS DOUBLE)) AS cos
+      |  FROM short s JOIN n2t a ON s.vec_id = a.vec_id
+      |               JOIN n2t q ON s.q_id = q.vec_id),
       |ranked AS (
       |  SELECT q_id, vec_id,
-      |    row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
-      |  FROM adc WHERE vec_id <> q_id)
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM rr)
       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
       |FROM ranked WHERE rank <= 3""".stripMargin
 
