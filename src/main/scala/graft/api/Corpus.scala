@@ -487,6 +487,26 @@ object Vectors {
         coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
   }
 
+  /** LSH top-k similarity search over arbitrary (id, Array[Float])
+    * vector and query frames — the (bits, tables, Hamming-probe)
+    * production dial as one call, sharing the hyperplane family,
+    * hot-bucket guard, and score-then-dedup internals the oracle-checked
+    * q_ann_lsh* queries pin ([[graft.queries.Similarity.lshSearch]]).
+    * Output (query_id, rank, neighbor_id, cos). `bits = 0` degenerates
+    * to exact brute-force search — the law CorpusApiSpec anchors the
+    * index to. Vectors must be 64-dim (the engine's fixed hyperplane
+    * family). `tables` buys recall with index memory, `hamming = 1`
+    * buys it with probe work — tune whichever resource binds. */
+  def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int = 3,
+      bits: Int = 6, tables: Int = 4, hamming: Int = 1,
+      id: String = "vec_id", vec: String = "embedding",
+      bucketCap: Long = 512L): DataFrame =
+    graft.queries.Similarity.lshSearch(
+      canon(vectors, id, vec).select(col("vid"), col("v"), col("n2")),
+      canon(queries, id, vec).select(col("vid"), col("v"), col("n2")),
+      k, bits, tables, hamming, bucketCap)
+      .withColumnRenamed("q_id", "query_id")
+
   /** Johnson-Lindenstrauss sign projection 64 → 16 for any
     * (id, Array[Float]) frame: milli-scaled exact-integer dot products
     * against the fixed ±1 matrix the oracle-checked q_embed_project

@@ -762,6 +762,65 @@ object Similarity {
         col("vec_id").as("neighbor_id"))
   }
 
+  /** Generic LSH top-k search over arbitrary canonical (vid, v, n2)
+    * base/query frames — the (bits, tables, Hamming-probes) production
+    * dial as ONE library surface, sharing the hyperplane family, the
+    * hot-bucket guard, and the score-then-dedup shape every
+    * oracle-checked ANN query pins. `bits = 0` degenerates to exact
+    * brute-force search (single bucket 0, no pruning) — the spec law
+    * anchoring the index to the exact baseline. Vectors must be 64-dim
+    * (the engine's fixed hyperplane family); the query side broadcasts
+    * (tables × (1 + bits·hamming) probe rows per query). */
+  private[graft] def lshSearch(base: DataFrame, queries: DataFrame,
+      k: Int, bits: Int, tables: Int, hamming: Int, cap: Long): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(bits >= 0 && bits <= 32, s"bits out of range: $bits")
+    require(tables > 0, s"tables must be positive: $tables")
+    require(hamming >= 0 && hamming <= 1, s"hamming ∈ {0, 1}: $hamming")
+    val sigExpr = array((0 until tables).map { t =>
+      val bs = (0 until bits).map { b =>
+        val wgt = array((1 to DIM).map(d => lit(lshWeight(t * bits + b, d))): _*)
+        when(dot(wgt, col("v")) > 0, 1L << b).otherwise(0L)
+      }
+      struct(lit(t.toLong).as("t"),
+        (lit(0L) +: bs).reduce(_ + _).as("bucket"))
+    }: _*)
+    val sig = base.select(col("vid"), col("v"), col("n2"), explode(sigExpr).as("x"))
+      .select(col("vid"), col("v"), col("n2"),
+        col("x.t").as("t"), col("x.bucket").as("bucket"))
+      .trackedPersist()
+    val hot = sig.groupBy(col("t"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > cap)
+      .select(col("t"), col("bucket"))
+    val guarded = sig.join(hot, Seq("t", "bucket"), "left_anti")
+    val flips = lit(0L) +:
+      (if (hamming >= 1) (0 until bits).map(b => lit(1L << b)) else Nil)
+    val qs = queries
+      .select(col("vid").as("q_id"), col("v"), col("n2").as("qn2"),
+        explode(sigExpr).as("x"))
+      .select(col("q_id"), col("v").as("qv"), col("qn2"),
+        col("x.t").as("qt"), col("x.bucket").as("qb0"))
+      .select(col("q_id"), col("qv"), col("qn2"), col("qt"), col("qb0"),
+        explode(array(flips: _*)).as("flip"))
+      .select(col("q_id"), col("qv"), col("qn2"), col("qt"),
+        expr("qb0 ^ flip").as("qbucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vid"))
+    guarded.join(broadcast(qs),
+        col("t") === col("qt") && col("bucket") === col("qbucket") &&
+          col("vid") =!= col("q_id"))
+      .select(col("q_id"), col("vid"),
+        cosine(dot(col("v"), col("qv")), col("n2"), col("qn2")).as("cos"))
+      // dedup across tables/probes AFTER scoring (one double per pair)
+      .groupBy(col("q_id"), col("vid"))
+      .agg(max(col("cos")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vid").as("neighbor_id"), col("cos"))
+  }
+
   private val annLshMultiSql =
     s"""WITH iv AS (
       |  SELECT vec_id, $ivecSql AS v FROM embeddings),

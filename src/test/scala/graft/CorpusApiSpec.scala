@@ -383,4 +383,54 @@ class CorpusApiSpec extends SparkSpec {
     // antisymmetry only at dim sums of exactly-representable coords
     assert(got(8L).size == 16)
   }
+
+  // 4 clusters x 10 members of 64-dim vectors; queries sit at each
+  // cluster's base pattern, so true neighbors are cluster-mates
+  private def vecFrames = {
+    import spark.implicits._
+    def base(c: Int, i: Int): Float = (((c + 1) * (i + 3)) % 7 - 3).toFloat / 10f
+    val members = for (c <- 0 until 4; j <- 0 until 10) yield
+      (c * 10L + j, (0 until 64).map(i =>
+        base(c, i) + 0.005f * ((i + j) % 3)))
+    val queries = (0 until 4).map(c =>
+      (100L + c, (0 until 64).map(i => base(c, i))))
+    (members.toDF("my_vid", "emb"), queries.toDF("my_vid", "emb"))
+  }
+
+  test("lshTopK with bits=0 IS exact brute-force search") {
+    val (vectors, queries) = vecFrames
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = rows(Vectors.cosineTopK(vectors, queries, k = 5,
+      id = "my_vid", vec = "emb"))
+    val degenerate = rows(Vectors.lshTopK(vectors, queries, k = 5,
+      bits = 0, tables = 1, hamming = 0, id = "my_vid", vec = "emb",
+      bucketCap = Long.MaxValue))
+    graft.core.Caches.release()
+    assert(degenerate == exact,
+      s"bits=0 index diverged from brute force:\n $degenerate\n vs $exact")
+  }
+
+  test("lshTopK: tables and probes each monotonically buy recall") {
+    val (vectors, queries) = vecFrames
+    val truth = Vectors.cosineTopK(vectors, queries, k = 3,
+        id = "my_vid", vec = "emb")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def hits(tables: Int, hamming: Int): Int = {
+      val got = Vectors.lshTopK(vectors, queries, k = 3, bits = 6,
+          tables = tables, hamming = hamming, id = "my_vid", vec = "emb")
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      graft.core.Caches.release()
+      truth.map { case (q, t) => got.getOrElse(q, Set.empty).count(t) }.sum
+    }
+    val base = hits(tables = 1, hamming = 0)
+    // candidate supersets under identical exact ranking -> monotone recall
+    assert(hits(tables = 4, hamming = 0) >= base, "tables lost recall")
+    assert(hits(tables = 1, hamming = 1) >= base, "probes lost recall")
+    // on clustered data the full dial must find most true neighbors
+    assert(hits(tables = 4, hamming = 1) >= 6,
+      "the (tables=4, hamming=1) dial found under half the truth")
+  }
 }
