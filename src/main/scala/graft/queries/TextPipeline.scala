@@ -1771,6 +1771,92 @@ object TextPipeline {
       |WHERE dd.doc_id % 101 != 0
       |GROUP BY lang""".stripMargin
 
+  /** Fuzzy benchmark decontamination — the near-match complement of
+    * [[decontaminate]]'s exact 8-gram pass: a corpus document whose
+    * 2-gram shingle set is Jaccard ≥ 0.5 similar to ANY eval-set
+    * document is flagged, catching the lightly-paraphrased / reformatted
+    * contamination an exact n-gram lookup misses (the reason eval suites
+    * publish both exact and near-dup overlap numbers). Candidates come
+    * from the MinHash band join — corpus bands against the BROADCAST
+    * eval band set — and each candidate is CONFIRMED by exact integer
+    * cross-multiplied Jaccard (2·|∩| ≥ |∪|), so band collisions can
+    * only add work, never false flags. Census per language, same shape
+    * as the exact pass.
+    *
+    * Scale shape: the eval side (signatures, bands, shingle sets) is
+    * eval-suite-sized — it always broadcasts; corpus signatures are the
+    * scan-local [[minhashSig]]; the confirm join touches only candidate
+    * pairs. At 100 TB the shingle intersect runs on hash60 arrays
+    * instead of strings — same plan, 8-byte elements. */
+  def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame =
+    decontaminateFuzzyDocs(Tables.documents(s, dir))
+
+  /** [[decontaminateFuzzy]] over an explicit (doc_id, lang, text) frame
+    * (spec surface — sf0.01's eval split has no cross-split near-dups,
+    * so the flag path is exercised on a planted corpus; sf0.1 carries a
+    * real 0.99-Jaccard eval/corpus pair). */
+  private[graft] def decontaminateFuzzyDocs(docs: DataFrame): DataFrame = {
+    val sig = minhashSig(docs).trackedPersist()
+    val bandKeys = array((0 until 4).map(i => struct(lit(i).as("band"),
+      col(s"m${2 * i}").as("x"), col(s"m${2 * i + 1}").as("y"))): _*)
+    val evalBands = sig.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("e_id"), explode(bandKeys).as("bk"))
+    val corpBands = sig.filter(col("doc_id") % 101 =!= 0)
+      .select(col("doc_id"), explode(bandKeys).as("bk"))
+    val cands = corpBands.join(broadcast(evalBands), "bk")
+      .select(col("doc_id"), col("e_id")).distinct()
+    val shing = docs.select(col("doc_id"), ws.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), shingleArr(col("w")).as("sh"))
+    val confirmed = cands
+      .join(shing.select(col("doc_id"), col("sh").as("sa")), "doc_id")
+      .join(broadcast(shing.select(col("doc_id").as("e_id"), col("sh").as("sb"))),
+        "e_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni",
+        size(col("sa")).cast("long") + size(col("sb")).cast("long") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("doc_id")).distinct().withColumn("flag", lit(1L))
+    docs.filter(col("doc_id") % 101 =!= 0)
+      .select(col("doc_id"), col("lang"))
+      .join(confirmed, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("flag"), lit(0L))).as("n_flagged"),
+        sum(when(col("flag").isNotNull, col("doc_id"))).as("flagged_id_sum"))
+  }
+
+  private val decontaminateFuzzySql = {
+    val mins = minhashAB.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a*h+$b) % 1000000007) AS m$i" }.mkString(", ")
+    s"""WITH ws0 AS (
+      |  SELECT doc_id, lang, $wordsSqlDoc AS w FROM documents),
+      |shs AS (
+      |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS sh
+      |  FROM ws0 WHERE len(w) >= 2),
+      |h AS (
+      |  SELECT doc_id, CAST('0x' || substring(md5(s.s),1,15) AS BIGINT) % 1000000007 AS h
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM shs) s),
+      |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, unnest([[0,m0,m1],[1,m2,m3],[2,m4,m5],[3,m6,m7]]) AS bk FROM sig),
+      |eb AS (SELECT doc_id AS e_id, bk FROM bands WHERE doc_id % 101 = 0),
+      |cb AS (SELECT doc_id, bk FROM bands WHERE doc_id % 101 != 0),
+      |cand AS (SELECT DISTINCT cb.doc_id, eb.e_id FROM cb JOIN eb USING (bk)),
+      |conf AS (
+      |  SELECT DISTINCT c.doc_id
+      |  FROM cand c JOIN shs a ON c.doc_id = a.doc_id
+      |              JOIN shs b ON c.e_id = b.doc_id
+      |  WHERE 2 * len(list_intersect(a.sh, b.sh))
+      |      >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN conf.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(SUM(CASE WHEN conf.doc_id IS NOT NULL THEN ws0.doc_id END) AS BIGINT) AS flagged_id_sum
+      |FROM ws0 LEFT JOIN conf ON conf.doc_id = ws0.doc_id
+      |WHERE ws0.doc_id % 101 != 0
+      |GROUP BY lang""".stripMargin
+  }
+
   // ---------------------------------------------- unigram LM scoring
 
   /** Unigram language-model quality score (the CCNet-style LM filter with
@@ -2071,6 +2157,7 @@ object TextPipeline {
     GQuery("q_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
     GQuery("q_bigram_lm", bigramLm, Some(bigramLmSql)),
     GQuery("q_decontaminate", decontaminate, Some(decontaminateSql)),
+    GQuery("q_decontaminate_fuzzy", decontaminateFuzzy, Some(decontaminateFuzzySql)),
     GQuery("q_repetition", repetition, Some(repetitionSql)),
     GQuery("q_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     GQuery("q_unigram_lm", unigramLm, Some(unigramLmSql)),

@@ -245,4 +245,25 @@ class TextPipelineSpec extends SparkSpec {
       assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0)
     }
   }
+
+  test("fuzzy decontamination flags a planted paraphrase, spares the unrelated") {
+    import spark.implicits._
+    val evalText = (1 to 30).map(i => s"bench$i").mkString(" ")
+    // one word changed out of 30: shingle Jaccard ~ 27/31 >= 0.5, but no
+    // exact 8-gram straddling position 15 survives -> the case the exact
+    // pass under-flags and this pass exists for
+    val paraphrase = (1 to 30).map(i => if (i == 15) "CHANGED" else s"bench$i").mkString(" ")
+    val unrelated = (1 to 30).map(i => s"other$i").mkString(" ")
+    val docs = Seq(
+      (0L, "en", evalText),          // doc_id % 101 == 0 -> eval side
+      (1L, "en", paraphrase),
+      (2L, "en", unrelated),
+      (3L, "de", unrelated + " extra")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextPipeline.decontaminateFuzzyDocs(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    graft.core.Caches.release()
+    assert(got("en") == (2L, 1L), s"en census drifted: $got")   // doc 1 flagged, doc 2 not
+    assert(got("de") == (1L, 0L), s"de census drifted: $got")
+  }
 }
