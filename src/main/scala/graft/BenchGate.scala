@@ -21,12 +21,19 @@ package graft
   */
 object BenchGate {
 
-  /** Mean recall@3 vs exact brute force, BENCH_r07.json at sf0.1. */
+  /** Mean recall@3 vs exact brute force at sf0.1 — r7 keys from
+    * BENCH_r07.json; the r8/r9 index variants baselined from the
+    * round-9 sweeps (two independent runs agreed on every value). */
   val recallBaseline: Map[String, Double] = Map(
     "ann_ivf" -> 0.75,
     "ann_ivf_trained" -> 0.7833333333333333,
     "ann_lsh" -> 0.06666666666666667,
-    "ann_lsh_multi" -> 0.23333333333333334)
+    "ann_lsh_multi" -> 0.23333333333333334,
+    "ann_lsh_12bit" -> 0.0,
+    "ann_lsh_multiprobe" -> 0.2833333333333333,
+    "ann_pq" -> 0.1,
+    "ann_pq_trained" -> 0.16666666666666666,
+    "ann_ivfpq" -> 0.16666666666666666)
   val recallTol: Double = 0.05
 
   /** Exact shingle-Jaccard posterior per MinHash agreement level,

@@ -44,7 +44,7 @@ class BenchGateSpec extends AnyFunSuite {
   }
 
   test("new non-baselined telemetry keys pass freely") {
-    val extra = goodRecall + ("ann_lsh_12bit" -> 0.42)
+    val extra = goodRecall + ("ann_hnsw" -> 0.42)
     assert(BenchGate.check(extra, goodCalib).isEmpty)
   }
 
