@@ -1354,7 +1354,7 @@ object Similarity {
     GQuery("q_ann_lsh_multiprobe", annLshMultiProbe, Some(annLshMultiProbeSql)),
     GQuery("q_ann_pq", annPq, Some(annPqSql)),
     GQuery("q_ann_pq_trained", annPqTrained, Some(annPqTrainedSql)),
-    GQuery("q_ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
+    GQuery("q_ann_ivfpq", annIvfPq, Some(annIvfPqSql), headline = true),
     GQuery("q_ann_ivf", annIvf, Some(annIvfSql)),
     GQuery("q_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql)),
     GQuery("q_ann_recall", annRecall, Some(annRecallSql)),
