@@ -1857,6 +1857,96 @@ object TextPipeline {
       |GROUP BY lang""".stripMargin
   }
 
+  /** Leak-free train/val/test splitting — the assignment step every
+    * training pipeline runs after dedup, with the leakage it exists to
+    * prevent MEASURED: scheme "random" assigns each document by
+    * hash60(doc_id) (the common shuffle-split), scheme "cluster" assigns
+    * by hash60(near-dup-cluster representative) so every member of a
+    * duplicate cluster lands in the SAME split — eval can never see a
+    * near-copy of a training document. Output: one row per scheme with
+    * the 800/100/100‰ census (docs + tokens per split) and
+    * `n_leaky_pairs`, the count of strong near-dup pairs (signature
+    * agreement ≥ 6) whose endpoints straddle splits — structurally ZERO
+    * for the cluster scheme (same component ⇒ same key ⇒ same split),
+    * nonzero for the random scheme whenever dup clusters exist.
+    *
+    * Scale shape: pairs and components are the guarded-LSH + pointer-
+    * doubling machinery of q_dup_clusters_conv (edge-proportional
+    * rounds); the split draw is a scan-local hash; the leak audit joins
+    * the pair list (dup-graph-sized, not corpus-sized) to two slim
+    * (doc_id, split) projections. */
+  def splitLeakfree(s: SparkSession, dir: String): DataFrame = {
+    val docsRaw = Tables.documents(s, dir)
+    val pairs = dedupMinhashDocs(docsRaw, LshBucketCap)
+      .filter(col("n_match") >= 6)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .trackedPersist()
+    val comps = graft.api.Corpus.connectedComponents(
+      docsRaw.select(col("doc_id").as("node")), pairs)
+      .select(col("node").as("doc_id"), col("component"))
+    val base = docsRaw
+      .select(col("doc_id"), size(ws).cast("long").as("n_tok"))
+      .join(comps, "doc_id")
+    def splitOf(c: Column): Column = {
+      val h = hash60(c) % 1000L
+      when(h < 800, lit(0)).when(h < 900, lit(1)).otherwise(lit(2))
+    }
+    def scheme(name: String, key: Column): DataFrame = {
+      val withSplit = base.withColumn("sp", splitOf(key)).trackedPersist()
+      val leak = pairs
+        .join(withSplit.select(col("doc_id").as("a"), col("sp").as("spa")), "a")
+        .join(withSplit.select(col("doc_id").as("b"), col("sp").as("spb")), "b")
+        .agg(coalesce(sum(when(col("spa") =!= col("spb"), 1L).otherwise(0L)),
+          lit(0L)).as("n_leaky_pairs"))
+      withSplit.agg(
+          sum(when(col("sp") === 0, 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("sp") === 1, 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("sp") === 2, 1L).otherwise(0L)).as("n_test"),
+          sum(when(col("sp") === 0, col("n_tok")).otherwise(0L)).as("tok_train"),
+          sum(when(col("sp") =!= 0, col("n_tok")).otherwise(0L)).as("tok_heldout"))
+        .crossJoin(leak)
+        .select(lit(name).as("scheme"), col("n_train"), col("n_val"),
+          col("n_test"), col("tok_train"), col("tok_heldout"),
+          col("n_leaky_pairs"))
+    }
+    scheme("random", col("doc_id")).union(scheme("cluster", col("component")))
+  }
+
+  private val splitLeakfreeSql = {
+    def h1000(x: String) =
+      s"CAST('0x' || substring(md5(CAST($x AS VARCHAR)),1,15) AS BIGINT) % 1000"
+    def spCase(h: String) =
+      s"CASE WHEN $h < 800 THEN 0 WHEN $h < 900 THEN 1 ELSE 2 END"
+    def schemeSql(name: String, spCol: String) =
+      s"""SELECT '$name' AS scheme,
+        |  CAST(SUM(CASE WHEN $spCol = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |  CAST(SUM(CASE WHEN $spCol = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+        |  CAST(SUM(CASE WHEN $spCol = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        |  CAST(SUM(CASE WHEN $spCol = 0 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_train,
+        |  CAST(SUM(CASE WHEN $spCol != 0 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_heldout,
+        |  (SELECT CAST(COALESCE(SUM(CASE WHEN a.$spCol != b.$spCol THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |   FROM p JOIN sp a ON p.doc_a = a.doc_id JOIN sp b ON p.doc_b = b.doc_id) AS n_leaky_pairs
+        |FROM sp""".stripMargin
+    s"""WITH RECURSIVE mh AS ($dedupMinhashSql),
+      |p AS (SELECT doc_a, doc_b FROM mh WHERE n_match >= 6),
+      |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      |      UNION ALL SELECT doc_b, doc_a FROM p),
+      |reach(doc_id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT reach.doc_id, e.dst FROM reach JOIN e ON e.src = reach.r),
+      |lbl AS (SELECT doc_id, MIN(r) AS lbl FROM reach GROUP BY doc_id),
+      |d AS (SELECT doc_id, len($wordsSqlDoc) AS n_tok FROM documents),
+      |sp AS (
+      |  SELECT d.doc_id, d.n_tok,
+      |    ${spCase(h1000("d.doc_id"))} AS sp_r,
+      |    ${spCase(h1000("lbl.lbl"))} AS sp_c
+      |  FROM d JOIN lbl USING (doc_id))
+      |${schemeSql("random", "sp_r")}
+      |UNION ALL
+      |${schemeSql("cluster", "sp_c")}""".stripMargin
+  }
+
   // ---------------------------------------------- unigram LM scoring
 
   /** Unigram language-model quality score (the CCNet-style LM filter with
@@ -2158,6 +2248,7 @@ object TextPipeline {
     GQuery("q_bigram_lm", bigramLm, Some(bigramLmSql)),
     GQuery("q_decontaminate", decontaminate, Some(decontaminateSql)),
     GQuery("q_decontaminate_fuzzy", decontaminateFuzzy, Some(decontaminateFuzzySql)),
+    GQuery("q_split_leakfree", splitLeakfree, Some(splitLeakfreeSql)),
     GQuery("q_repetition", repetition, Some(repetitionSql)),
     GQuery("q_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     GQuery("q_unigram_lm", unigramLm, Some(unigramLmSql)),

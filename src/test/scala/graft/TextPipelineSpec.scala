@@ -266,4 +266,21 @@ class TextPipelineSpec extends SparkSpec {
     assert(got("en") == (2L, 1L), s"en census drifted: $got")   // doc 1 flagged, doc 2 not
     assert(got("de") == (1L, 0L), s"de census drifted: $got")
   }
+
+  test("leak-free splitting: cluster scheme leaks zero pairs, random leaks") {
+    val rows = TextPipeline.splitLeakfree(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(6))).toMap
+    graft.core.Caches.release()
+    val (rTrain, rVal, rTest, rLeak) = rows("random")
+    val (cTrain, cVal, cTest, cLeak) = rows("cluster")
+    // both schemes partition the same corpus
+    assert(rTrain + rVal + rTest == cTrain + cVal + cTest)
+    // same component => same split key => same split: structural zero
+    assert(cLeak == 0L, s"cluster scheme leaked $cLeak pairs")
+    // the shuffle-split scatters dup clusters across splits on this corpus
+    assert(rLeak > 0L, "random scheme unexpectedly leak-free (fixture too clean)")
+    // ~800/100/100 per-mille proportions, loosely
+    assert(rTrain * 10 > (rTrain + rVal + rTest) * 7, s"train share off: $rows")
+  }
 }
