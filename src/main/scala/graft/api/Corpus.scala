@@ -360,6 +360,26 @@ object Corpus {
       col("__tgt"), Nil)
       .select(col("doc_id").as(id), col("weight"))
 
+  /** Cluster-aware leak-free train/val/test assignment for any
+    * (id, text) frame: near-dup clusters (guarded MinHash pairs at
+    * signature agreement ≥ `minAgreement`, pointer-doubling components)
+    * hash as a UNIT into splits, so eval can never see a near-copy of a
+    * training document — the scheme the oracle-checked q_split_leakfree
+    * proves structurally leak-free while measuring what the naive
+    * shuffle-split leaks. Output (id, split) with split ∈ 0 (train,
+    * 800‰), 1 (val, 100‰), 2 (test, 100‰). */
+  def assignSplits(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", minAgreement: Int = 6): DataFrame = {
+    val c = canon(docs, id, text)
+    val pairs = minhashPairs(c).filter(col("n_match") >= minAgreement)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comps = connectedComponents(c.select(col("doc_id").as("node")), pairs)
+    val h = Qdsl.hash60(col("component")) % 1000L
+    comps.select(col("node").as(id),
+      when(h < 800, lit(0)).when(h < 900, lit(1)).otherwise(lit(2))
+        .as("split"))
+  }
+
   /** Overlapping context-window chunking: (doc, chunk_idx, chunk,
     * n_tokens) rows, `window` tokens at `stride` — scan-local
     * sequence+explode, no shuffle. */

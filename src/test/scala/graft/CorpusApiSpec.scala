@@ -397,6 +397,17 @@ class CorpusApiSpec extends SparkSpec {
     (members.toDF("my_vid", "emb"), queries.toDF("my_vid", "emb"))
   }
 
+  test("assignSplits keeps near-dup clusters together") {
+    val got = Corpus.assignSplits(docs, id = "my_id", text = "body")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    graft.core.Caches.release()
+    assert(got.keySet == Set(10L, 11L, 12L, 13L, 14L, 15L))
+    assert(got.values.forall(s => s >= 0 && s <= 2))
+    // the dup cluster {10, 11, 12} travels as one unit
+    assert(got(10L) == got(11L) && got(11L) == got(12L),
+      s"dup cluster split apart: $got")
+  }
+
   test("lshTopK with bits=0 IS exact brute-force search") {
     val (vectors, queries) = vecFrames
     def rows(df: org.apache.spark.sql.DataFrame) =
