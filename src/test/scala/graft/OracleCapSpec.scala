@@ -14,7 +14,8 @@ import graft.queries.Qdsl
   * under every cap, so testdata growth fails loudly here instead of as an
   * opaque oracle hash mismatch:
   *
-  *   - q_chunk_dedup   range(1024), 10-token stride → (maxTok-1)/10 ≤ 1023
+  *   - q_chunk_dedup / q_dedup_rewrite range(1024), 10-token stride
+  *     → (maxTok-1)/10 ≤ 1023
   *   - q_chunk_overlap range(4096), 24-token stride → (maxTok-1)/24 ≤ 4095
   *   - q_decontaminate / q_pipeline_clean range(4096) over 8-gram starts
   *     (1-based j ≤ len-7) → maxTok-7 ≤ 4095
@@ -43,7 +44,7 @@ class OracleCapSpec extends SparkSpec {
       val maxBytes = row.getInt(1)
       withClue(s"$dir (maxTok=$maxTok, maxBytes=$maxBytes): ") {
         assert((maxTok - 1) / 10 <= 1023,
-          "q_chunk_dedup's range(1024) no longer covers the longest document")
+          "the 10-token chunk oracles' range(1024) no longer covers the longest document")
         assert((maxTok - 1) / 24 <= 4095,
           "q_chunk_overlap's range(4096) no longer covers the longest document")
         assert(maxTok - 7 <= 4095,
