@@ -403,6 +403,42 @@ object Similarity {
       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
       |FROM ranked WHERE rank <= 3""".stripMargin
 
+  /** [[annPq]] served FROM A PERSISTED INDEX: the nibble codes are
+    * written to parquet — the 4-bytes-per-vector index file a build job
+    * ships — inside a deferred sink→source stage
+    * ([[graft.plans.DeferredIngest]], construction job-free) and read
+    * back for serving; the query-side LUT still computes from live
+    * vectors. This is the build-once/serve-many deployment shape: the
+    * index is an ordinary TABLE (partitionable, replaceable, scannable
+    * at cluster width), not resident driver state. The oracle is
+    * DELIBERATELY the [[annPq]] SQL — persistence must not change a
+    * single row, and the hash gate proves it. */
+  def annPqServed(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.core.Scratch.dir("pqidx", dir)
+    val codes = graft.plans.DeferredIngest(s,
+      "vec_id BIGINT, m INT, code BIGINT") {
+      pqCodes(s, dir).write.mode("overwrite").parquet(out)
+      s.read.parquet(out).select(col("vec_id"), col("m"), col("code"))
+    }
+    val sv = pqSub(vecs(s, dir))
+    val cb = pqCodebook(sv)
+    val lut = sv.filter(col("vec_id") < 20)
+      .join(broadcast(cb), col("m") === col("cm"))
+      .select(col("vec_id").as("q_id"), col("m").as("lm"),
+        col("cid").as("lcid"), pqD2.as("lutd"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    codes.join(broadcast(lut),
+        col("m") === col("lm") && col("code") === col("lcid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("lutd")).as("adc"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+
   /** PQ with TRAINED codebooks — the [[annIvf]] → [[annIvfTrained]] lift
     * applied to the quantization axis: the pivot codebooks of [[annPq]]
     * are refined by ONE integer-exact Lloyd update per subspace (per-dim
@@ -1354,6 +1390,9 @@ object Similarity {
     GQuery("q_ann_lsh_multiprobe", annLshMultiProbe, Some(annLshMultiProbeSql)),
     GQuery("q_ann_pq", annPq, Some(annPqSql)),
     GQuery("q_ann_pq_trained", annPqTrained, Some(annPqTrainedSql)),
+    // same SQL as q_ann_pq BY DESIGN: serving from the persisted index
+    // must be value-identical to serving from the live build
+    GQuery("q_ann_pq_served", annPqServed, Some(annPqSql)),
     GQuery("q_ann_ivfpq", annIvfPq, Some(annIvfPqSql), headline = true),
     GQuery("q_ann_ivf", annIvf, Some(annIvfSql)),
     GQuery("q_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql)),
