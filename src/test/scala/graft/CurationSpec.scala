@@ -139,4 +139,53 @@ class CurationSpec extends SparkSpec {
     val mean = ratioAll.toDouble / nAll
     assert(mean > 600 && mean < 1400, s"JL mean ratio $mean off the 1000‰ band")
   }
+
+  test("rebuildDocs keep-first survives a collision-heavy fuzz corpus") {
+    import spark.implicits._
+    // tiny vocabulary forces massive cross-document chunk collisions —
+    // the adversarial regime for keep-first bookkeeping
+    val rnd = new scala.util.Random(9)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val corpus = (0L until 40L).map { id =>
+      id -> (1 to (1 + rnd.nextInt(24))).map(_ => vocab(rnd.nextInt(5)))
+    }
+    val df = corpus.map { case (id, ws) => (id, ws) }.toDF("doc_id", "ws")
+    val got = Curation.rebuildDocs(df, Nil).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // driver replay of the contract
+    val chunks = corpus.flatMap { case (id, ws) =>
+      ws.grouped(10).zipWithIndex.map { case (c, pos) =>
+        (id, pos.toLong, c.mkString(" "))
+      }
+    }
+    val firstOcc = chunks.groupBy(_._3).map { case (c, occ) =>
+      c -> occ.map(o => o._1 * 1024 + o._2).min
+    }
+    val expect = chunks.filter(c => c._1 * 1024 + c._2 == firstOcc(c._3))
+      .groupBy(_._1).map { case (id, cs) =>
+        val ordered = cs.sortBy(_._2)
+        id -> (ordered.size.toLong,
+          ordered.map(_._3.split(" ").length.toLong).sum,
+          ordered.map(_._3).mkString(" "))
+      }
+    assert(got === expect, "fuzz keep-first rebuild diverged from replay")
+    // heavy collisions must actually drop documents entirely here
+    assert(got.size < corpus.size, "fuzz corpus produced no full-doc drops")
+  }
+
+  test("tercile matches the single-window rank under adversarial ties") {
+    import spark.implicits._
+    // many exact score ties ON band boundaries — the regime where a
+    // band/rank decomposition bug would surface
+    val rows = (0L until 200L).map(i => (i, (i % 7) * 2000L))
+    val ds = rows.toDF("doc_id", "doc_score")
+    val got = Curation.tercile(ds, "doc_score")
+      .select(col("doc_id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = rows.length.toLong
+    val expect = rows.sortBy { case (id, sc) => (sc, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> 3L * i / n }.toMap
+    assert(got === expect, "banded rank diverged from the global window")
+  }
 }
