@@ -360,6 +360,22 @@ object Corpus {
       col("__tgt"), Nil)
       .select(col("doc_id").as(id), col("weight"))
 
+  /** BPE merge-rule training over any (id, text) frame: `rounds`
+    * argmax-merge iterations on the corpus vocabulary (words of length
+    * 2–64), returning one row per learned rule — (round, pair,
+    * pair_count, vocab_checksum) — exactly the rule table a tokenizer
+    * trainer checkpoints. Shares the oracle-checked q_bpe_train loop
+    * ([[graft.queries.Tokenizer.bpeTrainRules]]): every round is
+    * vocabulary-sized, never corpus-sized. */
+  def bpeMerges(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", rounds: Int = 3): DataFrame =
+    graft.queries.Tokenizer.bpeTrainRules(
+      canon(docs, id, text)
+        .select(explode(tokenize(col("text"))).as("raw"))
+        .filter(length(col("raw")) >= 2 && length(col("raw")) <= 64)
+        .groupBy(col("raw")).agg(count(lit(1)).as("freq")),
+      rounds)
+
   /** Cluster-aware leak-free train/val/test assignment for any
     * (id, text) frame: near-dup clusters (guarded MinHash pairs at
     * signature agreement ≥ `minAgreement`, pointer-doubling components)

@@ -140,11 +140,14 @@ object Tokenizer {
     * arXiv:1508.07909): the vocabulary starts as space-separated
     * character sequences; each round counts adjacent symbol pairs
     * weighted by word frequency, picks the argmax pair (ties broken
-    * lexicographically), and applies the merge to every word via
-    * single-pass left-to-right sentinel replacement — the same
-    * non-overlapping scan-and-continue semantics Spark's and DuckDB's
-    * `replace` share (pinned by TokenizerSpec on an overlapping-run
-    * case), so the oracle replays the identical merge. Output: one row
+    * lexicographically), and applies the merge EXHAUSTIVELY to every
+    * word via six bounded sentinel-replace passes (one pass consumes
+    * separators, so shared-separator runs need repeats; 6 passes cover
+    * any run at MaxWordLen — see the in-loop comment). Per-pass
+    * semantics are the same non-overlapping scan-and-continue Spark's
+    * and DuckDB's `replace` share (pinned by TokenizerSpec on an
+    * overlapping-run case), so the oracle replays the identical merge
+    * replace-for-replace. Output: one row
     * per round — the learned merge rule, its count, and a checksum of
     * the entire post-merge vocabulary state (proving the rewrite, not
     * just the argmax, matches).
@@ -155,17 +158,26 @@ object Tokenizer {
     * onto the vocabulary rewrite. Round states are cached so round k
     * never replays rounds < k, and the rule table the loop emits is
     * exactly what a production trainer checkpoints per merge. */
-  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrainRules(
+      Tables.documents(s, dir)
+        .select(explode(words(col("text"))).as("raw"))
+        .filter(length(col("raw")) >= 2 && length(col("raw")) <= MaxWordLen)
+        .groupBy(col("raw")).agg(count(lit(1)).as("freq")),
+      3)
+
+  /** The merge-training loop over an explicit (raw, freq) vocabulary
+    * frame — the surface `Corpus.bpeMerges` exposes over arbitrary
+    * corpora; [[bpeTrain]] censuses it against the oracle. */
+  private[graft] def bpeTrainRules(vocab: DataFrame, nRounds: Int): DataFrame = {
     import graft.core.Caches.TrackedOps
-    val v0 = Tables.documents(s, dir)
-      .select(explode(words(col("text"))).as("raw"))
-      .filter(length(col("raw")) >= 2 && length(col("raw")) <= MaxWordLen)
-      .groupBy(col("raw")).agg(count(lit(1)).as("freq"))
+    require(nRounds > 0, s"rounds must be positive: $nRounds")
+    val v0 = vocab
       .select(concat(lit(" "),
         array_join(expr("transform(sequence(1, length(raw)), i -> substring(raw, i, 1))"), " "),
         lit(" ")).as("w"), col("freq"))
       .trackedPersist()
-    val rounds = (1 to 3).scanLeft((v0, Option.empty[DataFrame])) {
+    val rounds = (1 to nRounds).scanLeft((v0, Option.empty[DataFrame])) {
       case ((v, _), k) =>
         val pc = v.select(col("freq"), split(trim(col("w")), " ").as("syms"))
           .filter(size(col("syms")) >= 2)
@@ -175,10 +187,19 @@ object Tokenizer {
             .as("pair"))
           .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
         val best = pc.orderBy(col("pair_count").desc, col("pair")).limit(1)
+        // EXHAUSTIVE merge application: one replace pass consumes the
+        // separator space, so consecutive occurrences sharing it need
+        // another pass (' a b a b ' -> ' ab a b ' -> ' ab ab '). Each
+        // pass at least halves the unmerged occurrences of a run, and
+        // MaxWordLen = 64 bounds any run at 32 occurrences, so 6 fixed
+        // passes reach the fixpoint — mirrored replace-for-replace in
+        // the oracle. Per-pass semantics are engine-identical
+        // (TokenizerSpec pins the overlapping-run case).
+        val mergedW = (1 to 6).foldLeft("w") { (acc, _) =>
+          s"replace($acc, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')"
+        }
         val vNext = v.crossJoin(best)
-          .select(expr(
-            "replace(w, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')")
-            .as("w"), col("freq"))
+          .select(expr(mergedW).as("w"), col("freq"))
           .trackedPersist()
         val row = best
           .crossJoin(vNext.agg(sum(hashMod(col("w"))).as("vocab_checksum")))
@@ -197,7 +218,10 @@ object Tokenizer {
       |       FROM s$k WHERE len(sy) >= 2),
       |$c AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM $p GROUP BY pair),
       |$b AS (SELECT pair, pair_count FROM $c ORDER BY pair_count DESC, pair LIMIT 1),
-      |$vOut AS (SELECT replace(w, ' ' || $b.pair || ' ', ' ' || replace($b.pair, ' ', '') || ' ') AS w, freq
+      |$vOut AS (SELECT ${
+        (1 to 6).foldLeft("w") { (acc, _) =>
+          s"replace($acc, ' ' || $b.pair || ' ', ' ' || replace($b.pair, ' ', '') || ' ')"
+        }} AS w, freq
       |       FROM $vIn, $b),
       |k$k AS (SELECT CAST($k AS BIGINT) AS round, pair, pair_count,
       |  (SELECT CAST(SUM(CAST('0x' || substring(md5(w),1,15) AS BIGINT) % 1000000007) AS BIGINT)

@@ -397,6 +397,21 @@ class CorpusApiSpec extends SparkSpec {
     (members.toDF("my_vid", "emb"), queries.toDF("my_vid", "emb"))
   }
 
+  test("bpeMerges learns the obvious rules on a planted vocabulary") {
+    import spark.implicits._
+    // 'abab' x3: round 1 merges the dominant pair 'a b' (6 weighted
+    // occurrences vs 3 for 'b a') EXHAUSTIVELY -> ' ab ab ', whose only
+    // pair 'ab ab' is round 2's merge — the shared-separator case the
+    // bounded-pass application exists for
+    val df = Seq((1L, "abab abab abab")).toDF("k", "body")
+    val rules = Corpus.bpeMerges(df, id = "k", text = "body", rounds = 2)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    graft.core.Caches.release()
+    assert(rules.toSeq == Seq((1L, "a b", 6L), (2L, "ab ab", 3L)),
+      s"rule sequence drifted: ${rules.toSeq}")
+  }
+
   test("assignSplits keeps near-dup clusters together") {
     val got = Corpus.assignSplits(docs, id = "my_id", text = "body")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap

@@ -203,7 +203,8 @@ class TokenizerSpec extends SparkSpec {
       }.groupBy(_._1).view.mapValues(_.map(_._2).sum)
       val (pair, pc) = counts.toSeq.sortBy { case (p, c) => (-c, p) }.head
       v = v.map { case (w, f) =>
-        (w.replace(" " + pair + " ", " " + pair.replace(" ", "") + " "), f)
+        ((1 to 6).foldLeft(w)((acc, _) =>
+          acc.replace(" " + pair + " ", " " + pair.replace(" ", "") + " ")), f)
       }
       val checksum = v.map { case (w, _) =>
         graft.functions.GraftHash60.hash(w.getBytes("UTF-8")) % 1000000007L
