@@ -543,6 +543,19 @@ object Vectors {
       k, bits, tables, hamming, bucketCap)
       .withColumnRenamed("q_id", "query_id")
 
+  /** PQ/ADC top-k similarity search over arbitrary (id, Array[Float])
+    * vector and query frames: the base's 16 lowest-id vectors seed the
+    * per-subspace codebooks, every vector compresses to 8 nibble codes,
+    * and queries rank candidates by the 8-integer-add asymmetric
+    * distance — the bandwidth-compressed serving path the
+    * oracle-checked q_ann_pq pins ([[graft.queries.Similarity.pqSearch]]).
+    * Output (query_id, rank, neighbor_id, adc); vectors must be 64-dim. */
+  def pqTopK(vectors: DataFrame, queries: DataFrame, k: Int = 3,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    graft.queries.Similarity.pqSearch(
+      canon(vectors, id, vec), canon(queries, id, vec), k)
+      .withColumnRenamed("q_id", "query_id")
+
   /** Johnson-Lindenstrauss sign projection 64 → 16 for any
     * (id, Array[Float]) frame: milli-scaled exact-integer dot products
     * against the fixed ±1 matrix the oracle-checked q_embed_project

@@ -350,6 +350,47 @@ object Similarity {
   private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
     pqCodesVecs(vecs(s, dir))
 
+  /** Generic PQ/ADC top-k search over canonical (vid, v) base/query
+    * frames — codebooks from the base's 16 lowest-id pivots, candidates
+    * scored by the 8-add ADC sum, ties and ranks fully deterministic.
+    * The [[graft.api.Vectors.pqTopK]] surface; [[annPq]] is this shape
+    * pinned to the testdata and the oracle. */
+  private[graft] def pqSearch(base: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val subIdx = posexplode(expr(
+      s"transform(sequence(0, ${PQ_M - 1}), m -> slice(v, m * $PQ_SUB + 1, $PQ_SUB))"))
+    def subs(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vid"), subIdx)
+        .select(col("vid").as(idAs), col("pos").as("m"), col("col").as("vm"))
+    val sv = subs(base, "vec_id")
+    val cb = sv
+      .join(broadcast(base.orderBy(col("vid")).limit(PQ_K)
+        .select(col("vid").as("pivot"))), col("vec_id") === col("pivot"))
+      .select(col("m").as("cm"), col("vec_id").as("cid"), col("vm").as("cv"))
+    val wCode = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist"), col("cid"))
+    val codes = sv.join(broadcast(cb), col("m") === col("cm"))
+      .select(col("vec_id"), col("m"), col("cid"), pqD2.as("dist"))
+      .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+    val lut = subs(queries, "q_id")
+      .join(broadcast(cb), col("m") === col("cm"))
+      .select(col("q_id"), col("m").as("lm"), col("cid").as("lcid"),
+        pqD2.as("lutd"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    codes.join(broadcast(lut),
+        col("m") === col("lm") && col("code") === col("lcid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("lutd")).as("adc"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("adc"))
+  }
+
   def annPq(s: SparkSession, dir: String): DataFrame = {
     val all = vecs(s, dir)
     val sv = pqSub(all)

@@ -437,6 +437,25 @@ class CorpusApiSpec extends SparkSpec {
       s"bits=0 index diverged from brute force:\n $degenerate\n vs $exact")
   }
 
+  test("pqTopK compresses and still finds cluster-mates for covered clusters") {
+    val (vectors, queries) = vecFrames
+    val rows = Vectors.pqTopK(vectors, queries, k = 3,
+        id = "my_vid", vec = "emb")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.core.Caches.release()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(100L, 101L, 102L, 103L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length), s"ranks for $q")
+    }
+    // clusters 0 and 1 supply the 16 codebook pivots, so their queries
+    // quantize cleanly: the top-1 neighbor is a cluster-mate
+    Seq(100L, 101L).foreach { q =>
+      val top1 = byQ(q).minBy(_._2)._3
+      assert(top1 / 10 == q - 100, s"query $q top-1 $top1 left its cluster")
+    }
+  }
+
   test("lshTopK: tables and probes each monotonically buy recall") {
     val (vectors, queries) = vecFrames
     val truth = Vectors.cosineTopK(vectors, queries, k = 3,
