@@ -372,7 +372,8 @@ object Corpus {
     graft.queries.Tokenizer.bpeTrainRules(
       canon(docs, id, text)
         .select(explode(tokenize(col("text"))).as("raw"))
-        .filter(length(col("raw")) >= 2 && length(col("raw")) <= 64)
+        .filter(length(col("raw")) >= 2 &&
+          length(col("raw")) <= graft.queries.Tokenizer.MaxWordLen)
         .groupBy(col("raw")).agg(count(lit(1)).as("freq")),
       rounds)
 
@@ -532,11 +533,18 @@ object Vectors {
     * to exact brute-force search — the law CorpusApiSpec anchors the
     * index to. Vectors must be 64-dim (the engine's fixed hyperplane
     * family). `tables` buys recall with index memory, `hamming = 1`
-    * buys it with probe work — tune whichever resource binds. */
+    * buys it with probe work — tune whichever resource binds.
+    *
+    * `bucketCap` is UNBOUNDED by default: the hot-bucket guard DROPS
+    * over-cap buckets from the index (adversarial-corpus hygiene, see
+    * the oracle-checked queries which run cap=512 at 6 bits), so a cap
+    * smaller than the natural n/2^bits occupancy silently empties the
+    * results — size it against expected occupancy before turning it
+    * on. */
   def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int = 3,
       bits: Int = 6, tables: Int = 4, hamming: Int = 1,
       id: String = "vec_id", vec: String = "embedding",
-      bucketCap: Long = 512L): DataFrame =
+      bucketCap: Long = Long.MaxValue): DataFrame =
     graft.queries.Similarity.lshSearch(
       canon(vectors, id, vec).select(col("vid"), col("v"), col("n2")),
       canon(queries, id, vec).select(col("vid"), col("v"), col("n2")),

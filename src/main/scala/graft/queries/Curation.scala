@@ -47,18 +47,25 @@ object Curation {
     * length bound). */
   def rebuildDocs(tok: DataFrame, extra: Seq[String],
       chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
     val ex = extra.map(col)
-    val chunks = tok.select(
+    // empty documents carry no chunks (without the guard, size(ws)=0
+    // would yield one phantom "" chunk that dedups across docs)
+    val chunks = tok.filter(size(col("ws")) >= 1)
+      .select(
         (Seq(col("doc_id")) ++ ex :+
           posexplode(transform(
             sequence(lit(0), expr(s"(size(ws) - 1) DIV $chunkTokens")),
             i => array_join(slice(col("ws"), i * chunkTokens + 1,
               lit(chunkTokens)), " ")))): _*)
       .withColumnRenamed("col", "chunk")
+    // keep-first by LEXICOGRAPHIC (doc_id, pos) struct min — exact at any
+    // document length (an arithmetic doc_id*K+pos key would alias across
+    // docs once pos exceeds K; the facade accepts arbitrary frames)
     val firstOcc = chunks.groupBy(col("chunk"))
-      .agg(min(col("doc_id") * 1024 + col("pos")).as("first_occ"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("fo"))
     chunks.join(firstOcc, "chunk")
-      .filter(col("doc_id") * 1024 + col("pos") === col("first_occ"))
+      .filter(col("doc_id") === col("fo.doc_id") && col("pos") === col("fo.pos"))
       .groupBy((col("doc_id") +: ex): _*)
       .agg(count(lit(1)).as("n_kept"),
         sum(size(split(col("chunk"), " "))).as("toks"),
@@ -73,7 +80,7 @@ object Curation {
   def dedupRewrite(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), docWords.as("ws"))
-    val tot = tok
+    val tot = tok.filter(size(col("ws")) >= 1)
       .select(col("lang"),
         (expr("(size(ws) - 1) DIV 10") + 1).as("nc"))
       .groupBy(col("lang")).agg(sum(col("nc")).as("n_chunks"))
@@ -96,12 +103,12 @@ object Curation {
       |  SELECT doc_id, lang, j.j AS pos,
       |    array_to_string(ws[j.j*10+1 : j.j*10+10], ' ') AS chunk
       |  FROM w CROSS JOIN range(1024) j(j)
-      |  WHERE j.j <= (len(ws) - 1) // 10),
-      |f AS (SELECT chunk, MIN(doc_id*1024 + pos) AS first_occ FROM c GROUP BY chunk),
+      |  WHERE len(ws) >= 1 AND j.j <= (len(ws) - 1) // 10),
+      |f AS (SELECT chunk, MIN({'d': doc_id, 'p': pos}) AS fo FROM c GROUP BY chunk),
       |k AS (
       |  SELECT c.doc_id, c.lang, c.pos, c.chunk
       |  FROM c JOIN f USING (chunk)
-      |  WHERE c.doc_id*1024 + c.pos = f.first_occ),
+      |  WHERE c.doc_id = (f.fo).d AND c.pos = (f.fo).p),
       |r AS (
       |  SELECT doc_id, lang, COUNT(*) AS n_kept,
       |    SUM(len(string_split(chunk, ' '))) AS toks,
@@ -123,9 +130,12 @@ object Curation {
     * tokens (high = common words = low perplexity). Integer-exact.
     * Output: (doc_id, extra..., doc_score). */
   def unigramScores(tok: DataFrame, extra: Seq[String]): DataFrame = {
+    import graft.core.Caches.TrackedOps
     val ex = extra.map(col)
+    // referenced three times (word counts, corpus total, scoring join) —
+    // cache so the tokenize explode runs once per action
     val toks = tok.select((col("doc_id") +: ex :+
-      explode(col("ws")).as("w")): _*)
+      explode(col("ws")).as("w")): _*).trackedPersist()
     val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
       .crossJoin(toks.agg(count(lit(1)).as("tot")))
       .select(col("w"), expr("(1000000 * n) DIV tot").as("score"))
@@ -145,7 +155,11 @@ object Curation {
     * Adds `bucket` ∈ [0, k). */
   def tercile(ds: DataFrame, scoreCol: String, k: Int = 3,
       bandWidth: Long = 2000L): DataFrame = {
+    import graft.core.Caches.TrackedOps
+    // the scored frame feeds the band counts, the row-number window, and
+    // the n_total agg — cache so the upstream scoring plan runs once
     val banded = ds.withColumn("band", expr(s"$scoreCol DIV $bandWidth"))
+      .trackedPersist()
     val bandOffsets = banded.groupBy(col("band"))
       .agg(count(lit(1)).as("bn"))
       .withColumn("cum_before",
@@ -157,7 +171,7 @@ object Curation {
         row_number().over(Window.partitionBy(col("band"))
           .orderBy(col(scoreCol), col("doc_id"))))
       .join(bandOffsets, "band")
-      .crossJoin(ds.agg(count(lit(1)).as("n_total")))
+      .crossJoin(banded.agg(count(lit(1)).as("n_total")))
       .withColumn("bucket", expr(s"($k * (cum_before + rn - 1)) DIV n_total"))
       .drop("band", "rn", "cum_before", "n_total")
   }

@@ -1810,7 +1810,10 @@ object TextPipeline {
       .select(col("doc_id"), shingleArr(col("w")).as("sh"))
     val confirmed = cands
       .join(shing.select(col("doc_id"), col("sh").as("sa")), "doc_id")
-      .join(broadcast(shing.select(col("doc_id").as("e_id"), col("sh").as("sb"))),
+      // only the EVAL slice broadcasts — broadcasting the unfiltered
+      // shingle table would build a corpus-sized relation on the driver
+      .join(broadcast(shing.filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("e_id"), col("sh").as("sb"))),
         "e_id")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("uni",

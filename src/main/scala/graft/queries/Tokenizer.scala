@@ -17,8 +17,11 @@ import Qdsl._
 object Tokenizer {
 
   /** Words longer than this contribute no pairs/matches (oracle `range`
-    * fan-out cap; the synthetic vocabulary tops out far below it). */
-  private val MaxWordLen = 64
+    * fan-out cap; the synthetic vocabulary tops out far below it). The
+    * 6-pass exhaustive-merge bound in [[bpeTrainRules]] is derived from
+    * this cap — `Corpus.bpeMerges` references it so the two cannot
+    * drift. */
+  private[graft] val MaxWordLen = 64
 
   // ----------------------------------------------- BPE merge-pair counts
 
@@ -186,7 +189,18 @@ object Tokenizer {
               "i -> concat_ws(' ', element_at(syms, i), element_at(syms, i + 1)))"))
             .as("pair"))
           .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+        // exhaustion guard: when no pairs remain (every word fully
+        // merged), the argmax would be EMPTY and the cross join below
+        // would wipe the vocabulary for all later rounds. A sentinel
+        // row (count −1, loses to any real pair) survives instead: its
+        // pattern '  ' equals its replacement so the rewrite is a
+        // no-op, and the emission filter below drops the sentinel row —
+        // rounds past the learnable merges emit no rules.
+        val sentinel = vocab.sparkSession.range(1)
+          .select(lit("").as("pair"), lit(-1L).as("pair_count"))
         val best = pc.orderBy(col("pair_count").desc, col("pair")).limit(1)
+          .unionByName(sentinel)
+          .orderBy(col("pair_count").desc, col("pair")).limit(1)
         // EXHAUSTIVE merge application: one replace pass consumes the
         // separator space, so consecutive occurrences sharing it need
         // another pass (' a b a b ' -> ' ab a b ' -> ' ab ab '). Each
@@ -202,6 +216,7 @@ object Tokenizer {
           .select(expr(mergedW).as("w"), col("freq"))
           .trackedPersist()
         val row = best
+          .filter(col("pair_count") >= 0)
           .crossJoin(vNext.agg(sum(hashMod(col("w"))).as("vocab_checksum")))
           .select(lit(k.toLong).as("round"), col("pair"), col("pair_count"),
             col("vocab_checksum"))

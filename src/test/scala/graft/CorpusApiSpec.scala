@@ -412,6 +412,46 @@ class CorpusApiSpec extends SparkSpec {
       s"rule sequence drifted: ${rules.toSeq}")
   }
 
+  test("dedupRewrite is exact past 1024 chunks per document") {
+    import spark.implicits._
+    // 1500 single-token chunks: an arithmetic doc_id*1024+pos keep-first
+    // key would alias (doc 0, pos 1030) with (doc 1, pos 6) — the
+    // lexicographic struct key must not
+    val longDoc = (0 until 1500).map(i => s"t${i % 700}").mkString(" ")
+    val shortDoc = (0 until 40).map(i => s"t${i % 700}").mkString(" ")
+    val df = Seq((0L, longDoc), (1L, shortDoc)).toDF("my_id", "body")
+    val got = Corpus.dedupRewrite(df, id = "my_id", text = "body",
+        chunkTokens = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.Caches.release()
+    // replay: keep-first over (doc, pos) lexicographic order
+    val docs = Seq(0L -> longDoc.split(" ").toSeq, 1L -> shortDoc.split(" ").toSeq)
+    val chunks = docs.flatMap { case (id, ws) =>
+      ws.zipWithIndex.map { case (c, pos) => (id, pos.toLong, c) }
+    }
+    val firstOcc = chunks.groupBy(_._3).map { case (c, occ) =>
+      c -> occ.map(o => (o._1, o._2)).min
+    }
+    val expect = chunks.filter(c => (c._1, c._2) == firstOcc(c._3))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(got == expect, s"long-doc keep-first drifted: $got vs $expect")
+    // doc 0 owns every first occurrence; doc 1 must vanish entirely
+    assert(!got.contains(1L) && got(0L) == 700L)
+  }
+
+  test("bpeMerges survives rounds past the learnable merges") {
+    import spark.implicits._
+    val df = Seq((1L, "abab abab abab")).toDF("k", "body")
+    val rules = Corpus.bpeMerges(df, id = "k", text = "body", rounds = 5)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getString(1)))
+    graft.core.Caches.release()
+    // exactly two merges exist; exhausted rounds emit no rules instead
+    // of wiping the vocabulary and truncating silently mid-stream
+    assert(rules.toSeq == Seq((1L, "a b"), (2L, "ab ab")),
+      s"exhausted rounds corrupted the rule table: ${rules.toSeq}")
+  }
+
   test("assignSplits keeps near-dup clusters together") {
     val got = Corpus.assignSplits(docs, id = "my_id", text = "body")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -429,9 +469,10 @@ class CorpusApiSpec extends SparkSpec {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val exact = rows(Vectors.cosineTopK(vectors, queries, k = 5,
       id = "my_vid", vec = "emb"))
+    // default bucketCap is unbounded — at bits=0 every vector shares
+    // bucket 0, and a finite default would silently empty the results
     val degenerate = rows(Vectors.lshTopK(vectors, queries, k = 5,
-      bits = 0, tables = 1, hamming = 0, id = "my_vid", vec = "emb",
-      bucketCap = Long.MaxValue))
+      bits = 0, tables = 1, hamming = 0, id = "my_vid", vec = "emb"))
     graft.core.Caches.release()
     assert(degenerate == exact,
       s"bits=0 index diverged from brute force:\n $degenerate\n vs $exact")

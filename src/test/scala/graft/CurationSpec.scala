@@ -35,9 +35,9 @@ class CurationSpec extends SparkSpec {
       }
     }
     val firstOcc = chunks.groupBy(_._4).map { case (c, occ) =>
-      c -> occ.map(o => o._1 * 1024 + o._3).min
+      c -> occ.map(o => (o._1, o._3)).min
     }
-    val kept = chunks.filter(c => c._1 * 1024 + c._3 == firstOcc(c._4))
+    val kept = chunks.filter(c => (c._1, c._3) == firstOcc(c._4))
     val rebuilt = kept.groupBy(c => (c._1, c._2)).map { case ((id, lang), cs) =>
       val ordered = cs.sortBy(_._3)
       (id, lang, ordered.length.toLong,
@@ -160,9 +160,9 @@ class CurationSpec extends SparkSpec {
       }
     }
     val firstOcc = chunks.groupBy(_._3).map { case (c, occ) =>
-      c -> occ.map(o => o._1 * 1024 + o._2).min
+      c -> occ.map(o => (o._1, o._2)).min
     }
-    val expect = chunks.filter(c => c._1 * 1024 + c._2 == firstOcc(c._3))
+    val expect = chunks.filter(c => (c._1, c._2) == firstOcc(c._3))
       .groupBy(_._1).map { case (id, cs) =>
         val ordered = cs.sortBy(_._2)
         id -> (ordered.size.toLong,
