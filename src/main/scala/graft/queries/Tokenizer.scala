@@ -172,11 +172,23 @@ object Tokenizer {
   /** The merge-training loop over an explicit (raw, freq) vocabulary
     * frame — the surface `Corpus.bpeMerges` exposes over arbitrary
     * corpora; [[bpeTrain]] censuses it against the oracle. */
-  private[graft] def bpeTrainRules(vocab: DataFrame, nRounds: Int): DataFrame = {
+  private[graft] def bpeTrainRules(vocab: DataFrame, nRounds: Int): DataFrame =
+    bpeLoop(vocab, nRounds)._1.reduce(_ union _)
+
+  /** Final merged vocabulary after `nRounds` merges: (raw, n_sym) — the
+    * ENCODER table a trained tokenizer ships (word → symbol count here;
+    * the symbols themselves ride `w` internally). */
+  private[graft] def bpeEncodedVocab(vocab: DataFrame, nRounds: Int): DataFrame =
+    bpeLoop(vocab, nRounds)._2
+      .select(col("raw"), size(split(trim(col("w")), " ")).cast("long").as("n_sym"))
+
+  /** The shared train loop: per-round rule rows plus the final
+    * vocabulary state, `raw` carried through every rewrite. */
+  private def bpeLoop(vocab: DataFrame, nRounds: Int): (Seq[DataFrame], DataFrame) = {
     import graft.core.Caches.TrackedOps
     require(nRounds > 0, s"rounds must be positive: $nRounds")
     val v0 = vocab
-      .select(concat(lit(" "),
+      .select(col("raw"), concat(lit(" "),
         array_join(expr("transform(sequence(1, length(raw)), i -> substring(raw, i, 1))"), " "),
         lit(" ")).as("w"), col("freq"))
       .trackedPersist()
@@ -213,7 +225,7 @@ object Tokenizer {
           s"replace($acc, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')"
         }
         val vNext = v.crossJoin(best)
-          .select(expr(mergedW).as("w"), col("freq"))
+          .select(col("raw"), expr(mergedW).as("w"), col("freq"))
           .trackedPersist()
         val row = best
           .filter(col("pair_count") >= 0)
@@ -222,7 +234,7 @@ object Tokenizer {
             col("vocab_checksum"))
         (vNext, Some(row))
     }
-    rounds.flatMap(_._2).reduce(_ union _)
+    (rounds.flatMap(_._2), rounds.last._1)
   }
 
   /** One oracle round: pair census → argmax → vocabulary rewrite. */
@@ -233,7 +245,7 @@ object Tokenizer {
       |       FROM s$k WHERE len(sy) >= 2),
       |$c AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM $p GROUP BY pair),
       |$b AS (SELECT pair, pair_count FROM $c ORDER BY pair_count DESC, pair LIMIT 1),
-      |$vOut AS (SELECT ${
+      |$vOut AS (SELECT raw, ${
         (1 to 6).foldLeft("w") { (acc, _) =>
           s"replace($acc, ' ' || $b.pair || ' ', ' ' || replace($b.pair, ' ', '') || ' ')"
         }} AS w, freq
@@ -243,19 +255,75 @@ object Tokenizer {
       |   FROM $vOut) AS vocab_checksum FROM $b)""".stripMargin
   }
 
-  private val bpeTrainSql =
+  /** The shared oracle CTE prefix: corpus → vocabulary → three merge
+    * rounds with `raw` carried through every rewrite. */
+  private val bpeCtes =
     s"""WITH toks AS (SELECT unnest($wordsSqlDoc) AS raw FROM documents),
       |vf AS (SELECT raw, COUNT(*) AS freq FROM toks
       |       WHERE length(raw) >= 2 AND length(raw) <= $MaxWordLen GROUP BY raw),
-      |v0 AS (SELECT ' ' || array_to_string([raw[i+1] for i in range(0, length(raw))], ' ') || ' ' AS w,
+      |v0 AS (SELECT raw, ' ' || array_to_string([raw[i+1] for i in range(0, length(raw))], ' ') || ' ' AS w,
       |         freq FROM vf),
       |${bpeRoundSql(1)},
       |${bpeRoundSql(2)},
-      |${bpeRoundSql(3)}
+      |${bpeRoundSql(3)}""".stripMargin
+
+  private val bpeTrainSql =
+    s"""$bpeCtes
       |SELECT * FROM k1 UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3""".stripMargin
+
+  // ----------------------------------------------- BPE corpus encoding
+
+  /** BPE ENCODING of the corpus with the learned merges — the serve leg
+    * of [[bpeTrain]]'s train leg: every document's words encode through
+    * the merged vocabulary ([[bpeEncodedVocab]] after 3 rounds) and the
+    * census reports, per language, the corpus-level compression the
+    * learned rules bought: words, characters in, symbols out, scaled
+    * ratio. Words outside the trained range (length 1, or past
+    * [[MaxWordLen]]) encode at one symbol per character — the honest
+    * untrained fallback.
+    *
+    * Scale shape: the encoder table is vocabulary-sized and joins the
+    * corpus token stream by word equality (AQE broadcasts it while it
+    * fits); encoding itself never re-runs the merge scan — documents
+    * inherit their words' symbol counts. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("raw"))
+    val vocab = toks
+      .filter(length(col("raw")) >= 2 && length(col("raw")) <= MaxWordLen)
+      .groupBy(col("raw")).agg(count(lit(1)).as("freq"))
+    toks.join(bpeEncodedVocab(vocab, 3), Seq("raw"), "left")
+      .select(col("doc_id"), col("lang"), length(col("raw")).cast("long").as("n_chars"),
+        coalesce(col("n_sym"), length(col("raw")).cast("long")).as("n_sym"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(col("n_sym")).as("syms_total"),
+        min(col("doc_id")).as("min_doc"))
+      .select(col("lang"), col("n_words"), col("chars_total"), col("syms_total"),
+        expr("(1000 * syms_total) DIV chars_total").as("ratio_pm"),
+        col("min_doc"))
+  }
+
+  private val bpeEncodeSql =
+    s"""$bpeCtes,
+      |enc AS (SELECT raw, len(string_split(trim(w), ' ')) AS n_sym FROM v3),
+      |toksd AS (
+      |  SELECT doc_id, lang, unnest($wordsSqlDoc) AS raw FROM documents),
+      |j AS (
+      |  SELECT doc_id, lang, length(raw) AS n_chars,
+      |    COALESCE(enc.n_sym, length(raw)) AS n_sym
+      |  FROM toksd LEFT JOIN enc USING (raw))
+      |SELECT lang, COUNT(*) AS n_words,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+      |  CAST(SUM(n_sym) AS BIGINT) AS syms_total,
+      |  CAST((1000 * SUM(n_sym)) // SUM(n_chars) AS BIGINT) AS ratio_pm,
+      |  MIN(doc_id) AS min_doc
+      |FROM j GROUP BY lang""".stripMargin
 
   val defs: Seq[GQuery] = Seq(
     GQuery("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
+    GQuery("q_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     GQuery("q_bpe_train", bpeTrain, Some(bpeTrainSql)),
     GQuery("q_fuzzy_match", fuzzyMatch, Some(fuzzyMatchSql)))
 }

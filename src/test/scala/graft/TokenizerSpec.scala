@@ -211,6 +211,15 @@ class TokenizerSpec extends SparkSpec {
       }.sum
       (k.toLong, pair, pc, checksum)
     }
+    val enc = Tokenizer.bpeEncode(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every word is at least one symbol, at most its character count,
+    // and the three learned merges compress the corpus overall
+    enc.foreach { case (nw, chars, syms) =>
+      assert(syms >= nw && syms <= chars, s"symbol bounds violated: $enc")
+    }
+    assert(enc.map(_._3).sum < enc.map(_._2).sum,
+      "three merges produced zero corpus compression")
     val got = Tokenizer.bpeTrain(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1).toSeq
