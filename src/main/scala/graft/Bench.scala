@@ -133,12 +133,31 @@ object Bench {
         System.err.println(s"[bench] occupancy telemetry failed: ${e.getMessage}")
         "{}"
     }
+    // nprobe-axis telemetry, untimed: the IVF cost curve — mean
+    // candidates scored per query at nprobe 1/2/4. Together with
+    // recall[ann_ivf_nprobe*] this is the full cost/recall trade of the
+    // production IVF dial; a cell-assignment regression (e.g. collapsed
+    // cells) moves the candidate counts even when recall holds.
+    val ivfCostMap: Map[Long, Double] = try {
+      val rows = graft.queries.Similarity.ivfProbeCost(spark, sfDir)
+        .collect()
+      graft.core.Caches.release()
+      rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] ivf cost telemetry failed: ${e.getMessage}")
+        Map.empty[Long, Double]
+    }
+    val ivfCostJson = ivfCostMap.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + BenchGate.jsonNum(v) }
+      .mkString("{", ",", "}")
     // the round-over-round telemetry gate: recall/calibration are corpus
     // statistics, so the r07 baseline only applies on the driver's bench
     // corpus (sf0.1); SPARK_BENCH_GATE=0 is the experimentation escape
     val gateApplies = sfDir.contains("sf0.1") &&
       sys.env.getOrElse("SPARK_BENCH_GATE", "1") != "0"
-    val violations = if (gateApplies) BenchGate.check(recallMap, calibMap) else Nil
+    val violations =
+      if (gateApplies) BenchGate.check(recallMap, calibMap, ivfCostMap) else Nil
     val gateJson = s"""{"checked":$gateApplies,"violations":${
       violations.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }
@@ -146,7 +165,7 @@ object Bench {
     val failed = results.collect { case (k, None) => k }
     val total = results.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"failed":$failedJson,"recall":$recallJson,"minhash_calibration":$calibJson,"lsh_occupancy":$occJson,"gate":$gateJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"failed":$failedJson,"recall":$recallJson,"minhash_calibration":$calibJson,"lsh_occupancy":$occJson,"ivf_cost":$ivfCostJson,"gate":$gateJson,"sf":"$sfDir"}""")
     spark.stop()
     if (violations.nonEmpty) {
       violations.foreach(v => System.err.println(s"[bench] GATE VIOLATION: $v"))

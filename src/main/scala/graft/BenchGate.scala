@@ -26,6 +26,8 @@ object BenchGate {
     * round-9 sweeps (two independent runs agreed on every value). */
   val recallBaseline: Map[String, Double] = Map(
     "ann_ivf" -> 0.75,
+    "ann_ivf_nprobe1" -> 0.5833333333333334,
+    "ann_ivf_nprobe4" -> 0.8666666666666667,
     "ann_ivf_trained" -> 0.7833333333333333,
     "ann_lsh" -> 0.06666666666666667,
     "ann_lsh_multi" -> 0.23333333333333334,
@@ -45,8 +47,21 @@ object BenchGate {
     8L -> 0.8848012470771629)
   val calibTol: Double = 0.1
 
+  /** Mean candidates scored per query at each IVF nprobe level, sf0.1 —
+    * the COST half of the nprobe dial (the recall half is the
+    * ann_ivf_nprobe* keys above). Deterministic given the corpus (no
+    * sampling anywhere in the plan), so the band is tight and relative:
+    * a collapsed-cell or assignment regression inflates candidates long
+    * before it dents recall. */
+  val ivfCostBaseline: Map[Long, Double] = Map(
+    1L -> 249.35,
+    2L -> 497.95,
+    4L -> 982.6)
+  val ivfCostRelTol: Double = 0.05
+
   /** Violations of the tolerance bands; empty = gate passes. */
-  def check(recall: Map[String, Double], calib: Map[Long, Double]): Seq[String] = {
+  def check(recall: Map[String, Double], calib: Map[Long, Double],
+      ivfCost: Map[Long, Double]): Seq[String] = {
     val r = recallBaseline.toSeq.sortBy(_._1).flatMap { case (k, base) =>
       recall.get(k) match {
         case None => Some(s"recall[$k] missing (baseline $base)")
@@ -63,7 +78,15 @@ object BenchGate {
         case _ => None
       }
     }
-    r ++ c
+    val ic = ivfCostBaseline.toSeq.sortBy(_._1).flatMap { case (k, base) =>
+      ivfCost.get(k) match {
+        case None => Some(s"ivf_cost[$k] missing (baseline $base)")
+        case Some(v) if v.isNaN || (v - base).abs > base * ivfCostRelTol =>
+          Some(f"ivf_cost[$k]=$v%.2f outside +-${ivfCostRelTol * 100}%.0f%% of baseline $base%.2f")
+        case _ => None
+      }
+    }
+    r ++ c ++ ic
   }
 
   /** JSON-safe number rendering: NaN/Infinity (e.g. a 0/0 recall from an

@@ -930,12 +930,21 @@ object Similarity {
 
   /** IVF-style approximate nearest neighbors: k=8 coarse cells (seeded
     * from the first 8 vectors), every vector assigned to its nearest cell
-    * by exact integer L2; each query probes its 2 nearest cells and ranks
-    * only those cells' members by cosine, top-3. At 100 TB the coarse
+    * by exact integer L2; each query probes its `nprobe` nearest cells and
+    * ranks only those cells' members by cosine, top-3. At 100 TB the coarse
     * centers broadcast (they are k×dim, tiny), the cell assignment is a
     * map-side argmin, and the probe join is an equi-join on cell id —
-    * the classic inverted-file layout as relational plan. */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    * the classic inverted-file layout as relational plan.
+    *
+    * `nprobe` is THE production IVF dial (FAISS's `nprobe`): candidate
+    * volume — and so query cost — grows ∝ nprobe/k while recall climbs
+    * toward exact; at nprobe = k the search degenerates to brute force
+    * (SimilaritySpec pins that identity). Bench emits recall at
+    * nprobe ∈ {1,2,4} plus the candidate-count cost curve so a probe
+    * regression moves a gated number, the same stance as the LSH bits
+    * axis. */
+  private[graft] def annIvfProbes(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
     val all = vecs(s, dir)
     val c = all.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
@@ -951,7 +960,7 @@ object Similarity {
     val probes = distToCells
       .filter(col("vec_id") < 20)
       .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") <= 2)
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("n2").as("qn2"), col("cid").as("cell"))
     val wRank = Window.partitionBy(col("q_id"))
@@ -967,7 +976,16 @@ object Similarity {
         col("vec_id").as("neighbor_id"))
   }
 
-  private[queries] val annIvfSql =
+  /** The shipped default: nprobe=2 of 8 cells. */
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    annIvfProbes(s, dir, 2)
+
+  /** The recall end of the nprobe dial: 4 of 8 cells — half the index
+    * scanned per query, recall within noise of exact on this corpus. */
+  def annIvfNprobe4(s: SparkSession, dir: String): DataFrame =
+    annIvfProbes(s, dir, 4)
+
+  private[queries] def annIvfSqlFor(nprobe: Int): String =
     s"""WITH iv AS (
       |  SELECT vec_id, $ivecSql AS v FROM embeddings),
       |n AS (
@@ -986,7 +1004,7 @@ object Similarity {
       |  SELECT vec_id AS q_id, v AS qv, n2 AS qn2, cid AS cell FROM (
       |    SELECT vec_id, v, n2, cid,
       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-      |    FROM d WHERE vec_id < 20) t WHERE rn <= 2),
+      |    FROM d WHERE vec_id < 20) t WHERE rn <= $nprobe),
       |cand AS (
       |  SELECT q_id, a.vec_id,
       |    CAST(list_sum([a.v[i]*p.qv[i] for i in range(1,${DIM + 1})]) AS DOUBLE)
@@ -995,6 +1013,84 @@ object Similarity {
       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id FROM (
       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
       |  FROM cand) t WHERE rank <= 3""".stripMargin
+
+  private[queries] val annIvfSql = annIvfSqlFor(2)
+
+  /** Cost side of the nprobe dial: mean candidates scored per query at
+    * nprobe ∈ {1,2,4}, one row per level. Recall alone can hide a cost
+    * regression (probing every cell is recall 1.0 at brute-force price);
+    * candidates-per-query is the number an inverted file exists to keep
+    * small. One plan: every candidate row is tagged with the probe rank
+    * of its cell, the three levels are conditional sums over that same
+    * equi-join, and the query count comes from the rank-1 probe rows so
+    * a query whose probed cells hold only itself still counts. */
+  def ivfProbeCost(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val c = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val distToCells = all.join(broadcast(c))
+      .select(col("vec_id"), col("cid"), d2.as("dist"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    val assigned = distToCells
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val probes = distToCells
+      .filter(col("vec_id") < 20)
+      .withColumn("prn", row_number().over(wAssign))
+      .filter(col("prn") <= 4)
+      .select(col("vec_id").as("q_id"), col("prn"), col("cid").as("cell"))
+    val nq = probes.filter(col("prn") === 1)
+      .agg(count(lit(1)).cast("double").as("nq"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .agg(
+        sum(when(col("prn") <= 1, 1.0).otherwise(0.0)).as("c1"),
+        sum(when(col("prn") <= 2, 1.0).otherwise(0.0)).as("c2"),
+        sum(when(col("prn") <= 4, 1.0).otherwise(0.0)).as("c4"))
+      .crossJoin(broadcast(nq))
+      .selectExpr("stack(3, CAST(1 AS BIGINT), coalesce(c1, 0.0D)/nq, " +
+        "CAST(2 AS BIGINT), coalesce(c2, 0.0D)/nq, " +
+        "CAST(4 AS BIGINT), coalesce(c4, 0.0D)/nq) AS (nprobe, mean_candidates)")
+  }
+
+  private val ivfProbeCostSql =
+    s"""WITH iv AS (
+      |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+      |nn AS (
+      |  SELECT vec_id, v FROM iv),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM nn WHERE vec_id < 8),
+      |d AS (
+      |  SELECT nn.vec_id, c.cid,
+      |    list_sum([(v[i]-cv[i])*(v[i]-cv[i]) for i in range(1,${DIM + 1})]) AS dist
+      |  FROM nn CROSS JOIN c),
+      |assigned AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, cid AS cell, rn AS prn FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d WHERE vec_id < 20) t WHERE rn <= 4),
+      |nq AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nq FROM probes WHERE prn = 1),
+      |j AS (
+      |  SELECT p.q_id, p.prn FROM assigned a
+      |  JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id),
+      |agg AS (
+      |  SELECT
+      |    COALESCE(SUM(CASE WHEN prn <= 1 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 0) AS c1,
+      |    COALESCE(SUM(CASE WHEN prn <= 2 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 0) AS c2,
+      |    COALESCE(SUM(CASE WHEN prn <= 4 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 0) AS c4
+      |  FROM j)
+      |SELECT CAST(1 AS BIGINT) AS nprobe, c1/nq AS mean_candidates FROM agg CROSS JOIN nq
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS nprobe, c2/nq AS mean_candidates FROM agg CROSS JOIN nq
+      |UNION ALL
+      |SELECT CAST(4 AS BIGINT) AS nprobe, c4/nq AS mean_candidates FROM agg CROSS JOIN nq""".stripMargin
 
   /** IVF with a TRAINED coarse quantizer — the full FAISS-style pipeline:
     * k=10 codebook seeded from the first 10 vectors, one integer-exact
@@ -1308,6 +1404,8 @@ object Similarity {
       .unionByName(one("ann_pq_trained", annPqTrained(s, dir)))
       .unionByName(one("ann_ivfpq", annIvfPq(s, dir)))
       .unionByName(one("ann_ivf", annIvf(s, dir)))
+      .unionByName(one("ann_ivf_nprobe1", annIvfProbes(s, dir, 1)))
+      .unionByName(one("ann_ivf_nprobe4", annIvfProbes(s, dir, 4)))
       .unionByName(one("ann_ivf_trained", annIvfTrained(s, dir)))
   }
 
@@ -1436,6 +1534,8 @@ object Similarity {
     GQuery("q_ann_pq_served", annPqServed, Some(annPqSql)),
     GQuery("q_ann_ivfpq", annIvfPq, Some(annIvfPqSql), headline = true),
     GQuery("q_ann_ivf", annIvf, Some(annIvfSql)),
+    GQuery("q_ann_ivf_nprobe4", annIvfNprobe4, Some(annIvfSqlFor(4))),
+    GQuery("q_ivf_probe_cost", ivfProbeCost, Some(ivfProbeCostSql)),
     GQuery("q_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql)),
     GQuery("q_ann_recall", annRecall, Some(annRecallSql)),
     GQuery("q_embed_neardup", embedNeardup, Some(embedNeardupSql)),

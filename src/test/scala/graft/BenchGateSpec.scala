@@ -11,41 +11,56 @@ class BenchGateSpec extends AnyFunSuite {
 
   private val goodRecall = BenchGate.recallBaseline
   private val goodCalib = BenchGate.calibBaseline
+  private val goodCost = BenchGate.ivfCostBaseline
 
   test("baseline values pass the gate") {
-    assert(BenchGate.check(goodRecall, goodCalib).isEmpty)
+    assert(BenchGate.check(goodRecall, goodCalib, goodCost).isEmpty)
   }
 
   test("values inside the tolerance band pass") {
     val drifted = goodRecall.map { case (k, v) => k -> (v + 0.04) }
     val calibDrift = goodCalib.map { case (k, v) => k -> (v - 0.09) }
-    assert(BenchGate.check(drifted, calibDrift).isEmpty)
+    assert(BenchGate.check(drifted, calibDrift, goodCost).isEmpty)
   }
 
   test("an IVF recall drop to 0.5 fails the gate") {
     val regressed = goodRecall.updated("ann_ivf", 0.5)
-    val v = BenchGate.check(regressed, goodCalib)
+    val v = BenchGate.check(regressed, goodCalib, goodCost)
     assert(v.exists(_.contains("recall[ann_ivf]")), v.mkString("; "))
   }
 
   test("a disappeared baselined index fails the gate") {
-    val v = BenchGate.check(goodRecall - "ann_lsh_multi", goodCalib)
+    val v = BenchGate.check(goodRecall - "ann_lsh_multi", goodCalib, goodCost)
     assert(v.exists(_.contains("recall[ann_lsh_multi] missing")))
   }
 
   test("calibration drift beyond 0.1 at agreement >= 7 fails") {
-    val v = BenchGate.check(goodRecall, goodCalib.updated(8L, 0.6))
+    val v = BenchGate.check(goodRecall, goodCalib.updated(8L, 0.6), goodCost)
     assert(v.exists(_.contains("minhash_calibration[8]")))
   }
 
   test("NaN telemetry fails rather than passing silently") {
-    val v = BenchGate.check(goodRecall.updated("ann_ivf", Double.NaN), goodCalib)
+    val v = BenchGate.check(goodRecall.updated("ann_ivf", Double.NaN), goodCalib, goodCost)
     assert(v.exists(_.contains("recall[ann_ivf]")))
   }
 
   test("new non-baselined telemetry keys pass freely") {
     val extra = goodRecall + ("ann_hnsw" -> 0.42)
-    assert(BenchGate.check(extra, goodCalib).isEmpty)
+    assert(BenchGate.check(extra, goodCalib, goodCost).isEmpty)
+  }
+
+  test("IVF candidate-cost drift beyond 5% fails the gate") {
+    val inflated = goodCost.map { case (k, v) => k -> v * 1.06 }
+    val v = BenchGate.check(goodRecall, goodCalib, inflated)
+    assert(v.exists(_.contains("ivf_cost[1]")), v.mkString("; "))
+    // inside the relative band passes
+    val ok = goodCost.map { case (k, v) => k -> v * 1.04 }
+    assert(BenchGate.check(goodRecall, goodCalib, ok).isEmpty)
+  }
+
+  test("a vanished IVF cost curve fails rather than passing silently") {
+    val v = BenchGate.check(goodRecall, goodCalib, Map.empty[Long, Double])
+    assert(v.count(_.contains("ivf_cost[")) == 3)
   }
 
   test("jsonNum renders NaN/Infinity as null, numbers as themselves") {

@@ -172,6 +172,43 @@ class SimilaritySpec extends SparkSpec {
     assert(w1.distinct.length > 100, "weights should be well spread")
   }
 
+  test("IVF recall is monotone in nprobe and exact at nprobe = k") {
+    val truth = Similarity.knnBrute(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def got(nprobe: Int): Map[Long, Set[Long]] =
+      Similarity.annIvfProbes(spark, sfDir, nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byP = Seq(1, 2, 4, 8).map(p => p -> got(p)).toMap
+    graft.core.Caches.release()
+    // probe sets are nested (rn <= p) and ranking is identical exact
+    // cosine, so per-query hits are monotone in nprobe...
+    truth.keys.foreach { q =>
+      def hits(p: Int) = byP(p).getOrElse(q, Set.empty).count(truth(q))
+      assert(hits(1) <= hits(2) && hits(2) <= hits(4) && hits(4) <= hits(8),
+        s"query $q: hits not monotone in nprobe")
+      // ...and at nprobe = k (all 8 cells) the candidate set is the whole
+      // index minus self: IVF degenerates to brute force EXACTLY — same
+      // top-3, not merely recall 1.0 (tie-break order matches knnBrute)
+      assert(byP(8)(q) == truth(q),
+        s"query $q: nprobe=8 ${byP(8)(q)} != brute ${truth(q)}")
+    }
+  }
+
+  test("IVF candidate cost grows with nprobe") {
+    val cost = Similarity.ivfProbeCost(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cost.keySet == Set(1L, 2L, 4L))
+    // more probed cells always means strictly more scored candidates on a
+    // corpus with every cell populated — the cost half of the dial whose
+    // recall half the monotonicity test pins
+    assert(cost(1L) > 0.0, "every query scores someone at nprobe=1")
+    assert(cost(1L) < cost(2L) && cost(2L) < cost(4L),
+      s"candidate cost not increasing: $cost")
+  }
+
   test("kmeans assignment covers every vector exactly once") {
     val rows = Similarity.kmeansAssign(spark, sfDir).collect()
     val total = rows.map(_.getLong(1)).sum
