@@ -167,6 +167,112 @@ object TextPipeline {
       |FROM pairs JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id""".stripMargin
   }
 
+  // --------------------------------------------- incremental dedup serve
+
+  /** The persisted MinHash band-bucket INDEX over a historical corpus:
+    * one flat parquet-friendly row per (band bucket, member doc) carrying
+    * the full 8-hash signature, hot buckets (> cap members) excluded at
+    * BUILD time — boilerplate buckets are an index-construction decision,
+    * not a per-batch one (re-censusing history per increment would cost a
+    * corpus scan, the thing the index exists to avoid). */
+  private[graft] def minhashIndex(docs: DataFrame, cap: Int): DataFrame = {
+    val sig = minhashSig(docs).trackedPersist()
+    val bandKeys = array((0 until 4).map(i => struct(lit(i).as("band"),
+      col(s"m${2 * i}").as("x"), col(s"m${2 * i + 1}").as("y"))): _*)
+    val bands = sig.select(
+      col("doc_id") +: minhashAB.indices.map(i => col(s"m$i"))
+        :+ explode(bandKeys).as("bk"): _*)
+    val hotBuckets = sig.select(explode(bandKeys).as("bk"))
+      .groupBy(col("bk"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+      .select(col("bk"))
+    bands.join(hotBuckets, Seq("bk"), "left_anti")
+      .select(col("bk.band").as("band") +: col("bk.x").as("x")
+        +: col("bk.y").as("y") +: col("doc_id")
+        +: minhashAB.indices.map(i => col(s"m$i")): _*)
+  }
+
+  /** Incremental near-dup detection: dedup a NEW document batch against a
+    * PERSISTED MinHash index of the historical corpus — the daily-crawl
+    * production shape, where history is indexed once and each increment
+    * pays only its own size. The corpus splits at t = ⌈0.8·max(doc_id)⌉
+    * derived IN-PLAN (1-row broadcast, construction job-free): doc_id < t
+    * is history, the rest is the arriving batch. History's band rows are
+    * written to parquet inside a [[graft.plans.DeferredIngest]] stage and
+    * READ BACK for serving (the q_ann_pq_served contract: the index is an
+    * ordinary partitionable table, not driver state); the batch computes
+    * its signatures scan-local and equi-joins the index on the band key.
+    *
+    * Scale shape: serve work ∝ batch bands × bucket occupancy — the
+    * historical corpus is touched only through the index partitions the
+    * join prunes to, never rescanned; the build-side hot-bucket cap
+    * bounds per-band-row fan-out at cap, so candidates ≤ 4·batch·cap.
+    * Output matches q_dedup_minhash's orientation: (doc_a hist, doc_b
+    * new, max signature agreement); IncrementalDedupSpec proves the pair
+    * set dominates the from-scratch run restricted to hist×new pairs and
+    * agrees exactly on every shared pair. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tDf = docs.agg(expr("MAX(doc_id)*4 DIV 5").as("t"))
+    val out = graft.core.Scratch.dir("mhidx", dir)
+    val idxSchema = "band INT, x BIGINT, y BIGINT, doc_id BIGINT, " +
+      minhashAB.indices.map(i => s"m$i BIGINT").mkString(", ")
+    val idx = graft.plans.DeferredIngest(s, idxSchema) {
+      val hist = docs.crossJoin(broadcast(tDf))
+        .filter(col("doc_id") < col("t")).drop("t")
+      minhashIndex(hist, LshBucketCap).write.mode("overwrite").parquet(out)
+      s.read.parquet(out).select(col("band") +: col("x") +: col("y")
+        +: col("doc_id") +: minhashAB.indices.map(i => col(s"m$i")): _*)
+    }
+    val batch = docs.crossJoin(broadcast(tDf))
+      .filter(col("doc_id") >= col("t")).drop("t")
+    val bandKeys = array((0 until 4).map(i => struct(lit(i).as("band"),
+      col(s"m${2 * i}").as("x"), col(s"m${2 * i + 1}").as("y"))): _*)
+    val bandsNew = minhashSig(batch).select(col("doc_id").as("doc_b"),
+      struct(minhashAB.indices.map(i => col(s"m$i")): _*).as("sig"),
+      explode(bandKeys).as("bk"))
+    val nMatch = minhashAB.indices.map(i =>
+      when(col(s"sig.m$i") === col(s"m$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    idx.join(bandsNew,
+        col("band") === col("bk.band") && col("x") === col("bk.x") &&
+          col("y") === col("bk.y"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"), nMatch.as("m"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("m")).as("n_match"))
+  }
+
+  private val dedupIncrementalSql = {
+    val mins = minhashAB.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a*h+$b) % 1000000007) AS m$i" }.mkString(", ")
+    val eqs = minhashAB.indices.map(i =>
+      s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ws AS (
+      |  SELECT doc_id, list_filter(string_split(translate(regexp_replace(text, '\\n', ' n', 'g'), '".,/()?;', '        '), ' '), w -> w != '') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS sh
+      |  FROM ws WHERE len(w) >= 2),
+      |h AS (
+      |  SELECT doc_id, CAST('0x' || substring(md5(sh),1,15) AS BIGINT) % 1000000007 AS h FROM sh),
+      |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+      |t AS (SELECT MAX(doc_id)*4 // 5 AS t FROM documents),
+      |bands AS (
+      |  SELECT doc_id, unnest([[0,m0,m1],[1,m2,m3],[2,m4,m5],[3,m6,m7]]) AS bk FROM sig),
+      |okb AS (
+      |  SELECT bk FROM bands CROSS JOIN t WHERE doc_id < t
+      |  GROUP BY bk HAVING COUNT(*) <= $LshBucketCap),
+      |idx AS (
+      |  SELECT bands.doc_id, bands.bk FROM bands JOIN okb USING (bk)
+      |  CROSS JOIN t WHERE doc_id < t),
+      |newb AS (SELECT doc_id, bk FROM bands CROSS JOIN t WHERE doc_id >= t),
+      |pairs AS (
+      |  SELECT DISTINCT i.doc_id AS doc_a, nb.doc_id AS doc_b
+      |  FROM idx i JOIN newb nb ON i.bk = nb.bk)
+      |SELECT doc_a, doc_b, CAST($eqs AS BIGINT) AS n_match
+      |FROM pairs JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id""".stripMargin
+  }
+
   // --------------------------------------------- minhash calibration
 
   /** MinHash estimator calibration — the dedup leg's analogue of the ANN
@@ -2265,6 +2371,7 @@ object TextPipeline {
     GQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     GQuery("q_url_dedup", urlDedup, Some(urlDedupSql)),
     GQuery("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), headline = true),
+    GQuery("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     GQuery("q_minhash_calibration", minhashCalibration,
       Some(minhashCalibrationSql)),
     GQuery("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
