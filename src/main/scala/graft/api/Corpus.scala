@@ -61,6 +61,27 @@ object Corpus {
       bucketCap: Int = TextPipeline.LshBucketCap): DataFrame =
     TextPipeline.dedupMinhashDocs(canon(docs, id, text), bucketCap)
 
+  /** The build leg of incremental dedup: a flat MinHash band index over
+    * a historical corpus — one row per (band, bucket key, member doc)
+    * carrying the full signature, hot buckets (> bucketCap members)
+    * excluded at build time. Persist it like any table; serve batches
+    * against it with [[dedupAgainstIndex]]. The oracle-checked
+    * q_dedup_incremental pins the build+serve semantics end to end. */
+  def minhashIndex(history: DataFrame, id: String = "doc_id",
+      text: String = "text",
+      bucketCap: Int = TextPipeline.LshBucketCap): DataFrame =
+    TextPipeline.minhashIndex(canon(history, id, text), bucketCap)
+
+  /** The serve leg: near-dup candidates (doc_a from the index, doc_b
+    * from the batch, max signature agreement of 8) of `batch` against a
+    * prebuilt [[minhashIndex]] — live or read back from storage. Serve
+    * work ∝ batch size; the indexed corpus is never rescanned. Works
+    * unchanged inside `foreachBatch` for a document stream
+    * (StreamingFacadeSpec). */
+  def dedupAgainstIndex(index: DataFrame, batch: DataFrame,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    TextPipeline.serveAgainstIndex(index, canon(batch, id, text))
+
   /** Exact-Jaccard near-dup pairs at `threshold`, candidates from the
     * guarded LSH bands (never an all-pairs join). */
   def jaccardPairs(docs: DataFrame, id: String = "doc_id",
@@ -549,6 +570,24 @@ object Vectors {
       canon(vectors, id, vec).select(col("vid"), col("v"), col("n2")),
       canon(queries, id, vec).select(col("vid"), col("v"), col("n2")),
       k, bits, tables, hamming, bucketCap)
+      .withColumnRenamed("q_id", "query_id")
+
+  /** IVF top-k similarity search over arbitrary (id, Array[Float])
+    * vector and query frames — the (cells, nprobe) dial the
+    * oracle-checked q_ann_ivf / q_ann_ivf_nprobe4 queries pin
+    * ([[graft.queries.Similarity.ivfSearch]]). Centers seed from the
+    * `cells` lowest-id vectors and broadcast; assignment is a map-side
+    * integer-L2 argmin; the probe join is an equi-join on cell id.
+    * Recall climbs with nprobe (measured 0.58 → 0.75 → 0.87 at
+    * nprobe 1/2/4 of 8 at sf0.1, gated in Bench) while query cost grows
+    * ∝ nprobe/cells; at nprobe = cells the result is exactly
+    * [[cosineTopK]] (CorpusApiSpec pins the identity). Output
+    * (query_id, rank, neighbor_id, cos); vectors must be 64-dim. */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int = 3,
+      cells: Int = 8, nprobe: Int = 2,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    graft.queries.Similarity.ivfSearch(
+      canon(vectors, id, vec), canon(queries, id, vec), k, cells, nprobe)
       .withColumnRenamed("q_id", "query_id")
 
   /** PQ/ADC top-k similarity search over arbitrary (id, Array[Float])

@@ -985,6 +985,52 @@ object Similarity {
   def annIvfNprobe4(s: SparkSession, dir: String): DataFrame =
     annIvfProbes(s, dir, 4)
 
+  /** IVF top-k over arbitrary canonical (vid, v: array<bigint>, n2)
+    * base/query frames — the (cells, nprobe) production dial the
+    * oracle-checked q_ann_ivf / q_ann_ivf_nprobe4 pin at (8, 2|4),
+    * generalized for `Vectors.ivfTopK`. Coarse centers seed from the
+    * base's `cells` lowest-vid vectors (the annIvf contract, made
+    * id-sparse-safe via sort-limit instead of a `vid < cells` filter);
+    * assignment and probing are exact integer-L2 argmins; candidates
+    * rank by exact cosine with the cosineTopK tie-break, so at
+    * nprobe = cells the result IS the brute-force answer row for row. */
+  private[graft] def ivfSearch(base: DataFrame, queries: DataFrame,
+      k: Int, cells: Int, nprobe: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(cells > 0, s"cells must be positive: $cells")
+    require(nprobe > 0 && nprobe <= cells,
+      s"nprobe must be in 1..$cells: $nprobe")
+    val c = base.orderBy(col("vid")).limit(cells)
+      .select(col("vid").as("cid"), col("v").as("cv"))
+    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val wA = Window.partitionBy(col("vid")).orderBy(col("dist"), col("cid"))
+    val assigned = base.join(broadcast(c))
+      .select(col("vid"), col("v"), col("n2"), col("cid"), d2.as("dist"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("v"), col("n2"), col("cid").as("cell"))
+    val wQ = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cid"))
+    val probes = queries.join(broadcast(c))
+      .select(col("vid").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cid"),
+        aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("dist"))
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn2"), col("cid").as("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vid"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vid") =!= col("q_id"))
+      .select(col("q_id"), col("vid"),
+        cosine(dot(col("v"), col("qv")), col("n2"), col("qn2")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vid").as("neighbor_id"), col("cos"))
+  }
+
   private[queries] def annIvfSqlFor(nprobe: Int): String =
     s"""WITH iv AS (
       |  SELECT vec_id, $ivecSql AS v FROM embeddings),

@@ -227,6 +227,17 @@ object TextPipeline {
     }
     val batch = docs.crossJoin(broadcast(tDf))
       .filter(col("doc_id") >= col("t")).drop("t")
+    serveAgainstIndex(idx, batch)
+  }
+
+  /** The serve leg alone: near-dup candidates of `batch` docs against a
+    * prebuilt band index (live [[minhashIndex]] output or the same rows
+    * read back from storage). Factored out so [[dedupIncremental]] (the
+    * oracle-checked query) and `Corpus.dedupAgainstIndex` (the library
+    * facade, including its foreachBatch streaming use) share one code
+    * path — the semDedup-drift lesson. */
+  private[graft] def serveAgainstIndex(idx: DataFrame,
+      batch: DataFrame): DataFrame = {
     val bandKeys = array((0 until 4).map(i => struct(lit(i).as("band"),
       col(s"m${2 * i}").as("x"), col(s"m${2 * i + 1}").as("y"))): _*)
     val bandsNew = minhashSig(batch).select(col("doc_id").as("doc_b"),

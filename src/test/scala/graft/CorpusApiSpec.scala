@@ -497,6 +497,53 @@ class CorpusApiSpec extends SparkSpec {
     }
   }
 
+  test("minhashIndex + dedupAgainstIndex: build/serve legs on foreign columns") {
+    // history holds the dup cluster; the batch re-sends one exact copy,
+    // one near copy, and one novel doc — the daily-increment shape
+    val history = docs.filter(col("my_id") <= 13)
+    import spark.implicits._
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (21L, "the quick brown fox jumps over the lazy dog and runs away slow"),
+      (22L, "nothing in history resembles this freshly crawled sentence at all")
+    ).toDF("my_id", "body")
+    val idx = Corpus.minhashIndex(history, id = "my_id", text = "body")
+    val pairs = Corpus.dedupAgainstIndex(idx, batch, id = "my_id", text = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    graft.core.Caches.release()
+    // exact copy agrees on all 8 mins with every exact-dup history doc
+    assert(pairs.get((10L, 20L)).contains(8L), s"exact dup not found: $pairs")
+    assert(pairs.get((11L, 20L)).contains(8L))
+    // near copy surfaces (agreement may saturate at 8: a single changed
+    // shingle only lowers a min it happens to own), novel doc not at all
+    assert(pairs.contains((10L, 21L)), s"near dup not found: $pairs")
+    assert(!pairs.keys.exists(_._2 == 22L), s"novel doc flagged: $pairs")
+    // serve only ever pairs index docs with batch docs
+    assert(pairs.keys.forall { case (a, b) => a <= 13L && b >= 20L })
+  }
+
+  test("ivfTopK: nprobe buys recall monotonically, exact at nprobe = cells") {
+    val (vectors, queries) = vecFrames
+    val truth = Vectors.cosineTopK(vectors, queries, k = 3,
+        id = "my_vid", vec = "emb")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def got(nprobe: Int): Set[(Long, Long, Long)] =
+      Vectors.ivfTopK(vectors, queries, k = 3, cells = 8, nprobe = nprobe,
+          id = "my_vid", vec = "emb")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val byP = Seq(1, 2, 4, 8).map(p => p -> got(p)).toMap
+    graft.core.Caches.release()
+    // probing every cell makes the candidate set the whole base minus
+    // self, and the tie-break matches cosineTopK: row-for-row identity,
+    // ranks included
+    assert(byP(8) == truth, s"nprobe=cells diverged: ${byP(8)} vs $truth")
+    // nested probe sets under identical exact ranking -> monotone recall
+    val pairs = truth.map(t => (t._1, t._3))
+    def hits(p: Int): Int = byP(p).map(t => (t._1, t._3)).count(pairs)
+    assert(hits(1) <= hits(2) && hits(2) <= hits(4) && hits(4) <= hits(8),
+      s"recall not monotone: ${Seq(1, 2, 4, 8).map(hits)}")
+  }
+
   test("lshTopK: tables and probes each monotonically buy recall") {
     val (vectors, queries) = vecFrames
     val truth = Vectors.cosineTopK(vectors, queries, k = 3,

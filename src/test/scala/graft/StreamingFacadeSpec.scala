@@ -175,4 +175,50 @@ class StreamingFacadeSpec extends SparkSpec {
         s"bucket assignment drifted: $byDoc")
     } finally q.stop()
   }
+
+  test("dedupAgainstIndex serves a document stream against a static index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the index is built ONCE from history and reused by every
+    // micro-batch — the crawl-frontier deployment: static history, an
+    // unbounded stream of arriving documents
+    val history = Seq((1L, shared), (2L, unique)).toDF("my_id", "body")
+    val idx = graft.api.Corpus.minhashIndex(history, id = "my_id", text = "body")
+
+    val input = MemoryStream[(Long, String)]
+    val seen = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = input.toDF().toDF("my_id", "body").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= graft.api.Corpus
+            .dedupAgainstIndex(idx, batch, id = "my_id", text = "body")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        }
+        ()
+      }
+      .start()
+    try {
+      // batch 1: a dup of history doc 1 and a novel doc
+      input.addData((10L, shared), (11L, "a crawl result with fresh words"))
+      q.processAllAvailable()
+      // batch 2: a dup of history doc 2 — SEPARATE micro-batch, same index
+      input.addData((12L, unique))
+      q.processAllAvailable()
+      val got = seen.synchronized(seen.toSet)
+      val expect = graft.api.Corpus
+        .dedupAgainstIndex(idx,
+          Seq((10L, shared), (11L, "a crawl result with fresh words"),
+            (12L, unique)).toDF("my_id", "body"),
+          id = "my_id", text = "body")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      graft.core.Caches.release()
+      // the serve join is stateless per batch, so the union over
+      // micro-batches IS the batch answer on the union of the data
+      assert(got == expect, s"stream and batch serves diverged: $got vs $expect")
+      assert(got.contains((1L, 10L, 8L)), "history dup not flagged from stream")
+      assert(got.contains((2L, 12L, 8L)), "second-batch dup not flagged")
+      assert(!got.exists(_._2 == 11L), "novel doc must not pair")
+    } finally q.stop()
+  }
 }
