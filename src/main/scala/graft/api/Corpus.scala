@@ -72,6 +72,28 @@ object Corpus {
       bucketCap: Int = TextPipeline.LshBucketCap): DataFrame =
     TextPipeline.minhashIndex(canon(history, id, text), bucketCap)
 
+  /** The tombstone side of [[minhashIndex]]: (band, x, y, bucket_n) for
+    * every bucket the build EXCLUDED (≤ 4n/bucketCap rows). Persist it
+    * next to the index — [[minhashIndexMerge]] needs it to keep merge
+    * exactly equal to rebuild (a hot bucket has no rows left to count). */
+  def minhashHotCensus(history: DataFrame, id: String = "doc_id",
+      text: String = "text",
+      bucketCap: Int = TextPipeline.LshBucketCap): DataFrame =
+    TextPipeline.minhashHotCensus(canon(history, id, text), bucketCap)
+
+  /** Index maintenance: fold an arriving batch into a prebuilt
+    * (index, hot census) pair without rescanning history — the nightly
+    * compaction job. Returns the merged (index, census); the pair is
+    * row-for-row what [[minhashIndex]]/[[minhashHotCensus]] would build
+    * from scratch on history ∪ batch (the law q_dedup_index_merge checks
+    * against a DuckDB rebuild, including buckets that cross the cap only
+    * at merge time). */
+  def minhashIndexMerge(index: DataFrame, hotCensus: DataFrame,
+      batch: DataFrame, id: String = "doc_id", text: String = "text",
+      bucketCap: Int = TextPipeline.LshBucketCap): (DataFrame, DataFrame) =
+    TextPipeline.minhashIndexMerge(index, hotCensus,
+      canon(batch, id, text), bucketCap)
+
   /** The serve leg: near-dup candidates (doc_a from the index, doc_b
     * from the batch, max signature agreement of 8) of `batch` against a
     * prebuilt [[minhashIndex]] — live or read back from storage. Serve

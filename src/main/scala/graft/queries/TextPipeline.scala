@@ -175,22 +175,70 @@ object TextPipeline {
     * BUILD time — boilerplate buckets are an index-construction decision,
     * not a per-batch one (re-censusing history per increment would cost a
     * corpus scan, the thing the index exists to avoid). */
-  private[graft] def minhashIndex(docs: DataFrame, cap: Int): DataFrame = {
+  /** UNGUARDED flat band rows (band, x, y, doc_id, m0..m7) of a doc
+    * frame — the raw material both index legs share. */
+  private def bandRowsOf(docs: DataFrame): DataFrame = {
     val sig = minhashSig(docs).trackedPersist()
     val bandKeys = array((0 until 4).map(i => struct(lit(i).as("band"),
       col(s"m${2 * i}").as("x"), col(s"m${2 * i + 1}").as("y"))): _*)
-    val bands = sig.select(
-      col("doc_id") +: minhashAB.indices.map(i => col(s"m$i"))
-        :+ explode(bandKeys).as("bk"): _*)
-    val hotBuckets = sig.select(explode(bandKeys).as("bk"))
-      .groupBy(col("bk"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > cap)
-      .select(col("bk"))
-    bands.join(hotBuckets, Seq("bk"), "left_anti")
+    sig.select(
+        col("doc_id") +: minhashAB.indices.map(i => col(s"m$i"))
+          :+ explode(bandKeys).as("bk"): _*)
       .select(col("bk.band").as("band") +: col("bk.x").as("x")
         +: col("bk.y").as("y") +: col("doc_id")
         +: minhashAB.indices.map(i => col(s"m$i")): _*)
+  }
+
+  private[graft] def minhashIndex(docs: DataFrame, cap: Int): DataFrame = {
+    val rows = bandRowsOf(docs)
+    val hotKeys = rows.groupBy(col("band"), col("x"), col("y"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+      .select(col("band"), col("x"), col("y"))
+    rows.join(hotKeys, Seq("band", "x", "y"), "left_anti")
+  }
+
+  /** The tombstone side of the index: (band, x, y, bucket_n) for every
+    * bucket the build EXCLUDED — tiny by construction (≤ 4n/cap rows).
+    * Without it an index cannot be MERGED correctly: a bucket that was
+    * hot at build time has no rows left to count, so a later increment
+    * would resurrect it below cap. Persist it next to the index. */
+  private[graft] def minhashHotCensus(docs: DataFrame, cap: Int): DataFrame =
+    bandRowsOf(docs)
+      .groupBy(col("band"), col("x"), col("y"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+
+  /** Index MAINTENANCE: merge an arriving batch into a prebuilt
+    * (index, hot census) pair without rescanning history. The merged
+    * bucket count is rows-present + tombstoned count (exact in every
+    * case: a hist-hot bucket keeps its full count in the census, a
+    * hist-cold bucket keeps all its rows in the index), so
+    *
+    *   merge(index(h), census(h), b)  ==  (index(h∪b), census(h∪b))
+    *
+    * as multisets of rows — the incremental build IS the batch build
+    * (IncrementalDedupSpec proves the law on a cap-crossing fixture;
+    * q_dedup_index_merge proves it against the DuckDB rebuild). Work is
+    * ∝ batch bands + index size, one census shuffle; at 100 TB this is
+    * the nightly compaction job, with the full rebuild reserved for
+    * shingle/hash version bumps. */
+  private[graft] def minhashIndexMerge(idx: DataFrame, hot: DataFrame,
+      batch: DataFrame, cap: Int): (DataFrame, DataFrame) = {
+    val allRows = idx.unionByName(bandRowsOf(batch)).trackedPersist()
+    val mergedCounts = allRows
+      .groupBy(col("band"), col("x"), col("y"))
+      .agg(count(lit(1)).as("n_present"))
+      .join(hot.select(col("band"), col("x"), col("y"),
+        col("bucket_n").as("n_tomb")), Seq("band", "x", "y"), "full_outer")
+      .select(col("band"), col("x"), col("y"),
+        (coalesce(col("n_present"), lit(0L)) +
+          coalesce(col("n_tomb"), lit(0L))).as("bucket_n"))
+    val newHot = mergedCounts.filter(col("bucket_n") > cap).trackedPersist()
+    val mergedIdx = allRows.join(
+      newHot.select(col("band"), col("x"), col("y")),
+      Seq("band", "x", "y"), "left_anti")
+    (mergedIdx, newHot)
   }
 
   /** Incremental near-dup detection: dedup a NEW document batch against a
@@ -282,6 +330,72 @@ object TextPipeline {
       |  FROM idx i JOIN newb nb ON i.bk = nb.bk)
       |SELECT doc_a, doc_b, CAST($eqs AS BIGINT) AS n_match
       |FROM pairs JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id""".stripMargin
+  }
+
+  /** Merge-equals-rebuild, proven against an independent engine: Spark
+    * builds (index, hot census) over HISTORY only, MERGES the batch in
+    * via [[minhashIndexMerge]], and censuses the result per band;
+    * DuckDB REBUILDS from the full corpus directly. Equality of the
+    * per-band censuses (row count, bucket count, doc-id checksum,
+    * tombstone count and mass) is the maintenance law the incremental
+    * index path relies on, checked end to end. */
+  def dedupIndexMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tDf = docs.agg(expr("MAX(doc_id)*4 DIV 5").as("t"))
+    val hist = docs.crossJoin(broadcast(tDf))
+      .filter(col("doc_id") < col("t")).drop("t")
+    val batch = docs.crossJoin(broadcast(tDf))
+      .filter(col("doc_id") >= col("t")).drop("t")
+    val (mIdx, mHot) = minhashIndexMerge(
+      minhashIndex(hist, LshBucketCap),
+      minhashHotCensus(hist, LshBucketCap), batch, LshBucketCap)
+    val idxAgg = mIdx.groupBy(col("band").cast("long").as("band"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("x"), col("y")).as("n_buckets"),
+        sum(col("doc_id")).as("doc_id_sum"))
+    val hotAgg = mHot.groupBy(col("band").cast("long").as("band"))
+      .agg(count(lit(1)).as("hot_buckets"),
+        sum(col("bucket_n")).as("hot_n_sum"))
+    idxAgg.join(hotAgg, Seq("band"), "full_outer")
+      .select(col("band"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_buckets"), lit(0L)).as("n_buckets"),
+        coalesce(col("doc_id_sum"), lit(0L)).as("doc_id_sum"),
+        coalesce(col("hot_buckets"), lit(0L)).as("hot_buckets"),
+        coalesce(col("hot_n_sum"), lit(0L)).as("hot_n_sum"))
+  }
+
+  private val dedupIndexMergeSql = {
+    val mins = minhashAB.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a*h+$b) % 1000000007) AS m$i" }.mkString(", ")
+    s"""WITH ws AS (
+      |  SELECT doc_id, list_filter(string_split(translate(regexp_replace(text, '\\n', ' n', 'g'), '".,/()?;', '        '), ' '), w -> w != '') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS sh
+      |  FROM ws WHERE len(w) >= 2),
+      |h AS (
+      |  SELECT doc_id, CAST('0x' || substring(md5(sh),1,15) AS BIGINT) % 1000000007 AS h FROM sh),
+      |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, unnest([[0,m0,m1],[1,m2,m3],[2,m4,m5],[3,m6,m7]]) AS bk FROM sig),
+      |bc AS (
+      |  SELECT bk, COUNT(*) AS n, SUM(doc_id) AS ds FROM bands GROUP BY bk),
+      |cold AS (
+      |  SELECT bk[1] AS band, CAST(SUM(n) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |    CAST(SUM(ds) AS BIGINT) AS doc_id_sum
+      |  FROM bc WHERE n <= $LshBucketCap GROUP BY bk[1]),
+      |hot AS (
+      |  SELECT bk[1] AS band, CAST(COUNT(*) AS BIGINT) AS hot_buckets,
+      |    CAST(SUM(n) AS BIGINT) AS hot_n_sum
+      |  FROM bc WHERE n > $LshBucketCap GROUP BY bk[1])
+      |SELECT COALESCE(c.band, hot.band) AS band,
+      |  COALESCE(n_rows, 0) AS n_rows,
+      |  COALESCE(n_buckets, 0) AS n_buckets,
+      |  COALESCE(doc_id_sum, 0) AS doc_id_sum,
+      |  COALESCE(hot_buckets, 0) AS hot_buckets,
+      |  COALESCE(hot_n_sum, 0) AS hot_n_sum
+      |FROM cold c FULL JOIN hot ON c.band = hot.band""".stripMargin
   }
 
   // --------------------------------------------- minhash calibration
@@ -2383,6 +2497,7 @@ object TextPipeline {
     GQuery("q_url_dedup", urlDedup, Some(urlDedupSql)),
     GQuery("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), headline = true),
     GQuery("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
+    GQuery("q_dedup_index_merge", dedupIndexMerge, Some(dedupIndexMergeSql)),
     GQuery("q_minhash_calibration", minhashCalibration,
       Some(minhashCalibrationSql)),
     GQuery("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),

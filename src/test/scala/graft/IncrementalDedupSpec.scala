@@ -50,4 +50,39 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(full.nonEmpty, "restriction of the from-scratch run is empty — " +
       "the dominance check proved nothing")
   }
+
+  test("index merge equals full rebuild, including cap-crossing buckets") {
+    import spark.implicits._
+    // cap=4 on planted exact-dup clusters (identical text -> identical
+    // signature -> bucket size == copy count): `same` is cold at build
+    // (3) and hot only after merge (6) — the resurrection case the
+    // tombstone census exists for; `preHot` is hot already at build (5)
+    // so its count survives ONLY in the census; `cold` stays cold (3).
+    val same = "alpha beta gamma delta epsilon zeta"
+    val cold = "eta theta iota kappa lambda mu"
+    val preHot = "nu xi omicron pi rho sigma"
+    val hist = ((1L to 3L).map(i => (i, same)) ++
+      (4L to 5L).map(i => (i, cold)) ++
+      (6L to 10L).map(i => (i, preHot))).toDF("doc_id", "text")
+    val batch = ((11L to 13L).map(i => (i, same)) ++
+      Seq((14L, cold), (15L, preHot))).toDF("doc_id", "text")
+    val cap = 4
+    val (mIdx, mHot) = TextPipeline.minhashIndexMerge(
+      TextPipeline.minhashIndex(hist, cap),
+      TextPipeline.minhashHotCensus(hist, cap), batch, cap)
+    val all = hist.unionByName(batch)
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    val (mi, mh) = (multiset(mIdx), multiset(mHot))
+    val (ri, rh) = (multiset(TextPipeline.minhashIndex(all, cap)),
+      multiset(TextPipeline.minhashHotCensus(all, cap)))
+    val buildHot = multiset(TextPipeline.minhashHotCensus(hist, cap))
+    graft.core.Caches.release()
+    assert(mi == ri, s"merged index != rebuilt index: $mi vs $ri")
+    assert(mh == rh, s"merged census != rebuilt census: $mh vs $rh")
+    // the fixture really crossed the cap: more hot buckets after merge
+    assert(buildHot.size < rh.size,
+      "no bucket crossed the cap at merge time — the law was not exercised")
+    assert(rh.nonEmpty && ri.nonEmpty)
+  }
 }
