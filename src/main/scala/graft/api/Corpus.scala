@@ -104,6 +104,22 @@ object Corpus {
       id: String = "doc_id", text: String = "text"): DataFrame =
     TextPipeline.serveAgainstIndex(index, canon(batch, id, text))
 
+  /** Drift census between two corpus snapshots, grouped by any column
+    * (language, source, domain): per group, doc/token/quality mass on
+    * each side plus per-mille composition shares and their delta — the
+    * pre-mix monitoring gate the oracle-checked q_corpus_drift pins.
+    * One scan per side, a groups-sized exchange, a 1-row totals
+    * broadcast; all integer-exact. */
+  def driftCensus(history: DataFrame, batch: DataFrame,
+      group: String = "lang", text: String = "text"): DataFrame = {
+    def c(df: DataFrame) = df.select(col(group).cast("string").as("grp"),
+      col(text).cast("string").as("text"))
+    TextPipeline.driftCensusTagged(
+      TextPipeline.driftTag(c(history), col("grp"), lit(false))
+        .unionByName(TextPipeline.driftTag(c(batch), col("grp"), lit(true))))
+      .withColumnRenamed("grp", group)
+  }
+
   /** Exact-Jaccard near-dup pairs at `threshold`, candidates from the
     * guarded LSH bands (never an all-pairs join). */
   def jaccardPairs(docs: DataFrame, id: String = "doc_id",

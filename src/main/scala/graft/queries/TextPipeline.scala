@@ -1707,6 +1707,98 @@ object TextPipeline {
       |  CAST(SUM(logit) AS BIGINT) AS logit_sum
       |FROM lg GROUP BY source""".stripMargin
 
+  // ----------------------------------------------- corpus drift census
+
+  /** The shared drift aggregation over a tagged (grp, is_batch,
+    * n_tokens, logit) frame: per group, doc/token/quality mass on each
+    * side plus per-mille share deltas — all integer-exact (shares are
+    * floor divisions of non-negative counts, identical in Spark DIV and
+    * DuckDB //). */
+  private[graft] def driftCensusTagged(tagged: DataFrame): DataFrame = {
+    val perGrp = tagged.groupBy(col("grp"))
+      .agg(
+        sum(when(!col("is_batch"), 1L).otherwise(0L)).as("hist_docs"),
+        sum(when(col("is_batch"), 1L).otherwise(0L)).as("batch_docs"),
+        sum(when(!col("is_batch"), col("n_tokens")).otherwise(0L))
+          .as("hist_tokens"),
+        sum(when(col("is_batch"), col("n_tokens")).otherwise(0L))
+          .as("batch_tokens"),
+        sum(when(!col("is_batch"), col("logit")).otherwise(0L))
+          .as("hist_logit_sum"),
+        sum(when(col("is_batch"), col("logit")).otherwise(0L))
+          .as("batch_logit_sum"))
+    val totals = perGrp.agg(sum(col("hist_docs")).as("hist_total"),
+      sum(col("batch_docs")).as("batch_total"))
+    perGrp.crossJoin(broadcast(totals))
+      .select(col("grp"), col("hist_docs"), col("batch_docs"),
+        expr("hist_docs*1000 DIV hist_total").as("hist_share_pm"),
+        expr("batch_docs*1000 DIV batch_total").as("batch_share_pm"),
+        expr("batch_docs*1000 DIV batch_total - hist_docs*1000 DIV hist_total")
+          .as("share_delta_pm"),
+        col("hist_tokens"), col("batch_tokens"),
+        col("hist_logit_sum"), col("batch_logit_sum"))
+  }
+
+  private[graft] def driftTag(docs: DataFrame, grp: Column,
+      isBatch: Column): DataFrame =
+    docs.select(grp.as("grp"), isBatch.as("is_batch"),
+      size(ws).cast("long").as("n_tokens"), Qdsl.hashedLogit(ws).as("logit"))
+
+  /** Snapshot-over-snapshot drift census — the monitoring query a
+    * production pipeline runs on every crawl increment BEFORE mixing it
+    * in: per language, document/token/quality mass of the arriving batch
+    * (doc_id ≥ the in-plan 0.8·max split) against history, with
+    * per-mille composition shares and their delta. A language whose
+    * share or quality mass moves is a scraper change, an extraction
+    * regression, or genuine distribution shift — caught at census cost
+    * (one corpus scan, a languages-sized exchange, a 1-row totals
+    * broadcast), not model-retrain cost. Everything integer-exact so
+    * the oracle is bit-stable. */
+  def corpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tDf = docs.agg(expr("MAX(doc_id)*4 DIV 5").as("t"))
+    driftCensusTagged(driftTag(
+      docs.crossJoin(broadcast(tDf)), col("lang"),
+      col("doc_id") >= col("t")))
+      .withColumnRenamed("grp", "lang")
+  }
+
+  private val corpusDriftSql =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, $wordsSqlDoc AS w FROM documents),
+      |lg AS (
+      |  SELECT d.doc_id, COALESCE(s.logit, 0) AS logit
+      |  FROM d LEFT JOIN (
+      |    SELECT doc_id,
+      |      SUM(CAST('0x' || substring(md5(t.t),1,15) AS BIGINT) % 2001 - 1000)
+      |        AS logit
+      |    FROM d, unnest(w) AS t(t) GROUP BY doc_id) s
+      |  ON d.doc_id = s.doc_id),
+      |tt AS (SELECT MAX(doc_id)*4 // 5 AS t FROM documents),
+      |tagged AS (
+      |  SELECT lang, d.doc_id >= tt.t AS is_batch,
+      |    CAST(len(w) AS BIGINT) AS n_tokens, lg.logit
+      |  FROM d JOIN lg ON d.doc_id = lg.doc_id CROSS JOIN tt),
+      |pl AS (
+      |  SELECT lang,
+      |    CAST(SUM(CASE WHEN is_batch THEN 0 ELSE 1 END) AS BIGINT) AS hist_docs,
+      |    CAST(SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT) AS batch_docs,
+      |    CAST(SUM(CASE WHEN is_batch THEN 0 ELSE n_tokens END) AS BIGINT) AS hist_tokens,
+      |    CAST(SUM(CASE WHEN is_batch THEN n_tokens ELSE 0 END) AS BIGINT) AS batch_tokens,
+      |    CAST(SUM(CASE WHEN is_batch THEN 0 ELSE logit END) AS BIGINT) AS hist_logit_sum,
+      |    CAST(SUM(CASE WHEN is_batch THEN logit ELSE 0 END) AS BIGINT) AS batch_logit_sum
+      |  FROM tagged GROUP BY lang),
+      |tot AS (
+      |  SELECT SUM(hist_docs) AS hist_total, SUM(batch_docs) AS batch_total
+      |  FROM pl)
+      |SELECT lang, hist_docs, batch_docs,
+      |  CAST(hist_docs*1000 // hist_total AS BIGINT) AS hist_share_pm,
+      |  CAST(batch_docs*1000 // batch_total AS BIGINT) AS batch_share_pm,
+      |  CAST(batch_docs*1000 // batch_total - hist_docs*1000 // hist_total
+      |    AS BIGINT) AS share_delta_pm,
+      |  hist_tokens, batch_tokens, hist_logit_sum, batch_logit_sum
+      |FROM pl CROSS JOIN tot""".stripMargin
+
   // ------------------------------------- model-based quality classifier
 
   /** Hashed-feature linear quality classifier — the MODEL-based filtering
@@ -2518,6 +2610,7 @@ object TextPipeline {
     GQuery("q_quality_classifier", qualityClassifier,
       Some(qualityClassifierSql), headline = true),
     GQuery("q_source_census", sourceCensus, Some(sourceCensusSql)),
+    GQuery("q_corpus_drift", corpusDrift, Some(corpusDriftSql)),
     GQuery("q_boilerplate_top", boilerplateTop, Some(boilerplateTopSql)),
     GQuery("q_tfidf_top", tfidfTop, Some(tfidfTopSql)))
 }

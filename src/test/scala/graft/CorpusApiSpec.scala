@@ -522,6 +522,24 @@ class CorpusApiSpec extends SparkSpec {
     assert(pairs.keys.forall { case (a, b) => a <= 13L && b >= 20L })
   }
 
+  test("driftCensus: per-mille shares and deltas exact on a planted shift") {
+    import spark.implicits._
+    val hist = Seq((1L, "en", "the cat sat here"), (2L, "en", "the dog ran out"),
+      (3L, "de", "der hund und katze"), (4L, "de", "der ball und tor"))
+      .toDF("id", "language", "body")
+    val batch = Seq((11L, "en", "the bird flew"), (12L, "en", "the fish swam"),
+      (13L, "en", "the cow ate"), (14L, "de", "der wolf lief"))
+      .toDF("id", "language", "body")
+    val rows = graft.api.Corpus
+      .driftCensus(hist, batch, group = "language", text = "body")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // hist: 2/2 of 4 → 500‰ each; batch: 3/1 of 4 → 750‰/250‰
+    assert(rows("en") == ((2L, 3L, 500L, 750L, 250L)), s"en row: ${rows("en")}")
+    assert(rows("de") == ((2L, 1L, 500L, 250L, -250L)), s"de row: ${rows("de")}")
+  }
+
   test("ivfTopK: nprobe buys recall monotonically, exact at nprobe = cells") {
     val (vectors, queries) = vecFrames
     val truth = Vectors.cosineTopK(vectors, queries, k = 3,
