@@ -357,6 +357,54 @@ object Analytics {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ------------------------------------------------- key-skew census
+
+  /** Key-skew census — the salting PLANNER: before shuffling on a key at
+    * 100 TB you measure its distribution, you don't guess. Over the
+    * corpus token stream (Zipf-skewed by nature): the top-10 keys by row
+    * count with per-mille share of all rows and the integer salt factor
+    * — the number of uniform-key-loads this key weighs, i.e. how many
+    * salt shards bring its heaviest partition back to the uniform
+    * share — ceil(n_rows · n_keys / total), integer-exact.
+    *
+    * Scale shape: one map-side-combined count per key, a 1-row totals
+    * broadcast, and TakeOrdered for the top-10 over aggregated rows —
+    * the raw stream is never globally sorted and no window ever sees
+    * more than 10 rows. Feeds [[graft.api.Salting]]: a key with
+    * salt_factor s joins salted s-ways; everything else stays unsalted. */
+  def keySkew(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(words(col("text"))).as("key"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum(col("n_rows")).as("total"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("n_rows").desc, col("key")).limit(10)
+    val w10 = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_rows").desc, col("key"))
+    top.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w10).cast("long"))
+      .select(col("rank"), col("key"), col("n_rows"),
+        expr("n_rows*1000 DIV total").as("share_pm"),
+        expr("(n_rows*n_keys + total - 1) DIV total").as("salt_factor"))
+  }
+
+  private val keySkewSql =
+    s"""WITH toks AS (
+      |  SELECT unnest(w) AS key FROM (SELECT $wordsSqlDoc AS w FROM documents)),
+      |counts AS (SELECT key, COUNT(*) AS n_rows FROM toks GROUP BY key),
+      |tot AS (
+      |  SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+      |    CAST(COUNT(*) AS BIGINT) AS n_keys FROM counts),
+      |top AS (
+      |  SELECT key, n_rows,
+      |    row_number() OVER (ORDER BY n_rows DESC, key) AS rank
+      |  FROM counts)
+      |SELECT CAST(rank AS BIGINT) AS rank, key, n_rows,
+      |  n_rows*1000 // total AS share_pm,
+      |  (n_rows*n_keys + total - 1) // total AS salt_factor
+      |FROM top CROSS JOIN tot WHERE rank <= 10""".stripMargin
+
   // ------------------------------------------------- trend fitting
 
   /** Integer-exact least-squares trend per event type over hourly event
@@ -513,6 +561,7 @@ object Analytics {
     GQuery("q_bfs_hops", bfsHops, Some(bfsHopsSql)),
     GQuery("q_sssp", sssp, Some(ssspSql), headline = true),
     GQuery("q_salted_agg", saltedAgg, Some(saltedAggSql)),
+    GQuery("q_key_skew", keySkew, Some(keySkewSql)),
     GQuery("q_trend_fit", trendFit, Some(trendFitSql)),
     GQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql),
       headline = true))

@@ -134,4 +134,26 @@ class AnalyticsSpec extends SparkSpec {
       .agg(sum(Qdsl.hashMod(col("text")))).head().getLong(0)
     assert(viaJson == directJson)
   }
+
+  test("key-skew census: ranked Zipf head with lawful salt factors") {
+    val rows = graft.queries.Analytics.keySkew(spark, sfDir).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1L to 10L), "contiguous ranks")
+    assert(rows.sliding(2).forall(p => p(0)._3 >= p(1)._3),
+      "counts non-increasing down the ranking")
+    // token frequencies are Zipf: the head key must weigh MORE than the
+    // uniform per-key load, i.e. need salting; and a salt factor can
+    // never fall below 1 (every key weighs at least one shard)
+    assert(rows.head._5 > 1L,
+      s"head key ${rows.head} should exceed the uniform load")
+    assert(rows.forall(_._5 >= 1L))
+    assert(rows.forall(r => r._4 >= 0L && r._4 <= 1000L), "shares are per-mille")
+    // the plan takes the top-10 without a global sort of the key census
+    val plan = graft.queries.Analytics.keySkew(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+  }
 }
