@@ -29,4 +29,39 @@ object Salting {
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** CENSUS-DRIVEN salting — measure, then salt ONLY what needs it
+    * (the q_key_skew planner folded into the join). A uniform salt
+    * multiplies the WHOLE small side by S; here the hot-key list
+    * (big-side count > hotThreshold) is derived in-plan, each hot key
+    * gets its own factor ceil(count / hotThreshold) capped at
+    * `maxSalts`, and cold keys — virtually all of them — join with
+    * factor 1, i.e. completely unsalted. The hot list is tiny by
+    * construction (≤ bigRows/hotThreshold entries) and broadcasts to
+    * both sides; small-side replication cost is Σ hot factors instead
+    * of S × |small|. At 100 TB the census agg is one map-side-combined
+    * count over big's keys — the measurement IS the plan's first
+    * stage; reuse a persisted census if the key distribution is known
+    * stable. Results are identical to the plain inner join
+    * (SaltingSpec law). */
+  def adaptiveSaltedJoin(big: DataFrame, small: DataFrame, key: String,
+      bigUnique: String, hotThreshold: Long,
+      maxSalts: Int = 64): DataFrame = {
+    require(hotThreshold > 0, s"hotThreshold must be positive: $hotThreshold")
+    require(maxSalts > 0, s"maxSalts must be positive: $maxSalts")
+    val hot = big.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+      .select(col(key), least(
+        expr(s"CAST((__n + $hotThreshold - 1) DIV $hotThreshold AS INT)"),
+        lit(maxSalts)).as("__factor"))
+    val bigSalted = big.join(broadcast(hot), Seq(key), "left")
+      .withColumn("__salt", pmod(xxhash64(col(bigUnique)),
+        coalesce(col("__factor"), lit(1))).cast("int"))
+      .drop("__factor")
+    val smallSalted = small.join(broadcast(hot), Seq(key), "left")
+      .withColumn("__salt",
+        explode(sequence(lit(0), coalesce(col("__factor"), lit(1)) - 1)))
+      .drop("__factor")
+    bigSalted.join(smallSalted, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -25,6 +25,32 @@ class SaltingSpec extends SparkSpec {
     assert(salted.size === 9000 + 2)
   }
 
+  test("adaptive salted join equals plain join, salting only the hot keys") {
+    // three regimes in one fixture: "hot" (1000 rows, factor 10), "warm"
+    // (250 rows, factor 3), and a long cold tail (factor 1 = unsalted)
+    val big = ((1 to 1000).map(i => ("hot", i.toLong)) ++
+      (1 to 250).map(i => ("warm", 10000L + i)) ++
+      (1 to 500).map(i => (s"cold$i", 20000L + i))).toDF("key", "id")
+    val small = (Seq(("hot", "H"), ("warm", "W"), ("nomatch", "X")) ++
+      (1 to 500).map(i => (s"cold$i", s"C$i"))).toDF("key", "tag")
+
+    val plain = big.join(small, "key")
+      .select("key", "id", "tag").collect().map(_.toSeq)
+    val adaptive = Salting.adaptiveSaltedJoin(big, small, "key", "id",
+        hotThreshold = 100)
+      .select("key", "id", "tag").collect().map(_.toSeq)
+    // multiset equality: duplicates must neither drop nor multiply
+    assert(adaptive.groupBy(identity).view.mapValues(_.size).toMap ==
+      plain.groupBy(identity).view.mapValues(_.size).toMap)
+    assert(adaptive.length === 1000 + 250 + 500)
+    // the cap engages: a pathological threshold still caps the factor
+    val capped = Salting.adaptiveSaltedJoin(big, small, "key", "id",
+        hotThreshold = 1, maxSalts = 4)
+      .select("key", "id", "tag").collect().map(_.toSeq)
+    assert(capped.groupBy(identity).view.mapValues(_.size).toMap ==
+      plain.groupBy(identity).view.mapValues(_.size).toMap)
+  }
+
   test("hot key spreads across partitions under the salted shuffle") {
     val big = (1 to 8000).map(i => ("hot", i.toLong)).toDF("key", "id")
     val salted = big.withColumn("__salt",
