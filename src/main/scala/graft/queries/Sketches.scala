@@ -40,9 +40,10 @@ object Sketches {
     * Scale: the register table is |types|·256 rows no matter the input;
     * the one real shuffle carries partial max-registers. Registers are
     * mergeable by max, so per-day sketches union by the same groupBy. */
-  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select(col("event_type"), hash60(col("user_id")).as("h"))
+  /** The 256-register HLL state of an event frame: per (event_type, j),
+    * the max rank — shared by the one-shot census and the merge leg. */
+  private def hllRegs(df: DataFrame): DataFrame =
+    df.select(col("event_type"), hash60(col("user_id")).as("h"))
       .select(col("event_type"), (col("h") % 256).as("j"),
         expr("h DIV 256").as("w"))
       .select(col("event_type"), col("j"),
@@ -50,6 +51,9 @@ object Sketches {
           .otherwise(lit(53) - length(conv(col("w"), 10, 2))).as("rho"))
       .groupBy(col("event_type"), col("j"))
       .agg(max(col("rho")).as("m"))
+
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = hllRegs(Tables.events(s, dir))
     // dense 256-register grid per type: empty registers contribute 2^53
     val grid = s.range(256).select(col("id").cast("long").as("j"))
       .crossJoin(Tables.events(s, dir).select(col("event_type")).distinct())
@@ -79,6 +83,68 @@ object Sketches {
           floor(lit(256.0) * log(lit(256.0) / (lit(256) - col("n_nonzero")))))
           .otherwise(floor(col("est_hll"))).cast("long"))
   }
+
+  /** HLL sketch MERGE — the law that makes bounded-state distinct
+    * counting distributable: Spark splits events at the in-plan
+    * 0.8·max(event_id) point, sketches each side separately, merges by
+    * register-wise max (256 longs of state per group, the constant-size
+    * merge a nightly rollup or shard union performs), and censuses the
+    * merged registers; DuckDB sketches the WHOLE stream in one pass.
+    * Register-max is associative/commutative/idempotent, so merge ≡
+    * rebuild must hold bit-exactly — estimate included — and the oracle
+    * proves it against an independent engine (the q_dedup_index_merge
+    * pattern applied to sketch state). */
+  def hllMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val tDf = ev.agg(expr("MAX(event_id)*4 DIV 5").as("t"))
+    val tagged = ev.crossJoin(broadcast(tDf))
+    val merged = hllRegs(tagged.filter(col("event_id") < col("t")))
+      .unionByName(hllRegs(tagged.filter(col("event_id") >= col("t"))))
+      .groupBy(col("event_type"), col("j"))
+      .agg(max(col("m")).as("m"))
+    val grid = s.range(256).select(col("id").cast("long").as("j"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    grid.join(merged, Seq("event_type", "j"), "left")
+      .select(col("event_type"), coalesce(col("m"), lit(0)).as("m"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - m)")).as("s"),
+        sum(when(col("m") > 0, 1L).otherwise(0L)).as("n_nonzero"),
+        sum(col("m").cast("long")).as("reg_checksum"))
+      .select(col("event_type"), col("n_nonzero"), col("reg_checksum"),
+        expr("4.2399330249068963e+20 / CAST(s AS DOUBLE)").as("est_hll"))
+      .withColumn("est_final",
+        when(col("n_nonzero") < 256 && col("est_hll") <= 640.0,
+          floor(lit(256.0) * log(lit(256.0) / (lit(256) - col("n_nonzero")))))
+          .otherwise(floor(col("est_hll"))).cast("long"))
+      .drop("est_hll")
+  }
+
+  private val hllMergeSql =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15) AS BIGINT) AS h
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, h % 256 AS j,
+      |    CASE WHEN h // 256 = 0 THEN 53 ELSE 53 - length(bin(h // 256)) END AS rho
+      |  FROM h),
+      |m AS (SELECT event_type, j, MAX(rho) AS m FROM r GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.event_type, g.j
+      |  FROM range(256) g(j) CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+      |regs AS (
+      |  SELECT grid.event_type,
+      |    SUM(CAST(1 AS BIGINT) << (53 - COALESCE(m.m, 0))) AS s,
+      |    CAST(SUM(CASE WHEN COALESCE(m.m, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero,
+      |    CAST(SUM(COALESCE(m.m, 0)) AS BIGINT) AS reg_checksum
+      |  FROM grid LEFT JOIN m ON m.event_type = grid.event_type AND m.j = grid.j
+      |  GROUP BY 1)
+      |SELECT event_type, n_nonzero, reg_checksum,
+      |  CAST(CASE WHEN n_nonzero < 256
+      |              AND 4.2399330249068963e+20 / CAST(s AS DOUBLE) <= 640.0
+      |    THEN FLOOR(256.0 * ln(256.0 / (256 - n_nonzero)))
+      |    ELSE FLOOR(4.2399330249068963e+20 / CAST(s AS DOUBLE)) END AS BIGINT) AS est_final
+      |FROM regs""".stripMargin
 
   private val hllDistinctSql =
     """WITH h AS (
@@ -258,6 +324,7 @@ object Sketches {
 
   val defs: Seq[GQuery] = Seq(
     GQuery("q_hll_distinct", hllDistinct, Some(hllDistinctSql)),
+    GQuery("q_hll_merge", hllMerge, Some(hllMergeSql)),
     GQuery("q_cms_words", cmsWords, Some(cmsWordsSql)),
     GQuery("q_kmv_intersect", kmvIntersect, Some(kmvIntersectSql)))
 }

@@ -50,6 +50,20 @@ class SketchesSpec extends SparkSpec {
     } finally ev.unpersist()
   }
 
+  test("split-sketch-merge census equals the one-shot sketch exactly") {
+    def key(r: org.apache.spark.sql.Row) = r.getAs[String]("event_type")
+    val whole = graft.queries.Sketches.hllDistinct(spark, sfDir).collect()
+      .map(r => key(r) -> ((r.getAs[Long]("n_nonzero"),
+        r.getAs[Long]("reg_checksum"), r.getAs[Long]("est_final")))).toMap
+    val merged = graft.queries.Sketches.hllMerge(spark, sfDir).collect()
+      .map(r => key(r) -> ((r.getAs[Long]("n_nonzero"),
+        r.getAs[Long]("reg_checksum"), r.getAs[Long]("est_final")))).toMap
+    // register-max is associative/commutative/idempotent: sketching the
+    // two halves separately and merging MUST equal sketching the whole
+    // stream, estimate included — bit-exact, not approximately
+    assert(merged == whole, s"merge drifted from rebuild: $merged vs $whole")
+  }
+
   test("CMS estimates are one-sided and bounded by the cell load") {
     val out = Sketches.cmsWords(spark, sfDir).persist()
     try {

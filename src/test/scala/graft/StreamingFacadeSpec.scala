@@ -176,6 +176,40 @@ class StreamingFacadeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftCensus monitors arriving micro-batches against static history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val history = Seq((1L, "en", "the cat sat"), (2L, "en", "the dog ran"),
+      (3L, "de", "der hund und")).toDF("id", "language", "body")
+      .select(org.apache.spark.sql.functions.col("language"),
+        org.apache.spark.sql.functions.col("body"))
+
+    val input = MemoryStream[(Long, String, String)]
+    val seen = mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    val q = input.toDF().toDF("id", "language", "body").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= graft.api.Corpus
+            .driftCensus(history, batch, group = "language", text = "body")
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+        }
+        ()
+      }
+      .start()
+    try {
+      // an all-English batch: the en share jumps 667‰ -> 1000‰
+      input.addData((10L, "en", "the bird flew"), (11L, "en", "the fish swam"))
+      q.processAllAvailable()
+      val got = seen.synchronized(seen.toList)
+      val en = got.find(_._1 == "en").get
+      val de = got.find(_._1 == "de").get
+      assert(en == (("en", 2L, 2L, 334L)), s"en drift row: $en") // 1000-666
+      assert(de == (("de", 1L, 0L, -333L)), s"de drift row: $de") // 0-333
+    } finally q.stop()
+  }
+
   test("dedupAgainstIndex serves a document stream against a static index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
