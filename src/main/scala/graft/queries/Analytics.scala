@@ -373,10 +373,14 @@ object Analytics {
     * more than 10 rows. Feeds [[graft.api.Salting]]: a key with
     * salt_factor s joins salted s-ways; everything else stays unsalted. */
   def keySkew(s: SparkSession, dir: String): DataFrame = {
+    // counts feeds BOTH the top-10 and the totals row — cache it so the
+    // token explode + key aggregation runs once, not twice (the plan
+    // assert in ScaleShapeSpec pins exactly one corpus-sized exchange)
     val counts = Tables.documents(s, dir)
       .select(explode(words(col("text"))).as("key"))
       .groupBy(col("key"))
       .agg(count(lit(1)).as("n_rows"))
+      .trackedPersist()
     val tot = counts.agg(sum(col("n_rows")).as("total"),
       count(lit(1)).as("n_keys"))
     val top = counts.orderBy(col("n_rows").desc, col("key")).limit(10)

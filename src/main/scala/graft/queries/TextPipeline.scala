@@ -1727,6 +1727,9 @@ object TextPipeline {
           .as("hist_logit_sum"),
         sum(when(col("is_batch"), col("logit")).otherwise(0L))
           .as("batch_logit_sum"))
+      // feeds both the totals row and the output join — cache so the
+      // corpus scan + census agg runs once (plan-asserted: 1 exchange)
+      .trackedPersist()
     val totals = perGrp.agg(sum(col("hist_docs")).as("hist_total"),
       sum(col("batch_docs")).as("batch_total"))
     perGrp.crossJoin(broadcast(totals))

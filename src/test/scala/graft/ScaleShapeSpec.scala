@@ -240,4 +240,45 @@ class ScaleShapeSpec extends SparkSpec {
       s"prefix-sum + census must reuse the shard exchange, got $exchanges:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("Generate"), p)
   }
+
+  test("incremental dedup serve: band equi-join, split threshold broadcast") {
+    val p = plan(TextPipeline.dedupIncremental(spark, sfDir))
+    // the 1-row split threshold must broadcast (BNLJ against 1 row is the
+    // in-plan-parameter idiom), and candidates must come from the band
+    // equi-join — a cartesian would mean the index join lost its keys
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row split threshold must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"serve candidates must come from the band equi-join:\n$p")
+  }
+
+  // a cached subtree prints once per reference, so count PHYSICAL
+  // exchanges by unique plan id — two prints of one shared
+  // InMemoryRelation are one shuffle, not two
+  private def distinctHashExchanges(p: String): Int =
+    "Exchange hashpartitioning[^\\[]*\\[plan_id=(\\d+)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+
+  test("key skew census: top-10 via TakeOrdered over aggregated counts only") {
+    val p = plan(graft.queries.Analytics.keySkew(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the head must be TakeOrdered, not a global sort:\n$p")
+    // exactly one corpus-sized exchange: the key-count aggregation,
+    // cached and reused by both the top-10 and the totals row; the
+    // totals agg itself is a 1-row single-partition exchange, not hash
+    assert(distinctHashExchanges(p) == 1,
+      s"only the key-count agg may hash-shuffle:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the count agg must be cached, not recomputed per reference:\n$p")
+  }
+
+  test("corpus drift: one languages-sized exchange, totals broadcast back") {
+    val p = plan(TextPipeline.corpusDrift(spark, sfDir))
+    assert(distinctHashExchanges(p) == 1,
+      s"only the per-language census may hash-shuffle:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the census agg must be cached, not recomputed per reference:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the totals row must broadcast, not cartesian:\n$p")
+  }
 }
