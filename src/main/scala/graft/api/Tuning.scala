@@ -1,0 +1,88 @@
+package graft.api
+
+/** SURVEY §10's 100 TB posture as executable formulas — the sizing rules
+  * the engine's plans already apply in-plan (⌈√n⌉ IVF cells, the Bloom
+  * bit floor, the key-skew salt factor) plus the two cluster-shape knobs
+  * a deployment sets before the first job. Each formula that has an
+  * in-plan counterpart is spec-pinned EQUAL to it (TuningSpec), so the
+  * advisory surface cannot drift from what the queries actually do —
+  * the semDedup-drift lesson applied to scalars.
+  *
+  * All functions are total, deterministic, and integer-exact; none
+  * touches Spark — they are the numbers you feed INTO a session
+  * (`spark.sql.shuffle.partitions`, `files.maxPartitionBytes`) or into
+  * the operator parameters (bits, cells, caps).
+  */
+object Tuning {
+
+  /** Shuffle partition count for a stage expected to shuffle
+    * `shuffleBytes`: ceil(bytes / targetPartitionBytes), floored at
+    * one partition per available core (idle cores are pure waste) —
+    * the `spark.sql.shuffle.partitions` setting Bench fixes at 32 for
+    * local[32] and a 1000-executor run derives from its input census.
+    * AQE coalesces over-provisioned partitions at runtime; it cannot
+    * invent parallelism that was never provisioned, so the floor is
+    * the side to get right. */
+  def shufflePartitions(shuffleBytes: Long, totalCores: Int,
+      targetPartitionBytes: Long = 128L << 20): Int = {
+    require(shuffleBytes >= 0 && totalCores > 0 && targetPartitionBytes > 0)
+    // the byte-driven term is the reference-parity sizing rule
+    // (Boundaries.suggestPartitions at ratio 1 — pass the inflation
+    // ratio there when intermediate data outgrows input)
+    math.max(totalCores,
+      Boundaries.suggestPartitions(shuffleBytes, 1.0, targetPartitionBytes))
+  }
+
+  /** Scan split target so a task's input fits comfortably in executor
+    * memory with room for the shuffle write buffers: memory/slot ÷ 4
+    * (decode expansion + sort buffers), clamped to [16 MB, 1 GB] —
+    * the `spark.sql.files.maxPartitionBytes` companion of
+    * [[shufflePartitions]]. */
+  def maxPartitionBytes(executorMemBytes: Long, tasksPerExecutor: Int): Long = {
+    require(executorMemBytes > 0 && tasksPerExecutor > 0)
+    val perTask = executorMemBytes / tasksPerExecutor / 4
+    math.max(16L << 20, math.min(1L << 30, perTask))
+  }
+
+  /** LSH signature width for a target mean bucket occupancy:
+    * ceil(log2(n / occupancy)), floored at 1 bit. Mean occupancy is
+    * n / 2^bits by construction (the lsh_occupancy telemetry measures
+    * exactly this law: 2000 vectors at 6 bits → 31.25), so SURVEY §10's
+    * "6 bits at test SF → 16+ at 100 TB" is this formula evaluated at
+    * both scales. Recall lost to narrower buckets is bought back with
+    * tables or Hamming probes ([[graft.api.Vectors.lshTopK]]'s dial). */
+  def lshBits(corpusRows: Long, targetOccupancy: Long = 32L): Int = {
+    require(corpusRows > 0 && targetOccupancy > 0)
+    val buckets = (corpusRows + targetOccupancy - 1) / targetOccupancy
+    math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, buckets - 1)))
+  }
+
+  /** IVF / SemDeDup coarse cell count: ⌈√n⌉ — the k-grows-with-n
+    * contract `Corpus.semDedup` derives IN-PLAN from a 1-row count
+    * (expected cell size √n keeps total in-cell pair volume O(n^1.5)).
+    * TuningSpec pins this equal to the plan's own derivation. */
+  def ivfCells(corpusRows: Long): Int = {
+    require(corpusRows > 0)
+    math.ceil(math.sqrt(corpusRows.toDouble)).toLong.min(Int.MaxValue).toInt
+  }
+
+  /** Salt factor for one hot key: ceil(keyRows · nKeys / totalRows) —
+    * the number of uniform key-loads the key weighs, the exact integer
+    * the oracle-checked q_key_skew emits per head key and
+    * [[Salting.adaptiveSaltedJoin]] applies per hot key. */
+  def saltFactor(keyRows: Long, totalRows: Long, nKeys: Long): Long = {
+    require(keyRows >= 0 && totalRows > 0 && nKeys > 0)
+    (keyRows * nKeys + totalRows - 1) / totalRows
+  }
+
+  /** Bloom filter size in bits for a build side of `keys`:
+    * max(16384, 16·keys) with 3 hashes → FP ≈ 0.5% at any corpus size —
+    * the floor and per-key width q_bloom_membership derives in-plan
+    * (TuningSpec pins the constants equal). */
+  def bloomBits(keys: Long): Long = {
+    require(keys >= 0)
+    math.max(graft.queries.Analytics.BloomMinBits,
+      graft.queries.Analytics.BloomBitsPerKey * keys)
+  }
+}

@@ -112,8 +112,8 @@ object Analytics {
     * keys or 3 billion (a fixed m saturates past ~m/16 keys). Words hold
     * 62 bits so every mask stays a positive BIGINT on both engines
     * (DuckDB raises on `1<<63`; 62 also dodges the sign bit). */
-  private val BloomMinBits = 16384L
-  private val BloomBitsPerKey = 16L
+  private[graft] val BloomMinBits = 16384L
+  private[graft] val BloomBitsPerKey = 16L
   private val BloomHashes = Seq((31L, 7L), (131L, 17L), (1031L, 29L))
 
   /** Bloom-filter membership probe — the distributed semi-join reduction:
