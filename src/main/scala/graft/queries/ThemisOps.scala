@@ -241,6 +241,39 @@ object ThemisOps {
       |      FROM documents) t
       |GROUP BY word""".stripMargin
 
+  /** Inverted-index MAINTENANCE: the posting lists of history and an
+    * arriving batch (in-plan 0.8·max doc_id split) are built separately
+    * and MERGED — and because each segment owns a disjoint, ordered
+    * doc-id range, the merge is a sorted-run concatenation (the LSM
+    * segment-merge shape: no re-sort, df adds). Oracle is DELIBERATELY
+    * the q_posting_lists SQL: merging segments must be row-for-row the
+    * index built in one shot — the third leg of the merge ≡ rebuild
+    * family (MinHash bands, HLL registers, postings). At 100 TB each
+    * crawl increment becomes one segment; the full-outer word join is
+    * the compaction, touching only word rows, never documents. */
+  def postingsMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tDf = docs.agg(expr("MAX(doc_id)*4 DIV 5").as("t"))
+    def postingsOf(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .distinct()
+      .groupBy(col("word"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
+        count(lit(1)).as("df"))
+    val tagged = docs.crossJoin(broadcast(tDf))
+    val hist = postingsOf(tagged.filter(col("doc_id") < col("t")).drop("t"))
+      .select(col("word"), col("postings").as("hp"), col("df").as("hdf"))
+    val batch = postingsOf(tagged.filter(col("doc_id") >= col("t")).drop("t"))
+      .select(col("word"), col("postings").as("bp"), col("df").as("bdf"))
+    val emptyIds = expr("CAST(array() AS ARRAY<BIGINT>)")
+    hist.join(batch, Seq("word"), "full_outer")
+      .select(col("word"),
+        concat_ws(",", concat(coalesce(col("hp"), emptyIds),
+          coalesce(col("bp"), emptyIds))).as("postings"),
+        (coalesce(col("hdf"), lit(0L)) + coalesce(col("bdf"), lit(0L)))
+          .as("df"))
+  }
+
   /** Multi-level aggregation (ROLLUP) over the order lifecycle — a free
     * Spark capability with no reference counterpart (Themis has no
     * grouping sets), included for engine completeness. */
@@ -285,6 +318,9 @@ object ThemisOps {
 
   val defs: Seq[GQuery] = Seq(
     GQuery("q_posting_lists", postingLists, Some(postingListsSql)),
+    // same SQL as q_posting_lists BY DESIGN: merging per-segment indexes
+    // must be value-identical to the one-shot build
+    GQuery("q_postings_merge", postingsMerge, Some(postingListsSql)),
     GQuery("q_rollup_orders", rollupOrders, Some(rollupOrdersSql)),
     GQuery("q_wordcount", wordCount, Some(wordCountSql), headline = true),
     GQuery("q_ngram", ngramCount, Some(ngramCountSql)),

@@ -44,4 +44,17 @@ class PostingListsSpec extends SparkSpec {
       .first().getSeq[Long](0)
     assert(got == expected)
   }
+
+  test("segment merge equals the one-shot index row for row") {
+    // disjoint ordered id ranges make the merge a sorted-run concat — the
+    // result must be EXACTLY the index built in one pass, string form and
+    // df included (the oracle proves the same law against DuckDB)
+    val merged = ThemisOps.postingsMerge(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val oneShot = ThemisOps.postingLists(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(merged == oneShot,
+      s"merged segments drifted from the one-shot build")
+    assert(merged.nonEmpty)
+  }
 }
