@@ -1138,6 +1138,62 @@ object Similarity {
       |UNION ALL
       |SELECT CAST(4 AS BIGINT) AS nprobe, c4/nq AS mean_candidates FROM agg CROSS JOIN nq""".stripMargin
 
+  /** IVF index MAINTENANCE: append a batch of new vectors (vec_id ≥ the
+    * in-plan 0.8·max split) to an index whose coarse centers were fixed
+    * at build time, WITHOUT retraining — cell assignment is stateless
+    * (a map-side argmin against broadcast centers), so appending is
+    * exactly the rebuild assignment; what an operator must WATCH is
+    * drift, and this census is the retrain trigger: per cell, members
+    * and integer-exact summed L2 distance for the resident and arriving
+    * populations. A cell whose batch mean distance outgrows its resident
+    * mean is collecting vectors the fixed codebook no longer represents
+    * — the signal to re-run the Lloyd step (annIvfTrained) and re-shard.
+    * The vector-index leg of the maintenance family (MinHash bands, HLL
+    * registers, postings segments). */
+  def ivfAppend(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val tDf = all.agg(expr("MAX(vec_id)*4 DIV 5").as("t"))
+    val c = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    all.crossJoin(broadcast(tDf)).join(broadcast(c))
+      .select(col("vec_id"), (col("vec_id") >= col("t")).as("is_batch"),
+        col("cid"), d2.as("dist"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .groupBy(col("cid").as("cell"))
+      .agg(
+        sum(when(!col("is_batch"), 1L).otherwise(0L)).as("n_resident"),
+        sum(when(col("is_batch"), 1L).otherwise(0L)).as("n_arriving"),
+        sum(when(!col("is_batch"), col("dist")).otherwise(0L))
+          .as("resident_dist_sum"),
+        sum(when(col("is_batch"), col("dist")).otherwise(0L))
+          .as("arriving_dist_sum"))
+  }
+
+  private val ivfAppendSql =
+    s"""WITH iv AS (
+      |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM iv WHERE vec_id < 8),
+      |tt AS (SELECT MAX(vec_id)*4 // 5 AS t FROM embeddings),
+      |d AS (
+      |  SELECT iv.vec_id, iv.vec_id >= tt.t AS is_batch, c.cid,
+      |    list_sum([(v[i]-cv[i])*(v[i]-cv[i]) for i in range(1,${DIM + 1})]) AS dist
+      |  FROM iv CROSS JOIN c CROSS JOIN tt),
+      |a AS (
+      |  SELECT vec_id, is_batch, cid, dist FROM (
+      |    SELECT vec_id, is_batch, cid, dist,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d) x WHERE rn = 1)
+      |SELECT cid AS cell,
+      |  CAST(SUM(CASE WHEN is_batch THEN 0 ELSE 1 END) AS BIGINT) AS n_resident,
+      |  CAST(SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT) AS n_arriving,
+      |  CAST(SUM(CASE WHEN is_batch THEN 0 ELSE dist END) AS BIGINT) AS resident_dist_sum,
+      |  CAST(SUM(CASE WHEN is_batch THEN dist ELSE 0 END) AS BIGINT) AS arriving_dist_sum
+      |FROM a GROUP BY cid""".stripMargin
+
   /** IVF with a TRAINED coarse quantizer — the full FAISS-style pipeline:
     * k=10 codebook seeded from the first 10 vectors, one integer-exact
     * Lloyd update (assign → per-dim mean), then the same
@@ -1581,6 +1637,7 @@ object Similarity {
     GQuery("q_ann_ivfpq", annIvfPq, Some(annIvfPqSql), headline = true),
     GQuery("q_ann_ivf", annIvf, Some(annIvfSql)),
     GQuery("q_ann_ivf_nprobe4", annIvfNprobe4, Some(annIvfSqlFor(4))),
+    GQuery("q_ivf_append", ivfAppend, Some(ivfAppendSql)),
     GQuery("q_ivf_probe_cost", ivfProbeCost, Some(ivfProbeCostSql)),
     GQuery("q_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql)),
     GQuery("q_ann_recall", annRecall, Some(annRecallSql)),

@@ -197,6 +197,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfAppend census partitions the corpus and keeps seeds resident") {
+    val rows = Similarity.ivfAppend(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    graft.core.Caches.release()
+    val n = graft.core.Tables.embeddings(spark, sfDir).count()
+    // every vector lands in exactly one cell, on one side of the split
+    assert(rows.map(r => r._2 + r._3).sum == n)
+    assert(rows.map(_._3).sum > 0, "the arriving batch must be non-empty")
+    // the 8 seed vectors self-assign at distance 0, so every cell keeps
+    // at least its own seed resident — a cell with no residents would
+    // mean the assignment drifted off the fixed centers
+    assert(rows.length == 8 && rows.forall(_._2 >= 1), rows.mkString(", "))
+    assert(rows.forall(r => r._4 >= 0 && r._5 >= 0), "integer dists non-negative")
+  }
+
   test("IVF candidate cost grows with nprobe") {
     val cost = Similarity.ivfProbeCost(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
