@@ -138,10 +138,80 @@ object SortOps {
       |  MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
       |FROM zv GROUP BY 1""".stripMargin
 
+  /** WHY z-order — the skippability census q_zorder_layout's zone maps
+    * make possible: the same points are zoned two ways at the SAME zone
+    * count (64 linear x-range zones vs 64 z-order buckets), each zone
+    * carries its min/max box, and a fixed 2-D box predicate
+    * (x ≤ 255 ∧ y ≤ 124, a 1/8 × 1/4 slab) is tested against every
+    * zone box. A linear layout clusters x only, so every zone spans the
+    * full y range and the y half of the predicate skips nothing; the
+    * z-curve interleaves both axes, so most zone boxes miss the slab
+    * entirely. Output: per layout, zones read/skipped and rows read —
+    * the numbers a 100 TB table's sort-key choice is made on (this is
+    * exactly the parquet row-group pruning model: a zone = a row group,
+    * its box = the column min/max stats). */
+  def zoneSkip(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(s, dir)
+      .select((col("user_id") % 2048).as("x"), (col("event_id") % 500).as("y"))
+    val z = (0 until 11).map(i =>
+      expr(s"shiftleft(shiftright(x, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright(y, $i) & 1, ${2 * i + 1})"): org.apache.spark.sql.Column)
+      .reduce(_ + _)
+    val zoned = pts
+      .select(col("x"), col("y"), expr("x DIV 32").as("lin_zone"), z.as("zraw"))
+      .select(col("x"), col("y"), col("lin_zone"),
+        expr("zraw DIV 65536").as("z_zone"))
+    def census(zoneCol: String, layout: String) = zoned
+      .groupBy(col(zoneCol).as("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .select(lit(layout).as("layout"), col("n_rows"),
+        (col("x_min") <= 255 && col("x_max") >= 0 &&
+          col("y_min") <= 124 && col("y_max") >= 0).as("read"))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_zones"),
+        sum(when(col("read"), 1L).otherwise(0L)).as("zones_read"),
+        sum(when(col("read"), col("n_rows")).otherwise(0L)).as("rows_read"),
+        sum(col("n_rows")).as("rows_total"))
+    census("lin_zone", "linear").unionByName(census("z_zone", "zorder"))
+  }
+
+  private val zoneSkipSql =
+    """WITH pts AS (
+      |  SELECT user_id % 2048 AS x, event_id % 500 AS y FROM events),
+      |zv AS (
+      |  SELECT x, y, x // 32 AS lin_zone,
+      |    (list_sum([((x >> i) & 1) << (2*i) for i in range(11)]) +
+      |     list_sum([((y >> i) & 1) << (2*i + 1) for i in range(11)])) // 65536 AS z_zone
+      |  FROM pts),
+      |lz AS (
+      |  SELECT lin_zone, COUNT(*) AS n_rows,
+      |    MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+      |  FROM zv GROUP BY 1),
+      |zz AS (
+      |  SELECT z_zone, COUNT(*) AS n_rows,
+      |    MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+      |  FROM zv GROUP BY 1),
+      |l AS (
+      |  SELECT 'linear' AS layout, CAST(COUNT(*) AS BIGINT) AS n_zones,
+      |    CAST(SUM(CASE WHEN x_min <= 255 AND x_max >= 0 AND y_min <= 124 AND y_max >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS zones_read,
+      |    CAST(SUM(CASE WHEN x_min <= 255 AND x_max >= 0 AND y_min <= 124 AND y_max >= 0 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_read,
+      |    CAST(SUM(n_rows) AS BIGINT) AS rows_total
+      |  FROM lz),
+      |r AS (
+      |  SELECT 'zorder' AS layout, CAST(COUNT(*) AS BIGINT) AS n_zones,
+      |    CAST(SUM(CASE WHEN x_min <= 255 AND x_max >= 0 AND y_min <= 124 AND y_max >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS zones_read,
+      |    CAST(SUM(CASE WHEN x_min <= 255 AND x_max >= 0 AND y_min <= 124 AND y_max >= 0 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_read,
+      |    CAST(SUM(n_rows) AS BIGINT) AS rows_total
+      |  FROM zz)
+      |SELECT * FROM l UNION ALL SELECT * FROM r""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q_gensort_checksum", gensortChecksum, Some(gensortChecksumSql)),
     GQuery("q_valsort_summary", valsortSummary, Some(valsortSummarySql)),
     GQuery("q_ratio_inflate", ratioInflate, Some(ratioInflateSql)),
     GQuery("q_prefix_count", prefixCount, Some(prefixCountSql)),
-    GQuery("q_zorder_layout", zorderLayout, Some(zorderLayoutSql)))
+    GQuery("q_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
+    GQuery("q_zone_skip", zoneSkip, Some(zoneSkipSql)))
 }

@@ -50,4 +50,20 @@ class SortOpsSpec extends SparkSpec {
     assert(row.getLong(0) === n)
     assert(row.getString(2) < row.getString(3), "min_key < max_key")
   }
+
+  test("zone skip: z-order prunes at least as well as the linear layout") {
+    val rows = graft.queries.SortOps.zoneSkip(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (lnZones, lnRead, lnRows, lnTotal) = rows("linear")
+    val (zZones, zRead, zRows, zTotal) = rows("zorder")
+    // same points zoned two ways: totals must agree, every zone census
+    // is internally consistent, and the interleaved curve can only help
+    // a 2-D box predicate — the linear layout's y-blindness is the point
+    assert(lnTotal == zTotal)
+    assert(lnRead <= lnZones && zRead <= zZones)
+    assert(zRows <= lnRows,
+      s"z-order read $zRows rows where linear read $lnRows")
+    assert(zRows < zTotal, "the box predicate must actually skip something")
+  }
 }
