@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.StructType
 
 import graft.core.{GQuery, Tables}
@@ -175,7 +176,51 @@ object Ingest {
       |  CAST(SUM(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || source),1,15) AS BIGINT) % 1000000007) AS BIGINT) AS row_checksum
       |FROM documents GROUP BY lang""".stripMargin
 
+  /** Compaction PLANNER — the OPTIMIZE bin-packing step of table
+    * maintenance: segments (here doc_id DIV 20 standing in for data
+    * files, weighted by their text bytes) are packed size-descending
+    * into bins of target capacity ceil(total/8) via the next-fit
+    * cumulative-sum rule: bin = exclusive-prefix-bytes DIV target.
+    * Deterministic (ties by segment id), relational (ONE window over
+    * the segment CENSUS — thousands of rows for millions of files,
+    * never data rows), and the bin spread census it emits is the
+    * rebalance check an operator reads before submitting the rewrite.
+    * At 100 TB the segment census comes from the file listing /
+    * manifest, the same shape. */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.documents(s, dir)
+      .groupBy(expr("doc_id DIV 20").as("segment"))
+      .agg(sum(col("n_chars")).as("bytes"))
+    val tot = segs.agg(expr("CAST(ceil(SUM(bytes) / 8.0) AS BIGINT)").as("target"))
+    val w = Window.orderBy(col("bytes").desc, col("segment"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    segs.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("bytes")).over(w))
+      .select(col("segment"), col("bytes"),
+        expr("(cum - bytes) DIV target").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("bytes")).as("bin_bytes"),
+        min(col("segment")).as("seg_min"), max(col("segment")).as("seg_max"))
+  }
+
+  private val compactionPlanSql =
+    """WITH segs AS (
+      |  SELECT doc_id // 20 AS segment, SUM(n_chars) AS bytes
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(ceil(SUM(bytes) / 8.0) AS BIGINT) AS target FROM segs),
+      |planned AS (
+      |  SELECT segment, bytes,
+      |    CAST((SUM(bytes) OVER (ORDER BY bytes DESC, segment
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes)
+      |      // target AS BIGINT) AS bin
+      |  FROM segs CROSS JOIN tot)
+      |SELECT bin, COUNT(*) AS n_segments,
+      |  CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+      |  MIN(segment) AS seg_min, MAX(segment) AS seg_max
+      |FROM planned GROUP BY bin""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q_compaction_plan", compactionPlan, Some(compactionPlanSql)),
     GQuery("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     GQuery("q_jsonl_parse", jsonlParse, Some(jsonlParseSql)),
     GQuery("q_json_quarantine", jsonQuarantine, Some(jsonQuarantineSql)),

@@ -135,6 +135,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(viaJson == directJson)
   }
 
+  test("compaction plan: bins cover all bytes within the next-fit bound") {
+    val segs = graft.core.Tables.documents(spark, sfDir)
+      .groupBy(expr("doc_id DIV 20").as("segment"))
+      .agg(sum(col("n_chars")).as("bytes"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = segs.values.sum
+    val target = math.ceil(total / 8.0).toLong
+    val bins = graft.queries.Ingest.compactionPlan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every segment lands in exactly one bin, bytes conserved
+    assert(bins.map(_._2).sum == segs.size)
+    assert(bins.map(_._3).sum == total)
+    // the next-fit overshoot law: a bin exceeds the target only because
+    // its LAST segment crossed the line, so no bin outgrows
+    // target + max segment — the bound a rewrite job sizes memory by
+    val maxSeg = segs.values.max
+    bins.foreach { case (bin, _, bytes) =>
+      assert(bytes < target + maxSeg, s"bin $bin holds $bytes > bound")
+    }
+    assert(bins.length > 1, "the plan must actually split the table")
+  }
+
   test("key-skew census: ranked Zipf head with lawful salt factors") {
     val rows = graft.queries.Analytics.keySkew(spark, sfDir).collect()
       .sortBy(_.getLong(0))
