@@ -368,7 +368,61 @@ object Relational {
       |FROM m GROUP BY col_name""".stripMargin
   }
 
+  /** TPC-H Q13 shape — the customer order-count DISTRIBUTION: every
+    * customer LEFT-joined to orders (zero-order customers must survive
+    * into the c_count = 0 bucket; `count(o_orderkey)` skips the nulls
+    * the outer join manufactures), then the distribution of the counts.
+    * The zoo's only aggregate-over-outer-join-then-aggregate shape. At
+    * scale: one shuffle on custkey for the join+first agg, and the
+    * second agg groups on the tiny count domain (≤ max orders per
+    * customer), so it collapses map-side. */
+  def custDist(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  private val custDistSql =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count""".stripMargin
+
+  /** TPC-H Q18 shape — large-volume orders: aggregate lineitem per
+    * order, keep the heavy tail (HAVING sum > 300), and join the
+    * survivors back to orders — the aggregate-then-semi-join pattern
+    * where the HAVING filter shrinks the join input to the tail before
+    * any wide row moves. Decimal-exact quantity sums (the q1 contract)
+    * cast to double only at the edge. */
+  def largeVolumeOrders(s: SparkSession, dir: String): DataFrame = {
+    val heavy = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    Tables.orders(s, dir)
+      .join(heavy, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        dec(col("o_totalprice")).cast("double").as("o_totalprice"),
+        col("total_qty").cast("double").as("total_qty"))
+  }
+
+  private val largeVolumeOrdersSql =
+    """WITH heavy AS (
+      |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+      |SELECT o_orderkey, o_custkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+      |  CAST(total_qty AS DOUBLE) AS total_qty
+      |FROM orders JOIN heavy ON o_orderkey = l_orderkey""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q13_custdist", custDist, Some(custDistSql)),
+    GQuery("q18_large_volume", largeVolumeOrders, Some(largeVolumeOrdersSql)),
     GQuery("q_profile_unpivot", profileUnpivot, Some(profileUnpivotSql)),
     GQuery("q_reconcile_outer", reconcile, Some(reconcileSql)),
     GQuery("q_quantiles", quantiles, Some(quantilesSql)),

@@ -108,4 +108,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Sort [") || !p.contains("global"),
       "sessionization must stay partition-local")
   }
+
+  test("q13: zero-order customers survive the outer join into the 0 bucket") {
+    val dist = graft.queries.Relational.custDist(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nCust = graft.core.Tables.customer(spark, sfDir).count()
+    val withOrders = graft.core.Tables.orders(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("o_custkey")).distinct().count()
+    // the LEFT join is the whole point of the shape: customers without
+    // orders must appear as c_count = 0, exactly count(cust) - count(buyers)
+    assert(dist.getOrElse(0L, 0L) == nCust - withOrders,
+      s"zero bucket ${dist.get(0L)} != ${nCust - withOrders}")
+    assert(dist.values.sum == nCust, "every customer in exactly one bucket")
+  }
 }
