@@ -420,7 +420,52 @@ object Relational {
       |  CAST(total_qty AS DOUBLE) AS total_qty
       |FROM orders JOIN heavy ON o_orderkey = l_orderkey""".stripMargin
 
+  /** TPC-H Q22 shape — customers above the global positive-balance
+    * average who never placed a LARGE order (> 300k), censused per
+    * nation: the scalar subquery (a 1-row aggregate broadcast back over
+    * the scan) composed with an anti-join against a filtered order set.
+    * (On this testdata every customer has SOME order, so the classic
+    * no-orders-at-all form is degenerate; anti-joining the large-order
+    * slice keeps both shapes and a non-empty answer.) Both engines
+    * compute the average as ONE double division of decimal-exact sums,
+    * so the threshold — and therefore the filtered set — is
+    * bit-deterministic. At scale the 1-row threshold broadcasts, the
+    * anti-join's build side is the filtered (hence small) order keys,
+    * and the output is nations-sized. */
+  def noOrderRich(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val avgDf = cust.filter(dec(col("c_acctbal")) > 0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    val bigOrders = Tables.orders(s, dir)
+      .filter(dec(col("o_totalprice")) > 300000)
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgDf))
+      .filter(dec(col("c_acctbal")).cast("double") > col("avg_bal"))
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+  }
+
+  private val noOrderRichSql =
+    """WITH a AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      |  FROM customer WHERE CAST(c_acctbal AS DECIMAL(12,2)) > 0),
+      |rich AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal
+      |  FROM customer CROSS JOIN a
+      |  WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) > avg_bal),
+      |big AS (
+      |  SELECT o_custkey FROM orders
+      |  WHERE CAST(o_totalprice AS DECIMAL(12,2)) > 300000)
+      |SELECT c_nationkey, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM rich ANTI JOIN big ON c_custkey = o_custkey
+      |GROUP BY c_nationkey""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q22_no_order_rich", noOrderRich, Some(noOrderRichSql)),
     GQuery("q13_custdist", custDist, Some(custDistSql)),
     GQuery("q18_large_volume", largeVolumeOrders, Some(largeVolumeOrdersSql)),
     GQuery("q_profile_unpivot", profileUnpivot, Some(profileUnpivotSql)),
