@@ -219,7 +219,43 @@ object Ingest {
       |  MIN(segment) AS seg_min, MAX(segment) AS seg_max
       |FROM planned GROUP BY bin""".stripMargin
 
+  /** Binary training-shard export round-trip: documents serialized as
+    * length-prefixed themis-kv records (key = "id|lang" UTF-8 bytes,
+    * value = UTF-8 text bytes — the reference's own KVPairFormat,
+    * SURVEY §2.1) inside a deferred sink→source stage, read back through
+    * the themis-kv source, and censused per language with a text
+    * checksum the oracle recomputes straight from the table — any byte
+    * drift in either codec direction breaks the hash. This is the
+    * record-framed export a binary shard consumer (a training loader)
+    * actually reads: splittable by file, schema out of band, and the
+    * same bytes on any engine. */
+  def binaryExport(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.core.Scratch.dir("kvexp", dir)
+    graft.plans.DeferredIngest(s, "doc_id BIGINT, lang STRING, text STRING") {
+      graft.sources.ThemisKV.write(
+        Tables.documents(s, dir).select(
+          encode(concat_ws("|", col("doc_id"), col("lang")), "UTF-8").as("key"),
+          encode(col("text"), "UTF-8").as("value")), out)
+      graft.sources.ThemisKV.read(s, out)
+        .select(split(decode(col("key"), "UTF-8"), "\\|").as("kp"),
+          decode(col("value"), "UTF-8").as("text"))
+        .select(element_at(col("kp"), 1).cast("long").as("doc_id"),
+          element_at(col("kp"), 2).as("lang"), col("text"))
+    }
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(hashMod(col("text"))).as("text_checksum"))
+  }
+
+  private val binaryExportSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM(CAST('0x' || substring(md5(text),1,15) AS BIGINT) % 1000000007) AS BIGINT) AS text_checksum
+      |FROM documents GROUP BY lang""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
+    GQuery("q_binary_export", binaryExport, Some(binaryExportSql)),
     GQuery("q_compaction_plan", compactionPlan, Some(compactionPlanSql)),
     GQuery("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
     GQuery("q_jsonl_parse", jsonlParse, Some(jsonlParseSql)),

@@ -466,7 +466,7 @@ object Relational {
 
   val defs: Seq[GQuery] = Seq(
     GQuery("q22_no_order_rich", noOrderRich, Some(noOrderRichSql)),
-    GQuery("q13_custdist", custDist, Some(custDistSql)),
+    GQuery("q13_custdist", custDist, Some(custDistSql), headline = true),
     GQuery("q18_large_volume", largeVolumeOrders, Some(largeVolumeOrdersSql)),
     GQuery("q_profile_unpivot", profileUnpivot, Some(profileUnpivotSql)),
     GQuery("q_reconcile_outer", reconcile, Some(reconcileSql)),

@@ -2591,7 +2591,8 @@ object TextPipeline {
     GQuery("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     GQuery("q_url_dedup", urlDedup, Some(urlDedupSql)),
     GQuery("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql), headline = true),
-    GQuery("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
+    GQuery("q_dedup_incremental", dedupIncremental, Some(dedupIncrementalSql),
+      headline = true),
     GQuery("q_dedup_index_merge", dedupIndexMerge, Some(dedupIndexMergeSql)),
     GQuery("q_minhash_calibration", minhashCalibration,
       Some(minhashCalibrationSql)),
@@ -2613,7 +2614,7 @@ object TextPipeline {
     GQuery("q_quality_classifier", qualityClassifier,
       Some(qualityClassifierSql), headline = true),
     GQuery("q_source_census", sourceCensus, Some(sourceCensusSql)),
-    GQuery("q_corpus_drift", corpusDrift, Some(corpusDriftSql)),
+    GQuery("q_corpus_drift", corpusDrift, Some(corpusDriftSql), headline = true),
     GQuery("q_boilerplate_top", boilerplateTop, Some(boilerplateTopSql)),
     GQuery("q_tfidf_top", tfidfTop, Some(tfidfTopSql)))
 }
