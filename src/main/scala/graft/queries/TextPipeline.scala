@@ -1184,25 +1184,85 @@ object TextPipeline {
       .select(col("lbl").as("cluster_rep"), col("n_docs"), col("id_sum"))
   }
 
-  private val dupClustersSql = {
-    val steps = (1 to 5).map { i =>
-      s"""l$i AS (
-        |  SELECT n.doc_id, LEAST(n.lbl, COALESCE(MIN(x.lbl), n.lbl)) AS lbl
-        |  FROM l${i - 1} n
-        |  LEFT JOIN e ON e.dst = n.doc_id
-        |  LEFT JOIN l${i - 1} x ON x.doc_id = e.src
-        |  GROUP BY n.doc_id, n.lbl)""".stripMargin
-    }.mkString(",\n")
+  /** The 5-round hash-min label CTE chain shared by the cluster oracles
+    * (l0 = every doc its own label, l5 = the settled labels). */
+  private def labelStepsSql: String = (1 to 5).map { i =>
+    s"""l$i AS (
+      |  SELECT n.doc_id, LEAST(n.lbl, COALESCE(MIN(x.lbl), n.lbl)) AS lbl
+      |  FROM l${i - 1} n
+      |  LEFT JOIN e ON e.dst = n.doc_id
+      |  LEFT JOIN l${i - 1} x ON x.doc_id = e.src
+      |  GROUP BY n.doc_id, n.lbl)""".stripMargin
+  }.mkString(",\n")
+
+  private val dupClustersSql =
     s"""WITH mh AS ($dedupMinhashSql),
       |p AS (SELECT doc_a, doc_b FROM mh WHERE n_match >= 6),
       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
       |      UNION ALL SELECT doc_b, doc_a FROM p),
       |l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
-      |$steps
+      |$labelStepsSql
       |SELECT lbl AS cluster_rep, COUNT(*) AS n_docs,
       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
       |FROM l5 GROUP BY lbl""".stripMargin
+
+  /** Keep-BEST near-dup canonicalization: the same dup clusters as
+    * q_dup_clusters (guarded MinHash pairs at agreement ≥ 6, hash-min
+    * labels), but each cluster's survivor is chosen by QUALITY — the
+    * hashed-feature classifier logit, ties by lowest doc_id — instead
+    * of lowest id. C4 keeps first; modern pipelines keep the best copy
+    * (a boilerplate dup often has a cleaner sibling). The census also
+    * counts survivors that DIFFER from the keep-first choice — the
+    * measurable value of the policy. Scale shape: one extra exchange
+    * over q_dup_clusters (the per-cluster argmax window on the label
+    * key); the logit is the scan-local classifier aggregate. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = dedupMinhash(s, dir).filter(col("n_match") >= 6)
+      .select(col("doc_a"), col("doc_b"))
+    val lbls = hashMinComponents(docs.select(col("doc_id")), pairs, iters = 5)
+    val scored = docs.select(col("doc_id"), col("lang"),
+      Qdsl.hashedLogit(ws).as("logit"))
+    val w = Window.partitionBy(col("lbl"))
+      .orderBy(col("logit").desc, col("doc_id"))
+    lbls.join(scored, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") === 1, col("doc_id")).otherwise(0L))
+          .as("kept_id_sum"),
+        sum(when(col("rn") === 1 && col("doc_id") =!= col("lbl"), 1L)
+          .otherwise(0L)).as("n_keep_not_first"))
   }
+
+  private val dedupKeepBestSql =
+    s"""WITH mh AS ($dedupMinhashSql),
+      |p AS (SELECT doc_a, doc_b FROM mh WHERE n_match >= 6),
+      |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      |      UNION ALL SELECT doc_b, doc_a FROM p),
+      |l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+      |$labelStepsSql,
+      |d AS (
+      |  SELECT doc_id, lang, $wordsSqlDoc AS w FROM documents),
+      |lg AS (
+      |  SELECT d.doc_id, d.lang, COALESCE(s.logit, 0) AS logit
+      |  FROM d LEFT JOIN (
+      |    SELECT doc_id,
+      |      SUM(CAST('0x' || substring(md5(t.t),1,15) AS BIGINT) % 2001 - 1000)
+      |        AS logit
+      |    FROM d, unnest(w) AS t(t) GROUP BY doc_id) s
+      |  ON d.doc_id = s.doc_id),
+      |r AS (
+      |  SELECT l5.doc_id, l5.lbl, lg.lang,
+      |    row_number() OVER (PARTITION BY l5.lbl
+      |                       ORDER BY lg.logit DESC, l5.doc_id) AS rn
+      |  FROM l5 JOIN lg ON lg.doc_id = l5.doc_id)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum,
+      |  CAST(SUM(CASE WHEN rn = 1 AND doc_id <> lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_not_first
+      |FROM r GROUP BY lang""".stripMargin
 
   /** Exact-at-any-diameter census oracle for [[dupClustersConverged]]:
     * recursive transitive closure (UNION-dedup guarantees termination;
@@ -2583,6 +2643,7 @@ object TextPipeline {
     GQuery("q_unigram_lm", unigramLm, Some(unigramLmSql)),
     GQuery("q_sample_group", sampleGroup, Some(sampleGroupSql)),
     GQuery("q_dup_clusters", dupClusters, Some(dupClustersSql), headline = true),
+    GQuery("q_dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     GQuery("q_dup_clusters_conv", dupClustersConverged, Some(dupClustersConvSql)),
     GQuery("q_dup_clusters_star", dupClustersStar, Some(dupClustersConvSql), headline = true),
     GQuery("q_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),

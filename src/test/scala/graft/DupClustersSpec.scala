@@ -123,4 +123,18 @@ class DupClustersSpec extends SparkSpec {
     assert(out.filter(col("id_sum") < col("cluster_rep") * col("n_docs"))
       .count() == 0)
   }
+
+  test("keep-best: exactly one survivor per cluster, every doc censused") {
+    val kept = graft.queries.TextPipeline.dedupKeepBest(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val nClusters = graft.queries.TextPipeline.dupClusters(spark, sfDir).count()
+    val nDocs = graft.core.Tables.documents(spark, sfDir).count()
+    graft.core.Caches.release()
+    // the argmax window picks rn = 1 once per label: survivors == clusters
+    assert(kept.map(_._2).sum == nClusters,
+      s"${kept.map(_._2).sum} survivors for $nClusters clusters")
+    assert(kept.map(_._1).sum == nDocs, "every document censused once")
+    assert(kept.map(_._1).sum > kept.map(_._2).sum,
+      "the fixture must actually contain duplicates to drop")
+  }
 }
