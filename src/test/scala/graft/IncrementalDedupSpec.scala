@@ -51,6 +51,37 @@ class IncrementalDedupSpec extends SparkSpec {
       "the dominance check proved nothing")
   }
 
+  test("merge law holds on a collision-heavy fuzz corpus at a tight cap") {
+    import spark.implicits._
+    // 240 docs drawn deterministically from a 7-template pool: huge dup
+    // clusters, every band bucket near or over a cap of 8, split 200/40
+    // — the adversarial regime where a tombstone bug or an off-by-one at
+    // the cap boundary actually shows
+    def doc(i: Long): String = {
+      val t = (i * 2654435761L) % 7
+      s"template $t body word${t} alpha beta gamma delta epsilon tail${t % 3}"
+    }
+    val all = (0L until 240L).map(i => (i, doc(i)))
+    val hist = all.filter(_._1 < 200).toDF("doc_id", "text")
+    val batch = all.filter(_._1 >= 200).toDF("doc_id", "text")
+    val cap = 8
+    val (mIdx, mHot) = TextPipeline.minhashIndexMerge(
+      TextPipeline.minhashIndex(hist, cap),
+      TextPipeline.minhashHotCensus(hist, cap), batch, cap)
+    val full = hist.unionByName(batch)
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    val (mi, mh) = (multiset(mIdx), multiset(mHot))
+    val (ri, rh) = (multiset(TextPipeline.minhashIndex(full, cap)),
+      multiset(TextPipeline.minhashHotCensus(full, cap)))
+    graft.core.Caches.release()
+    assert(mh == rh, "fuzz: merged census != rebuilt census")
+    assert(mi == ri, "fuzz: merged index != rebuilt index")
+    // with 7 templates over 240 docs every cluster blows the cap of 8:
+    // the tombstone side must carry real mass
+    assert(rh.nonEmpty, "fuzz fixture failed to produce hot buckets")
+  }
+
   test("index merge equals full rebuild, including cap-crossing buckets") {
     import spark.implicits._
     // cap=4 on planted exact-dup clusters (identical text -> identical
