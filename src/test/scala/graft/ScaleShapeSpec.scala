@@ -272,6 +272,20 @@ class ScaleShapeSpec extends SparkSpec {
       s"the count agg must be cached, not recomputed per reference:\n$p")
   }
 
+  test("keep-best dedup: label argmax rides hash exchanges, no cartesian") {
+    val p = plan(TextPipeline.dedupKeepBest(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      s"cluster labels must join scores by doc_id, survivors by label:\n$p")
+    assert(p.contains("Window"), s"the survivor pick is a label window:\n$p")
+  }
+
+  test("cms join size: sketches join on (depth, pos) cells, no cartesian") {
+    val p = plan(graft.queries.Sketches.cmsJoinSize(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      s"the inner product must be the (d, pos) equi-join of 3072-cell " +
+        s"sketches (1-row frames broadcast):\n$p")
+  }
+
   test("corpus drift: one languages-sized exchange, totals broadcast back") {
     val p = plan(TextPipeline.corpusDrift(spark, sfDir))
     assert(distinctHashExchanges(p) == 1,
