@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.core.{Caches, GQuery, Tables}
 import graft.core.Caches.TrackedOps
@@ -357,6 +358,65 @@ object Analytics {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ------------------------------------------------- winsorization
+
+  /** Winsorized (outlier-clipped) value census per event type — the
+    * robust-statistics step a feature pipeline runs before training on a
+    * heavy-tailed metric: clip to the [p05, p95] band and account for
+    * what was clipped. The bounds are DISCRETE order statistics at
+    * integer-exact ranks (lo = value at rank ⌈n/20⌉, hi = at ⌈19n/20⌉,
+    * ties by event id), so there is no interpolation and both engines
+    * agree bit-for-bit; sums are DECIMAL(12,2)-exact cast to double at
+    * the edge. Scale shape: rank and count windows share ONE per-type
+    * exchange; the bounds table is types-sized and broadcasts back. */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), dec(col("value")).as("v"))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("v"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val ranked = e.withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val bounds = ranked.groupBy(col("event_type"))
+      .agg(min(when(col("rn") === expr("(n + 19) DIV 20"), col("v"))).as("lo"),
+        min(when(col("rn") === expr("(19*n + 19) DIV 20"), col("v"))).as("hi"))
+    e.join(broadcast(bounds), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        // CASE, not GREATEST/LEAST: DuckDB's variadic min/max promote
+        // DECIMAL through DOUBLE, which costs the exactness contract
+        sum(when(col("v") < col("lo"), col("lo"))
+          .when(col("v") > col("hi"), col("hi"))
+          .otherwise(col("v")))
+          .cast("double").as("sum_winsorized"),
+        min(col("lo")).cast("double").as("lo"),
+        min(col("hi")).cast("double").as("hi"))
+  }
+
+  private val winsorizeSql =
+    """WITH e AS (
+      |  SELECT event_type, event_id, CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events),
+      |ranked AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e),
+      |b AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN rn = (n + 19) // 20 THEN v END) AS lo,
+      |    MIN(CASE WHEN rn = (19*n + 19) // 20 THEN v END) AS hi
+      |  FROM ranked GROUP BY event_type)
+      |SELECT e.event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+      |  CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+      |  CAST(SUM(CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END) AS DOUBLE) AS sum_winsorized,
+      |  CAST(MIN(lo) AS DOUBLE) AS lo, CAST(MIN(hi) AS DOUBLE) AS hi
+      |FROM e JOIN b ON e.event_type = b.event_type
+      |GROUP BY e.event_type""".stripMargin
+
   // ------------------------------------------------- key-skew census
 
   /** Key-skew census — the salting PLANNER: before shuffling on a key at
@@ -566,6 +626,7 @@ object Analytics {
     GQuery("q_sssp", sssp, Some(ssspSql), headline = true),
     GQuery("q_salted_agg", saltedAgg, Some(saltedAggSql)),
     GQuery("q_key_skew", keySkew, Some(keySkewSql)),
+    GQuery("q_winsorize", winsorize, Some(winsorizeSql)),
     GQuery("q_trend_fit", trendFit, Some(trendFitSql)),
     GQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql),
       headline = true))

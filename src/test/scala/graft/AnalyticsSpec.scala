@@ -135,6 +135,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(viaJson == directJson)
   }
 
+  test("winsorize: clip mass bounded by the 5% rank bands") {
+    val rows = graft.queries.Analytics.winsorize(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n, lo, hi, loV, hiV) =>
+      val band = (n + 19) / 20
+      // strictly-below-lo rows rank before the lo order statistic; ties
+      // at the bound are kept — so each side clips at most ceil(n/20)
+      assert(lo <= band, s"$t: clipped $lo below, band $band")
+      assert(hi <= band, s"$t: clipped $hi above, band $band")
+      assert(loV <= hiV, s"$t: lo bound $loV above hi bound $hiV")
+    }
+  }
+
   test("compaction plan: bins cover all bytes within the next-fit bound") {
     val segs = graft.core.Tables.documents(spark, sfDir)
       .groupBy(expr("doc_id DIV 20").as("segment"))
