@@ -104,6 +104,28 @@ object Corpus {
       id: String = "doc_id", text: String = "text"): DataFrame =
     TextPipeline.serveAgainstIndex(index, canon(batch, id, text))
 
+  /** Key-skew census over ANY frame and key column — the salting
+    * planner behind the oracle-checked q_key_skew: top-`topK` keys by
+    * row count with per-mille share and the integer salt factor
+    * ceil(rows·keys/total) (= [[Tuning.saltFactor]]), ready to feed
+    * [[Salting.adaptiveSaltedJoin]]'s hotThreshold choice. Map-side
+    * combined counts, a 1-row totals broadcast, TakeOrdered head. */
+  def keySkewCensus(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
+    val counts = df.select(col(key).cast("string").as("key"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_rows"))
+      .trackedPersist()
+    val tot = counts.agg(sum(col("n_rows")).as("total"),
+      count(lit(1)).as("n_keys"))
+    val w = Window.orderBy(col("n_rows").desc, col("key"))
+    counts.orderBy(col("n_rows").desc, col("key")).limit(topK)
+      .crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("key"), col("n_rows"),
+        expr("n_rows*1000 DIV total").as("share_pm"),
+        expr("(n_rows*n_keys + total - 1) DIV total").as("salt_factor"))
+  }
+
   /** Drift census between two corpus snapshots, grouped by any column
     * (language, source, domain): per group, doc/token/quality mass on
     * each side plus per-mille composition shares and their delta — the

@@ -522,6 +522,22 @@ class CorpusApiSpec extends SparkSpec {
     assert(pairs.keys.forall { case (a, b) => a <= 13L && b >= 20L })
   }
 
+  test("keySkewCensus: planted hot key ranks first with the exact factor") {
+    import spark.implicits._
+    // 60 rows of one key, 40 singletons: 41 keys, 100 rows
+    val df = ((1 to 60).map(i => ("hot", i)) ++
+      (1 to 40).map(i => (s"k$i", 100 + i))).toDF("the_key", "payload")
+    val rows = Corpus.keySkewCensus(df, key = "the_key", topK = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    graft.core.Caches.release()
+    assert(rows.length == 3)
+    // hot: 60 rows, 600 per-mille, factor ceil(60*41/100) = 25
+    assert(rows.head == ((1L, "hot", 60L, 600L, 25L)), rows.head.toString)
+    // singleton: 1 row, 10 per-mille, factor ceil(41/100) = 1
+    assert(rows(1)._3 == 1L && rows(1)._5 == 1L)
+  }
+
   test("driftCensus: per-mille shares and deltas exact on a planted shift") {
     import spark.implicits._
     val hist = Seq((1L, "en", "the cat sat here"), (2L, "en", "the dog ran out"),
