@@ -22,6 +22,8 @@ class RegistryPlanSpec extends SparkSpec {
     "q_pagerank", "q_pagerank_double",       // rank rounds + final checkpoint
     "q_kcore", "q_kcore_powerlaw",           // peel cascade
     "q_dup_clusters", "q_dup_clusters_conv", "q_dup_clusters_star",
+    "q_dedup_keep_best",                     // same hash-min label rounds
+                                             // as q_dup_clusters
     "q_split_leakfree",                      // pointer-doubling components
     "q_sssp", "q_bfs_hops", "q_hits",        // frontier/fixpoint rounds
     "q_gensort_checksum")                    // spark.range sized from a
