@@ -39,6 +39,16 @@ class SaltingSpec extends SparkSpec {
     val adaptive = Salting.adaptiveSaltedJoin(big, small, "key", "id",
         hotThreshold = 100)
       .select("key", "id", "tag").collect().map(_.toSeq)
+    // null keys match nothing in an inner join; the salted path must
+    // drop them identically rather than NPE or cross-match
+    val withNulls = big.unionByName(
+      Seq((null.asInstanceOf[String], 99999L)).toDF("key", "id"))
+    val nullSafe = Salting.adaptiveSaltedJoin(withNulls, small, "key", "id",
+        hotThreshold = 100)
+      .select("key", "id", "tag").collect().map(_.toSeq)
+    assert(nullSafe.groupBy(identity).view.mapValues(_.size).toMap ==
+      plain.groupBy(identity).view.mapValues(_.size).toMap,
+      "a null big-side key changed the adaptive join result")
     // multiset equality: duplicates must neither drop nor multiply
     assert(adaptive.groupBy(identity).view.mapValues(_.size).toMap ==
       plain.groupBy(identity).view.mapValues(_.size).toMap)
