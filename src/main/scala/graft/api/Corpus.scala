@@ -126,6 +126,20 @@ object Corpus {
         expr("(n_rows*n_keys + total - 1) DIV total").as("salt_factor"))
   }
 
+  /** Winsorized (outlier-clipped) value census over any frame: clip
+    * `value` to its per-`group` [p05, p95] band with DISCRETE
+    * order-statistic bounds at integer-exact ranks (ties by `id`) and
+    * account the clipped mass — the robust-statistics step before
+    * training on a heavy-tailed metric, as the oracle-checked
+    * q_winsorize pins ([[graft.queries.Analytics.winsorizeOf]]). */
+  def winsorize(df: DataFrame, group: String, value: String,
+      id: String): DataFrame =
+    graft.queries.Analytics.winsorizeOf(
+      df.select(col(group).cast("string").as("grp"),
+        col(id).cast("long").as("rid"),
+        col(value).cast("decimal(12,2)").as("v")))
+      .withColumnRenamed("grp", group)
+
   /** Drift census between two corpus snapshots, grouped by any column
     * (language, source, domain): per group, doc/token/quality mass on
     * each side plus per-mille composition shares and their delta — the

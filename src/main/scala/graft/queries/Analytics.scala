@@ -369,20 +369,27 @@ object Analytics {
     * agree bit-for-bit; sums are DECIMAL(12,2)-exact cast to double at
     * the edge. Scale shape: rank and count windows share ONE per-type
     * exchange; the bounds table is types-sized and broadcasts back. */
-  def winsorize(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-      .select(col("event_type"), col("event_id"), dec(col("value")).as("v"))
-    val wOrd = Window.partitionBy(col("event_type"))
-      .orderBy(col("v"), col("event_id"))
-    val wAll = Window.partitionBy(col("event_type"))
+  def winsorize(s: SparkSession, dir: String): DataFrame =
+    winsorizeOf(Tables.events(s, dir)
+      .select(col("event_type").as("grp"), col("event_id").as("rid"),
+        dec(col("value")).as("v")))
+      .withColumnRenamed("grp", "event_type")
+      .withColumnRenamed("n_rows", "n_events")
+
+  /** The winsorized census over a canonical (grp, rid, v DECIMAL(12,2))
+    * frame — shared by the oracle-checked query and `Corpus.winsorize`. */
+  private[graft] def winsorizeOf(e: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("grp"))
+      .orderBy(col("v"), col("rid"))
+    val wAll = Window.partitionBy(col("grp"))
     val ranked = e.withColumn("rn", row_number().over(wOrd))
       .withColumn("n", count(lit(1)).over(wAll))
-    val bounds = ranked.groupBy(col("event_type"))
+    val bounds = ranked.groupBy(col("grp"))
       .agg(min(when(col("rn") === expr("(n + 19) DIV 20"), col("v"))).as("lo"),
         min(when(col("rn") === expr("(19*n + 19) DIV 20"), col("v"))).as("hi"))
-    e.join(broadcast(bounds), Seq("event_type"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
+    e.join(broadcast(bounds), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
         sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
         sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
         // CASE, not GREATEST/LEAST: DuckDB's variadic min/max promote

@@ -522,6 +522,21 @@ class CorpusApiSpec extends SparkSpec {
     assert(pairs.keys.forall { case (a, b) => a <= 13L && b >= 20L })
   }
 
+  test("winsorize facade: exact bounds and clipped sum on 1..20") {
+    import spark.implicits._
+    val df = (1 to 20).map(i => ("g", i.toLong, i.toDouble))
+      .toDF("bucket", "row", "metric")
+    val r = Corpus.winsorize(df, group = "bucket", value = "metric",
+      id = "row").collect().head
+    // n=20: lo rank ceil(20/20)=1 -> 1.0, hi rank ceil(380/20)=19 -> 19.0;
+    // only the value 20 clips (to 19): sum = 1..19 + 19 = 209
+    assert(r.getString(0) == "g")
+    assert(r.getLong(1) == 20L)
+    assert((r.getLong(2), r.getLong(3)) == ((0L, 1L)), r.toString)
+    assert(r.getDouble(4) == 209.0, r.toString)
+    assert((r.getDouble(5), r.getDouble(6)) == ((1.0, 19.0)))
+  }
+
   test("keySkewCensus: planted hot key ranks first with the exact factor") {
     import spark.implicits._
     // 60 rows of one key, 40 singletons: 41 keys, 100 rows
