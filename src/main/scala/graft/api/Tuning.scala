@@ -76,6 +76,38 @@ object Tuning {
     (keyRows * nKeys + totalRows - 1) / totalRows
   }
 
+  /** The Jaccard similarity at which a (bands × rowsPerBand) MinHash/LSH
+    * index flips from mostly-missing to mostly-catching pairs — the
+    * S-curve threshold t ≈ (1/b)^(1/r) (Leskovec/Rajaraman/Ullman,
+    * Mining of Massive Datasets §3.4.2). The shipped dedup index is
+    * (4 bands × 2 rows) → t ≈ 0.5: exactly the regime the measured
+    * calibration curve shows (agreement ≥ 7 of 8 ⇒ exact Jaccard 0.21,
+    * 8 of 8 ⇒ 0.88 — the flip brackets the formula's threshold). More
+    * bands catch lower-similarity pairs at more candidate volume; longer
+    * bands sharpen the cutoff. */
+  def minhashBandThreshold(bands: Int, rowsPerBand: Int): Double = {
+    require(bands > 0 && rowsPerBand > 0)
+    math.pow(1.0 / bands, 1.0 / rowsPerBand)
+  }
+
+  /** Count-Min width for a target additive error of `relErr` × F1
+    * (stream mass): w = ⌈e / relErr⌉ — the standard CMS guarantee
+    * (error ≤ e·F1/w with probability 1 − δ at depth ⌈ln(1/δ)⌉). The
+    * shipped sketches run w = 1024 (relErr ≈ 0.27%) × depth 3
+    * (δ ≈ 5%); q_cms_join_size's measured overcount sits at the
+    * expected F1a·F1b/w collision mass, the join-size face of the same
+    * bound. */
+  def cmsWidth(relErr: Double): Int = {
+    require(relErr > 0 && relErr < 1)
+    math.ceil(math.E / relErr).toInt
+  }
+
+  /** Count-Min depth for failure probability `delta`: ⌈ln(1/δ)⌉. */
+  def cmsDepth(delta: Double): Int = {
+    require(delta > 0 && delta < 1)
+    math.ceil(math.log(1.0 / delta)).toInt
+  }
+
   /** Bloom filter size in bits for a build side of `keys`:
     * max(16384, 16·keys) with 3 hashes → FP ≈ 0.5% at any corpus size —
     * the floor and per-key width q_bloom_membership derives in-plan

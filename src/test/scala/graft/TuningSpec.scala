@@ -62,6 +62,22 @@ class TuningSpec extends SparkSpec {
     assert(Tuning.lshBits(2000, 32) == 6)
   }
 
+  test("sketch dials: band threshold brackets the measured flip, CMS sizes") {
+    // the shipped dedup index (4 bands x 2 rows): t = 0.5 exactly —
+    // inside the measured calibration flip (agreement >= 7 -> J 0.21,
+    // 8 of 8 -> J 0.88 in BENCH telemetry)
+    assert(math.abs(Tuning.minhashBandThreshold(4, 2) - 0.5) < 1e-12)
+    // more bands catch LOWER-similarity pairs; longer bands raise the bar
+    assert(Tuning.minhashBandThreshold(8, 2) <
+      Tuning.minhashBandThreshold(4, 2))
+    assert(Tuning.minhashBandThreshold(4, 4) >
+      Tuning.minhashBandThreshold(4, 2))
+    // the shipped CMS (1024 x 3) corresponds to ~0.27% mass error at
+    // ~5% failure: the formulas round-trip to the shipped shape
+    assert(Tuning.cmsWidth(math.E / 1024) == 1024)
+    assert(Tuning.cmsDepth(0.05) == 3)
+  }
+
   test("cluster knobs: monotone, floored at cores, clamped") {
     assert(Tuning.shufflePartitions(0L, 32) == 32, "idle floor is one per core")
     assert(Tuning.shufflePartitions(100L << 30, 32,
