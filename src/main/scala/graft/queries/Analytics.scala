@@ -382,12 +382,18 @@ object Analytics {
     val wOrd = Window.partitionBy(col("grp"))
       .orderBy(col("v"), col("rid"))
     val wAll = Window.partitionBy(col("grp"))
+    // the bounds are WINDOW aggregates over the same grp partitioning as
+    // the ranks — not a separate agg-and-join-back — so the whole
+    // operator is one scan and ONE data exchange: rank window, count
+    // window, two bound windows and the final census all share it
+    // (plan-asserted in ScaleShapeSpec)
     val ranked = e.withColumn("rn", row_number().over(wOrd))
       .withColumn("n", count(lit(1)).over(wAll))
-    val bounds = ranked.groupBy(col("grp"))
-      .agg(min(when(col("rn") === expr("(n + 19) DIV 20"), col("v"))).as("lo"),
-        min(when(col("rn") === expr("(19*n + 19) DIV 20"), col("v"))).as("hi"))
-    e.join(broadcast(bounds), Seq("grp"))
+    ranked
+      .withColumn("lo",
+        min(when(col("rn") === expr("(n + 19) DIV 20"), col("v"))).over(wAll))
+      .withColumn("hi",
+        min(when(col("rn") === expr("(19*n + 19) DIV 20"), col("v"))).over(wAll))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),

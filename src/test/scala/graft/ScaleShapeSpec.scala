@@ -286,6 +286,16 @@ class ScaleShapeSpec extends SparkSpec {
         s"sketches (1-row frames broadcast):\n$p")
   }
 
+  test("winsorize: one data exchange — bounds are windows, not a join-back") {
+    val p = plan(graft.queries.Analytics.winsorize(spark, sfDir))
+    // rank, count, both bound windows and the census share the single
+    // per-type hash exchange; an agg-and-join-back formulation would
+    // re-shuffle the data a second time
+    assert(distinctHashExchanges(p) == 1,
+      s"only the shared per-type exchange may hash-shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("corpus drift: one languages-sized exchange, totals broadcast back") {
     val p = plan(TextPipeline.corpusDrift(spark, sfDir))
     assert(distinctHashExchanges(p) == 1,
