@@ -32,6 +32,7 @@ object BenchGate {
     "ann_lsh" -> 0.06666666666666667,
     "ann_lsh_multi" -> 0.23333333333333334,
     "ann_lsh_12bit" -> 0.0,
+    "ann_lsh_12bit_multi" -> 0.15,
     "ann_lsh_multiprobe" -> 0.2833333333333333,
     "ann_pq" -> 0.1,
     "ann_pq_trained" -> 0.16666666666666666,

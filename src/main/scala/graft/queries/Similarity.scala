@@ -1505,6 +1505,17 @@ object Similarity {
       .unionByName(one("ann_pq", annPq(s, dir)))
       .unionByName(one("ann_pq_trained", annPqTrained(s, dir)))
       .unionByName(one("ann_ivfpq", annIvfPq(s, dir)))
+      .unionByName(one("ann_lsh_12bit_multi", {
+        // the production composition SURVEY §10 prescribes at high bit
+        // widths: 12-bit buckets (near-singleton occupancy) with the
+        // (tables=4, hamming=1) recall repair — measured here so the
+        // "bits up, tables/probes recover" claim is telemetry, not prose
+        val base = vecs(s, dir)
+          .select(col("vec_id").as("vid"), col("v"), col("n2"))
+        lshSearch(base, base.filter(col("vid") < 20), k = 3, bits = 12,
+          tables = 4, hamming = 1, cap = Long.MaxValue)
+          .select(col("q_id"), col("rank"), col("neighbor_id"))
+      }))
       .unionByName(one("ann_ivf", annIvf(s, dir)))
       .unionByName(one("ann_ivf_nprobe1", annIvfProbes(s, dir, 1)))
       .unionByName(one("ann_ivf_nprobe4", annIvfProbes(s, dir, 4)))
