@@ -664,6 +664,20 @@ object Vectors {
       canon(vectors, id, vec), canon(queries, id, vec), k, cells, nprobe)
       .withColumnRenamed("q_id", "query_id")
 
+  /** IVF drift census over arbitrary (id, Array[Float]) resident and
+    * arriving frames — the retrain trigger the oracle-checked
+    * q_ivf_append pins: centers fix on the resident side, both
+    * populations assign by the same broadcast argmin, and a cell whose
+    * arriving mean distance outgrows its resident mean is collecting
+    * vectors the fixed codebook no longer represents. Output
+    * (cell, n_resident, n_arriving, resident_dist_sum,
+    * arriving_dist_sum), integer-exact. */
+  def ivfDriftCensus(resident: DataFrame, arriving: DataFrame,
+      cells: Int = 8, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame =
+    graft.queries.Similarity.ivfDriftCensusOf(
+      canon(resident, id, vec), canon(arriving, id, vec), cells)
+
   /** PQ/ADC top-k similarity search over arbitrary (id, Array[Float])
     * vector and query frames: the base's 16 lowest-id vectors seed the
     * per-subspace codebooks, every vector compresses to 8 nibble codes,

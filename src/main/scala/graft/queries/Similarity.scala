@@ -1173,6 +1173,38 @@ object Similarity {
           .as("arriving_dist_sum"))
   }
 
+  /** [[ivfAppend]]'s census over arbitrary canonical (vid, v, n2)
+    * resident/arriving frames — centers seed from the resident side's
+    * `cells` lowest-vid vectors (sort-limit, id-sparse-safe), both
+    * populations assign by the same broadcast argmin, and the per-cell
+    * census carries the integer-exact distance mass each side
+    * contributes. Backs `Vectors.ivfDriftCensus`. */
+  private[graft] def ivfDriftCensusOf(resident: DataFrame,
+      arriving: DataFrame, cells: Int): DataFrame = {
+    require(cells > 0, s"cells must be positive: $cells")
+    val c = resident.orderBy(col("vid")).limit(cells)
+      .select(col("vid").as("cid"), col("v").as("cv"))
+    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val wAssign = Window.partitionBy(col("vid"), col("is_batch"))
+      .orderBy(col("dist"), col("cid"))
+    resident.select(col("vid"), col("v"), lit(false).as("is_batch"))
+      .unionByName(arriving.select(col("vid"), col("v"),
+        lit(true).as("is_batch")))
+      .join(broadcast(c))
+      .select(col("vid"), col("is_batch"), col("cid"), d2.as("dist"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .groupBy(col("cid").as("cell"))
+      .agg(
+        sum(when(!col("is_batch"), 1L).otherwise(0L)).as("n_resident"),
+        sum(when(col("is_batch"), 1L).otherwise(0L)).as("n_arriving"),
+        sum(when(!col("is_batch"), col("dist")).otherwise(0L))
+          .as("resident_dist_sum"),
+        sum(when(col("is_batch"), col("dist")).otherwise(0L))
+          .as("arriving_dist_sum"))
+  }
+
   private val ivfAppendSql =
     s"""WITH iv AS (
       |  SELECT vec_id, $ivecSql AS v FROM embeddings),

@@ -571,6 +571,30 @@ class CorpusApiSpec extends SparkSpec {
     assert(rows("de") == ((2L, 1L, 500L, 250L, -250L)), s"de row: ${rows("de")}")
   }
 
+  test("ivfDriftCensus: planted drift shows up as arriving distance mass") {
+    val (vectors, _) = vecFrames
+    import spark.implicits._
+    // arriving vectors sit far from every resident cluster: each cell's
+    // arriving mean distance must dwarf its resident mean
+    val far = (0 until 6).map(i =>
+      (500L + i, (0 until 64).map(d => 3.0f + 0.01f * ((d + i) % 5))))
+      .toDF("my_vid", "emb")
+    val rows = Vectors.ivfDriftCensus(vectors, far, cells = 4,
+        id = "my_vid", vec = "emb")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    graft.core.Caches.release()
+    assert(rows.map(_._2).sum == 40L, "every resident assigned once")
+    assert(rows.map(_._3).sum == 6L, "every arriving vector assigned once")
+    val drifted = rows.filter(_._3 > 0)
+    assert(drifted.nonEmpty)
+    drifted.foreach { case (cell, nr, na, rd, ad) =>
+      assert(ad / na > (rd.toDouble / nr) * 5,
+        s"cell $cell: arriving mean ${ad / na} not clearly above " +
+          s"resident mean ${rd / nr}")
+    }
+  }
+
   test("ivfTopK: nprobe buys recall monotonically, exact at nprobe = cells") {
     val (vectors, queries) = vecFrames
     val truth = Vectors.cosineTopK(vectors, queries, k = 3,
