@@ -1151,26 +1151,15 @@ object Similarity {
     * The vector-index leg of the maintenance family (MinHash bands, HLL
     * registers, postings segments). */
   def ivfAppend(s: SparkSession, dir: String): DataFrame = {
+    // split in-plan, then share the census path with
+    // Vectors.ivfDriftCensus — the query and the facade cannot drift
     val all = vecs(s, dir)
     val tDf = all.agg(expr("MAX(vec_id)*4 DIV 5").as("t"))
-    val c = all.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-    all.crossJoin(broadcast(tDf)).join(broadcast(c))
-      .select(col("vec_id"), (col("vec_id") >= col("t")).as("is_batch"),
-        col("cid"), d2.as("dist"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .groupBy(col("cid").as("cell"))
-      .agg(
-        sum(when(!col("is_batch"), 1L).otherwise(0L)).as("n_resident"),
-        sum(when(col("is_batch"), 1L).otherwise(0L)).as("n_arriving"),
-        sum(when(!col("is_batch"), col("dist")).otherwise(0L))
-          .as("resident_dist_sum"),
-        sum(when(col("is_batch"), col("dist")).otherwise(0L))
-          .as("arriving_dist_sum"))
+    val tagged = all.crossJoin(broadcast(tDf))
+    def side(p: org.apache.spark.sql.Column) = tagged.filter(p)
+      .select(col("vec_id").as("vid"), col("v"), col("n2"))
+    ivfDriftCensusOf(side(col("vec_id") < col("t")),
+      side(col("vec_id") >= col("t")), cells = 8)
   }
 
   /** [[ivfAppend]]'s census over arbitrary canonical (vid, v, n2)
