@@ -72,6 +72,18 @@ object Corpus {
       bucketCap: Int = TextPipeline.LshBucketCap): DataFrame =
     TextPipeline.minhashIndex(canon(history, id, text), bucketCap)
 
+  /** Keep-best near-dup canonicalization over any corpus, row level:
+    * dup clusters from the guarded MinHash pairs (signature agreement ≥
+    * `minAgreement` of 8), each cluster's survivor the
+    * highest-classifier-logit member (ties by lowest id) — the
+    * keep-the-best-copy policy the oracle-checked q_dedup_keep_best
+    * censuses. Output one row per document: (doc_id, cluster, is_kept,
+    * logit); filter `is_kept` for the cleaned corpus. */
+  def dedupKeepBest(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", minAgreement: Int = 6,
+      bucketCap: Int = TextPipeline.LshBucketCap): DataFrame =
+    TextPipeline.keepBestRows(canon(docs, id, text), bucketCap, minAgreement)
+
   /** The tombstone side of [[minhashIndex]]: (band, x, y, bucket_n) for
     * every bucket the build EXCLUDED (≤ 4n/bucketCap rows). Persist it
     * next to the index — [[minhashIndexMerge]] needs it to keep merge

@@ -1216,25 +1216,36 @@ object TextPipeline {
     * measurable value of the policy. Scale shape: one extra exchange
     * over q_dup_clusters (the per-cluster argmax window on the label
     * key); the logit is the scan-local classifier aggregate. */
-  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val pairs = dedupMinhash(s, dir).filter(col("n_match") >= 6)
+  /** Row-level keep-best decisions over a canonical (doc_id, text)
+    * frame: (doc_id, cluster, is_kept, logit) — shared by the
+    * oracle-checked census query and `Corpus.dedupKeepBest` (a library
+    * user wants the kept SET, not just the census). */
+  private[graft] def keepBestRows(docs: DataFrame, cap: Int,
+      minAgreement: Int): DataFrame = {
+    val pairs = dedupMinhashDocs(docs, cap)
+      .filter(col("n_match") >= minAgreement)
       .select(col("doc_a"), col("doc_b"))
     val lbls = hashMinComponents(docs.select(col("doc_id")), pairs, iters = 5)
-    val scored = docs.select(col("doc_id"), col("lang"),
-      Qdsl.hashedLogit(ws).as("logit"))
+    val scored = docs.select(col("doc_id"), Qdsl.hashedLogit(ws).as("logit"))
     val w = Window.partitionBy(col("lbl"))
       .orderBy(col("logit").desc, col("doc_id"))
     lbls.join(scored, "doc_id")
       .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("lbl").as("cluster"),
+        (col("rn") === 1).as("is_kept"), col("logit"))
+  }
+
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    keepBestRows(Tables.documents(s, dir), LshBucketCap, minAgreement = 6)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("rn") === 1, col("doc_id")).otherwise(0L))
+        sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("is_kept"), col("doc_id")).otherwise(0L))
           .as("kept_id_sum"),
-        sum(when(col("rn") === 1 && col("doc_id") =!= col("lbl"), 1L)
+        sum(when(col("is_kept") && col("doc_id") =!= col("cluster"), 1L)
           .otherwise(0L)).as("n_keep_not_first"))
-  }
 
   private val dedupKeepBestSql =
     s"""WITH mh AS ($dedupMinhashSql),

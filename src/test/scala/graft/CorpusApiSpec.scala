@@ -522,6 +522,27 @@ class CorpusApiSpec extends SparkSpec {
     assert(pairs.keys.forall { case (a, b) => a <= 13L && b >= 20L })
   }
 
+  test("dedupKeepBest facade: one survivor per cluster, best logit wins") {
+    val rows = Corpus.dedupKeepBest(docs, id = "my_id", text = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(3)))
+    graft.core.Caches.release()
+    assert(rows.length == 6, "every document decided once")
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      assert(members.count(_._3) == 1, s"cluster $c: not exactly one kept")
+      val kept = members.find(_._3).get
+      // the survivor's logit is maximal (ties broken by lower id)
+      members.foreach { m =>
+        assert(m._4 < kept._4 || (m._4 == kept._4 && m._1 >= kept._1),
+          s"cluster $c: member $m beats survivor $kept")
+      }
+    }
+    // the 10/11 exact-dup pair must actually share a cluster
+    val c10 = rows.find(_._1 == 10L).get._2
+    assert(rows.find(_._1 == 11L).get._2 == c10, "exact dups not clustered")
+  }
+
   test("winsorize facade: exact bounds and clipped sum on 1..20") {
     import spark.implicits._
     val df = (1 to 20).map(i => ("g", i.toLong, i.toDouble))
