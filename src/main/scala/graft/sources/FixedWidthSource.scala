@@ -1,10 +1,10 @@
 package graft.sources
 
-import java.io.{DataInputStream, File}
 import java.util
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
@@ -25,10 +25,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   .load(dir)   // => (key: binary, value: binary)
   * }}}
   *
-  * Files split into record-aligned chunks of ~`split.size` bytes, so a
-  * 1000-executor cluster scans one 100 TB directory fully in parallel —
-  * the record alignment replaces the reference's partial-tuple handling
-  * across chunk boundaries. */
+  * Paths go through the Hadoop FileSystem API ([[HadoopIO]]): any
+  * configured scheme (`file://`, `hdfs://`, `s3a://`), globs, and
+  * comma-separated lists all work — the reference's
+  * `MultiProtocolReader.cc` scheme dispatch. Files split into
+  * record-aligned chunks of ~`split.size` bytes, so a 1000-executor
+  * cluster scans one 100 TB directory fully in parallel — the record
+  * alignment replaces the reference's partial-tuple handling across chunk
+  * boundaries. */
 class FixedWidthSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-fixed"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -42,16 +46,6 @@ object FixedWidthSource {
   val SCHEMA: StructType = StructType(Seq(
     StructField("key", BinaryType, nullable = false),
     StructField("value", BinaryType, nullable = false)))
-
-  /** All regular files under `path` (one level, like the reference's input
-    * disk directories), deterministic order. */
-  def listFiles(path: String): Seq[File] = {
-    val f = new File(path)
-    val files = if (f.isDirectory) f.listFiles().filter(_.isFile)
-      else Array(f)
-    files.filter(x => !x.getName.startsWith(".") && !x.getName.startsWith("_"))
-      .sortBy(_.getName).toSeq
-  }
 }
 
 class FixedWidthTable(props: Map[String, String]) extends Table with SupportsRead {
@@ -65,14 +59,17 @@ class FixedWidthTable(props: Map[String, String]) extends Table with SupportsRea
     val recordLen = options.getInt("record.length", 100)
     val keyLen = options.getInt("key.length", 10)
     val splitSize = options.getLong("split.size", 32L * 1024 * 1024)
-    new FixedWidthScan(path, recordLen, keyLen, splitSize)
+    val conf = new HadoopIO.SerializableConf(
+      HadoopIO.sessionConf(SparkSession.active))
+    new FixedWidthScan(path, recordLen, keyLen, splitSize, conf)
   }
 }
 
 case class FixedWidthChunk(file: String, start: Long, length: Long)
   extends InputPartition
 
-class FixedWidthScan(path: String, recordLen: Int, keyLen: Int, splitSize: Long)
+class FixedWidthScan(path: String, recordLen: Int, keyLen: Int,
+    splitSize: Long, conf: HadoopIO.SerializableConf)
     extends ScanBuilder with Scan with Batch {
   require(keyLen > 0 && keyLen <= recordLen, "need 0 < key.length <= record.length")
   override def build(): Scan = this
@@ -84,30 +81,32 @@ class FixedWidthScan(path: String, recordLen: Int, keyLen: Int, splitSize: Long)
   override def planInputPartitions(): Array[InputPartition] = {
     val recordsPerSplit = math.max(1L, splitSize / recordLen)
     val bytesPerSplit = recordsPerSplit * recordLen
-    FixedWidthSource.listFiles(path).flatMap { f =>
-      require(f.length % recordLen == 0,
-        s"${f.getPath}: length ${f.length} not a multiple of record.length=$recordLen")
-      (0L until f.length by bytesPerSplit).map { start =>
-        FixedWidthChunk(f.getPath, start, math.min(bytesPerSplit, f.length - start))
+    HadoopIO.listFiles(path, conf.value).flatMap { st =>
+      require(st.getLen % recordLen == 0,
+        s"${st.getPath}: length ${st.getLen} not a multiple of record.length=$recordLen")
+      (0L until st.getLen by bytesPerSplit).map { start =>
+        FixedWidthChunk(st.getPath.toString, start,
+          math.min(bytesPerSplit, st.getLen - start))
       }
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val rl = recordLen; val kl = keyLen
+    val rl = recordLen; val kl = keyLen; val c = conf
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new FixedWidthReader(p.asInstanceOf[FixedWidthChunk], rl, kl)
+        new FixedWidthReader(p.asInstanceOf[FixedWidthChunk], rl, kl, c)
     }
   }
 }
 
-class FixedWidthReader(chunk: FixedWidthChunk, recordLen: Int, keyLen: Int)
+class FixedWidthReader(chunk: FixedWidthChunk, recordLen: Int, keyLen: Int,
+    conf: HadoopIO.SerializableConf)
     extends PartitionReader[InternalRow] {
   private val in = {
-    val s = new java.io.FileInputStream(chunk.file)
-    s.skip(chunk.start)
-    new DataInputStream(new java.io.BufferedInputStream(s, 1 << 20))
+    val s = HadoopIO.open(chunk.file, conf.value)
+    s.seek(chunk.start)
+    new java.io.DataInputStream(new java.io.BufferedInputStream(s, 1 << 20))
   }
   private var remaining = chunk.length / recordLen
   private val buf = new Array[Byte](recordLen)

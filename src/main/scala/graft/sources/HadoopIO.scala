@@ -1,0 +1,74 @@
+package graft.sources
+
+import java.io.{ObjectInputStream, ObjectOutputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Hadoop-FileSystem IO shared by the binary sources ([[ThemisKV]],
+  * [[FixedWidthSource]]).
+  *
+  * The reference dispatches URL schemes per input file
+  * (`mapreduce/workers/reader/MultiProtocolReader.cc`); here the same job
+  * is done once by `Path.getFileSystem`, so `file://`, `hdfs://`, `s3a://`
+  * and any other configured scheme all work — the binary formats are no
+  * longer local-filesystem-bound and a single 100 TB directory on a
+  * distributed store scans at full cluster width.
+  */
+object HadoopIO {
+
+  /** Hadoop `Configuration` isn't `java.io.Serializable`; this wrapper uses
+    * its own Writable form so reader factories and task closures can carry
+    * the session's FS settings (credentials, endpoints) to executors. */
+  class SerializableConf(@transient private var conf: Configuration)
+      extends Serializable {
+    def value: Configuration = conf
+    private def writeObject(out: ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  def sessionConf(spark: SparkSession): Configuration =
+    spark.sessionState.newHadoopConf()
+
+  /** Expand a comma-separated list of globs / directories / files into the
+    * data files underneath: each entry is `globStatus`'d (so `dir*`,
+    * `{a,b}`, `?` all work), matched directories expand one level (like the
+    * reference's per-disk input directories), hidden (`.`/`_`-prefixed)
+    * names are dropped, and the result is sorted by URI for deterministic
+    * partition planning. */
+  def listFiles(pathSpec: String, conf: Configuration): Seq[FileStatus] = {
+    pathSpec.split(',').map(_.trim).filter(_.nonEmpty).toSeq.flatMap { spec =>
+      val p = new Path(spec)
+      val fs = p.getFileSystem(conf)
+      val matched = Option(fs.globStatus(p)).getOrElse(Array.empty[FileStatus])
+      matched.toSeq.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile).toSeq
+        else Seq(st)
+      }
+    }.filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith(".") && !n.startsWith("_")
+    }.sortBy(_.getPath.toString)
+  }
+
+  def open(path: String, conf: Configuration): FSDataInputStream = {
+    val p = new Path(path)
+    p.getFileSystem(conf).open(p)
+  }
+
+  /** Create (overwriting) `name` under `dir`, making the directory first. */
+  def create(dir: String, name: String, conf: Configuration): FSDataOutputStream = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    fs.mkdirs(d)
+    fs.create(new Path(d, name), true)
+  }
+}

@@ -1,8 +1,8 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, EOFException, File, FileInputStream, FileOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, EOFException}
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.TaskContext
 
@@ -10,6 +10,11 @@ import org.apache.spark.TaskContext
   * valueLength: uint32 LE, key bytes, value bytes}`
   * (`mapreduce/common/KeyValuePair.h:12-23`), as reader + writer over
   * (key: binary, value: binary) DataFrames.
+  *
+  * All IO goes through the Hadoop FileSystem API ([[HadoopIO]]), so paths
+  * may carry any configured scheme (`file://`, `hdfs://`, `s3a://`, …) and
+  * globs/comma-lists work — the reference's `MultiProtocolReader.cc` scheme
+  * dispatch, done by `Path.getFileSystem`.
   *
   * Variable-length records can't be split without scanning, so parallelism
   * is per-file (one partition per file — the reference reads whole files
@@ -21,14 +26,15 @@ object ThemisKV {
 
   case class Rec(key: Array[Byte], value: Array[Byte])
 
-  /** Read a directory of themis-kv files: one partition per file. */
+  /** Read a directory/glob of themis-kv files: one partition per file. */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val files = FixedWidthSource.listFiles(path).map(_.getPath)
+    val conf = new HadoopIO.SerializableConf(HadoopIO.sessionConf(spark))
+    val files = HadoopIO.listFiles(path, conf.value).map(_.getPath.toString)
     spark.sparkContext.parallelize(files, math.max(1, files.size))
       .flatMap { f =>
         val in = new DataInputStream(
-          new BufferedInputStream(new FileInputStream(f), 1 << 20))
+          new BufferedInputStream(HadoopIO.open(f, conf.value), 1 << 20))
         new Iterator[Rec] {
           private var nextRec: Rec = advance()
           private def advance(): Rec =
@@ -48,12 +54,12 @@ object ThemisKV {
 
   /** Write (key, value) binary columns as themis-kv, one file per task. */
   def write(df: DataFrame, path: String): Unit = {
-    new File(path).mkdirs()
+    val conf = new HadoopIO.SerializableConf(HadoopIO.sessionConf(df.sparkSession))
     df.select(col("key"), col("value")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = TaskContext.getPartitionId()
-        val out = new BufferedOutputStream(new FileOutputStream(
-          new File(path, f"part-$pid%05d.kv")), 1 << 20)
+        val out = new BufferedOutputStream(
+          HadoopIO.create(path, f"part-$pid%05d.kv", conf.value), 1 << 20)
         try it.foreach { r =>
           val k = r.getAs[Array[Byte]](0); val v = r.getAs[Array[Byte]](1)
           writeU32LE(out, k.length); writeU32LE(out, v.length)
@@ -65,12 +71,12 @@ object ThemisKV {
   /** Write fixed-width header-less records (the GraySort layout) so
     * [[FixedWidthSource]] can read them back. */
   def writeFixed(df: DataFrame, path: String, recordLen: Int, keyLen: Int): Unit = {
-    new File(path).mkdirs()
+    val conf = new HadoopIO.SerializableConf(HadoopIO.sessionConf(df.sparkSession))
     df.select(col("key"), col("value")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = TaskContext.getPartitionId()
-        val out = new BufferedOutputStream(new FileOutputStream(
-          new File(path, f"part-$pid%05d.bin")), 1 << 20)
+        val out = new BufferedOutputStream(
+          HadoopIO.create(path, f"part-$pid%05d.bin", conf.value), 1 << 20)
         try it.foreach { r =>
           val k = r.getAs[Array[Byte]](0); val v = r.getAs[Array[Byte]](1)
           require(k.length == keyLen && v.length == recordLen - keyLen,
