@@ -143,13 +143,22 @@ object Corpus {
     * order-statistic bounds at integer-exact ranks (ties by `id`) and
     * account the clipped mass — the robust-statistics step before
     * training on a heavy-tailed metric, as the oracle-checked
-    * q_winsorize pins ([[graft.queries.Analytics.winsorizeOf]]). */
+    * q_winsorize pins ([[graft.queries.Analytics.winsorizeOf]]).
+    *
+    * The hot-group straggler guard is AUTOMATIC: group populations are
+    * censused in-plan (map-side-combined counts, the keySkewCensus
+    * measurement folded into the operator) and any group over `hotCap`
+    * rows takes a distributed-rank path instead of serializing in one
+    * window task — value-identical, straggler-bounded
+    * ([[graft.queries.Analytics.winsorizeGuardedOf]]; the driver pins
+    * the equivalence every round via q_winsorize_guarded against
+    * q_winsorize's own oracle SQL). */
   def winsorize(df: DataFrame, group: String, value: String,
-      id: String): DataFrame =
-    graft.queries.Analytics.winsorizeOf(
+      id: String, hotCap: Long = graft.queries.Analytics.GroupHotCap): DataFrame =
+    graft.queries.Analytics.winsorizeGuardedOf(
       df.select(col(group).cast("string").as("grp"),
         col(id).cast("long").as("rid"),
-        col(value).cast("decimal(12,2)").as("v")))
+        col(value).cast("decimal(12,2)").as("v")), hotCap)
       .withColumnRenamed("grp", group)
 
   /** Drift census between two corpus snapshots, grouped by any column

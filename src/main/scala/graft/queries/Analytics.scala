@@ -408,6 +408,93 @@ object Analytics {
         min(col("hi")).cast("double").as("hi"))
   }
 
+  /** Rows-per-group population above which [[winsorizeGuardedOf]] diverts
+    * a group off the per-group rank window onto the distributed-rank
+    * path — sized like TextPipeline.SpanHotCap: far above what sane
+    * grouping columns put in one window task, low enough that one
+    * pathological group cannot serialize a straggler. */
+  private[graft] val GroupHotCap = 262144L
+
+  /** [[winsorize]] through the hot-group guard ([[winsorizeGuardedOf]])
+    * with a cap low enough that the sf0.01 event types take the HOT path
+    * — value-identical output, straggler-bounded plan, registered against
+    * the SAME oracle SQL so the driver itself pins the equivalence every
+    * round (the q_substring_dedup_guarded pattern). */
+  def winsorizeGuarded(s: SparkSession, dir: String): DataFrame =
+    winsorizeGuardedOf(Tables.events(s, dir)
+      .select(col("event_type").as("grp"), col("event_id").as("rid"),
+        dec(col("value")).as("v")), cap = 1000L)
+      .withColumnRenamed("grp", "event_type")
+      .withColumnRenamed("n_rows", "n_events")
+
+  /** [[winsorizeOf]] with an AUTOMATIC hot-group straggler guard — the
+    * skew posture the plain form's scaladoc leaves to the operator
+    * ("a skewed group is one task"), measured and applied in-plan.
+    * Group populations are counted by a map-side-combined hash
+    * aggregation (skew-immune); groups over `cap` rows leave the
+    * per-group rank window — which serializes a whole group per task —
+    * for a distributed-rank path ([[winsorizeHotOf]]), and the two
+    * censuses union. The hot list is ≤ totalRows/cap entries by
+    * construction, so it broadcasts. Value-identical to [[winsorizeOf]]
+    * (q_winsorize_guarded pins it against the SAME oracle SQL;
+    * HotGroupGuardSpec plants a 1000× group); the worst task is bounded
+    * by a range slice, not by the hottest group. */
+  private[graft] def winsorizeGuardedOf(e0: DataFrame,
+      cap: Long = GroupHotCap): DataFrame = {
+    val e = e0.trackedPersist()
+    val hotGroups = e.groupBy(col("grp")).agg(count(lit(1)).as("__gn"))
+      .filter(col("__gn") > cap)
+      .select(col("grp"))
+    val cold = e.join(broadcast(hotGroups), Seq("grp"), "left_anti")
+    val hot = e.join(broadcast(hotGroups), Seq("grp"), "left_semi")
+    winsorizeOf(cold).unionByName(winsorizeHotOf(hot))
+  }
+
+  /** The hot-group leg: per-group DISCRETE order statistics without a
+    * per-group window — the q_token_budget two-phase cumsum, per group.
+    * Phase 1: a range exchange on the full order key (grp, v, rid)
+    * spreads even ONE corpus-sized group over every partition in sorted
+    * slices (cached so pid is well-defined across the two readers).
+    * Phase 2: per-(grp, slice) counts — partitions × hot-groups rows of
+    * metadata — become exclusive prefix offsets and group totals via
+    * windows over that tiny table, and broadcast back. Phase 3: local
+    * row_numbers within (slice, grp) — every window partition at most
+    * one range slice, bounded regardless of skew — plus the offset give
+    * exact global ranks; the p05/p95 bounds then fall out of a hash
+    * AGGREGATION at the rank marks, and the groups-sized bounds table
+    * broadcasts back onto the cached rows for the census. */
+  private def winsorizeHotOf(hot: DataFrame): DataFrame = {
+    val ranked = Caches.tracked(hot
+      .repartitionByRange(col("grp"), col("v"), col("rid"))
+      .withColumn("pid", spark_partition_id()))
+    val wOff = Window.partitionBy(col("grp")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranked.groupBy(col("grp"), col("pid"))
+      .agg(count(lit(1)).as("pc"))
+      .withColumn("off", coalesce(sum(col("pc")).over(wOff), lit(0L)))
+      .withColumn("gn", sum(col("pc")).over(Window.partitionBy(col("grp"))))
+      .select(col("grp"), col("pid"), col("off"), col("gn"))
+    val wLoc = Window.partitionBy(col("pid"), col("grp"))
+      .orderBy(col("v"), col("rid"))
+    val bounds = ranked.join(broadcast(offs), Seq("grp", "pid"))
+      .withColumn("rn", col("off") + row_number().over(wLoc))
+      .groupBy(col("grp"))
+      .agg(
+        min(when(col("rn") === expr("(gn + 19) DIV 20"), col("v"))).as("lo"),
+        min(when(col("rn") === expr("(19*gn + 19) DIV 20"), col("v"))).as("hi"))
+    ranked.join(broadcast(bounds), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(when(col("v") < col("lo"), col("lo"))
+          .when(col("v") > col("hi"), col("hi"))
+          .otherwise(col("v")))
+          .cast("double").as("sum_winsorized"),
+        min(col("lo")).cast("double").as("lo"),
+        min(col("hi")).cast("double").as("hi"))
+  }
+
   private val winsorizeSql =
     """WITH e AS (
       |  SELECT event_type, event_id, CAST(value AS DECIMAL(12,2)) AS v
@@ -640,6 +727,7 @@ object Analytics {
     GQuery("q_salted_agg", saltedAgg, Some(saltedAggSql)),
     GQuery("q_key_skew", keySkew, Some(keySkewSql)),
     GQuery("q_winsorize", winsorize, Some(winsorizeSql)),
+    GQuery("q_winsorize_guarded", winsorizeGuarded, Some(winsorizeSql)),
     GQuery("q_trend_fit", trendFit, Some(trendFitSql)),
     GQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql),
       headline = true))
