@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{GQuery, Tables}
+import graft.core.{Caches, GQuery, Tables}
 import Qdsl._
 
 /** Temporal / reshaping operators over the `events` stream table: as-of
@@ -46,6 +46,69 @@ object Temporal {
     val clickMs = when(col("event_type") === "click", col("ms"))
     ev.withColumn("click_id", last(clickId, ignoreNulls = true).over(w))
       .withColumn("click_ms", last(clickMs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("click_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ms").as("purchase_ms"),
+        col("click_id"), col("click_ms"),
+        (col("ms") - col("click_ms")).as("gap_ms"))
+  }
+
+  /** [[asofJoin]] through the SEGMENTED scan ([[asofSegmentedOf]]) —
+    * value-identical output with no per-user window task, registered
+    * against the SAME oracle SQL so the driver pins the equivalence every
+    * round (the q_winsorize_guarded pattern, extended from rank windows
+    * to order-carrying running windows). */
+  def asofGuarded(s: SparkSession, dir: String): DataFrame =
+    asofSegmentedOf(Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochMs(col("ts")).as("ms")))
+
+  /** The as-of running scan as a SEGMENTED (parallel-prefix) computation
+    * — the hot-GROUP answer for order-carrying windows, where
+    * [[graft.queries.Analytics.winsorizeGuardedOf]] covers rank windows:
+    * a user with corpus-scale history serializes [[asofJoin]]'s
+    * per-user window into one task; here no task ever sees more than a
+    * range slice.
+    *
+    * Phase 1: range-exchange on the FULL window order key (user, ms,
+    * click-first, event_id), so the global per-user order is exactly the
+    * concatenation of slice-local orders (cached: slice ids must be
+    * stable across the two readers). Phase 2: each (user, slice) cell
+    * reduces to its last click by that order — a hash aggregation,
+    * map-combined — and an exclusive running max over the cells-sized
+    * table (≤ slices rows per user) gives the click each slice inherits
+    * from its past. Phase 3: the running last-click window runs WITHIN
+    * (slice, user) — bounded by the slice — and falls back to the
+    * carried click where the slice hasn't seen one. The struct max picks
+    * the same click the running window would: among clicks the order key
+    * is (ms, event_id). */
+  private[graft] def asofSegmentedOf(ev: DataFrame): DataFrame = {
+    val ranked = Caches.tracked(ev
+      .withColumn("tie",
+        when(col("event_type") === "click", 0).otherwise(1))
+      .repartitionByRange(col("user_id"), col("ms"), col("tie"), col("event_id"))
+      .withColumn("pid", spark_partition_id()))
+    val cells = ranked.groupBy(col("user_id"), col("pid"))
+      .agg(max(when(col("event_type") === "click",
+        struct(col("ms"), col("event_id")))).as("lc"))
+    val wCarry = Window.partitionBy(col("user_id")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = cells
+      .withColumn("carry", max(col("lc")).over(wCarry)) // max skips null cells
+      .select(col("user_id"), col("pid"), col("carry"))
+    val wLoc = Window.partitionBy(col("pid"), col("user_id"))
+      .orderBy(col("ms"), col("tie"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickId = when(col("event_type") === "click", col("event_id"))
+    val clickMs = when(col("event_type") === "click", col("ms"))
+    // the (user, pid) join and the (pid, user) window share one
+    // clustering, so the slice-local leg exchanges corpus rows once
+    ranked.join(carry, Seq("user_id", "pid"), "left")
+      .withColumn("click_id",
+        coalesce(last(clickId, ignoreNulls = true).over(wLoc),
+          col("carry.event_id")))
+      .withColumn("click_ms",
+        coalesce(last(clickMs, ignoreNulls = true).over(wLoc),
+          col("carry.ms")))
       .filter(col("event_type") === "purchase" && col("click_id").isNotNull)
       .select(col("event_id"), col("user_id"), col("ms").as("purchase_ms"),
         col("click_id"), col("click_ms"),
@@ -656,6 +719,7 @@ object Temporal {
     GQuery("q_sliding_anomaly", slidingAnomaly, Some(slidingAnomalySql)),
     GQuery("q_latest_snapshot", latestSnapshot, Some(latestSnapshotSql)),
     GQuery("q_asof_join", asofJoin, Some(asofJoinSql), headline = true),
+    GQuery("q_asof_guarded", asofGuarded, Some(asofJoinSql)),
     GQuery("q_range_join", rangeJoin, Some(rangeJoinSql)),
     GQuery("q_pivot_events", pivotEvents, Some(pivotEventsSql)),
     GQuery("q_cube_orders", cubeOrders, Some(cubeOrdersSql)),

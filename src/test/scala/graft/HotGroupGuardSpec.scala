@@ -75,6 +75,66 @@ class HotGroupGuardSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  /** Click/purchase stream with one user owning 1000× the events of the
+    * others — the order-carrying analog of the rank-window skew case. */
+  private def skewedEvents: DataFrame = {
+    def rows(uid: Long, n: Int, base: Long) = Seq.tabulate(n) { i =>
+      val t = i % 5 match {
+        case 0 | 3 => "click"
+        case 1 | 4 => "purchase"
+        case _ => "view"
+      }
+      (base + i, uid, t, 1000L + (i.toLong * 17 % 5000))
+    }
+    (rows(1L, 20, 0) ++ rows(2L, 20, 100) ++ rows(99L, 20000, 1000000))
+      .toDF("event_id", "user_id", "event_type", "ms")
+  }
+
+  test("segmented as-of matches the per-user window scan on a 1000x user") {
+    val ev = skewedEvents
+    val seg = graft.queries.Temporal.asofSegmentedOf(ev)
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    // the plain per-user running-window form, inlined as the law
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ms"),
+        when(col("event_type") === "click", 0).otherwise(1), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val clickId = when(col("event_type") === "click", col("event_id"))
+    val clickMs = when(col("event_type") === "click", col("ms"))
+    val plain = ev
+      .withColumn("click_id", last(clickId, ignoreNulls = true).over(w))
+      .withColumn("click_ms", last(clickMs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("click_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ms").as("purchase_ms"),
+        col("click_id"), col("click_ms"),
+        (col("ms") - col("click_ms")).as("gap_ms"))
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(seg === plain)
+  }
+
+  test("segmented as-of carries clicks across slice boundaries") {
+    // one user, clicks early, purchases late: with coalescing off the
+    // range exchange splits the user across slices, so at least one
+    // purchase must resolve through the carry, not the local window
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val n = 20000
+      val ev = (Seq.tabulate(n) { i => (i.toLong, 7L, "click", i.toLong) } ++
+        Seq.tabulate(n) { i =>
+          (100000L + i, 7L, "purchase", 1000000L + i)
+        }).toDF("event_id", "user_id", "event_type", "ms")
+      val out = graft.queries.Temporal.asofSegmentedOf(ev)
+      // every purchase sees the LAST click overall
+      assert(out.count() === n.toLong)
+      assert(out.agg(min(col("click_id"))).collect().head.getLong(0) ===
+        (n - 1).toLong)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("Corpus.winsorize facade applies the guard automatically") {
     val df = skewed.toDF("g", "id", "val")
     val out = Corpus.winsorize(df, "g", "val", "id", hotCap = 1000L)
