@@ -99,7 +99,14 @@ object Corpus {
     * row-for-row what [[minhashIndex]]/[[minhashHotCensus]] would build
     * from scratch on history ∪ batch (the law q_dedup_index_merge checks
     * against a DuckDB rebuild, including buckets that cross the cap only
-    * at merge time). */
+    * at merge time).
+    *
+    * PRECONDITION: batch ids must be disjoint from the ids already in
+    * the index — re-merging a delivered doc double-counts its band rows
+    * and silently breaks the merge==rebuild law. If the upstream feed
+    * can re-deliver, anti-join the batch on its id column against the
+    * served-id set first (kept outside this operator so merge work stays
+    * ∝ batch size). */
   def minhashIndexMerge(index: DataFrame, hotCensus: DataFrame,
       batch: DataFrame, id: String = "doc_id", text: String = "text",
       bucketCap: Int = TextPipeline.LshBucketCap): (DataFrame, DataFrame) =
@@ -121,22 +128,12 @@ object Corpus {
     * row count with per-mille share and the integer salt factor
     * ceil(rows·keys/total) (= [[Tuning.saltFactor]]), ready to feed
     * [[Salting.adaptiveSaltedJoin]]'s hotThreshold choice. Map-side
-    * combined counts, a 1-row totals broadcast, TakeOrdered head. */
-  def keySkewCensus(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
-    val counts = df.select(col(key).cast("string").as("key"))
-      .groupBy(col("key"))
-      .agg(count(lit(1)).as("n_rows"))
-      .trackedPersist()
-    val tot = counts.agg(sum(col("n_rows")).as("total"),
-      count(lit(1)).as("n_keys"))
-    val w = Window.orderBy(col("n_rows").desc, col("key"))
-    counts.orderBy(col("n_rows").desc, col("key")).limit(topK)
-      .crossJoin(broadcast(tot))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .select(col("rank"), col("key"), col("n_rows"),
-        expr("n_rows*1000 DIV total").as("share_pm"),
-        expr("(n_rows*n_keys + total - 1) DIV total").as("salt_factor"))
-  }
+    * combined counts, a 1-row totals broadcast, TakeOrdered head.
+    * Shares its census body with the oracle-checked query
+    * ([[graft.queries.Analytics.keySkewOf]]) so the two cannot drift. */
+  def keySkewCensus(df: DataFrame, key: String, topK: Int = 10): DataFrame =
+    graft.queries.Analytics.keySkewOf(
+      df.select(col(key).cast("string").as("key")), topK)
 
   /** Winsorized (outlier-clipped) value census over any frame: clip
     * `value` to its per-`group` [p05, p95] band with DISCRETE
@@ -231,14 +228,29 @@ object Corpus {
   }
 
   /** Keep-first exact dedup: one survivor per key set, the row with the
-    * smallest `orderCol` (deterministic tie-break). One hash shuffle on
-    * the key — the keep-first rule every dedup pipeline starts with. */
-  def exactDedup(df: DataFrame, keyCols: Seq[String], orderCol: String)
-      : DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(orderCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    * smallest `orderCol` (deterministic tie-break). One hash shuffle —
+    * the keep-first rule every dedup pipeline starts with.
+    *
+    * By default (`hashKey = true`) the exchange/sort key is the 16-byte
+    * `unhex(md5(...))` of the NUL-joined key columns, NOT the raw
+    * columns: when the key is document text, sorting the window on a
+    * multi-kilobyte string pays a full-text comparator per row pair,
+    * while the digest is a fixed 16-byte memcmp — the scale-safe form
+    * the oracle query's own scaladoc prescribes (TextPipeline.dedupExact:
+    * "at 100 TB you'd group by md5(text)"). Two distinct keys collide
+    * with probability ~n²/2¹²⁹ — at 10¹² rows that is ~10⁻¹⁵, below
+    * hardware corruption rates. Pass `hashKey = false` to group on the
+    * raw columns (exact-by-construction; right when keys are already
+    * short codes). */
+  def exactDedup(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      hashKey: Boolean = true): DataFrame = {
+    val keyed =
+      if (hashKey) df.withColumn("__k", unhex(md5(concat_ws("\u0000",
+        keyCols.map(c => col(c).cast("string")): _*))))
+      else df.withColumn("__k", struct(keyCols.map(col): _*))
+    val w = Window.partitionBy(col("__k")).orderBy(col(orderCol))
+    keyed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__k")
   }
 
   /** Quality-weighted deterministic Bernoulli sampling: keep each row
@@ -430,7 +442,9 @@ object Corpus {
     * globally-first occurrence and each document is rebuilt from its
     * surviving chunks in original order. Output (id, n_chunks_kept,
     * n_tokens, clean_text); documents whose every chunk recurs earlier
-    * vanish. Shares the oracle-checked q_dedup_rewrite internals
+    * vanish — and so do ZERO-TOKEN documents (nothing to chunk, so they
+    * contribute no surviving chunk to rebuild from). Shares the
+    * oracle-checked q_dedup_rewrite internals
     * ([[graft.queries.Curation.rebuildDocs]]). */
   def dedupRewrite(docs: DataFrame, id: String = "doc_id",
       text: String = "text", chunkTokens: Int = 10): DataFrame = {
@@ -535,6 +549,15 @@ object Corpus {
   * frame. Embedding floats are scaled to exact integers (floor(x·1e6))
   * so scores are deterministic across engines and runs — the same
   * construction the oracle-checked q_knn/q_ann queries pin. */
+/** Vector-search facades over arbitrary (id, Array[Float]) frames.
+  *
+  * ID-SPACE CONVENTION shared by every `*TopK` search: queries and base
+  * vectors are assumed to share one id space, and a candidate whose id
+  * equals the query's id is excluded as "the query finding itself" (the
+  * self-search shape the oracle-checked q_ann_* queries pin). If your
+  * query frame has its OWN id sequence, a coincidental id collision
+  * would silently drop one true neighbor — offset the query ids (e.g.
+  * negate them) into a disjoint range first. */
 object Vectors {
 
   private def canon(df: DataFrame, id: String, vec: String): DataFrame =

@@ -17,12 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** Working columns both joins stage on the inputs — a public facade
+    * over arbitrary frames must refuse inputs that already carry them
+    * (a silent collision would corrupt the join resolution). */
+  private val Reserved = Seq("__salt", "__n", "__factor")
+
+  private def requireNoReserved(df: DataFrame, side: String): Unit = {
+    val hit = df.columns.filter(Reserved.contains)
+    require(hit.isEmpty,
+      s"$side input already carries reserved column(s) ${hit.mkString(", ")}" +
+        s" — rename them before salting (reserved: ${Reserved.mkString(", ")})")
+  }
+
   /** Inner equi-join `big ⋈ small` on `key`, salted `salts` ways.
     * `bigUnique` must be any column of `big` that varies within a key
     * group (a row id, event id, line number …) — the salt is derived from
     * it deterministically, so runs are reproducible. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       bigUnique: String, salts: Int): DataFrame = {
+    requireNoReserved(big, "big"); requireNoReserved(small, "small")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(col(bigUnique)), lit(salts)).cast("int"))
     val replicated = small.withColumn("__salt",
@@ -49,6 +62,7 @@ object Salting {
       maxSalts: Int = 64): DataFrame = {
     require(hotThreshold > 0, s"hotThreshold must be positive: $hotThreshold")
     require(maxSalts > 0, s"maxSalts must be positive: $maxSalts")
+    requireNoReserved(big, "big"); requireNoReserved(small, "small")
     val hot = big.groupBy(col(key)).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > hotThreshold)
       .select(col(key), least(

@@ -532,22 +532,29 @@ object Analytics {
     * the raw stream is never globally sorted and no window ever sees
     * more than 10 rows. Feeds [[graft.api.Salting]]: a key with
     * salt_factor s joins salted s-ways; everything else stays unsalted. */
-  def keySkew(s: SparkSession, dir: String): DataFrame = {
-    // counts feeds BOTH the top-10 and the totals row — cache it so the
-    // token explode + key aggregation runs once, not twice (the plan
-    // assert in ScaleShapeSpec pins exactly one corpus-sized exchange)
-    val counts = Tables.documents(s, dir)
-      .select(explode(words(col("text"))).as("key"))
+  def keySkew(s: SparkSession, dir: String): DataFrame =
+    keySkewOf(Tables.documents(s, dir)
+      .select(explode(words(col("text"))).as("key")), 10)
+
+  /** Census body over any single-`key`-column frame — ONE definition
+    * shared by the oracle-checked [[keySkew]] and `Corpus.keySkewCensus`
+    * (the semDedup-drift lesson: a facade that re-implements the
+    * formulas can drift from the oracle silently). */
+  private[graft] def keySkewOf(keyed: DataFrame, topK: Int): DataFrame = {
+    // counts feeds BOTH the top-K and the totals row — cache it so the
+    // key aggregation runs once, not twice (the plan assert in
+    // ScaleShapeSpec pins exactly one corpus-sized exchange)
+    val counts = keyed
       .groupBy(col("key"))
       .agg(count(lit(1)).as("n_rows"))
       .trackedPersist()
     val tot = counts.agg(sum(col("n_rows")).as("total"),
       count(lit(1)).as("n_keys"))
-    val top = counts.orderBy(col("n_rows").desc, col("key")).limit(10)
-    val w10 = org.apache.spark.sql.expressions.Window
+    val top = counts.orderBy(col("n_rows").desc, col("key")).limit(topK)
+    val wTop = org.apache.spark.sql.expressions.Window
       .orderBy(col("n_rows").desc, col("key"))
     top.crossJoin(broadcast(tot))
-      .withColumn("rank", row_number().over(w10).cast("long"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
       .select(col("rank"), col("key"), col("n_rows"),
         expr("n_rows*1000 DIV total").as("share_pm"),
         expr("(n_rows*n_keys + total - 1) DIV total").as("salt_factor"))

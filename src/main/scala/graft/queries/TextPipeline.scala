@@ -222,7 +222,15 @@ object TextPipeline {
     * q_dedup_index_merge proves it against the DuckDB rebuild). Work is
     * ∝ batch bands + index size, one census shuffle; at 100 TB this is
     * the nightly compaction job, with the full rebuild reserved for
-    * shingle/hash version bumps. */
+    * shingle/hash version bumps.
+    *
+    * PRECONDITION: the batch's doc_ids must be DISJOINT from the ids
+    * already indexed (the daily-crawl contract — each doc arrives once).
+    * Re-merging an already-indexed doc unions duplicate band rows and
+    * double-counts bucket sizes, silently breaking the merge==rebuild
+    * law; anti-join the batch against served ids first if re-delivery
+    * is possible upstream (kept out of this operator so merge work
+    * stays ∝ batch, not ∝ index). */
   private[graft] def minhashIndexMerge(idx: DataFrame, hot: DataFrame,
       batch: DataFrame, cap: Int): (DataFrame, DataFrame) = {
     val allRows = idx.unionByName(bandRowsOf(batch)).trackedPersist()

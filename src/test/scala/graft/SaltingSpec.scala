@@ -70,4 +70,19 @@ class SaltingSpec extends SparkSpec {
     assert(sizes.count(_ > 0) > 1, "hot key must occupy more than one partition")
     assert(sizes.max < 8000, "no single straggler partition")
   }
+
+  test("inputs carrying reserved working columns are refused loudly") {
+    import spark.implicits._
+    val big = Seq((1L, "k", 0)).toDF("id", "key", "__salt")
+    val small = Seq(("k", "x")).toDF("key", "attr")
+    val e = intercept[IllegalArgumentException] {
+      graft.api.Salting.saltedJoin(big, small, "key", "id", 4)
+    }
+    assert(e.getMessage.contains("__salt"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.api.Salting.adaptiveSaltedJoin(
+        small, big.withColumnRenamed("__salt", "__factor"), "key", "attr", 10L)
+    }
+    assert(e2.getMessage.contains("__factor"))
+  }
 }
