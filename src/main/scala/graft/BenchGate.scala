@@ -36,6 +36,10 @@ object BenchGate {
     "ann_lsh_multiprobe" -> 0.2833333333333333,
     "ann_pq" -> 0.1,
     "ann_pq_trained" -> 0.16666666666666666,
+    // the production dial (256 centroids, 3 Lloyd rounds; _refined adds
+    // the exact top-10 re-rank), baselined from the round-10 sf0.1 sweep
+    "ann_pq_256" -> 0.2833333333333333,
+    "ann_pq_256_refined" -> 0.5833333333333334,
     "ann_ivfpq" -> 0.16666666666666666)
   val recallTol: Double = 0.05
 

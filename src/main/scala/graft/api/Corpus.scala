@@ -728,11 +728,25 @@ object Vectors {
     * and queries rank candidates by the 8-integer-add asymmetric
     * distance — the bandwidth-compressed serving path the
     * oracle-checked q_ann_pq pins ([[graft.queries.Similarity.pqSearch]]).
-    * Output (query_id, rank, neighbor_id, adc); vectors must be 64-dim. */
+    * Output (query_id, rank, neighbor_id, adc); vectors must be 64-dim.
+    *
+    * The PRODUCTION dials ([[graft.queries.Similarity.pqSearchProduction]],
+    * gated as the ann_pq_256* telemetry keys): `centroids` per subspace
+    * codebook ([[Tuning.pqCentroids]] — 256 in production; the default
+    * 16 keeps the oracle-pinned legacy shape), `rounds` Lloyd
+    * refinements, and `rerank` > 0 for an exact-cosine re-rank of the
+    * ADC shortlist (output scores become `cos`). Defaults reproduce the
+    * q_ann_pq shape exactly. */
   def pqTopK(vectors: DataFrame, queries: DataFrame, k: Int = 3,
-      id: String = "vec_id", vec: String = "embedding"): DataFrame =
-    graft.queries.Similarity.pqSearch(
-      canon(vectors, id, vec), canon(queries, id, vec), k)
+      id: String = "vec_id", vec: String = "embedding",
+      centroids: Int = 16, rounds: Int = 0, rerank: Int = 0): DataFrame =
+    (if (centroids == 16 && rounds == 0 && rerank == 0)
+      graft.queries.Similarity.pqSearch(
+        canon(vectors, id, vec), canon(queries, id, vec), k)
+    else
+      graft.queries.Similarity.pqSearchProduction(
+        canon(vectors, id, vec), canon(queries, id, vec), k,
+        centroids, rounds, rerank))
       .withColumnRenamed("q_id", "query_id")
 
   /** Johnson-Lindenstrauss sign projection 64 → 16 for any

@@ -67,6 +67,21 @@ object Tuning {
     math.ceil(math.sqrt(corpusRows.toDouble)).toLong.min(Int.MaxValue).toInt
   }
 
+  /** PQ centroids per subspace codebook: the production value is 256
+    * (one byte per code — the k* = 2⁸ the PQ paper standardizes on, and
+    * the ann_pq_256 telemetry dial), floored to ⌈n/8⌉ when the corpus
+    * itself is smaller than 8 training points per centroid — fewer
+    * centroids than that and Lloyd cells go empty faster than they
+    * refine. The codebook broadcast is m × centroids × subDim longs
+    * (128 kB at 256×8×8) at ANY corpus size, so unlike lshBits/ivfCells
+    * this dial does NOT grow with n: 256 is right at 2 k vectors and at
+    * 100 TB alike; what grows is only training cost, one corpus pass per
+    * Lloyd round. */
+  def pqCentroids(corpusRows: Long): Int = {
+    require(corpusRows > 0)
+    math.min(256L, (corpusRows + 7) / 8).toInt
+  }
+
   /** Salt factor for one hot key: ceil(keyRows · nKeys / totalRows) —
     * the number of uniform key-loads the key weighs, the exact integer
     * the oracle-checked q_key_skew emits per head key and

@@ -533,6 +533,104 @@ object Similarity {
         col("vec_id").as("neighbor_id"))
   }
 
+  /** PQ at the PRODUCTION dial — [[annPqTrained]]'s machinery with the
+    * three knobs a real deployment turns, as arguments instead of
+    * constants: `centroids` per subspace codebook (256 = the k* = 2⁸ the
+    * PQ paper standardizes on; the code widens nibble → byte), `rounds`
+    * full Lloyd refinements instead of one, and an exact-cosine re-rank
+    * of the ADC top-`rerank` shortlist (the IndexRefine stage —
+    * [[annIvfPq]]'s [[PQ_RERANK]], here on the flat index). The PLANS are
+    * the 16-centroid plans unchanged — only the broadcast tables grow
+    * (codebook m × centroids subvectors, LUT queries × m × centroids
+    * rows; at 256 centroids ≈ 2 k rows and ≈ 0.5 MB per 20 queries —
+    * broadcast-sized at any corpus scale, which is the entire point of
+    * PQ). Training is integer-exact (truncated-mean Lloyd, ties on
+    * (dist, cid)), so runs are deterministic on any cluster layout; a
+    * centroid that loses all members drops out of the codebook, exactly
+    * like k-means. Each round's codebook is cached: the tables are tiny
+    * but anchor a corpus-sized assignment pass, and an uncached chain
+    * would recompute round r−1 inside round r.
+    *
+    * `queries` must be broadcast-sized (the LUT and shortlist key on it)
+    * — the same serving convention as [[lshSearch]]. Recall is measured
+    * and GATED as ann_pq_256 / ann_pq_256_refined next to the
+    * 16-centroid keys (BenchGate), so the centroid axis is a telemetry
+    * curve, not prose; [[graft.api.Tuning.pqCentroids]] picks the dial
+    * from corpus size. */
+  private[graft] def pqSearchProduction(base: DataFrame, queries: DataFrame,
+      k: Int, centroids: Int, rounds: Int, rerank: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(centroids > 0, s"centroids must be positive: $centroids")
+    require(rounds >= 0 && rerank >= 0, "rounds/rerank must be >= 0")
+    val subIdx = posexplode(expr(
+      s"transform(sequence(0, ${PQ_M - 1}), m -> slice(v, m * $PQ_SUB + 1, $PQ_SUB))"))
+    def subs(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vid"), subIdx)
+        .select(col("vid").as(idAs), col("pos").as("m"), col("col").as("vm"))
+    val sv = Caches.tracked(subs(base, "vec_id"))
+    val seed = sv
+      .join(broadcast(base.orderBy(col("vid")).limit(centroids)
+        .select(col("vid").as("pivot"))), col("vec_id") === col("pivot"))
+      .select(col("m").as("cm"), col("vec_id").as("cid"), col("vm").as("cv"))
+    // nearest-centroid codes via an AGGREGATED argmin (min of
+    // (dist, cid) structs) — at 256 centroids a per-(vector, subspace)
+    // rank window would sort 256 rows per cell for one survivor
+    def assign(cb: DataFrame): DataFrame =
+      sv.join(broadcast(cb), col("m") === col("cm"))
+        .select(col("vec_id"), col("m"), col("cid"), pqD2.as("dist"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("dist"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.cid").as("code"))
+    val cb = (0 until rounds).foldLeft(seed) { (c, _) =>
+      Caches.tracked(sv.join(assign(c), Seq("vec_id", "m"))
+        .select(col("m"), col("code"), posexplode(col("vm")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(expr("SUM(col) DIV COUNT(*)").as("cx"))
+        .groupBy(col("m"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          e => e.getField("cx")).as("cv"))
+        .select(col("m").as("cm"), col("code").as("cid"), col("cv")))
+    }
+    val codes = assign(cb)
+    val lut = subs(queries, "q_id")
+      .join(broadcast(cb), col("m") === col("cm"))
+      .select(col("q_id"), col("m").as("lm"), col("cid").as("lcid"),
+        pqD2.as("lutd"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    val adc = codes.join(broadcast(lut),
+        col("m") === col("lm") && col("code") === col("lcid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("lutd")).as("adc"))
+      .filter(col("vec_id") =!= col("q_id"))
+    if (rerank <= 0) {
+      adc.withColumn("rank", row_number().over(wAdc))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("vec_id").as("neighbor_id"), col("adc"))
+    } else {
+      // IndexRefine: codes find the neighborhood, `rerank` exact
+      // cosines per query fix the order quantization scrambled; the
+      // queries×rerank shortlist broadcasts against the vector table
+      val short = adc.withColumn("srank", row_number().over(wAdc))
+        .filter(col("srank") <= math.max(rerank, k))
+        .select(col("q_id"), col("vec_id"))
+      val q = queries.select(col("vid").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"))
+      val wCos = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      base.select(col("vid").as("vec_id"), col("v"), col("n2"))
+        .join(broadcast(short), "vec_id")
+        .join(broadcast(q), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          cosine(dot(col("v"), col("qv")), col("n2"), col("qn2")).as("cos"))
+        .withColumn("rank", row_number().over(wCos))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("vec_id").as("neighbor_id"), col("cos"))
+    }
+  }
+
   private val annPqTrainedSql =
     s"""WITH iv AS (
       |  SELECT vec_id, $ivecSql AS v FROM embeddings),
@@ -1535,6 +1633,23 @@ object Similarity {
           .select(col("vec_id").as("vid"), col("v"), col("n2"))
         lshSearch(base, base.filter(col("vid") < 20), k = 3, bits = 12,
           tables = 4, hamming = 1, cap = Long.MaxValue)
+          .select(col("q_id"), col("rank"), col("neighbor_id"))
+      }))
+      .unionByName(one("ann_pq_256", {
+        // the production centroid dial: 256/subspace, 3 Lloyd rounds —
+        // the climb off ann_pq_trained's 16-centroid floor, measured
+        val base = vecs(s, dir)
+          .select(col("vec_id").as("vid"), col("v"), col("n2"))
+        pqSearchProduction(base, base.filter(col("vid") < 20), k = 3,
+          centroids = 256, rounds = 3, rerank = 0)
+          .select(col("q_id"), col("rank"), col("neighbor_id"))
+      }))
+      .unionByName(one("ann_pq_256_refined", {
+        // + the IndexRefine stage: exact re-rank of the ADC top-10
+        val base = vecs(s, dir)
+          .select(col("vec_id").as("vid"), col("v"), col("n2"))
+        pqSearchProduction(base, base.filter(col("vid") < 20), k = 3,
+          centroids = 256, rounds = 3, rerank = 10)
           .select(col("q_id"), col("rank"), col("neighbor_id"))
       }))
       .unionByName(one("ann_ivf", annIvf(s, dir)))
