@@ -19,6 +19,29 @@ import org.apache.spark.sql.{functions => fn}
   */
 object ThemisJob {
 
+  /** `run_in_sequence` parity (`job_spec_generators/utils.py:71-79`,
+    * driven by `run_job.py`): run a batch of jobs in order, each stage's
+    * output MATERIALIZED to its intermediate directory (parquet — the
+    * engine's durable format, where the reference writes themis-kv files
+    * between jobs) and the next stage constructed from the READ-BACK
+    * frame, never from in-memory lineage. The materialization is the
+    * point: each stage's shuffle graph stays job-local, and a failed
+    * stage restarts from the last directory instead of recomputing the
+    * chain — the reference's per-job recovery boundary. Returns the
+    * frame read back from the final directory. Iterative pipelines
+    * (PageRank's loop, `pagerank.py:16-39`) are a repeated stage:
+    * `Seq.tabulate(n)(i => (mkIteration _, s"$base/iter$i"))` —
+    * ThemisJobSpec runs both the wordcount→sort chain and a 2-iteration
+    * PageRank through this surface. (The in-engine iterative operators —
+    * Iterative.pageRank, KMeans, components — remain the fast path: they
+    * checkpoint by lineage, not by parquet round-trips.) */
+  def sequence(input: DataFrame,
+      stages: Seq[(DataFrame => Job[Row], String)]): DataFrame =
+    stages.foldLeft(input) { case (in, (mk, dir)) =>
+      mk(in).run().write.mode("overwrite").parquet(dir)
+      in.sparkSession.read.parquet(dir)
+    }
+
   /** Partition-function options (`PartitionFunctionFactory.cc`):
     * range (BoundaryList), hashed-range over murmur64
     * (HashedBoundaryList), hash (Uniform), single partition, random. */
