@@ -59,11 +59,20 @@ object Bench {
     require(passes >= 1, s"SPARK_BENCH_PASSES must be >= 1, got $passes")
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      // seconds the LAST pass spent in DeferredIngest bodies — the write
+      // leg of a write-then-read query. Reported as `construction` next
+      // to the timed number so those headlines are self-describing
+      // (their total includes this); 0 for everything else. Gate ignores
+      // it.
+      var constructionS = 0.0
       val times = (1 to passes).flatMap { _ =>
+        graft.plans.DeferredIngest.resetBodyNanos()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          constructionS = graft.plans.DeferredIngest.bodySeconds()
+          Some(dt)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -77,7 +86,7 @@ object Bench {
       // a failed query is omitted from the per-query map entirely (a
       // sentinel value would poison naive min-over-rounds tooling) and
       // named in the separate `failed` array instead
-      name -> times.minOption
+      (name, times.minOption, constructionS)
     }
     // index-quality telemetry, untimed: mean recall@3 of each ANN
     // variant vs exact brute force. A probe-count or codebook regression
@@ -160,12 +169,17 @@ object Bench {
       if (gateApplies) BenchGate.check(recallMap, calibMap, ivfCostMap) else Nil
     val gateJson = s"""{"checked":$gateApplies,"violations":${
       violations.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
-    val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }
+    val qs = results.collect { case (k, Some(v), _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, None) => k }
+    val failed = results.collect { case (k, None, _) => k }
     val total = results.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"failed":$failedJson,"recall":$recallJson,"minhash_calibration":$calibJson,"lsh_occupancy":$occJson,"ivf_cost":$ivfCostJson,"gate":$gateJson,"sf":"$sfDir"}""")
+    // only the write-then-read queries have a nonzero write leg; emitting
+    // just those keeps the field an explicit marker of the asymmetry
+    val constructionJson = results
+      .collect { case (k, _, c) if c > 0.0 => "\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"failed":$failedJson,"construction":$constructionJson,"recall":$recallJson,"minhash_calibration":$calibJson,"lsh_occupancy":$occJson,"ivf_cost":$ivfCostJson,"gate":$gateJson,"sf":"$sfDir"}""")
     spark.stop()
     if (violations.nonEmpty) {
       violations.foreach(v => System.err.println(s"[bench] GATE VIOLATION: $v"))

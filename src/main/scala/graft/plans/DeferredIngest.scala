@@ -43,6 +43,17 @@ object DeferredIngest {
     org.apache.spark.sql.GraftPlanBridge.ofRows(s,
       DeferredIngestNode(
         DataTypeUtils.toAttributes(StructType.fromDDL(ddl)), () => body))
+
+  /** Seconds spent inside deferred bodies (the WRITE leg of a
+    * write-then-read query) since the last [[resetBodyNanos]] —
+    * Bench reads this per query so the round-trip headlines report
+    * their construction cost as an explicit `construction` field next
+    * to the timed read leg, instead of a note in BENCH_LOCAL.md.
+    * Driver-side only (bodies run on the driver), so a plain atomic. */
+  private val bodyNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def resetBodyNanos(): Unit = bodyNanos.set(0L)
+  private[graft] def bodySeconds(): Double = bodyNanos.get() / 1e9
+  private[graft] def addBodyNanos(n: Long): Unit = bodyNanos.addAndGet(n)
 }
 
 /** Logical leaf: just the output attributes and the deferred body. */
@@ -63,7 +74,9 @@ final case class DeferredIngestExec(
     output: Seq[Attribute],
     body: () => DataFrame) extends LeafExecNode {
   override protected def doExecute(): RDD[InternalRow] = {
+    val t0 = System.nanoTime()
     val df = body()
+    DeferredIngest.addBodyNanos(System.nanoTime() - t0)
     require(df.schema.length == output.length,
       s"DeferredIngest body produced ${df.schema.length} columns, " +
         s"declared ${output.length}")

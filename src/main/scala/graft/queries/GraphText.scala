@@ -440,7 +440,7 @@ object GraphText {
     GQuery("q_link_extract", linkExtract, Some(linkExtractSql)),
     GQuery("q_triangles", triangles, Some(trianglesSql), headline = true),
     GQuery("q_wex_text", wexText, Some(wexTextSql)),
-    GQuery("q_text_lines", textLines, Some(textLinesSql)),
+    GQuery("q_text_lines", textLines, Some(textLinesSql), headline = true),
     GQuery("q_parse_network", parseNetwork, Some(parseNetworkSql)),
     GQuery("q_gen_network", genNetwork, Some(genNetworkSql)),
     GQuery("q_gen_powerlaw", genPowerlaw, Some(genPowerlawSql)))

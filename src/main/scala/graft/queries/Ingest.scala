@@ -257,8 +257,8 @@ object Ingest {
   val defs: Seq[GQuery] = Seq(
     GQuery("q_binary_export", binaryExport, Some(binaryExportSql)),
     GQuery("q_compaction_plan", compactionPlan, Some(compactionPlanSql)),
-    GQuery("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql)),
+    GQuery("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql), headline = true),
     GQuery("q_jsonl_parse", jsonlParse, Some(jsonlParseSql)),
     GQuery("q_json_quarantine", jsonQuarantine, Some(jsonQuarantineSql)),
-    GQuery("q_partitioned_write", partitionedWrite, Some(partitionedWriteSql)))
+    GQuery("q_partitioned_write", partitionedWrite, Some(partitionedWriteSql), headline = true))
 }
