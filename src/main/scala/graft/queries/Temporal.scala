@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Caches, GQuery, Tables}
+import graft.core.Caches.TrackedOps
 import Qdsl._
 
 /** Temporal / reshaping operators over the `events` stream table: as-of
@@ -34,10 +35,15 @@ object Temporal {
     * Ties (click and purchase at the same millisecond) count as "before"
     * — the `(ms, click-first, event_id)` sort order makes that rule, and
     * the pick among same-ms clicks, deterministic on both engines. */
-  def asofJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+  def asofJoin(s: SparkSession, dir: String): DataFrame =
+    asofWindowOf(Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        epochMs(col("ts")).as("ms"))
+        epochMs(col("ts")).as("ms")))
+
+  /** The plain one-exchange window form over a canonical (event_id,
+    * user_id, event_type, ms) frame — shared by the oracle-checked
+    * [[asofJoin]] and the cold leg of [[asofGuardedOf]]. */
+  private[graft] def asofWindowOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ms"),
         when(col("event_type") === "click", 0).otherwise(1), col("event_id"))
@@ -52,15 +58,38 @@ object Temporal {
         (col("ms") - col("click_ms")).as("gap_ms"))
   }
 
-  /** [[asofJoin]] through the SEGMENTED scan ([[asofSegmentedOf]]) —
-    * value-identical output with no per-user window task, registered
-    * against the SAME oracle SQL so the driver pins the equivalence every
-    * round (the q_winsorize_guarded pattern, extended from rank windows
-    * to order-carrying running windows). */
+  /** [[asofJoin]] through the AUTOMATIC hot-user guard
+    * ([[asofGuardedOf]]) with a cap low enough that the sf0.01 user
+    * population splits across BOTH legs — value-identical output,
+    * registered against the SAME oracle SQL so the driver pins the
+    * split+union equivalence every round (the q_winsorize_guarded
+    * pattern, extended from rank windows to order-carrying running
+    * windows). */
   def asofGuarded(s: SparkSession, dir: String): DataFrame =
-    asofSegmentedOf(Tables.events(s, dir)
+    asofGuardedOf(Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        epochMs(col("ts")).as("ms")))
+        epochMs(col("ts")).as("ms")), cap = 60L)
+
+  /** [[asofJoin]]'s per-user running scan with the hot-group straggler
+    * guard applied AUTOMATICALLY, the
+    * [[graft.queries.Analytics.winsorizeGuardedOf]] posture for
+    * order-carrying windows: per-user event counts are censused in-plan
+    * (map-side-combined, skew-immune), users over `cap` events take the
+    * SEGMENTED scan ([[asofSegmentedOf]] — no task sees more than a
+    * range slice of a user), everyone else keeps the plain one-exchange
+    * window, and the two legs union. The hot list is ≤ totalRows/cap
+    * ids by construction, so it broadcasts. */
+  private[graft] def asofGuardedOf(ev0: DataFrame,
+      cap: Long = 1000000L): DataFrame = {
+    val ev = ev0.trackedPersist()
+    val hotUsers = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap)
+      .select(col("user_id"))
+    val cold = ev.join(broadcast(hotUsers), Seq("user_id"), "left_anti")
+    val hot = ev.join(broadcast(hotUsers), Seq("user_id"), "left_semi")
+    asofWindowOf(cold).unionByName(asofSegmentedOf(hot))
+  }
 
   /** The as-of running scan as a SEGMENTED (parallel-prefix) computation
     * — the hot-GROUP answer for order-carrying windows, where
@@ -548,19 +577,90 @@ object Temporal {
     * scanned linearly regardless of corpus size. Ties are impossible by
     * construction (event_id is unique) but the sort key pins them anyway.
     * Output rows ∝ state CHANGES, not events — RLE output compression. */
-  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
-    val changes = Tables.events(s, dir)
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame =
+    scd2WindowOf(Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), epochMs(col("ts")).as("ms"),
-        col("event_id"))
+        col("event_id")))
+
+  /** The plain one-exchange window form over a canonical (user_id,
+    * event_type, ms, event_id) frame — shared by the oracle-checked
+    * [[scd2Intervals]] and the cold leg of [[scd2GuardedOf]]. */
+  private[graft] def scd2WindowOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    finishScd2(ev
       .withColumn("prev_state", lag(col("event_type"), 1).over(w))
-      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+      .filter(col("prev_state").isNull ||
+        col("prev_state") =!= col("event_type")))
+  }
+
+  /** The change-rows → interval-rows tail shared by every scd2 leg:
+    * version numbers and valid_to horizons over the CHANGES — rows
+    * ∝ state transitions, the RLE-compressed output, so these windows
+    * see output-sized partitions even when the raw event history was
+    * the skew problem. */
+  private def finishScd2(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
     changes
       .withColumn("version", row_number().over(w))
       .withColumn("valid_to", lead(col("ms"), 1).over(w))
       .select(col("user_id"), col("version"), col("event_type").as("state"),
         col("ms").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
+  }
+
+  /** [[scd2Intervals]] through the AUTOMATIC hot-user guard — the third
+    * member of the window-family guard next to
+    * [[graft.queries.Analytics.winsorizeGuardedOf]] (rank windows) and
+    * [[asofGuardedOf]] (running carries), here for lag/lead adjacency:
+    * the change DETECTION pass over raw events is what a corpus-scale
+    * user serializes, so hot users take a segmented lag
+    * ([[scd2SegmentedOf]]) while the interval tail always runs over the
+    * change rows (output-sized by construction). Registered as
+    * q_scd2_guarded against q_scd2_intervals' own oracle SQL with a cap
+    * that splits the sf0.01 users across both legs. */
+  def scd2Guarded(s: SparkSession, dir: String): DataFrame =
+    scd2GuardedOf(Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), epochMs(col("ts")).as("ms"),
+        col("event_id")), cap = 60L)
+
+  private[graft] def scd2GuardedOf(ev0: DataFrame,
+      cap: Long = 1000000L): DataFrame = {
+    val ev = ev0.trackedPersist()
+    val hotUsers = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap)
+      .select(col("user_id"))
+    val cold = ev.join(broadcast(hotUsers), Seq("user_id"), "left_anti")
+    val hot = ev.join(broadcast(hotUsers), Seq("user_id"), "left_semi")
+    scd2WindowOf(cold).unionByName(scd2SegmentedOf(hot))
+  }
+
+  /** Segmented change detection: lag(event_type) without a per-user
+    * window task. Range-exchange on the full order key (user, ms,
+    * event_id); each (user, slice) cell reduces to its LAST row (struct
+    * max — (ms, event_id) is unique), a cells-table lag hands each slice
+    * the state it inherits, and the slice-local lag falls back to that
+    * carry on its first row. The user's first row sees a null carry —
+    * the same "first version" rule as the window form. */
+  private[graft] def scd2SegmentedOf(ev: DataFrame): DataFrame = {
+    val ranked = Caches.tracked(ev
+      .repartitionByRange(col("user_id"), col("ms"), col("event_id"))
+      .withColumn("pid", spark_partition_id()))
+    val cells = ranked.groupBy(col("user_id"), col("pid"))
+      .agg(max(struct(col("ms"), col("event_id"), col("event_type")))
+        .as("lastrow"))
+    val wCells = Window.partitionBy(col("user_id")).orderBy(col("pid"))
+    val carry = cells
+      .withColumn("carry_state", lag(col("lastrow.event_type"), 1).over(wCells))
+      .select(col("user_id"), col("pid"), col("carry_state"))
+    val wLoc = Window.partitionBy(col("pid"), col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    finishScd2(ranked.join(carry, Seq("user_id", "pid"), "left")
+      .withColumn("prev_state",
+        coalesce(lag(col("event_type"), 1).over(wLoc), col("carry_state")))
+      .filter(col("prev_state").isNull ||
+        col("prev_state") =!= col("event_type"))
+      .drop("pid", "carry_state"))
   }
 
   private val scd2IntervalsSql =
@@ -713,6 +813,7 @@ object Temporal {
     GQuery("q_attribution", attribution, Some(attributionSql)),
     GQuery("q_scd2_intervals", scd2Intervals, Some(scd2IntervalsSql),
       headline = true),
+    GQuery("q_scd2_guarded", scd2Guarded, Some(scd2IntervalsSql)),
     GQuery("q_cusum_change", cusumChange, Some(cusumChangeSql)),
     GQuery("q_top_paths", topPaths, Some(topPathsSql)),
     GQuery("q_histogram_quantiles", histogramQuantiles, Some(histogramQuantilesSql)),

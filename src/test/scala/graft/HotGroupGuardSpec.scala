@@ -135,6 +135,41 @@ class HotGroupGuardSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("asof auto-split (hot + cold legs) matches the plain window form") {
+    val ev = skewedEvents
+    def rows(df: DataFrame) =
+      df.orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(rows(graft.queries.Temporal.asofGuardedOf(ev, cap = 100L)) ===
+      rows(graft.queries.Temporal.asofWindowOf(ev)))
+  }
+
+  test("segmented scd2 matches the window form on a 1000x user") {
+    val ev = skewedEvents
+      .select(col("user_id"), col("event_type"), col("ms"), col("event_id"))
+    def rows(df: DataFrame) =
+      df.orderBy("user_id", "version").collect().map(_.toSeq).toSeq
+    val plain = rows(graft.queries.Temporal.scd2WindowOf(ev))
+    assert(rows(graft.queries.Temporal.scd2SegmentedOf(ev)) === plain)
+    // and the auto-split with a mixed cap
+    assert(rows(graft.queries.Temporal.scd2GuardedOf(ev, cap = 100L)) === plain)
+  }
+
+  test("segmented scd2 carries state across slice boundaries") {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      // one user, 20k same-state events then one flip: the segmented lag
+      // must NOT open a new version at each slice boundary
+      val n = 20000
+      val ev = (Seq.tabulate(n) { i => (7L, "view", i.toLong, i.toLong) } :+
+        (7L, "click", 1000000L, 999999L))
+        .toDF("user_id", "event_type", "ms", "event_id")
+      val out = graft.queries.Temporal.scd2SegmentedOf(ev)
+      assert(out.count() === 2L, "slice boundaries fabricated versions")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("Corpus.winsorize facade applies the guard automatically") {
     val df = skewed.toDF("g", "id", "val")
     val out = Corpus.winsorize(df, "g", "val", "id", hotCap = 1000L)
