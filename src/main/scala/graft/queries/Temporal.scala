@@ -279,10 +279,15 @@ object Temporal {
     * such a click), so the per-user max of each flag is the funnel depth
     * — O(events) total, never a per-stage self-join (the naive funnel is
     * k-1 self-joins of the event table with inequality predicates). */
-  def funnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelCensus(funnelStagesWindowOf(Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        epochMs(col("ts")).as("ms"))
+        epochMs(col("ts")).as("ms"))))
+
+  /** Per-user funnel depth via the plain one-exchange window stack —
+    * shared by the oracle-checked [[funnel]] and the cold leg of
+    * [[funnelGuardedOf]]. */
+  private[graft] def funnelStagesWindowOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ms"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -293,9 +298,82 @@ object Temporal {
       .groupBy(col("user_id"))
       .agg((coalesce(max(col("r1")), lit(0)) + coalesce(max(col("r2")), lit(0))
         + coalesce(max(col("r3")), lit(0))).as("stage"))
-      .groupBy(col("stage"))
+  }
+
+  private[graft] def funnelCensus(stages: DataFrame): DataFrame =
+    stages.groupBy(col("stage"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("user_id")).as("user_checksum"))
+
+  /** [[funnel]] through the AUTOMATIC hot-user guard — the fourth member
+    * of the window-family guard, for running STATE-MACHINE windows: the
+    * funnel flags are a 4-state monotone automaton, so a corpus-scale
+    * user decomposes as a parallel prefix over its TRANSITION FUNCTIONS
+    * ([[funnelSegmentedOf]]). Registered as q_funnel_guarded against
+    * q_funnel's own oracle SQL with a cap that splits the sf0.01 users
+    * across both legs. */
+  def funnelGuarded(s: SparkSession, dir: String): DataFrame =
+    funnelGuardedOf(Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochMs(col("ts")).as("ms")), cap = 60L)
+
+  private[graft] def funnelGuardedOf(ev0: DataFrame,
+      cap: Long = 1000000L): DataFrame = {
+    val ev = ev0.trackedPersist()
+    val hotUsers = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap)
+      .select(col("user_id"))
+    val cold = ev.join(broadcast(hotUsers), Seq("user_id"), "left_anti")
+    val hot = ev.join(broadcast(hotUsers), Seq("user_id"), "left_semi")
+    funnelCensus(
+      funnelStagesWindowOf(cold).unionByName(funnelSegmentedOf(hot)))
+  }
+
+  /** Per-user funnel depth with no per-user window task: the segmented
+    * scan for a running STATE MACHINE. The funnel state s ∈ {0,1,2,3}
+    * (stages completed) advances monotonically — view lifts 0→1, click
+    * 1→2, purchase 2→3 — so each (user, slice) cell summarizes to its
+    * TRANSITION FUNCTION f: entry state → exit state, four small
+    * integers computed from the same stacked running-max windows as the
+    * plain form (entry 0 = the plain flags; entry 1 needs only
+    * click-then-purchase; entry 2 only any-purchase; entry 3 is fixed),
+    * every window bounded by a range slice. Composing the cells in
+    * slice order — an `aggregate` fold over the ≤slices-per-user struct
+    * list, pure metadata — replays the whole history's automaton
+    * exactly. */
+  private[graft] def funnelSegmentedOf(ev: DataFrame): DataFrame = {
+    val ranked = ev
+      .repartitionByRange(col("user_id"), col("ms"), col("event_id"))
+      .withColumn("pid", spark_partition_id())
+    val w = Window.partitionBy(col("pid"), col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isV = col("event_type") === "view"
+    val isC = col("event_type") === "click"
+    val isP = col("event_type") === "purchase"
+    val cells = ranked
+      .withColumn("a1", max(when(isV, 1)).over(w))
+      .withColumn("a2", max(when(isC, col("a1"))).over(w))
+      .withColumn("a3", max(when(isP, col("a2"))).over(w))
+      .withColumn("b2", max(when(isC, 1)).over(w))
+      .withColumn("b3", max(when(isP, col("b2"))).over(w))
+      .withColumn("c3", max(when(isP, 1)).over(w))
+      .groupBy(col("user_id"), col("pid"))
+      .agg(
+        (coalesce(max(col("a1")), lit(0)) + coalesce(max(col("a2")), lit(0))
+          + coalesce(max(col("a3")), lit(0))).as("f0"),
+        (lit(1) + coalesce(max(col("b2")), lit(0))
+          + coalesce(max(col("b3")), lit(0))).as("f1"),
+        (lit(2) + coalesce(max(col("c3")), lit(0))).as("f2"),
+        lit(3).as("f3"))
+    cells
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("pid"), col("f0"),
+        col("f1"), col("f2"), col("f3")))).as("fs"))
+      .select(col("user_id"),
+        expr("aggregate(fs, 0, (s, c) -> " +
+          "element_at(array(c.f0, c.f1, c.f2, c.f3), s + 1))").as("stage"))
   }
 
   private val funnelSql =
@@ -825,5 +903,6 @@ object Temporal {
     GQuery("q_pivot_events", pivotEvents, Some(pivotEventsSql)),
     GQuery("q_cube_orders", cubeOrders, Some(cubeOrdersSql)),
     GQuery("q_funnel", funnel, Some(funnelSql)),
+    GQuery("q_funnel_guarded", funnelGuarded, Some(funnelSql)),
     GQuery("q_resample_fill", resampleFill, Some(resampleFillSql)))
 }

@@ -170,6 +170,43 @@ class HotGroupGuardSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("segmented funnel composes slice automata to the window answer") {
+    val ev = skewedEvents
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ms"))
+    def stages(df: DataFrame) =
+      df.orderBy("user_id").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toSeq
+    val plain = stages(graft.queries.Temporal.funnelStagesWindowOf(ev))
+    assert(stages(graft.queries.Temporal.funnelSegmentedOf(ev)) === plain)
+    // and the auto-split census end to end
+    def census(df: DataFrame) =
+      df.orderBy("stage").collect().map(_.toSeq).toSeq
+    assert(census(graft.queries.Temporal.funnelGuardedOf(ev, cap = 100L)) ===
+      census(graft.queries.Temporal.funnelCensus(
+        graft.queries.Temporal.funnelStagesWindowOf(ev))))
+  }
+
+  test("funnel automaton carries stage credit across slice boundaries") {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      // views early, clicks mid, purchases late: each stage completes in
+      // a DIFFERENT slice region, so depth 3 requires cross-slice credit
+      val n = 6000
+      val ev = (Seq.tabulate(n) { i => (i.toLong, 7L, "view", i.toLong) } ++
+        Seq.tabulate(n) { i =>
+          (10000L + i, 7L, "click", 100000L + i)
+        } ++
+        Seq.tabulate(n) { i =>
+          (20000L + i, 7L, "purchase", 200000L + i)
+        }).toDF("event_id", "user_id", "event_type", "ms")
+      val got = graft.queries.Temporal.funnelSegmentedOf(ev).collect()
+      assert(got.length === 1 && got.head.getInt(1) === 3,
+        s"expected stage 3, got ${got.toSeq}")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("Corpus.winsorize facade applies the guard automatically") {
     val df = skewed.toDF("g", "id", "val")
     val out = Corpus.winsorize(df, "g", "val", "id", hotCap = 1000L)
