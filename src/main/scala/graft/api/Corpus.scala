@@ -158,6 +158,70 @@ object Corpus {
         col(value).cast("decimal(12,2)").as("v")), hotCap)
       .withColumnRenamed("grp", group)
 
+  /** As-of join over any event frame: each row whose `kind` column
+    * equals `right` picks the latest `left`-kind row by the same `key`
+    * at-or-before its `ts` (ties: left-before-right at the same ts,
+    * then by `id`). The single-hash-exchange running-window shape the
+    * oracle-checked q_asof_join pins, with the hot-key straggler guard
+    * AUTOMATIC ([[graft.queries.Temporal.asofGuardedOf]]): keys over
+    * `hotCap` rows take a segmented scan bounded by range slices, the
+    * rest keep the plain window, value-identically (q_asof_guarded pins
+    * the split against q_asof_join's own oracle SQL). Output (id, key,
+    * right ts, matched left id/ts, gap). */
+  def asofJoin(df: DataFrame, key: String, ts: String, kind: String,
+      left: String, right: String, id: String,
+      hotCap: Long = 1000000L): DataFrame =
+    graft.queries.Temporal.asofGuardedOf(
+      df.filter(col(kind).isin(left, right))
+        .select(col(id).cast("long").as("event_id"),
+          col(key).cast("long").as("user_id"),
+          when(col(kind) === left, lit("click")).otherwise(lit("purchase"))
+            .as("event_type"),
+          col(ts).cast("long").as("ms")), hotCap)
+      .select(col("event_id").as(id), col("user_id").as(key),
+        col("purchase_ms").as(s"${right}_$ts"),
+        col("click_id").as(s"${left}_$id"),
+        col("click_ms").as(s"${left}_$ts"),
+        col("gap_ms").as("gap"))
+
+  /** SCD Type-2 state history over any (key, state, ts, id) change log:
+    * one interval row per state RUN with version numbers, valid_from/to
+    * horizons, and an is_current flag — the oracle-checked
+    * q_scd2_intervals shape, with the hot-key change-detection guard
+    * AUTOMATIC ([[graft.queries.Temporal.scd2GuardedOf]], pinned by
+    * q_scd2_guarded against the same oracle SQL). */
+  def scd2(df: DataFrame, key: String, state: String, ts: String,
+      id: String, hotCap: Long = 1000000L): DataFrame =
+    graft.queries.Temporal.scd2GuardedOf(
+      df.select(col(key).cast("long").as("user_id"),
+        col(state).cast("string").as("event_type"),
+        col(ts).cast("long").as("ms"),
+        col(id).cast("long").as("event_id")), hotCap)
+      .withColumnRenamed("user_id", key)
+
+  /** Ordered 3-stage funnel depth per key over any event frame: stage
+    * counts how far each key progressed through `stages` IN ORDER
+    * (stage k requires a `stages(k)` event after the event that
+    * completed stage k-1) — the oracle-checked q_funnel shape, with the
+    * hot-key guard AUTOMATIC: heavy keys decompose into per-slice
+    * automaton transition functions composed in order
+    * ([[graft.queries.Temporal.funnelGuardedOf]], pinned by
+    * q_funnel_guarded). Output (key, stage ∈ 0..3). */
+  def funnelStages(df: DataFrame, key: String, kind: String, ts: String,
+      id: String, stages: Seq[String], hotCap: Long = 1000000L): DataFrame = {
+    require(stages.length == 3 && stages.distinct.length == 3,
+      s"exactly 3 DISTINCT ordered stages, got $stages")
+    graft.queries.Temporal.funnelStagesGuardedOf(
+      df.filter(col(kind).isin(stages: _*))
+        .select(col(id).cast("long").as("event_id"),
+          col(key).cast("long").as("user_id"),
+          when(col(kind) === stages(0), lit("view"))
+            .when(col(kind) === stages(1), lit("click"))
+            .otherwise(lit("purchase")).as("event_type"),
+          col(ts).cast("long").as("ms")), hotCap)
+      .withColumnRenamed("user_id", key)
+  }
+
   /** Drift census between two corpus snapshots, grouped by any column
     * (language, source, domain): per group, doc/token/quality mass on
     * each side plus per-mille composition shares and their delta — the

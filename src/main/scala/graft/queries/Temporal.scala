@@ -318,7 +318,14 @@ object Temporal {
         epochMs(col("ts")).as("ms")), cap = 60L)
 
   private[graft] def funnelGuardedOf(ev0: DataFrame,
-      cap: Long = 1000000L): DataFrame = {
+      cap: Long = 1000000L): DataFrame =
+    funnelCensus(funnelStagesGuardedOf(ev0, cap))
+
+  /** Per-user stages under the hot/cold split — ONE definition shared by
+    * the oracle-checked [[funnelGuarded]] census and `Corpus.funnelStages`
+    * so the two cannot drift. */
+  private[graft] def funnelStagesGuardedOf(ev0: DataFrame,
+      cap: Long): DataFrame = {
     val ev = ev0.trackedPersist()
     val hotUsers = ev.groupBy(col("user_id"))
       .agg(count(lit(1)).as("__n"))
@@ -326,8 +333,7 @@ object Temporal {
       .select(col("user_id"))
     val cold = ev.join(broadcast(hotUsers), Seq("user_id"), "left_anti")
     val hot = ev.join(broadcast(hotUsers), Seq("user_id"), "left_semi")
-    funnelCensus(
-      funnelStagesWindowOf(cold).unionByName(funnelSegmentedOf(hot)))
+    funnelStagesWindowOf(cold).unionByName(funnelSegmentedOf(hot))
   }
 
   /** Per-user funnel depth with no per-user window task: the segmented
