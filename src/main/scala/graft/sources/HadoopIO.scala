@@ -71,4 +71,19 @@ object HadoopIO {
     fs.mkdirs(d)
     fs.create(new Path(d, name), true)
   }
+
+  /** Task-commit: atomically promote a hidden temp file to its final
+    * name (delete-then-rename — rename alone fails on an existing
+    * destination on HDFS). A task that dies mid-write leaves only a
+    * dot-prefixed temp, which [[listFiles]] already ignores, so readers
+    * never observe a partial file; the retry's rename wins. */
+  def commit(dir: String, tmpName: String, finalName: String,
+      conf: Configuration): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    val dest = new Path(d, finalName)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(new Path(d, tmpName), dest))
+      throw new java.io.IOException(s"commit rename failed: $dir/$tmpName -> $finalName")
+  }
 }

@@ -52,19 +52,26 @@ object ThemisKV {
       }.toDF()
   }
 
-  /** Write (key, value) binary columns as themis-kv, one file per task. */
+  /** Write (key, value) binary columns as themis-kv, one file per task.
+    * Each task writes a hidden temp file and commits it by rename —
+    * a task that dies mid-write leaves only a dot-prefixed temp that
+    * readers ignore, never a partial data file. */
   def write(df: DataFrame, path: String): Unit = {
     val conf = new HadoopIO.SerializableConf(HadoopIO.sessionConf(df.sparkSession))
     df.select(col("key"), col("value")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = TaskContext.getPartitionId()
+        val attempt = TaskContext.get().taskAttemptId()
+        val finalName = f"part-$pid%05d.kv"
+        val tmpName = s".$finalName.$attempt.tmp"
         val out = new BufferedOutputStream(
-          HadoopIO.create(path, f"part-$pid%05d.kv", conf.value), 1 << 20)
+          HadoopIO.create(path, tmpName, conf.value), 1 << 20)
         try it.foreach { r =>
           val k = r.getAs[Array[Byte]](0); val v = r.getAs[Array[Byte]](1)
           writeU32LE(out, k.length); writeU32LE(out, v.length)
           out.write(k); out.write(v)
         } finally out.close()
+        HadoopIO.commit(path, tmpName, finalName, conf.value)
     }
   }
 
@@ -75,14 +82,18 @@ object ThemisKV {
     df.select(col("key"), col("value")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = TaskContext.getPartitionId()
+        val attempt = TaskContext.get().taskAttemptId()
+        val finalName = f"part-$pid%05d.bin"
+        val tmpName = s".$finalName.$attempt.tmp"
         val out = new BufferedOutputStream(
-          HadoopIO.create(path, f"part-$pid%05d.bin", conf.value), 1 << 20)
+          HadoopIO.create(path, tmpName, conf.value), 1 << 20)
         try it.foreach { r =>
           val k = r.getAs[Array[Byte]](0); val v = r.getAs[Array[Byte]](1)
           require(k.length == keyLen && v.length == recordLen - keyLen,
             s"record shape ${k.length}/${v.length} != $keyLen/${recordLen - keyLen}")
           out.write(k); out.write(v)
         } finally out.close()
+        HadoopIO.commit(path, tmpName, finalName, conf.value)
     }
   }
 

@@ -58,6 +58,18 @@ class HadoopSchemeSpec extends SparkSpec {
     assert(n === 7)
   }
 
+  test("writers commit by rename: no temp files remain, stale temps ignored") {
+    val dir = Files.createTempDirectory("kvcommit")
+    // a stale temp from a dead task attempt must not confuse readers
+    Files.write(dir.resolve(".part-00000.kv.999.tmp"), Array[Byte](1, 2, 3))
+    ThemisKV.write(mkRecs(5, 4).toDF().repartition(2), dir.toString)
+    val names = Files.list(dir).toArray.map(_.toString.split("/").last).sorted
+    assert(names.count(_.endsWith(".kv")) === 2, names.mkString(","))
+    assert(!names.exists(n => n.endsWith(".tmp") && !n.startsWith(".part-00000.kv.999")),
+      s"writer left its own temp files: ${names.mkString(",")}")
+    assert(ThemisKV.read(spark, dir.toString).count() === 5)
+  }
+
   test("HadoopIO.listFiles sorts by URI and drops hidden names across dirs") {
     val root = Files.createTempDirectory("hlist")
     Files.createDirectory(root.resolve("d0"))
