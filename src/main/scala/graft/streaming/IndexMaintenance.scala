@@ -68,6 +68,29 @@ object IndexMaintenance {
         spark.read.parquet(s"$stateDir/hot/v$v"))
     }
 
+  /** The retention knob: drop all but the newest `keep` state versions
+    * (both legs). Safe to run concurrently with the merger — the merger
+    * only ever reads versions below the batch it is processing, which
+    * are the newest ones. Returns the number of versions removed. */
+  def prune(spark: SparkSession, stateDir: String, keep: Int = 2): Int = {
+    require(keep >= 1, s"keep must be >= 1: $keep")
+    val conf = spark.sessionState.newHadoopConf()
+    Seq(s"$stateDir/idx", s"$stateDir/hot").map { dir =>
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) 0
+      else {
+        val versions = fs.listStatus(p).toSeq
+          .map(_.getPath)
+          .filter(_.getName.startsWith("v"))
+          .sortBy(q => q.getName.drop(1).toLong)
+        val stale = versions.dropRight(keep)
+        stale.foreach(fs.delete(_, true))
+        stale.size
+      }
+    }.sum
+  }
+
   private def latestVersion(spark: SparkSession, dir: String,
       below: Option[Long]): Option[Long] = {
     val p = new Path(dir)

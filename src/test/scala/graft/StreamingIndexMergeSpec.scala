@@ -87,6 +87,22 @@ class StreamingIndexMergeSpec extends SparkSpec {
     assert(twice === once, "replayed batch double-merged")
   }
 
+  test("prune keeps the newest versions and latest() still serves") {
+    val dir = java.nio.file.Files.createTempDirectory("idxprune").toString
+    val merger = IndexMaintenance.minhashMerger(dir, bucketCap = Cap)
+    (0 until 3).foreach { i =>
+      merger(Seq((i.toLong, (1 to 12).map(j => s"p${i}w$j").mkString(" ")))
+        .toDF("doc_id", "text"), i.toLong)
+    }
+    val before = censusOf(IndexMaintenance.latest(spark, dir).get._1,
+      IndexMaintenance.latest(spark, dir).get._2)
+    val removed = IndexMaintenance.prune(spark, dir, keep = 1)
+    assert(removed === 4) // 2 stale versions x 2 legs
+    assert(censusOf(IndexMaintenance.latest(spark, dir).get._1,
+      IndexMaintenance.latest(spark, dir).get._2) === before)
+    assert(IndexMaintenance.prune(spark, dir, keep = 1) === 0)
+  }
+
   test("latest() is None before any batch commits") {
     val dir = java.nio.file.Files.createTempDirectory("idxempty").toString
     assert(IndexMaintenance.latest(spark, dir).isEmpty)
