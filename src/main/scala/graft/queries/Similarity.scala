@@ -169,6 +169,42 @@ object Similarity {
         col("vec_id").as("neighbor_id"))
   }
 
+  /** [[annLsh]] served FROM A PERSISTED INDEX — the [[annPqServed]]
+    * build-once/serve-many contract on the LSH axis: the guarded
+    * (vec_id, bucket) table — 16 bytes per vector, the whole index —
+    * is written to parquet inside a deferred sink→source stage and read
+    * back for serving; candidate vectors are fetched by id equi-join
+    * against the live vector table (the posting-fetch a real serving
+    * tier does) and scored by exact cosine as in the live build. The
+    * oracle is DELIBERATELY the [[annLsh]] SQL — persistence must not
+    * change a row, and the hash gate proves it. */
+  def annLshServed(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.core.Scratch.dir("lshidx", dir)
+    val idx = graft.plans.DeferredIngest(s, "vec_id BIGINT, bucket BIGINT") {
+      guardBuckets(lshBucketed(vecs(s, dir)), AnnBucketCap)
+        .select(col("vec_id"), col("bucket"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).select(col("vec_id"), col("bucket"))
+    }
+    val live = vecs(s, dir).select(col("vec_id").as("lid"), col("v"),
+      col("n2"))
+    val bucketed = Caches.tracked(
+      idx.join(live, col("vec_id") === col("lid")).drop("lid"))
+    val q = bucketed.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    bucketed.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(dot(col("v"), col("qv")), col("n2"), col("qn2")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+
   private def annLshSqlFor(bits: Int) =
     s"""WITH iv AS (
       |  SELECT vec_id, $ivecSql AS v FROM embeddings),
@@ -1771,6 +1807,7 @@ object Similarity {
     GQuery("q_embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     GQuery("q_knn_brute", knnBrute, Some(knnBruteSql), headline = true),
     GQuery("q_ann_lsh", annLsh, Some(annLshSql)),
+    GQuery("q_ann_lsh_served", annLshServed, Some(annLshSql)),
     GQuery("q_ann_lsh_12bit", annLshWide, Some(annLshWideSql)),
     GQuery("q_lsh_occupancy", lshOccupancy, Some(lshOccupancySql)),
     GQuery("q_ann_lsh_multi", annLshMulti, Some(annLshMultiSql),
