@@ -199,26 +199,26 @@ object Corpus {
         col(id).cast("long").as("event_id")), hotCap)
       .withColumnRenamed("user_id", key)
 
-  /** Ordered 3-stage funnel depth per key over any event frame: stage
+  /** Ordered N-stage funnel depth per key over any event frame: stage
     * counts how far each key progressed through `stages` IN ORDER
-    * (stage k requires a `stages(k)` event after the event that
-    * completed stage k-1) — the oracle-checked q_funnel shape, with the
-    * hot-key guard AUTOMATIC: heavy keys decompose into per-slice
-    * automaton transition functions composed in order
-    * ([[graft.queries.Temporal.funnelGuardedOf]], pinned by
-    * q_funnel_guarded). Output (key, stage ∈ 0..3). */
+    * (stage k requires a `stages(k-1)` event after the event that
+    * completed stage k-1) — the oracle-checked q_funnel shape
+    * generalized to any DISTINCT stage list, with the hot-key guard
+    * AUTOMATIC: heavy keys decompose into per-slice automaton
+    * transition functions composed in order
+    * ([[graft.queries.Temporal.funnelSegmentedN]]; the 3-stage instance
+    * is pinned by q_funnel_guarded against q_funnel's oracle SQL).
+    * Output (key, stage ∈ 0..N). */
   def funnelStages(df: DataFrame, key: String, kind: String, ts: String,
       id: String, stages: Seq[String], hotCap: Long = 1000000L): DataFrame = {
-    require(stages.length == 3 && stages.distinct.length == 3,
-      s"exactly 3 DISTINCT ordered stages, got $stages")
-    graft.queries.Temporal.funnelStagesGuardedOf(
+    require(stages.length >= 2 && stages.distinct.length == stages.length,
+      s">= 2 DISTINCT ordered stages required, got $stages")
+    graft.queries.Temporal.funnelStagesGuardedN(
       df.filter(col(kind).isin(stages: _*))
         .select(col(id).cast("long").as("event_id"),
           col(key).cast("long").as("user_id"),
-          when(col(kind) === stages(0), lit("view"))
-            .when(col(kind) === stages(1), lit("click"))
-            .otherwise(lit("purchase")).as("event_type"),
-          col(ts).cast("long").as("ms")), hotCap)
+          col(kind).cast("string").as("event_type"),
+          col(ts).cast("long").as("ms")), stages, hotCap)
       .withColumnRenamed("user_id", key)
   }
 

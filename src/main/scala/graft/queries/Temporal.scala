@@ -284,20 +284,32 @@ object Temporal {
       .select(col("event_id"), col("user_id"), col("event_type"),
         epochMs(col("ts")).as("ms"))))
 
+  /** The stage kinds of the oracle-checked [[funnel]]. */
+  private val FunnelKinds = Seq("view", "click", "purchase")
+
   /** Per-user funnel depth via the plain one-exchange window stack —
     * shared by the oracle-checked [[funnel]] and the cold leg of
     * [[funnelGuardedOf]]. */
-  private[graft] def funnelStagesWindowOf(ev: DataFrame): DataFrame = {
+  private[graft] def funnelStagesWindowOf(ev: DataFrame): DataFrame =
+    funnelStagesWindowN(ev, FunnelKinds)
+
+  /** The window stack for ANY ordered stage list: r_k advances only on a
+    * kinds(k-1) event that already carries r_{k-1} — one running-max
+    * window per stage, all stacked on one (user) exchange+sort. */
+  private[graft] def funnelStagesWindowN(ev: DataFrame,
+      kinds: Seq[String]): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ms"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev
-      .withColumn("r1", max(when(col("event_type") === "view", 1)).over(w))
-      .withColumn("r2", max(when(col("event_type") === "click", col("r1"))).over(w))
-      .withColumn("r3", max(when(col("event_type") === "purchase", col("r2"))).over(w))
-      .groupBy(col("user_id"))
-      .agg((coalesce(max(col("r1")), lit(0)) + coalesce(max(col("r2")), lit(0))
-        + coalesce(max(col("r3")), lit(0))).as("stage"))
+    val flags = kinds.zipWithIndex.foldLeft(ev) { case (df, (k, i)) =>
+      val prev: org.apache.spark.sql.Column =
+        if (i == 0) lit(1) else col(s"__r$i")
+      df.withColumn(s"__r${i + 1}",
+        max(when(col("event_type") === k, prev)).over(w))
+    }
+    flags.groupBy(col("user_id"))
+      .agg(kinds.indices.map(i => coalesce(max(col(s"__r${i + 1}")), lit(0)))
+        .reduce(_ + _).as("stage"))
   }
 
   private[graft] def funnelCensus(stages: DataFrame): DataFrame =
@@ -325,7 +337,13 @@ object Temporal {
     * the oracle-checked [[funnelGuarded]] census and `Corpus.funnelStages`
     * so the two cannot drift. */
   private[graft] def funnelStagesGuardedOf(ev0: DataFrame,
-      cap: Long): DataFrame = {
+      cap: Long): DataFrame =
+    funnelStagesGuardedN(ev0, FunnelKinds, cap)
+
+  /** The guarded split for ANY ordered stage list (`Corpus.funnelStages`
+    * passes the caller's own stage kinds straight through). */
+  private[graft] def funnelStagesGuardedN(ev0: DataFrame,
+      kinds: Seq[String], cap: Long): DataFrame = {
     val ev = ev0.trackedPersist()
     val hotUsers = ev.groupBy(col("user_id"))
       .agg(count(lit(1)).as("__n"))
@@ -333,7 +351,8 @@ object Temporal {
       .select(col("user_id"))
     val cold = ev.join(broadcast(hotUsers), Seq("user_id"), "left_anti")
     val hot = ev.join(broadcast(hotUsers), Seq("user_id"), "left_semi")
-    funnelStagesWindowOf(cold).unionByName(funnelSegmentedOf(hot))
+    funnelStagesWindowN(cold, kinds)
+      .unionByName(funnelSegmentedN(hot, kinds))
   }
 
   /** Per-user funnel depth with no per-user window task: the segmented
@@ -348,38 +367,45 @@ object Temporal {
     * slice order — an `aggregate` fold over the ≤slices-per-user struct
     * list, pure metadata — replays the whole history's automaton
     * exactly. */
-  private[graft] def funnelSegmentedOf(ev: DataFrame): DataFrame = {
+  private[graft] def funnelSegmentedOf(ev: DataFrame): DataFrame =
+    funnelSegmentedN(ev, FunnelKinds)
+
+  /** The segmented automaton for ANY ordered stage list: for each entry
+    * state s the slice runs only the REMAINING stages (credit column
+    * c_{s,j} advances on kinds(j-1) carrying c_{s,j-1}; the first
+    * remaining stage needs no credit), N(N+1)/2 running-max columns all
+    * stacked on the one slice-local sort; the per-cell transition
+    * function is (f_0 … f_N) and entry N is terminal. */
+  private[graft] def funnelSegmentedN(ev: DataFrame,
+      kinds: Seq[String]): DataFrame = {
+    val n = kinds.length
     val ranked = ev
       .repartitionByRange(col("user_id"), col("ms"), col("event_id"))
       .withColumn("pid", spark_partition_id())
     val w = Window.partitionBy(col("pid"), col("user_id"))
       .orderBy(col("ms"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val isV = col("event_type") === "view"
-    val isC = col("event_type") === "click"
-    val isP = col("event_type") === "purchase"
-    val cells = ranked
-      .withColumn("a1", max(when(isV, 1)).over(w))
-      .withColumn("a2", max(when(isC, col("a1"))).over(w))
-      .withColumn("a3", max(when(isP, col("a2"))).over(w))
-      .withColumn("b2", max(when(isC, 1)).over(w))
-      .withColumn("b3", max(when(isP, col("b2"))).over(w))
-      .withColumn("c3", max(when(isP, 1)).over(w))
-      .groupBy(col("user_id"), col("pid"))
-      .agg(
-        (coalesce(max(col("a1")), lit(0)) + coalesce(max(col("a2")), lit(0))
-          + coalesce(max(col("a3")), lit(0))).as("f0"),
-        (lit(1) + coalesce(max(col("b2")), lit(0))
-          + coalesce(max(col("b3")), lit(0))).as("f1"),
-        (lit(2) + coalesce(max(col("c3")), lit(0))).as("f2"),
-        lit(3).as("f3"))
+    var flagged = ranked
+    for (s <- 0 until n; j <- (s + 1) to n) {
+      val prev: org.apache.spark.sql.Column =
+        if (j == s + 1) lit(1) else col(s"__c${s}_${j - 1}")
+      flagged = flagged.withColumn(s"__c${s}_$j",
+        max(when(col("event_type") === kinds(j - 1), prev)).over(w))
+    }
+    val fCols = (0 until n).map { s =>
+      ((s + 1) to n).map(j => coalesce(max(col(s"__c${s}_$j")), lit(0)))
+        .foldLeft(lit(s): org.apache.spark.sql.Column)(_ + _).as(s"f$s")
+    } :+ max(lit(n)).as(s"f$n")
+    val cells = flagged.groupBy(col("user_id"), col("pid"))
+      .agg(fCols.head, fCols.tail: _*)
+    val arr = (0 to n).map(i => s"c.f$i").mkString(", ")
     cells
       .groupBy(col("user_id"))
-      .agg(array_sort(collect_list(struct(col("pid"), col("f0"),
-        col("f1"), col("f2"), col("f3")))).as("fs"))
+      .agg(array_sort(collect_list(struct(
+        col("pid") +: (0 to n).map(i => col(s"f$i")): _*))).as("fs"))
       .select(col("user_id"),
-        expr("aggregate(fs, 0, (s, c) -> " +
-          "element_at(array(c.f0, c.f1, c.f2, c.f3), s + 1))").as("stage"))
+        expr(s"aggregate(fs, 0, (s, c) -> " +
+          s"element_at(array($arr), s + 1))").as("stage"))
   }
 
   private val funnelSql =
