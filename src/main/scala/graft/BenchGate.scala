@@ -29,6 +29,9 @@ object BenchGate {
     "ann_ivf_nprobe1" -> 0.5833333333333334,
     "ann_ivf_nprobe4" -> 0.8666666666666667,
     "ann_ivf_trained" -> 0.7833333333333333,
+    // the production cell dial: ceil(sqrt(n)) cells at constant
+    // nprobe 8 (candidates ∝ 8·sqrt(n), sublinear) — round-10 sf0.1
+    "ann_ivf_sqrtn" -> 1.0,
     "ann_lsh" -> 0.06666666666666667,
     "ann_lsh_multi" -> 0.23333333333333334,
     "ann_lsh_12bit" -> 0.0,

@@ -1688,6 +1688,19 @@ object Similarity {
           centroids = 256, rounds = 3, rerank = 10)
           .select(col("q_id"), col("rank"), col("neighbor_id"))
       }))
+      .unionByName(one("ann_ivf_sqrtn", {
+        // the production cell dial: Tuning.ivfCells = ceil(sqrt(n))
+        // cells at CONSTANT nprobe 8, so candidates/query ∝ 8·√n —
+        // sublinear in corpus size, the scaling the fixed-8-cell oracle
+        // queries (candidates ∝ n/4) deliberately do not have. Measured
+        // here so the §9 "k grows with n" posture is a gated number.
+        val base = vecs(s, dir)
+          .select(col("vec_id").as("vid"), col("v"), col("n2"))
+        val cells = graft.api.Tuning.ivfCells(base.count())
+        ivfSearch(base, base.filter(col("vid") < 20), k = 3,
+          cells = cells, nprobe = math.min(8, cells))
+          .select(col("q_id"), col("rank"), col("neighbor_id"))
+      }))
       .unionByName(one("ann_ivf", annIvf(s, dir)))
       .unionByName(one("ann_ivf_nprobe1", annIvfProbes(s, dir, 1)))
       .unionByName(one("ann_ivf_nprobe4", annIvfProbes(s, dir, 4)))
