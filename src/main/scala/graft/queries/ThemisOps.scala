@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.SortedGroups
 import graft.core.{GQuery, Tables}
+import graft.core.Caches.TrackedOps
 import Qdsl._
 
 /** The reference's user-visible MapReduce function library re-expressed as
@@ -153,6 +154,105 @@ object ThemisOps {
         sumDec(col("value")).as("sum_value"))
       .select(col("user_id"), col("start_ms"), col("end_ms"),
         col("n_events"), col("sum_value"))
+
+  /** [[sessionizeGap]] through the hot-user guard — the sessionization
+    * member of the segmented window family (winsorize = ranks, asof =
+    * carries, scd2 = adjacency, funnel = automata; here BOTH a carry and
+    * a distributed cumsum): value-identical, registered against the SAME
+    * oracle SQL, with a cap that splits the sf0.01 users across legs. */
+  def sessionizeGuarded(s: SparkSession, dir: String): DataFrame =
+    sessionizeGuardedOf(Tables.events(s, dir)
+      .select(col("user_id"), epochMs(col("ts")).as("ms"), col("value")),
+      cap = 60L)
+
+  private[graft] def sessionizeGuardedOf(ev0: DataFrame,
+      cap: Long = 1000000L): DataFrame = {
+    val ev = ev0.trackedPersist()
+    val hotUsers = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap)
+      .select(col("user_id"))
+    val cold = ev.join(broadcast(hotUsers), Seq("user_id"), "left_anti")
+    val hot = ev.join(broadcast(hotUsers), Seq("user_id"), "left_semi")
+    sessionizeWindowOf(cold).unionByName(sessionizeSegmentedOf(hot))
+  }
+
+  /** The lag-gap + running-boundary-count window form over a canonical
+    * (user_id, ms, value) frame — the oracle SQL's own shape (equivalent
+    * to the session_window plan the headline query runs, which the
+    * driver's gate already pins). */
+  private[graft] def sessionizeWindowOf(ev: DataFrame): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ms"))
+    val wRun = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    ev
+      .withColumn("new_s",
+        when(col("ms") - lag(col("ms"), 1).over(wOrd) >= SessionGapMs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"),
+        count(lit(1)).as("n_events"), sumDec(col("value")).as("sum_value"))
+      .select(col("user_id"), col("start_ms"), col("end_ms"),
+        col("n_events"), col("sum_value"))
+  }
+
+  private val SessionGapMs = 21600000L // 6 hours
+
+  /** Segmented gap sessionization: no per-user window task. A session
+    * boundary is a property of (row, predecessor) alone, so slices need
+    * TWO carried facts — the previous slice's last timestamp (the scd2
+    * carry, deciding the slice's first-row boundary flag) and the count
+    * of boundaries before the slice (the token-budget exclusive prefix
+    * sum, offsetting local session ids to global ones). Both live on the
+    * cells table (per-(user, slice), metadata-sized); every window runs
+    * within (slice, user). Equal timestamps may straddle slices freely:
+    * their gap is 0, so boundary flags are invariant under tie order. */
+  private[graft] def sessionizeSegmentedOf(ev: DataFrame): DataFrame = {
+    val ranked = graft.core.Caches.tracked(ev
+      .repartitionByRange(col("user_id"), col("ms"))
+      .withColumn("pid", spark_partition_id()))
+    val wLocOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid"), col("user_id")).orderBy(col("ms"))
+    val wLocRun = wLocOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    // within-slice flags; the first row's flag is resolved after the
+    // carry join (its predecessor lives in the previous slice)
+    val local = ranked
+      .withColumn("prev_ms", lag(col("ms"), 1).over(wLocOrd))
+      .withColumn("inner_s",
+        when(col("ms") - col("prev_ms") >= SessionGapMs, 1).otherwise(0))
+    val cells = local.groupBy(col("user_id"), col("pid"))
+      .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
+        sum(col("inner_s")).as("inner_bnd"))
+    val wCells = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("pid"))
+    val carried = cells
+      .withColumn("carry_ms", lag(col("last_ms"), 1).over(wCells))
+      .withColumn("first_s",
+        when(col("first_ms") - col("carry_ms") >= SessionGapMs, 1L)
+          .otherwise(0L))
+      .withColumn("sid_off",
+        coalesce(sum(col("inner_bnd") + col("first_s")).over(
+          wCells.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("user_id"), col("pid"), col("carry_ms"), col("sid_off"))
+    local.join(carried, Seq("user_id", "pid"))
+      .withColumn("new_s",
+        when(col("prev_ms").isNotNull, col("inner_s"))
+          .otherwise(when(col("ms") - col("carry_ms") >= SessionGapMs, 1)
+            .otherwise(0)))
+      .withColumn("sid", col("sid_off") + sum(col("new_s")).over(wLocRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"),
+        count(lit(1)).as("n_events"), sumDec(col("value")).as("sum_value"))
+      .select(col("user_id"), col("start_ms"), col("end_ms"),
+        col("n_events"), col("sum_value"))
+  }
 
   private val sessionizeGapSql =
     """WITH e AS (
@@ -330,6 +430,7 @@ object ThemisOps {
     GQuery("q_dup_keys", dupKeys, Some(dupKeysSql)),
     GQuery("q_sum_values", sumValues, Some(sumValuesSql)),
     GQuery("q_sessionize_gap", sessionizeGap, Some(sessionizeGapSql), headline = true),
+    GQuery("q_sessionize_guarded", sessionizeGuarded, Some(sessionizeGapSql)),
     GQuery("q_sessionize_themis", sessionizeThemis, Some(sessionizeThemisSql)))
 
 }

@@ -207,6 +207,40 @@ class HotGroupGuardSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("segmented sessionize matches the window form on a 1000x user") {
+    // sessions need ms gaps around the 6h threshold
+    def evRows(uid: Long, n: Int, base: Long) = Seq.tabulate(n) { i =>
+      // every 10th event jumps past the gap: multiple sessions per user
+      val ms = base + i * 60000L + (i / 10) * 30000000L
+      (uid, ms, BigDecimal((i % 50) + 1).setScale(2))
+    }
+    val ev = (evRows(1L, 30, 0) ++ evRows(2L, 30, 500) ++
+      evRows(99L, 30000, 1000000))
+      .toDF("user_id", "ms", "value")
+    def rows(df: DataFrame) =
+      df.orderBy("user_id", "start_ms").collect().map(_.toSeq).toSeq
+    val plain = rows(graft.queries.ThemisOps.sessionizeWindowOf(ev))
+    assert(rows(graft.queries.ThemisOps.sessionizeSegmentedOf(ev)) === plain)
+    assert(rows(graft.queries.ThemisOps.sessionizeGuardedOf(ev, cap = 100L))
+      === plain)
+  }
+
+  test("a session spanning a slice boundary is not split") {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      // ONE session: 40k events 1ms apart — slices must stitch it back
+      val n = 40000
+      val ev = Seq.tabulate(n) { i =>
+        (7L, i.toLong, BigDecimal(1).setScale(2))
+      }.toDF("user_id", "ms", "value")
+      val out = graft.queries.ThemisOps.sessionizeSegmentedOf(ev).collect()
+      assert(out.length === 1, s"one session expected, got ${out.length}")
+      assert(out.head.getLong(3) === n.toLong)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("Corpus.winsorize facade applies the guard automatically") {
     val df = skewed.toDF("g", "id", "val")
     val out = Corpus.winsorize(df, "g", "val", "id", hotCap = 1000L)
