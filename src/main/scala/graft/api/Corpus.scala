@@ -222,6 +222,25 @@ object Corpus {
       .withColumnRenamed("user_id", key)
   }
 
+  /** Gap sessionization over any (key, timestamp-ms, value) frame: one
+    * row per session — a maximal run of events whose inter-event gaps
+    * stay under `gapMs` — with start/end, event count, and a
+    * DECIMAL(12,2)-exact value sum (cast to double at the edge), the
+    * oracle-checked q_sessionize_gap shape at an arbitrary gap. The
+    * hot-key guard is AUTOMATIC
+    * ([[graft.queries.ThemisOps.sessionizeGuardedOf]], pinned by
+    * q_sessionize_guarded): keys over `hotCap` events take the
+    * segmented path — slices carry the previous slice's last timestamp
+    * and an exclusive boundary-count prefix, so a session spanning
+    * slices stitches back exactly. */
+  def sessionize(df: DataFrame, key: String, ts: String, value: String,
+      gapMs: Long, hotCap: Long = 1000000L): DataFrame =
+    graft.queries.ThemisOps.sessionizeGuardedOf(
+      df.select(col(key).cast("long").as("user_id"),
+        col(ts).cast("long").as("ms"), col(value).as("value")),
+      hotCap, gapMs)
+      .withColumnRenamed("user_id", key)
+
   /** Drift census between two corpus snapshots, grouped by any column
     * (language, source, domain): per group, doc/token/quality mass on
     * each side plus per-mille composition shares and their delta — the

@@ -166,7 +166,7 @@ object ThemisOps {
       cap = 60L)
 
   private[graft] def sessionizeGuardedOf(ev0: DataFrame,
-      cap: Long = 1000000L): DataFrame = {
+      cap: Long = 1000000L, gapMs: Long = SessionGapMs): DataFrame = {
     val ev = ev0.trackedPersist()
     val hotUsers = ev.groupBy(col("user_id"))
       .agg(count(lit(1)).as("__n"))
@@ -174,14 +174,16 @@ object ThemisOps {
       .select(col("user_id"))
     val cold = ev.join(broadcast(hotUsers), Seq("user_id"), "left_anti")
     val hot = ev.join(broadcast(hotUsers), Seq("user_id"), "left_semi")
-    sessionizeWindowOf(cold).unionByName(sessionizeSegmentedOf(hot))
+    sessionizeWindowOf(cold, gapMs)
+      .unionByName(sessionizeSegmentedOf(hot, gapMs))
   }
 
   /** The lag-gap + running-boundary-count window form over a canonical
     * (user_id, ms, value) frame — the oracle SQL's own shape (equivalent
     * to the session_window plan the headline query runs, which the
     * driver's gate already pins). */
-  private[graft] def sessionizeWindowOf(ev: DataFrame): DataFrame = {
+  private[graft] def sessionizeWindowOf(ev: DataFrame,
+      gapMs: Long = SessionGapMs): DataFrame = {
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ms"))
     val wRun = wOrd.rowsBetween(
@@ -189,7 +191,7 @@ object ThemisOps {
       org.apache.spark.sql.expressions.Window.currentRow)
     ev
       .withColumn("new_s",
-        when(col("ms") - lag(col("ms"), 1).over(wOrd) >= SessionGapMs, 1)
+        when(col("ms") - lag(col("ms"), 1).over(wOrd) >= gapMs, 1)
           .otherwise(0))
       .withColumn("sid", sum(col("new_s")).over(wRun))
       .groupBy(col("user_id"), col("sid"))
@@ -210,7 +212,8 @@ object ThemisOps {
     * cells table (per-(user, slice), metadata-sized); every window runs
     * within (slice, user). Equal timestamps may straddle slices freely:
     * their gap is 0, so boundary flags are invariant under tie order. */
-  private[graft] def sessionizeSegmentedOf(ev: DataFrame): DataFrame = {
+  private[graft] def sessionizeSegmentedOf(ev: DataFrame,
+      gapMs: Long = SessionGapMs): DataFrame = {
     val ranked = graft.core.Caches.tracked(ev
       .repartitionByRange(col("user_id"), col("ms"))
       .withColumn("pid", spark_partition_id()))
@@ -224,7 +227,7 @@ object ThemisOps {
     val local = ranked
       .withColumn("prev_ms", lag(col("ms"), 1).over(wLocOrd))
       .withColumn("inner_s",
-        when(col("ms") - col("prev_ms") >= SessionGapMs, 1).otherwise(0))
+        when(col("ms") - col("prev_ms") >= gapMs, 1).otherwise(0))
     val cells = local.groupBy(col("user_id"), col("pid"))
       .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
         sum(col("inner_s")).as("inner_bnd"))
@@ -233,7 +236,7 @@ object ThemisOps {
     val carried = cells
       .withColumn("carry_ms", lag(col("last_ms"), 1).over(wCells))
       .withColumn("first_s",
-        when(col("first_ms") - col("carry_ms") >= SessionGapMs, 1L)
+        when(col("first_ms") - col("carry_ms") >= gapMs, 1L)
           .otherwise(0L))
       .withColumn("sid_off",
         coalesce(sum(col("inner_bnd") + col("first_s")).over(
@@ -244,7 +247,7 @@ object ThemisOps {
     local.join(carried, Seq("user_id", "pid"))
       .withColumn("new_s",
         when(col("prev_ms").isNotNull, col("inner_s"))
-          .otherwise(when(col("ms") - col("carry_ms") >= SessionGapMs, 1)
+          .otherwise(when(col("ms") - col("carry_ms") >= gapMs, 1)
             .otherwise(0)))
       .withColumn("sid", col("sid_off") + sum(col("new_s")).over(wLocRun))
       .groupBy(col("user_id"), col("sid"))
