@@ -173,8 +173,8 @@ object Corpus {
       hotCap: Long = 1000000L): DataFrame =
     graft.queries.Temporal.asofGuardedOf(
       df.filter(col(kind).isin(left, right))
-        .select(col(id).cast("long").as("event_id"),
-          col(key).cast("long").as("user_id"),
+        .select(col(id).as("event_id"),
+          col(key).as("user_id"),
           when(col(kind) === left, lit("click")).otherwise(lit("purchase"))
             .as("event_type"),
           col(ts).cast("long").as("ms")), hotCap)
@@ -193,10 +193,10 @@ object Corpus {
   def scd2(df: DataFrame, key: String, state: String, ts: String,
       id: String, hotCap: Long = 1000000L): DataFrame =
     graft.queries.Temporal.scd2GuardedOf(
-      df.select(col(key).cast("long").as("user_id"),
+      df.select(col(key).as("user_id"),
         col(state).cast("string").as("event_type"),
         col(ts).cast("long").as("ms"),
-        col(id).cast("long").as("event_id")), hotCap)
+        col(id).as("event_id")), hotCap)
       .withColumnRenamed("user_id", key)
 
   /** Ordered N-stage funnel depth per key over any event frame: stage
@@ -215,8 +215,8 @@ object Corpus {
       s">= 2 DISTINCT ordered stages required, got $stages")
     graft.queries.Temporal.funnelStagesGuardedN(
       df.filter(col(kind).isin(stages: _*))
-        .select(col(id).cast("long").as("event_id"),
-          col(key).cast("long").as("user_id"),
+        .select(col(id).as("event_id"),
+          col(key).as("user_id"),
           col(kind).cast("string").as("event_type"),
           col(ts).cast("long").as("ms")), stages, hotCap)
       .withColumnRenamed("user_id", key)
@@ -236,7 +236,7 @@ object Corpus {
   def sessionize(df: DataFrame, key: String, ts: String, value: String,
       gapMs: Long, hotCap: Long = 1000000L): DataFrame =
     graft.queries.ThemisOps.sessionizeGuardedOf(
-      df.select(col(key).cast("long").as("user_id"),
+      df.select(col(key).as("user_id"),
         col(ts).cast("long").as("ms"), col(value).as("value")),
       hotCap, gapMs)
       .withColumnRenamed("user_id", key)
