@@ -170,7 +170,9 @@ object Corpus {
     * right ts, matched left id/ts, gap). */
   def asofJoin(df: DataFrame, key: String, ts: String, kind: String,
       left: String, right: String, id: String,
-      hotCap: Long = 1000000L): DataFrame =
+      hotCap: Long = 1000000L): DataFrame = {
+    require(left != right,
+      s"left and right kinds must differ (got '$left' for both)")
     graft.queries.Temporal.asofGuardedOf(
       df.filter(col(kind).isin(left, right))
         .select(col(id).as("event_id"),
@@ -183,6 +185,7 @@ object Corpus {
         col("click_id").as(s"${left}_$id"),
         col("click_ms").as(s"${left}_$ts"),
         col("gap_ms").as("gap"))
+  }
 
   /** SCD Type-2 state history over any (key, state, ts, id) change log:
     * one interval row per state RUN with version numbers, valid_from/to
@@ -314,22 +317,30 @@ object Corpus {
     * smallest `orderCol` (deterministic tie-break). One hash shuffle —
     * the keep-first rule every dedup pipeline starts with.
     *
-    * By default (`hashKey = true`) the exchange/sort key is the 16-byte
-    * `unhex(md5(...))` of the NUL-joined key columns, NOT the raw
-    * columns: when the key is document text, sorting the window on a
-    * multi-kilobyte string pays a full-text comparator per row pair,
-    * while the digest is a fixed 16-byte memcmp — the scale-safe form
-    * the oracle query's own scaladoc prescribes (TextPipeline.dedupExact:
-    * "at 100 TB you'd group by md5(text)"). Two distinct keys collide
-    * with probability ~n²/2¹²⁹ — at 10¹² rows that is ~10⁻¹⁵, below
+    * By default (`hashKey = true`) the exchange/sort key is a 16-byte
+    * md5 digest of the key tuple, NOT the raw columns: when the key is
+    * document text, sorting the window on a multi-kilobyte string pays a
+    * full-text comparator per row pair, while the digest is a fixed
+    * 16-byte memcmp — the scale-safe form the oracle query's own
+    * scaladoc prescribes (TextPipeline.dedupExact: "at 100 TB you'd
+    * group by md5(text)"). The digested encoding is INJECTIVE over key
+    * tuples — each component length-prefixed ("len:value", NULL → "N;",
+    * the ThemisJob.HashedRangePartition canonicalization), so NULLs,
+    * empty strings, and separator-looking content cannot alias within or
+    * across columns (a bare separator join would both skip NULLs and
+    * admit separator collisions). Two DISTINCT keys then collide only by
+    * md5 collision, ~n²/2¹²⁹ — at 10¹² rows that is ~10⁻¹⁵, below
     * hardware corruption rates. Pass `hashKey = false` to group on the
     * raw columns (exact-by-construction; right when keys are already
     * short codes). */
   def exactDedup(df: DataFrame, keyCols: Seq[String], orderCol: String,
       hashKey: Boolean = true): DataFrame = {
+    val canonKey = concat(keyCols.map { c =>
+      val s = col(c).cast("string")
+      coalesce(concat(length(s).cast("string"), lit(":"), s), lit("N;"))
+    }: _*)
     val keyed =
-      if (hashKey) df.withColumn("__k", unhex(md5(concat_ws("\u0000",
-        keyCols.map(c => col(c).cast("string")): _*))))
+      if (hashKey) df.withColumn("__k", unhex(md5(canonKey)))
       else df.withColumn("__k", struct(keyCols.map(col): _*))
     val w = Window.partitionBy(col("__k")).orderBy(col(orderCol))
     keyed.withColumn("__rn", row_number().over(w))

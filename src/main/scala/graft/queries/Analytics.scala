@@ -442,11 +442,16 @@ object Analytics {
   private[graft] def winsorizeGuardedOf(e0: DataFrame,
       cap: Long = GroupHotCap): DataFrame = {
     val e = e0.trackedPersist()
+    // membership is NULL-SAFE (<=>): a hot all-NULL group must divert
+    // like any other — an equi-join would silently leave it on the
+    // window leg, exactly the straggler the guard exists to prevent
     val hotGroups = e.groupBy(col("grp")).agg(count(lit(1)).as("__gn"))
       .filter(col("__gn") > cap)
-      .select(col("grp"))
-    val cold = e.join(broadcast(hotGroups), Seq("grp"), "left_anti")
-    val hot = e.join(broadcast(hotGroups), Seq("grp"), "left_semi")
+      .select(col("grp").as("__hg"))
+    val cold = e.join(broadcast(hotGroups), col("grp") <=> col("__hg"),
+      "left_anti")
+    val hot = e.join(broadcast(hotGroups), col("grp") <=> col("__hg"),
+      "left_semi")
     winsorizeOf(cold).unionByName(winsorizeHotOf(hot))
   }
 
@@ -473,16 +478,21 @@ object Analytics {
       .agg(count(lit(1)).as("pc"))
       .withColumn("off", coalesce(sum(col("pc")).over(wOff), lit(0L)))
       .withColumn("gn", sum(col("pc")).over(Window.partitionBy(col("grp"))))
-      .select(col("grp"), col("pid"), col("off"), col("gn"))
+      .select(col("grp").as("__og"), col("pid").as("__op"), col("off"),
+        col("gn"))
     val wLoc = Window.partitionBy(col("pid"), col("grp"))
       .orderBy(col("v"), col("rid"))
-    val bounds = ranked.join(broadcast(offs), Seq("grp", "pid"))
+    // grp joins are NULL-SAFE throughout the hot leg: a NULL group is a
+    // legitimate diverted group and must find its offsets and bounds
+    val bounds = ranked.join(broadcast(offs),
+        col("grp") <=> col("__og") && col("pid") === col("__op"))
       .withColumn("rn", col("off") + row_number().over(wLoc))
       .groupBy(col("grp"))
       .agg(
         min(when(col("rn") === expr("(gn + 19) DIV 20"), col("v"))).as("lo"),
         min(when(col("rn") === expr("(19*gn + 19) DIV 20"), col("v"))).as("hi"))
-    ranked.join(broadcast(bounds), Seq("grp"))
+      .select(col("grp").as("__bg"), col("lo"), col("hi"))
+    ranked.join(broadcast(bounds), col("grp") <=> col("__bg"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),

@@ -82,12 +82,15 @@ object Temporal {
   private[graft] def asofGuardedOf(ev0: DataFrame,
       cap: Long = 1000000L): DataFrame = {
     val ev = ev0.trackedPersist()
+    // NULL-SAFE membership: a hot all-NULL key diverts like any other
     val hotUsers = ev.groupBy(col("user_id"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > cap)
-      .select(col("user_id"))
-    val cold = ev.join(broadcast(hotUsers), Seq("user_id"), "left_anti")
-    val hot = ev.join(broadcast(hotUsers), Seq("user_id"), "left_semi")
+      .select(col("user_id").as("__hu"))
+    val cold = ev.join(broadcast(hotUsers), col("user_id") <=> col("__hu"),
+      "left_anti")
+    val hot = ev.join(broadcast(hotUsers), col("user_id") <=> col("__hu"),
+      "left_semi")
     asofWindowOf(cold).unionByName(asofSegmentedOf(hot))
   }
 
@@ -123,15 +126,18 @@ object Temporal {
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = cells
       .withColumn("carry", max(col("lc")).over(wCarry)) // max skips null cells
-      .select(col("user_id"), col("pid"), col("carry"))
+      .select(col("user_id").as("__cu"), col("pid").as("__cp"), col("carry"))
     val wLoc = Window.partitionBy(col("pid"), col("user_id"))
       .orderBy(col("ms"), col("tie"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val clickId = when(col("event_type") === "click", col("event_id"))
     val clickMs = when(col("event_type") === "click", col("ms"))
     // the (user, pid) join and the (pid, user) window share one
-    // clustering, so the slice-local leg exchanges corpus rows once
-    ranked.join(carry, Seq("user_id", "pid"), "left")
+    // clustering, so the slice-local leg exchanges corpus rows once;
+    // NULL-SAFE on user so a diverted NULL key finds its carry
+    ranked.join(carry,
+        col("user_id") <=> col("__cu") && col("pid") === col("__cp"), "left")
+      .drop("__cu", "__cp")
       .withColumn("click_id",
         coalesce(last(clickId, ignoreNulls = true).over(wLoc),
           col("carry.event_id")))
@@ -345,12 +351,17 @@ object Temporal {
   private[graft] def funnelStagesGuardedN(ev0: DataFrame,
       kinds: Seq[String], cap: Long): DataFrame = {
     val ev = ev0.trackedPersist()
+    // NULL-SAFE membership: a hot all-NULL key diverts like any other
+    // (the segmented leg is join-free on the key — groupBy and the fold
+    // handle NULL groups natively)
     val hotUsers = ev.groupBy(col("user_id"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > cap)
-      .select(col("user_id"))
-    val cold = ev.join(broadcast(hotUsers), Seq("user_id"), "left_anti")
-    val hot = ev.join(broadcast(hotUsers), Seq("user_id"), "left_semi")
+      .select(col("user_id").as("__hu"))
+    val cold = ev.join(broadcast(hotUsers), col("user_id") <=> col("__hu"),
+      "left_anti")
+    val hot = ev.join(broadcast(hotUsers), col("user_id") <=> col("__hu"),
+      "left_semi")
     funnelStagesWindowN(cold, kinds)
       .unionByName(funnelSegmentedN(hot, kinds))
   }
@@ -736,12 +747,15 @@ object Temporal {
   private[graft] def scd2GuardedOf(ev0: DataFrame,
       cap: Long = 1000000L): DataFrame = {
     val ev = ev0.trackedPersist()
+    // NULL-SAFE membership: a hot all-NULL key diverts like any other
     val hotUsers = ev.groupBy(col("user_id"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > cap)
-      .select(col("user_id"))
-    val cold = ev.join(broadcast(hotUsers), Seq("user_id"), "left_anti")
-    val hot = ev.join(broadcast(hotUsers), Seq("user_id"), "left_semi")
+      .select(col("user_id").as("__hu"))
+    val cold = ev.join(broadcast(hotUsers), col("user_id") <=> col("__hu"),
+      "left_anti")
+    val hot = ev.join(broadcast(hotUsers), col("user_id") <=> col("__hu"),
+      "left_semi")
     scd2WindowOf(cold).unionByName(scd2SegmentedOf(hot))
   }
 
@@ -762,10 +776,13 @@ object Temporal {
     val wCells = Window.partitionBy(col("user_id")).orderBy(col("pid"))
     val carry = cells
       .withColumn("carry_state", lag(col("lastrow.event_type"), 1).over(wCells))
-      .select(col("user_id"), col("pid"), col("carry_state"))
+      .select(col("user_id").as("__cu"), col("pid").as("__cp"),
+        col("carry_state"))
     val wLoc = Window.partitionBy(col("pid"), col("user_id"))
       .orderBy(col("ms"), col("event_id"))
-    finishScd2(ranked.join(carry, Seq("user_id", "pid"), "left")
+    finishScd2(ranked.join(carry,
+        col("user_id") <=> col("__cu") && col("pid") === col("__cp"), "left")
+      .drop("__cu", "__cp")
       .withColumn("prev_state",
         coalesce(lag(col("event_type"), 1).over(wLoc), col("carry_state")))
       .filter(col("prev_state").isNull ||

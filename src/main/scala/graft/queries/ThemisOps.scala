@@ -168,12 +168,15 @@ object ThemisOps {
   private[graft] def sessionizeGuardedOf(ev0: DataFrame,
       cap: Long = 1000000L, gapMs: Long = SessionGapMs): DataFrame = {
     val ev = ev0.trackedPersist()
+    // NULL-SAFE membership: a hot all-NULL key diverts like any other
     val hotUsers = ev.groupBy(col("user_id"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > cap)
-      .select(col("user_id"))
-    val cold = ev.join(broadcast(hotUsers), Seq("user_id"), "left_anti")
-    val hot = ev.join(broadcast(hotUsers), Seq("user_id"), "left_semi")
+      .select(col("user_id").as("__hu"))
+    val cold = ev.join(broadcast(hotUsers), col("user_id") <=> col("__hu"),
+      "left_anti")
+    val hot = ev.join(broadcast(hotUsers), col("user_id") <=> col("__hu"),
+      "left_semi")
     sessionizeWindowOf(cold, gapMs)
       .unionByName(sessionizeSegmentedOf(hot, gapMs))
   }
@@ -214,20 +217,23 @@ object ThemisOps {
     * their gap is 0, so boundary flags are invariant under tie order. */
   private[graft] def sessionizeSegmentedOf(ev: DataFrame,
       gapMs: Long = SessionGapMs): DataFrame = {
-    val ranked = graft.core.Caches.tracked(ev
-      .repartitionByRange(col("user_id"), col("ms"))
-      .withColumn("pid", spark_partition_id()))
     val wLocOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pid"), col("user_id")).orderBy(col("ms"))
     val wLocRun = wLocOrd.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding,
       org.apache.spark.sql.expressions.Window.currentRow)
     // within-slice flags; the first row's flag is resolved after the
-    // carry join (its predecessor lives in the previous slice)
-    val local = ranked
+    // carry join (its predecessor lives in the previous slice). The
+    // CACHE sits here — after the lag window, not before it — so the
+    // slice-local sort+lag over the hot rows runs once and both readers
+    // (the cells aggregation and the final join) reuse it; it also
+    // pins pid
+    val local = graft.core.Caches.tracked(ev
+      .repartitionByRange(col("user_id"), col("ms"))
+      .withColumn("pid", spark_partition_id())
       .withColumn("prev_ms", lag(col("ms"), 1).over(wLocOrd))
       .withColumn("inner_s",
-        when(col("ms") - col("prev_ms") >= gapMs, 1).otherwise(0))
+        when(col("ms") - col("prev_ms") >= gapMs, 1).otherwise(0)))
     val cells = local.groupBy(col("user_id"), col("pid"))
       .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
         sum(col("inner_s")).as("inner_bnd"))
@@ -243,8 +249,11 @@ object ThemisOps {
           wCells.rowsBetween(
             org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col("user_id"), col("pid"), col("carry_ms"), col("sid_off"))
-    local.join(carried, Seq("user_id", "pid"))
+      .select(col("user_id").as("__cu"), col("pid").as("__cp"),
+        col("carry_ms"), col("sid_off"))
+    local.join(carried,
+        col("user_id") <=> col("__cu") && col("pid") === col("__cp"))
+      .drop("__cu", "__cp")
       .withColumn("new_s",
         when(col("prev_ms").isNotNull, col("inner_s"))
           .otherwise(when(col("ms") - col("carry_ms") >= gapMs, 1)

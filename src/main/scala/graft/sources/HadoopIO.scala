@@ -72,18 +72,39 @@ object HadoopIO {
     fs.create(new Path(d, name), true)
   }
 
-  /** Task-commit: atomically promote a hidden temp file to its final
-    * name (delete-then-rename — rename alone fails on an existing
-    * destination on HDFS). A task that dies mid-write leaves only a
-    * dot-prefixed temp, which [[listFiles]] already ignores, so readers
-    * never observe a partial file; the retry's rename wins. */
+  /** Task-commit, FIRST-WINS: promote a hidden temp file to its final
+    * name by rename. If the destination already exists, a sibling
+    * attempt of the SAME task committed equivalent content — keep it and
+    * drop our temp. A committed file is never deleted (delete-then-
+    * rename would open a window where a dying attempt leaves NO file for
+    * the partition and readers silently see fewer records); a zombie
+    * attempt racing a completed job therefore cannot damage the output.
+    * Cross-JOB overwrite is the writer's job-level concern —
+    * [[cleanOutputs]] runs once on the driver before the tasks start. */
   def commit(dir: String, tmpName: String, finalName: String,
       conf: Configuration): Unit = {
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
     val dest = new Path(d, finalName)
-    if (fs.exists(dest)) fs.delete(dest, false)
-    if (!fs.rename(new Path(d, tmpName), dest))
-      throw new java.io.IOException(s"commit rename failed: $dir/$tmpName -> $finalName")
+    val tmp = new Path(d, tmpName)
+    if (fs.exists(dest)) { fs.delete(tmp, false); return }
+    if (!fs.rename(tmp, dest)) {
+      if (fs.exists(dest)) fs.delete(tmp, false) // lost the race: fine
+      else throw new java.io.IOException(
+        s"commit rename failed: $dir/$tmpName -> $finalName")
+    }
+  }
+
+  /** Job-level overwrite: drop the previous run's final outputs and any
+    * stale temps carrying `suffix` under `dir`, so the new job's task
+    * commits can be first-wins. Driver-side, before the write action. */
+  def cleanOutputs(dir: String, suffix: String, conf: Configuration): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) return
+    fs.listStatus(d).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.contains(suffix)) fs.delete(st.getPath, false)
+    }
   }
 }

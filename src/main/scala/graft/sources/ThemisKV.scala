@@ -58,6 +58,7 @@ object ThemisKV {
     * readers ignore, never a partial data file. */
   def write(df: DataFrame, path: String): Unit = {
     val conf = new HadoopIO.SerializableConf(HadoopIO.sessionConf(df.sparkSession))
+    HadoopIO.cleanOutputs(path, ".kv", conf.value)
     df.select(col("key"), col("value")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = TaskContext.getPartitionId()
@@ -79,6 +80,7 @@ object ThemisKV {
     * [[FixedWidthSource]] can read them back. */
   def writeFixed(df: DataFrame, path: String, recordLen: Int, keyLen: Int): Unit = {
     val conf = new HadoopIO.SerializableConf(HadoopIO.sessionConf(df.sparkSession))
+    HadoopIO.cleanOutputs(path, ".bin", conf.value)
     df.select(col("key"), col("value")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = TaskContext.getPartitionId()

@@ -57,50 +57,59 @@ object IndexMaintenance {
 
   /** The newest persisted (index, hot census) pair, ready for
     * [[graft.api.Corpus.dedupAgainstIndex]] serving — None before the
-    * first batch commits. */
+    * first batch commits. Only versions present in BOTH legs count: the
+    * two parquet writes are separate jobs, so a crash between them
+    * leaves a half-written version that readers must skip (the previous
+    * complete pair keeps serving until the replay overwrites it). */
   def latest(spark: SparkSession, stateDir: String)
       : Option[(DataFrame, DataFrame)] = read(spark, stateDir, None)
 
   private def read(spark: SparkSession, stateDir: String,
-      below: Option[Long]): Option[(DataFrame, DataFrame)] =
-    latestVersion(spark, s"$stateDir/idx", below).map { v =>
+      below: Option[Long]): Option[(DataFrame, DataFrame)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val complete = versions(s"$stateDir/idx", conf, below)
+      .intersect(versions(s"$stateDir/hot", conf, below))
+    complete.maxOption.map { v =>
       (spark.read.parquet(s"$stateDir/idx/v$v"),
         spark.read.parquet(s"$stateDir/hot/v$v"))
     }
+  }
 
   /** The retention knob: drop all but the newest `keep` state versions
-    * (both legs). Safe to run concurrently with the merger — the merger
-    * only ever reads versions below the batch it is processing, which
-    * are the newest ones. Returns the number of versions removed. */
+    * (both legs). `keep` must be >= 2: a retried micro-batch reads the
+    * newest version strictly BELOW its own id, so with only its own
+    * (possibly half-written) version on disk a replay would fall back to
+    * the empty state and silently reset the index — two retained
+    * versions ride out one in-flight batch plus its predecessor. Only
+    * numeric `v<k>` entries are touched (non-numeric debris is left
+    * alone, matching the readers). Returns the number of versions
+    * removed. */
   def prune(spark: SparkSession, stateDir: String, keep: Int = 2): Int = {
-    require(keep >= 1, s"keep must be >= 1: $keep")
+    require(keep >= 2,
+      s"keep must be >= 2 (replay reads the version below its own): $keep")
     val conf = spark.sessionState.newHadoopConf()
     Seq(s"$stateDir/idx", s"$stateDir/hot").map { dir =>
       val p = new Path(dir)
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) 0
       else {
-        val versions = fs.listStatus(p).toSeq
-          .map(_.getPath)
-          .filter(_.getName.startsWith("v"))
-          .sortBy(q => q.getName.drop(1).toLong)
-        val stale = versions.dropRight(keep)
-        stale.foreach(fs.delete(_, true))
+        val stale = versions(dir, conf, None).sorted.dropRight(keep)
+        stale.foreach(v => fs.delete(new Path(p, s"v$v"), true))
         stale.size
       }
     }.sum
   }
 
-  private def latestVersion(spark: SparkSession, dir: String,
-      below: Option[Long]): Option[Long] = {
+  private def versions(dir: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      below: Option[Long]): Seq[Long] = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .map(_.getPath.getName)
       .filter(_.startsWith("v"))
       .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
       .filter(v => below.forall(v < _))
-      .maxOption
   }
 }

@@ -241,6 +241,42 @@ class HotGroupGuardSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("a hot NULL key diverts and stays value-identical (all guards)") {
+    // the hot user becomes NULL: membership and the segmented carries
+    // must treat NULL as a real (and here, hot) group
+    val evN = skewedEvents.withColumn("user_id",
+      when(col("user_id") === 99L, lit(null)).otherwise(col("user_id")))
+    def rs(df: DataFrame, sort: String*) =
+      df.orderBy(sort.map(col): _*).collect().map(_.toSeq).toSeq
+    // asof: segmented leg alone must reproduce the window form on nulls
+    assert(rs(graft.queries.Temporal.asofSegmentedOf(evN), "event_id") ===
+      rs(graft.queries.Temporal.asofWindowOf(evN), "event_id"))
+    assert(rs(graft.queries.Temporal.asofGuardedOf(evN, cap = 100L), "event_id")
+      === rs(graft.queries.Temporal.asofWindowOf(evN), "event_id"))
+    // scd2
+    val sevN = evN.select(col("user_id"), col("event_type"), col("ms"),
+      col("event_id"))
+    assert(rs(graft.queries.Temporal.scd2GuardedOf(sevN, cap = 100L),
+      "user_id", "version") ===
+      rs(graft.queries.Temporal.scd2WindowOf(sevN), "user_id", "version"))
+    // sessionize
+    val zevN = evN.select(col("user_id"), col("ms"),
+      lit(BigDecimal(1).setScale(2)).as("value"))
+    assert(rs(graft.queries.ThemisOps.sessionizeGuardedOf(zevN, cap = 100L),
+      "user_id", "start_ms") ===
+      rs(graft.queries.ThemisOps.sessionizeWindowOf(zevN),
+        "user_id", "start_ms"))
+    // winsorize with a hot NULL group
+    val wN = skewed.withColumn("grp",
+      when(col("grp") === "hot", lit(null)).otherwise(col("grp")))
+    assert(rs(graft.queries.Analytics.winsorizeGuardedOf(wN, cap = 1000L),
+      "grp") === rs(graft.queries.Analytics.winsorizeOf(wN), "grp"))
+    // funnel
+    assert(rs(graft.queries.Temporal.funnelGuardedOf(evN, cap = 100L),
+      "stage") === rs(graft.queries.Temporal.funnelCensus(
+        graft.queries.Temporal.funnelStagesWindowOf(evN)), "stage"))
+  }
+
   test("Corpus.winsorize facade applies the guard automatically") {
     val df = skewed.toDF("g", "id", "val")
     val out = Corpus.winsorize(df, "g", "val", "id", hotCap = 1000L)

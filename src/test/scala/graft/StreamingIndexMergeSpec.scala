@@ -96,11 +96,30 @@ class StreamingIndexMergeSpec extends SparkSpec {
     }
     val before = censusOf(IndexMaintenance.latest(spark, dir).get._1,
       IndexMaintenance.latest(spark, dir).get._2)
-    val removed = IndexMaintenance.prune(spark, dir, keep = 1)
-    assert(removed === 4) // 2 stale versions x 2 legs
+    val removed = IndexMaintenance.prune(spark, dir, keep = 2)
+    assert(removed === 2) // 1 stale version x 2 legs
     assert(censusOf(IndexMaintenance.latest(spark, dir).get._1,
       IndexMaintenance.latest(spark, dir).get._2) === before)
-    assert(IndexMaintenance.prune(spark, dir, keep = 1) === 0)
+    assert(IndexMaintenance.prune(spark, dir, keep = 2) === 0)
+    // keep=1 is refused: a replay reads the version below its own, so a
+    // single retained version could silently reset the index
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.prune(spark, dir, keep = 1)
+    }
+  }
+
+  test("a half-written version (one leg only) is skipped by readers") {
+    val dir = java.nio.file.Files.createTempDirectory("idxhalf").toString
+    val merger = IndexMaintenance.minhashMerger(dir, bucketCap = Cap)
+    merger(Seq((1L, (1 to 12).map(i => s"h$i").mkString(" ")))
+      .toDF("doc_id", "text"), 0L)
+    val good = censusOf(IndexMaintenance.latest(spark, dir).get._1,
+      IndexMaintenance.latest(spark, dir).get._2)
+    // simulate a crash between the two leg writes of batch 1
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "idx", "v1"))
+    assert(censusOf(IndexMaintenance.latest(spark, dir).get._1,
+      IndexMaintenance.latest(spark, dir).get._2) === good)
   }
 
   test("latest() is None before any batch commits") {
