@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{GQuery, Tables}
+import graft.core.Caches.TrackedOps
 import Qdsl._
 
 /** Round-9 curation depth: the pipeline stages that REWRITE or RE-WEIGHT
@@ -51,6 +52,8 @@ object Curation {
     val ex = extra.map(col)
     // empty documents carry no chunks (without the guard, size(ws)=0
     // would yield one phantom "" chunk that dedups across docs)
+    // referenced twice (first-occurrence agg + reassembly join) — cache
+    // so the tokenize+explode subtree runs once, not once per reader
     val chunks = tok.filter(size(col("ws")) >= 1)
       .select(
         (Seq(col("doc_id")) ++ ex :+
@@ -59,6 +62,7 @@ object Curation {
             i => array_join(slice(col("ws"), i * chunkTokens + 1,
               lit(chunkTokens)), " ")))): _*)
       .withColumnRenamed("col", "chunk")
+      .trackedPersist()
     // keep-first by LEXICOGRAPHIC (doc_id, pos) struct min — exact at any
     // document length (an arithmetic doc_id*K+pos key would alias across
     // docs once pos exceeds K; the facade accepts arbitrary frames)
