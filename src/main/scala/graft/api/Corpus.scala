@@ -639,11 +639,10 @@ object Corpus {
           .as("n_tokens"))
 }
 
-/** Vector-side facade: similarity search over any (id, Array[Float])
-  * frame. Embedding floats are scaled to exact integers (floor(x·1e6))
-  * so scores are deterministic across engines and runs — the same
-  * construction the oracle-checked q_knn/q_ann queries pin. */
 /** Vector-search facades over arbitrary (id, Array[Float]) frames.
+  * Embedding floats are scaled to exact integers (floor(x·1e6)) so
+  * scores are deterministic across engines and runs — the same
+  * construction the oracle-checked q_knn/q_ann queries pin.
   *
   * ID-SPACE CONVENTION shared by every `*TopK` search: queries and base
   * vectors are assumed to share one id space, and a candidate whose id

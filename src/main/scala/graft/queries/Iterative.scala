@@ -239,13 +239,20 @@ object Iterative {
   }
 
   private val hitsSql = {
+    // Every CTE here is referenced at least twice (once by the next
+    // half-step, once by its own MAX normalizer). DuckDB INLINES
+    // non-materialized CTEs per reference, so without MATERIALIZED the
+    // re-evaluation doubles per half-step — 2^6 base-join replays over
+    // three iterations, which at 10× data burned CPU-hours and spilled
+    // the sandbox disk to death. MATERIALIZED pins each half-step to
+    // one evaluation, same rows.
     def iter(aPrev: String, i: Int) =
-      s"""h$i AS (SELECT p, SUM(a) AS hr FROM e JOIN $aPrev USING (sup) GROUP BY p),
-        |hn$i AS (SELECT p, hr * 1000000 // (SELECT MAX(hr) FROM h$i) AS h FROM h$i),
-        |a$i AS (SELECT sup, SUM(h) AS ar FROM e JOIN hn$i USING (p) GROUP BY sup),
-        |an$i AS (SELECT sup, ar * 1000000 // (SELECT MAX(ar) FROM a$i) AS a FROM a$i)""".stripMargin
-    s"""WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup FROM lineitem),
-      |an0 AS (SELECT DISTINCT sup, CAST(1000000 AS BIGINT) AS a FROM e),
+      s"""h$i AS MATERIALIZED (SELECT p, SUM(a) AS hr FROM e JOIN $aPrev USING (sup) GROUP BY p),
+        |hn$i AS MATERIALIZED (SELECT p, hr * 1000000 // (SELECT MAX(hr) FROM h$i) AS h FROM h$i),
+        |a$i AS MATERIALIZED (SELECT sup, SUM(h) AS ar FROM e JOIN hn$i USING (p) GROUP BY sup),
+        |an$i AS MATERIALIZED (SELECT sup, ar * 1000000 // (SELECT MAX(ar) FROM a$i) AS a FROM a$i)""".stripMargin
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup FROM lineitem),
+      |an0 AS MATERIALIZED (SELECT DISTINCT sup, CAST(1000000 AS BIGINT) AS a FROM e),
       |${iter("an0", 1)},
       |${iter("an1", 2)},
       |${iter("an2", 3)}
