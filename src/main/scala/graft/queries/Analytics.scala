@@ -355,7 +355,7 @@ object Analytics {
 
   private val saltedAggSql =
     """SELECT event_type, COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type""".stripMargin
 
   // ------------------------------------------------- winsorization
@@ -522,7 +522,7 @@ object Analytics {
       |SELECT e.event_type, COUNT(*) AS n_events,
       |  CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
       |  CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
-      |  CAST(SUM(CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END) AS DOUBLE) AS sum_winsorized,
+      |  CAST(CAST(SUM(CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END) AS VARCHAR) AS DOUBLE) AS sum_winsorized,
       |  CAST(MIN(lo) AS DOUBLE) AS lo, CAST(MIN(hi) AS DOUBLE) AS hi
       |FROM e JOIN b ON e.event_type = b.event_type
       |GROUP BY e.event_type""".stripMargin

@@ -40,14 +40,21 @@ object Relational {
         avgDec(col("l_extendedprice")).as("avg_price"),
         count(lit(1)).as("count_order"))
 
+  // Oracle decimal→double discipline: DuckDB's CAST(DECIMAL AS DOUBLE)
+  // double-rounds (int128→double, then ÷10^scale), so once a sum's
+  // unscaled value crosses 2^53 it can sit 1 ULP off Spark's correctly
+  // rounded BigDecimal→double (q1's sum_charge crossed at 10× sf0.1).
+  // The VARCHAR hop routes DuckDB through its correctly rounded string
+  // parse, making both engines bit-identical at ANY scale. Applies to
+  // every decimal-SUM cast below; per-row casts never cross 2^53.
   private val pricingSummarySql =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(14,4))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(14,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(14,4)) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
       |  COUNT(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
@@ -63,7 +70,7 @@ object Relational {
         .cast("double").as("revenue"))
 
   private val selectiveRevenueSql =
-    """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+    """SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(25,4))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
@@ -93,7 +100,7 @@ object Relational {
 
   private val topkOrdersSql =
     """SELECT l_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
-      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(14,4))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(14,4))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND o_orderdate < TIMESTAMP '1999-01-01'
@@ -147,7 +154,7 @@ object Relational {
 
   private val nationRevenueSql =
     """SELECT n_name,
-      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(14,4))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(14,4))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
       |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
@@ -243,7 +250,7 @@ object Relational {
 
   private val jsonExtractSql =
     """SELECT event_type, COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
       |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
       |FROM (SELECT event_type, value,
       |        CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
@@ -268,7 +275,7 @@ object Relational {
 
   private val sqlTopCustomersSql =
     """SELECT c_custkey, c_mktsegment, COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_spend
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_custkey, c_mktsegment
       |ORDER BY total_spend DESC, c_custkey LIMIT 10""".stripMargin
@@ -323,7 +330,7 @@ object Relational {
   private val reconcileSql =
     """WITH o AS (
       |  SELECT o_custkey, COUNT(*) AS n_orders,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS spend
       |  FROM orders GROUP BY o_custkey),
       |j AS (
       |  SELECT CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL THEN 'both'
@@ -450,7 +457,7 @@ object Relational {
 
   private val noOrderRichSql =
     """WITH a AS (
-      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      |  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_bal
       |  FROM customer WHERE CAST(c_acctbal AS DECIMAL(12,2)) > 0),
       |rich AS (
       |  SELECT c_custkey, c_nationkey, c_acctbal
@@ -460,7 +467,7 @@ object Relational {
       |  SELECT o_custkey FROM orders
       |  WHERE CAST(o_totalprice AS DECIMAL(12,2)) > 300000)
       |SELECT c_nationkey, COUNT(*) AS numcust,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
       |FROM rich ANTI JOIN big ON c_custkey = o_custkey
       |GROUP BY c_nationkey""".stripMargin
 
