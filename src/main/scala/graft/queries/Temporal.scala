@@ -212,7 +212,7 @@ object Temporal {
       |  FROM w),
       |e AS (SELECT user_id, value, epoch_ms(ts) AS ms FROM events)
       |SELECT win_id, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM e JOIN wd ON e.ms // $DayMs = wd.day
       |  AND e.ms >= wd.start_ms AND e.ms < wd.end_ms
       |GROUP BY win_id""".stripMargin
@@ -243,7 +243,7 @@ object Temporal {
   private val pivotEventsSql = {
     val cols = Seq("click", "error", "purchase", "signup", "view").map { t =>
       s"""  COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS ${t}_n,
-         |  CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS ${t}_v""".stripMargin
+         |  CAST(CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE) AS ${t}_v""".stripMargin
     }.mkString(",\n")
     s"""SELECT user_id % 15 AS cohort,
       |$cols
@@ -270,7 +270,7 @@ object Temporal {
     """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
       |  COALESCE(o_orderpriority, 'ALL') AS priority,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
   // ---------------------------------------------------------------- funnel

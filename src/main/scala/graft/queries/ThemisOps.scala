@@ -134,7 +134,7 @@ object ThemisOps {
         count(lit(1)).as("n_events"))
 
   private val sumValuesSql =
-    """SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+    """SELECT user_id, CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
       |  COUNT(*) AS n_events
       |FROM events GROUP BY user_id""".stripMargin
 
@@ -281,7 +281,7 @@ object ThemisOps {
       |  FROM m)
       |SELECT user_id, MIN(ms) AS start_ms, MAX(ms) AS end_ms,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM s GROUP BY user_id, sid""".stripMargin
 
   /** Bit-parity Themis sessionization
@@ -403,7 +403,7 @@ object ThemisOps {
     """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
       |  COALESCE(o_orderpriority, 'ALL') AS priority,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
 
 
