@@ -29,6 +29,7 @@ object SparkEntry {
 
   val registry: Seq[GQuery] = GQuery.registry(
     Relational.defs,
+    TpchShapes.defs,
     ThemisOps.defs,
     TextPipeline.defs,
     Similarity.defs,
