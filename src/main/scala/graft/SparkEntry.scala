@@ -38,6 +38,7 @@ object SparkEntry {
     GraphText.defs,
     Temporal.defs,
     Tokenizer.defs,
+    Cdc.defs,
     Retrieval.defs,
     Mixing.defs,
     Curation.defs,

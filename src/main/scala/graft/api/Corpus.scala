@@ -531,6 +531,21 @@ object Corpus {
         col("n_tok").as("n_tokens"), col("offset"))
   }
 
+  /** Content-defined chunk rows for any (id, text) frame: 8-token
+    * rolling windows cut where their hash hits the mask, so chunk
+    * boundaries survive insertions/deletions (an edit only disturbs
+    * chunks until the next content cut — the rsync/FastCDC property a
+    * recrawl-heavy dedup store needs; fixed-offset chunking re-keys the
+    * whole tail). Output one row per chunk: (id, clen tokens, chash —
+    * the store key). Shares the oracle-checked q_cdc_chunks internals
+    * ([[graft.queries.Cdc.chunkRows]]); everything before the caller's
+    * own aggregation is scan-local. */
+  def cdcChunks(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    graft.queries.Cdc.chunkRows(
+      canon(docs, id, text).withColumn("source", lit("")))
+      .select(col("doc_id").as(id), col("clen"), col("chash"))
+
   /** C4-style keep-first dedup WITH document reconstruction for any
     * (id, text) frame: every `chunkTokens`-token chunk keeps only its
     * globally-first occurrence and each document is rebuilt from its

@@ -197,8 +197,92 @@ object Mixing {
       |  CAST(SUM("offset") AS BIGINT) AS offset_sum
       |FROM o GROUP BY shard""".stripMargin
 
+  /** Sample size for [[prioritySample]] — needs corpus > SampleK+1 docs
+    * (the smallest testdata slice has 500). */
+  val SampleK = 64
+
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 2007): a weight-aware
+    * sample of exactly k documents WITHOUT replacement, with the unbiased
+    * subset-sum estimator audited against the exact total. Each doc gets
+    * priority w/u (u a derandomized per-doc uniform from the engine's
+    * standard hash draw); the top-k by priority are the sample, the
+    * (k+1)-th priority is the threshold τ, and Σ max(w, τ) over the
+    * sample estimates Σw — the fixed-size counterpart of the Bernoulli
+    * sampler (q_sample_weighted), the shape a token-budgeted corpus
+    * draw wants when the output size must be exact.
+    *
+    * Determinism: priority = (w·P)/u1 is ONE double division of exact
+    * integers (w·P < 2^53); the estimator splits into an integer sum
+    * (heavy docs, w > τ) plus τ·count(light) — one multiply + one add,
+    * never an order-dependent double accumulation.
+    *
+    * Scale shape: the top-(k+1) is a TakeOrderedAndProject (per-partition
+    * k+1 heap + (k+1)-row merge — no global sort at any corpus size);
+    * everything after operates on k+1 rows of metadata. The census
+    * crossJoins are 1-row broadcasts. */
+  def prioritySample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").as("wt"),
+        (hashMod(col("doc_id")) + 1).as("u1"))
+      .select(col("doc_id"), col("wt"),
+        (col("wt").cast("double") * lit(P) / col("u1")).as("priority"))
+    val top = d.orderBy(col("priority").desc, col("doc_id")).limit(SampleK + 1)
+      .select(col("doc_id"), col("wt"), col("priority"),
+        row_number().over(Window.orderBy(col("priority").desc, col("doc_id")))
+          .as("rn"))
+    val tau = top.filter(col("rn") === SampleK + 1)
+      .select(col("priority").as("tau"))
+    val totals = d.agg(sum(col("wt")).as("true_total"),
+      count(lit(1)).as("n_docs"))
+    top.filter(col("rn") <= SampleK)
+      .crossJoin(broadcast(tau))
+      .agg(count(lit(1)).as("n_sample"),
+        min(col("tau")).as("tau"),
+        sum(col("doc_id")).as("sample_id_sum"),
+        sum(col("wt")).as("sample_wt_sum"),
+        sum(when(col("wt").cast("double") > col("tau"), col("wt"))
+          .otherwise(0L)).as("sum_heavy"),
+        sum(when(col("wt").cast("double") > col("tau"), 0L)
+          .otherwise(1L)).as("n_light"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_sample"), col("tau"), col("sample_id_sum"),
+        col("sample_wt_sum"), col("sum_heavy"), col("n_light"),
+        (col("sum_heavy").cast("double") +
+          col("tau") * col("n_light").cast("double")).as("est_total"),
+        col("true_total"), col("n_docs"))
+  }
+
+  private val prioritySampleSql =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars AS wt,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+      |      % 1000000007 + 1 AS u1
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, wt, CAST(wt AS DOUBLE) * 1000000007 / u1 AS priority
+      |  FROM d),
+      |r AS (
+      |  SELECT doc_id, wt, priority,
+      |    ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rn
+      |  FROM p),
+      |t AS (SELECT priority AS tau FROM r WHERE rn = 65),
+      |tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS true_total,
+      |  COUNT(*) AS n_docs FROM d),
+      |c AS (
+      |  SELECT COUNT(*) AS n_sample, MIN(tau) AS tau,
+      |    CAST(SUM(doc_id) AS BIGINT) AS sample_id_sum,
+      |    CAST(SUM(wt) AS BIGINT) AS sample_wt_sum,
+      |    CAST(SUM(CASE WHEN CAST(wt AS DOUBLE) > tau THEN wt ELSE 0 END) AS BIGINT) AS sum_heavy,
+      |    CAST(SUM(CASE WHEN CAST(wt AS DOUBLE) > tau THEN 0 ELSE 1 END) AS BIGINT) AS n_light
+      |  FROM r CROSS JOIN t WHERE rn <= 64)
+      |SELECT n_sample, tau, sample_id_sum, sample_wt_sum, sum_heavy, n_light,
+      |  CAST(sum_heavy AS DOUBLE) + tau * CAST(n_light AS DOUBLE) AS est_total,
+      |  true_total, n_docs
+      |FROM c CROSS JOIN tot""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),
     GQuery("q_token_budget", tokenBudget, Some(tokenBudgetSql)),
+    GQuery("q_sample_priority", prioritySample, Some(prioritySampleSql)),
     GQuery("q_shard_manifest", shardManifest, Some(shardManifestSql)))
 }
