@@ -280,9 +280,66 @@ object Mixing {
       |  true_total, n_docs
       |FROM c CROSS JOIN tot""".stripMargin
 
+  /** Rendezvous (highest-random-weight) sharding with the
+    * minimal-movement census for a cluster resize (Thaler & Ravishankar
+    * 1996 — the stateless alternative to a consistent-hash ring): each
+    * doc goes to the shard whose per-(doc, shard) hash is highest, so
+    * growing 8 → 9 shards moves ONLY the docs whose new shard 8 score
+    * wins (expected 1/9 of the corpus) and every other assignment is
+    * untouched — where modulo sharding (`h % n`, q_shard_manifest's
+    * layout) would remap ~8/9 of all keys. The census measures exactly
+    * that: per old shard, how many docs move, with an id checksum
+    * pinning WHICH docs.
+    *
+    * Scale shape: both assignments are scan-local array argmaxes (9
+    * hashes per row, codegen'd); the only exchange is the 8-group
+    * census. At 100 TB this is the resize planner you run BEFORE
+    * rebalancing a sharded corpus store: moved bytes ≈ total/9, read
+    * off a metadata-sized output. */
+  def rendezvousShards(s: SparkSession, dir: String): DataFrame = {
+    val scores8 =
+      "transform(sequence(0, 7), s -> " +
+        "graft_hash60(concat(cast(doc_id as string), '#', cast(s as string))))"
+    Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .withColumn("s8", expr(scores8))
+      .withColumn("s9", expr(
+        "concat(s8, array(graft_hash60(concat(cast(doc_id as string), '#', '8'))))"))
+      .select(col("doc_id"),
+        (expr("array_position(s8, array_max(s8))") - 1).as("shard_old"),
+        (expr("array_position(s9, array_max(s9))") - 1).as("shard_new"))
+      .groupBy(col("shard_old"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard_new") =!= col("shard_old"), 1L).otherwise(0L))
+          .as("n_moved"),
+        sum(when(col("shard_new") =!= col("shard_old"), col("doc_id"))
+          .otherwise(0L)).as("moved_id_sum"))
+  }
+
+  private val rendezvousShardsSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 8), s ->
+      |      CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)),1,15) AS BIGINT)) AS s8
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, s8,
+      |    list_concat(s8, [CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#8'),1,15) AS BIGINT)]) AS s9
+      |  FROM d),
+      |a AS (
+      |  SELECT doc_id,
+      |    list_position(s8, list_max(s8)) - 1 AS shard_old,
+      |    list_position(s9, list_max(s9)) - 1 AS shard_new
+      |  FROM e)
+      |SELECT shard_old, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN shard_new <> shard_old THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+      |  CAST(SUM(CASE WHEN shard_new <> shard_old THEN doc_id ELSE 0 END) AS BIGINT) AS moved_id_sum
+      |FROM a GROUP BY shard_old""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),
     GQuery("q_token_budget", tokenBudget, Some(tokenBudgetSql)),
     GQuery("q_sample_priority", prioritySample, Some(prioritySampleSql)),
+    GQuery("q_rendezvous_shards", rendezvousShards, Some(rendezvousShardsSql)),
     GQuery("q_shard_manifest", shardManifest, Some(shardManifestSql)))
 }
