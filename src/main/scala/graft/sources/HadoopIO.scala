@@ -3,7 +3,7 @@ package graft.sources
 import java.io.{ObjectInputStream, ObjectOutputStream}
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FileStatus, Path}
+import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FileStatus, FileSystem, LocalFileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Hadoop-FileSystem IO shared by the binary sources ([[ThemisKV]],
@@ -38,6 +38,22 @@ object HadoopIO {
   def sessionConf(spark: SparkSession): Configuration =
     spark.sessionState.newHadoopConf()
 
+  /** FileSystem for a path, with the local-FS checksum layer unwrapped:
+    * Hadoop's `file://` filesystem is a ChecksumFileSystem — every read
+    * is CRC-verified in 512-byte checksum chunks and every write is
+    * doubled with a `.crc` side file, a >10× throughput tax on the
+    * GB/s-scale binary sort IO (the round-10 GraySort probe collapsed
+    * from the 21–27 GB/min band to ~1–12 under it). Distributed stores
+    * don't pay it (HDFS/S3A checksum at the block/transfer layer below
+    * this API), so only the local scheme is unwrapped; the raw local FS
+    * matches the reference's unchecksummed direct IO — validation is
+    * valsort's job (SURVEY §3.3), not the read path's. */
+  private def fsFor(p: Path, conf: Configuration): FileSystem =
+    p.getFileSystem(conf) match {
+      case l: LocalFileSystem => l.getRawFileSystem
+      case other => other
+    }
+
   /** Expand a comma-separated list of globs / directories / files into the
     * data files underneath: each entry is `globStatus`'d (so `dir*`,
     * `{a,b}`, `?` all work), matched directories expand one level (like the
@@ -47,7 +63,7 @@ object HadoopIO {
   def listFiles(pathSpec: String, conf: Configuration): Seq[FileStatus] = {
     pathSpec.split(',').map(_.trim).filter(_.nonEmpty).toSeq.flatMap { spec =>
       val p = new Path(spec)
-      val fs = p.getFileSystem(conf)
+      val fs = fsFor(p, conf)
       val matched = Option(fs.globStatus(p)).getOrElse(Array.empty[FileStatus])
       matched.toSeq.flatMap { st =>
         if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile).toSeq
@@ -61,13 +77,13 @@ object HadoopIO {
 
   def open(path: String, conf: Configuration): FSDataInputStream = {
     val p = new Path(path)
-    p.getFileSystem(conf).open(p)
+    fsFor(p, conf).open(p)
   }
 
   /** Create (overwriting) `name` under `dir`, making the directory first. */
   def create(dir: String, name: String, conf: Configuration): FSDataOutputStream = {
     val d = new Path(dir)
-    val fs = d.getFileSystem(conf)
+    val fs = fsFor(d, conf)
     fs.mkdirs(d)
     fs.create(new Path(d, name), true)
   }
@@ -84,7 +100,7 @@ object HadoopIO {
   def commit(dir: String, tmpName: String, finalName: String,
       conf: Configuration): Unit = {
     val d = new Path(dir)
-    val fs = d.getFileSystem(conf)
+    val fs = fsFor(d, conf)
     val dest = new Path(d, finalName)
     val tmp = new Path(d, tmpName)
     if (fs.exists(dest)) { fs.delete(tmp, false); return }
@@ -100,7 +116,7 @@ object HadoopIO {
     * commits can be first-wins. Driver-side, before the write action. */
   def cleanOutputs(dir: String, suffix: String, conf: Configuration): Unit = {
     val d = new Path(dir)
-    val fs = d.getFileSystem(conf)
+    val fs = fsFor(d, conf)
     if (!fs.exists(d)) return
     fs.listStatus(d).foreach { st =>
       val n = st.getPath.getName
