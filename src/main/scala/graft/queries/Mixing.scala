@@ -280,6 +280,75 @@ object Mixing {
       |  true_total, n_docs
       |FROM c CROSS JOIN tot""".stripMargin
 
+  /** Stratified [[prioritySample]]: a fixed-size weighted draw PER
+    * LANGUAGE (16 docs each) instead of one global top-k — the
+    * per-stratum budget shape a balanced eval set wants. The plan is the
+    * other top-k physical form: a per-group WindowGroupLimit riding ONE
+    * hash exchange on the stratum key (rank ≤ k+1 prunes group-locally
+    * before any row leaves its partition), where the global variant is a
+    * TakeOrderedAndProject. Each stratum's τ is its own (k+1)-th
+    * priority and the per-stratum estimator Σmax(w,τ) targets that
+    * stratum's weight total — same integer-heavy + τ·count split, so no
+    * order-dependent double sums. */
+  def prioritySampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val d = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars").as("wt"),
+        (hashMod(col("doc_id")) + 1).as("u1"))
+      .select(col("lang"), col("doc_id"), col("wt"),
+        (col("wt").cast("double") * lit(P) / col("u1")).as("priority"))
+    val ranked = d.select(col("lang"), col("doc_id"), col("wt"), col("priority"),
+      row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("priority").desc, col("doc_id"))).as("rn"))
+      .filter(col("rn") <= k + 1)
+    val tau = ranked.filter(col("rn") === k + 1)
+      .select(col("lang").as("t_lang"), col("priority").as("tau"))
+    val totals = d.groupBy(col("lang").as("g_lang"))
+      .agg(sum(col("wt")).as("true_total"), count(lit(1)).as("n_docs"))
+    ranked.filter(col("rn") <= k)
+      .join(broadcast(tau), col("lang") === col("t_lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sample"),
+        min(col("tau")).as("tau"),
+        sum(col("doc_id")).as("sample_id_sum"),
+        sum(when(col("wt").cast("double") > col("tau"), col("wt"))
+          .otherwise(0L)).as("sum_heavy"),
+        sum(when(col("wt").cast("double") > col("tau"), 0L)
+          .otherwise(1L)).as("n_light"))
+      .join(broadcast(totals), col("lang") === col("g_lang"))
+      .select(col("lang"), col("n_sample"), col("tau"), col("sample_id_sum"),
+        col("sum_heavy"), col("n_light"),
+        (col("sum_heavy").cast("double") +
+          col("tau") * col("n_light").cast("double")).as("est_total"),
+        col("true_total"), col("n_docs"))
+  }
+
+  private val prioritySampleStratifiedSql =
+    """WITH d AS (
+      |  SELECT lang, doc_id, n_chars AS wt,
+      |    CAST(n_chars AS DOUBLE) * 1000000007 /
+      |      (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+      |       % 1000000007 + 1) AS priority
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id, wt, priority,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) AS rn
+      |  FROM d),
+      |t AS (SELECT lang AS t_lang, priority AS tau FROM r WHERE rn = 17),
+      |tot AS (SELECT lang AS g_lang, CAST(SUM(wt) AS BIGINT) AS true_total,
+      |  COUNT(*) AS n_docs FROM d GROUP BY lang),
+      |c AS (
+      |  SELECT lang, COUNT(*) AS n_sample, MIN(tau) AS tau,
+      |    CAST(SUM(doc_id) AS BIGINT) AS sample_id_sum,
+      |    CAST(SUM(CASE WHEN CAST(wt AS DOUBLE) > tau THEN wt ELSE 0 END) AS BIGINT) AS sum_heavy,
+      |    CAST(SUM(CASE WHEN CAST(wt AS DOUBLE) > tau THEN 0 ELSE 1 END) AS BIGINT) AS n_light
+      |  FROM r JOIN t ON lang = t_lang WHERE rn <= 16
+      |  GROUP BY lang)
+      |SELECT lang, n_sample, tau, sample_id_sum, sum_heavy, n_light,
+      |  CAST(sum_heavy AS DOUBLE) + tau * CAST(n_light AS DOUBLE) AS est_total,
+      |  true_total, n_docs
+      |FROM c JOIN tot ON lang = g_lang""".stripMargin
+
   /** Rendezvous (highest-random-weight) sharding with the
     * minimal-movement census for a cluster resize (Thaler & Ravishankar
     * 1996 — the stateless alternative to a consistent-hash ring): each
@@ -340,6 +409,8 @@ object Mixing {
     GQuery("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),
     GQuery("q_token_budget", tokenBudget, Some(tokenBudgetSql)),
     GQuery("q_sample_priority", prioritySample, Some(prioritySampleSql)),
+    GQuery("q_sample_priority_strat", prioritySampleStratified,
+      Some(prioritySampleStratifiedSql)),
     GQuery("q_rendezvous_shards", rendezvousShards, Some(rendezvousShardsSql)),
     GQuery("q_shard_manifest", shardManifest, Some(shardManifestSql)))
 }

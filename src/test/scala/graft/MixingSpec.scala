@@ -80,4 +80,33 @@ class MixingSpec extends SparkSpec {
         "a longer document was excluded while shorter ones were selected")
     } finally out.unpersist()
   }
+
+  test("priority sampling: global draw is TakeOrdered, stratified draw is a group-limit window") {
+    val pg = Mixing.prioritySample(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(pg.contains("TakeOrderedAndProject"),
+      "global priority sample should top-k without a global sort")
+    val ps = Mixing.prioritySampleStratified(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(ps.contains("WindowGroupLimit"),
+      "stratified priority sample should prune per group before the window")
+  }
+
+  test("priority sampling: estimator stays within 3x of the true total at k=64/500") {
+    val r = Mixing.prioritySample(spark, sfDir).collect()(0)
+    val est = r.getAs[Double]("est_total"); val truth = r.getAs[Long]("true_total")
+    assert(r.getAs[Long]("n_sample") == 64L)
+    assert(est > truth / 3.0 && est < truth * 3.0,
+      s"unbiased estimator implausibly far off: est=$est truth=$truth")
+  }
+
+  test("rendezvous resharding: assignments stay in range and movement is ~1/(n+1)") {
+    val rows = Mixing.rendezvousShards(spark, sfDir).collect()
+    val olds = rows.map(_.getAs[Long]("shard_old")).toSet
+    assert(olds.subsetOf((0L to 7L).toSet), s"old shard out of range: $olds")
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    val moved = rows.map(_.getAs[Long]("n_moved")).sum
+    assert(moved > 0 && moved < n / 4,
+      s"HRW movement should be near n/9, got $moved of $n")
+  }
 }
