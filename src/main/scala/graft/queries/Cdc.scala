@@ -112,5 +112,5 @@ object Cdc {
       |FROM h GROUP BY source""".stripMargin
 
   val defs: Seq[GQuery] = Seq(
-    GQuery("q_cdc_chunks", cdcCensus, Some(cdcCensusSql)))
+    GQuery("q_cdc_chunks", cdcCensus, Some(cdcCensusSql), headline = true))
 }

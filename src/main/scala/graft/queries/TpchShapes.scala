@@ -420,12 +420,12 @@ object TpchShapes {
   val defs: Seq[GQuery] = Seq(
     GQuery("q8_market_share", marketShare, Some(marketShareSql)),
     GQuery("q9_profit_nation", profitByNation, Some(profitByNationSql)),
-    GQuery("q10_returned_items", returnedItems, Some(returnedItemsSql)),
+    GQuery("q10_returned_items", returnedItems, Some(returnedItemsSql), headline = true),
     GQuery("q12_lateness_bands", latenessBands, Some(latenessBandsSql)),
     GQuery("q14_promo_share", promoShare, Some(promoShareSql)),
     GQuery("q15_top_supplier", topSupplier, Some(topSupplierSql)),
     GQuery("q16_supplier_diversity", supplierDiversity, Some(supplierDiversitySql)),
     GQuery("q17_small_qty_revenue", smallQtyRevenue, Some(smallQtyRevenueSql)),
     GQuery("q19_disjunctive", disjunctiveRevenue, Some(disjunctiveRevenueSql)),
-    GQuery("q21_waiting_supplier", waitingSupplier, Some(waitingSupplierSql)))
+    GQuery("q21_waiting_supplier", waitingSupplier, Some(waitingSupplierSql), headline = true))
 }
