@@ -19,6 +19,10 @@ object Verify {
       // back as ns and can confuse dtype normalization).
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // catalog tables (the bucketed-layout queries) keep their metadata
+      // out of the repo cwd; data files go to explicit external paths
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

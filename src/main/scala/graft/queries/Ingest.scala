@@ -176,6 +176,90 @@ object Ingest {
       |  CAST(SUM(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || source),1,15) AS BIGINT) % 1000000007) AS BIGINT) AS row_checksum
       |FROM documents GROUP BY lang""".stripMargin
 
+  /** Write both fact sides as BUCKETED catalog tables (same bucket count,
+    * same key, one file per bucket) and return their join — the layout
+    * step and the co-located read it buys. Factored out of
+    * [[bucketedJoin]] so BucketedJoinSpec can plan-assert the join leg
+    * directly: SortMergeJoin with ZERO Exchange — both scans come up
+    * hash-partitioned on the join key straight from the file layout. The
+    * partition-LOCAL sorts remain (Spark only trusts bucket file order
+    * under the legacy `bucketedTableScan.outputOrdering` flag), but they
+    * are shuffle-free and nearly free over `sortBy`-ordered files; the
+    * exchange of the fact table is the 100 TB cost this layout deletes.
+    *
+    * The `repartition(numBuckets, key)` before each write is load-bearing
+    * twice over: it makes every task hold exactly one bucket's rows, so
+    * the layout lands as ONE file per bucket (tasks×buckets files
+    * otherwise — the small-file explosion that makes naive bucketed
+    * writes unusable at 100 TB) and the per-file `sortBy` order then
+    * covers the whole bucket, keeping the read-side local sort a
+    * near-no-op merge of already-ordered row groups. */
+  private[graft] def bucketedJoinFrames(s: SparkSession, dir: String,
+      liPath: String, ordPath: String, numBuckets: Int): DataFrame = {
+    val tag = Integer.toHexString(dir.hashCode)
+    val liTbl = s"graft_bkt_lineitem_$tag"
+    val ordTbl = s"graft_bkt_orders_$tag"
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+      .repartition(numBuckets, col("l_orderkey"))
+      .write.mode("overwrite").option("path", liPath)
+      .bucketBy(numBuckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(liTbl)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .repartition(numBuckets, col("o_orderkey"))
+      .write.mode("overwrite").option("path", ordPath)
+      .bucketBy(numBuckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(ordTbl)
+    // merge hint: pin SortMergeJoin so the co-location is what the plan
+    // exercises at every scale (a broadcast of the small side at sf0.01
+    // would also be exchange-free, but for the wrong reason)
+    s.table(liTbl).hint("merge")
+      .join(s.table(ordTbl), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+  }
+
+  /** Bucketed-table co-located join — the layout move that deletes the
+    * biggest shuffle a 100 TB warehouse pays: lineitem and orders are
+    * written `bucketBy(8, orderkey)` + `sortBy(orderkey)` as external
+    * catalog tables (inside the deferred sink→source stage, so the layout
+    * job runs when the query does and Bench bills it as `construction`),
+    * then joined WITHOUT any exchange — both scans come up
+    * hash-partitioned on the join key straight from the file layout,
+    * leaving only shuffle-free partition-local sorts.
+    * This is the complement of q_partitioned_write's
+    * directory-pruning story: partitioning prunes scans, bucketing
+    * co-locates joins; a fact table bucketed on its join key at write
+    * time pays its join shuffle ONCE at layout instead of on every query.
+    * The census per order priority checksums the joined rows so any
+    * bucket routing error (a row hashed to the wrong bucket joins
+    * nothing) breaks the count, not just the timing. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val liPath = graft.core.Scratch.dir("bktli", dir)
+    val ordPath = graft.core.Scratch.dir("bktord", dir)
+    graft.plans.DeferredIngest(s,
+      "o_orderpriority STRING, l_orderkey BIGINT, l_quantity DOUBLE, " +
+        "l_extendedprice DOUBLE, l_discount DOUBLE") {
+      bucketedJoinFrames(s, dir, liPath, ordPath, numBuckets = 8)
+    }
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sumDec(col("l_quantity")).as("sum_qty"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+  }
+
+  private val bucketedJoinSql =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(14,4))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** Compaction PLANNER — the OPTIMIZE bin-packing step of table
     * maintenance: segments (here doc_id DIV 20 standing in for data
     * files, weighted by their text bytes) are packed size-descending
@@ -256,6 +340,8 @@ object Ingest {
 
   val defs: Seq[GQuery] = Seq(
     GQuery("q_binary_export", binaryExport, Some(binaryExportSql)),
+    GQuery("q_bucketed_join", bucketedJoin, Some(bucketedJoinSql),
+      headline = true),
     GQuery("q_compaction_plan", compactionPlan, Some(compactionPlanSql)),
     GQuery("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql), headline = true),
     GQuery("q_jsonl_parse", jsonlParse, Some(jsonlParseSql)),

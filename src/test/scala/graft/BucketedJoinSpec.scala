@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Ingest
+
+/** The bucketed-layout contract behind q_bucketed_join: writing both fact
+  * sides `bucketBy(n, key)` + `sortBy(key)` (one file per bucket) buys a
+  * join with NO exchange and NO sort — the co-location a 100 TB warehouse
+  * pays for once at layout time instead of on every query. A plan
+  * regression here (an Exchange creeping back in) is a scale bug even
+  * while results stay correct.
+  */
+class BucketedJoinSpec extends SparkSpec {
+
+  private lazy val joined = Ingest.bucketedJoinFrames(spark, sfDir,
+    graft.core.Scratch.dir("bktli_spec", sfDir),
+    graft.core.Scratch.dir("bktord_spec", sfDir), numBuckets = 4)
+
+  test("bucketed join is SortMergeJoin with zero Exchange") {
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+    assert(!p.contains("Exchange"),
+      s"co-located join must not shuffle either side:\n$p")
+    // the remaining sorts must be partition-local (global=false) — Spark
+    // keeps them even over sortBy'd buckets unless the legacy
+    // bucketedTableScan.outputOrdering flag is on, but they never shuffle
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Sort [") && l.contains("], true,")),
+      s"no global sort may appear:\n$p")
+    assert(p.contains("Bucketed: true"), s"scan must be bucketed:\n$p")
+  }
+
+  test("bucketed join rows match the plain (shuffled) join") {
+    val plain = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+      .orderBy(col("o_orderpriority"))
+      .collect().toSeq
+    val bucketed = joined
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+      .orderBy(col("o_orderpriority"))
+      .collect().toSeq
+    assert(bucketed == plain)
+  }
+
+  test("a bucket-key equality filter prunes to a single bucket") {
+    val key = Tables.lineitem(spark, sfDir)
+      .agg(min(col("l_orderkey"))).head().getLong(0)
+    val p = joined.filter(col("l_orderkey") === key)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount: 1 out of 4"),
+      s"expected single-bucket scan:\n$p")
+  }
+
+  test("layout lands exactly one file per bucket per table") {
+    val liPath = graft.core.Scratch.dir("bktli_files", sfDir)
+    val ordPath = graft.core.Scratch.dir("bktord_files", sfDir)
+    Ingest.bucketedJoinFrames(spark, sfDir, liPath, ordPath, numBuckets = 4)
+    for (path <- Seq(liPath, ordPath)) {
+      val files = new java.io.File(path).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+      assert(files.length == 4,
+        s"$path: expected 4 bucket files, got ${files.length}")
+    }
+  }
+}
