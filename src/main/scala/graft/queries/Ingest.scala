@@ -186,37 +186,23 @@ object Ingest {
     * under the legacy `bucketedTableScan.outputOrdering` flag), but they
     * are shuffle-free and nearly free over `sortBy`-ordered files; the
     * exchange of the fact table is the 100 TB cost this layout deletes.
-    *
-    * The `repartition(numBuckets, key)` before each write is load-bearing
-    * twice over: it makes every task hold exactly one bucket's rows, so
-    * the layout lands as ONE file per bucket (tasks×buckets files
-    * otherwise — the small-file explosion that makes naive bucketed
-    * writes unusable at 100 TB) and the per-file `sortBy` order then
-    * covers the whole bucket, keeping the read-side local sort a
-    * near-no-op merge of already-ordered row groups. */
+    * The layout write itself is [[graft.api.Layout.bucketize]] — the
+    * facade and this oracle-checked query share one code path. */
   private[graft] def bucketedJoinFrames(s: SparkSession, dir: String,
       liPath: String, ordPath: String, numBuckets: Int): DataFrame = {
     val tag = Integer.toHexString(dir.hashCode)
-    val liTbl = s"graft_bkt_lineitem_$tag"
-    val ordTbl = s"graft_bkt_orders_$tag"
-    Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
-        col("l_discount"))
-      .repartition(numBuckets, col("l_orderkey"))
-      .write.mode("overwrite").option("path", liPath)
-      .bucketBy(numBuckets, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable(liTbl)
-    Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderpriority"))
-      .repartition(numBuckets, col("o_orderkey"))
-      .write.mode("overwrite").option("path", ordPath)
-      .bucketBy(numBuckets, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable(ordTbl)
+    val li = graft.api.Layout.bucketize(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount")),
+      "l_orderkey", numBuckets, liPath, s"graft_bkt_lineitem_$tag")
+    val ord = graft.api.Layout.bucketize(
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+      "o_orderkey", numBuckets, ordPath, s"graft_bkt_orders_$tag")
     // merge hint: pin SortMergeJoin so the co-location is what the plan
     // exercises at every scale (a broadcast of the small side at sf0.01
     // would also be exchange-free, but for the wrong reason)
-    s.table(liTbl).hint("merge")
-      .join(s.table(ordTbl), col("l_orderkey") === col("o_orderkey"))
+    li.hint("merge")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderpriority"), col("l_orderkey"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"))
   }

@@ -60,6 +60,41 @@ class BucketedJoinSpec extends SparkSpec {
       s"expected single-bucket scan:\n$p")
   }
 
+  test("groupBy on the bucket key aggregates with zero Exchange") {
+    val li = graft.api.Layout.bucketize(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_quantity")),
+      "l_orderkey", 4,
+      graft.core.Scratch.dir("bktagg", sfDir), "graft_bkt_agg_spec")
+    val p = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Exchange"),
+      s"bucket layout must satisfy the aggregation distribution:\n$p")
+  }
+
+  test("merge-upsert against a bucketed base shuffles only the delta side") {
+    val base = graft.api.Layout.bucketize(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      "doc_id", 4,
+      graft.core.Scratch.dir("bktbase", sfDir), "graft_bkt_base_spec")
+    val changes = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), (col("n_chars") + 1000).as("new_chars"))
+    val merged = base.hint("merge")
+      .join(changes, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), coalesce(col("new_chars"), col("n_chars")))
+    val p = merged.queryExecution.executedPlan.toString
+    val exchanges =
+      p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"exactly the delta side may shuffle (found $exchanges):\n$p")
+    // the bucketed base's scan subtree must reach the join unexchanged
+    assert(p.contains("Bucketed: true"), p)
+  }
+
   test("layout lands exactly one file per bucket per table") {
     val liPath = graft.core.Scratch.dir("bktli_files", sfDir)
     val ordPath = graft.core.Scratch.dir("bktord_files", sfDir)
