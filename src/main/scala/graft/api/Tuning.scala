@@ -44,6 +44,27 @@ object Tuning {
     math.max(16L << 20, math.min(1L << 30, perTask))
   }
 
+  /** Bucket count for a [[Layout.bucketize]] layout: tableBytes ÷
+    * targetBucketBytes (default 1 GB/bucket — a bucket is one file and
+    * one task's join input, so it wants the same comfortable-task
+    * sizing as [[maxPartitionBytes]] writ large), rounded UP to a power
+    * of two. The power-of-two rounding is the co-join insurance: Spark
+    * can coalesce a 2^k-bucket side onto a 2^j-bucket side (one divides
+    * the other) and still join exchange-free, so tables bucketed at
+    * different growth epochs keep co-locating instead of forcing a
+    * relayout. The q_bucketed_join demo runs 8 buckets at test SF;
+    * 100 TB at 1 GB/bucket is 2^17 — file count stays equal to bucket
+    * count because the facade pre-repartitions on the key. */
+  def bucketCount(tableBytes: Long, targetBucketBytes: Long = 1L << 30): Int = {
+    require(tableBytes > 0 && targetBucketBytes > 0)
+    val needed = (tableBytes + targetBucketBytes - 1) / targetBucketBytes
+    Integer.highestOneBit(
+      math.min(needed, 1L << 30).toInt) match {
+      case h if h >= needed => h
+      case h => h << 1
+    }
+  }
+
   /** LSH signature width for a target mean bucket occupancy:
     * ceil(log2(n / occupancy)), floored at 1 bit. Mean occupancy is
     * n / 2^bits by construction (the lsh_occupancy telemetry measures

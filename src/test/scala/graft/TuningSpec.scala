@@ -88,4 +88,17 @@ class TuningSpec extends SparkSpec {
     assert(Tuning.maxPartitionBytes(1L << 30, 32) == 16L << 20, "floor")
     assert(Tuning.maxPartitionBytes(1L << 40, 1) == 1L << 30, "ceiling")
   }
+
+  test("bucketCount: power of two, covers the table, monotone") {
+    assert(Tuning.bucketCount(1L << 30) == 1, "one bucket at one target")
+    assert(Tuning.bucketCount((1L << 30) + 1) == 2, "rounds up")
+    assert(Tuning.bucketCount(100L << 40) == 1 << 17,
+      "100 TB at 1 GB/bucket is 2^17")
+    for (bytes <- Seq(1L << 20, 5L << 30, 700L << 30, 3L << 40)) {
+      val n = Tuning.bucketCount(bytes)
+      assert((n & (n - 1)) == 0, s"$n not a power of two")
+      assert(n.toLong * (1L << 30) >= bytes, s"$n buckets under-cover $bytes")
+      assert(n <= 2 * ((bytes >> 30) + 1), s"$n buckets over-provision $bytes")
+    }
+  }
 }
