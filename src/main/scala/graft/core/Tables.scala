@@ -78,25 +78,26 @@ object Tables {
     * file or a directory of part files (first part wins — the driver writes
     * one homogeneous table per path). Falls back to the current driver
     * format (native micros) when no file exists yet, e.g. an empty
-    * streaming source directory. */
+    * streaming source directory. Listing goes through the Hadoop FS API
+    * ([[graft.sources.HadoopIO.listFiles]]), so the probe works on any
+    * configured scheme, not just the local disk — the same posture as the
+    * binary sources. */
   private[graft] def probeTsStorage(path: String): TsStorage =
     tsStorageCache.computeIfAbsent(path, { p =>
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
       import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
-      val f = new java.io.File(p)
-      val target: Option[java.io.File] =
-        if (f.isFile) Some(f)
-        else if (f.isDirectory)
-          f.listFiles().filter(x => x.isFile && x.getName.endsWith(".parquet"))
-            .sortBy(_.getName).headOption
-        else None
+      val conf = new org.apache.hadoop.conf.Configuration()
+      // a direct file path matches itself; a directory expands one level
+      // (part files), keeping the first .parquet by sorted name
+      val listed = graft.sources.HadoopIO.listFiles(p, conf)
+      val target: Option[org.apache.hadoop.fs.Path] =
+        listed.filter(_.getPath.getName.endsWith(".parquet")).headOption
+          .orElse(listed.headOption).map(_.getPath)
       target match {
         case None => TsNativeTimestamp(utcAdjusted = false)
         case Some(file) =>
-          val in = HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(file.getAbsolutePath),
-            new org.apache.hadoop.conf.Configuration())
+          val in = HadoopInputFile.fromPath(file, conf)
           val reader = ParquetFileReader.open(in)
           try {
             val schema = reader.getFooter.getFileMetaData.getSchema

@@ -67,6 +67,44 @@ object Ingest {
       |  ),1,15) AS BIGINT) % 1000000007) AS BIGINT) AS row_checksum
       |FROM orders""".stripMargin
 
+  /** ORC round-trip: the same full-fidelity census as [[csvRoundtrip]]
+    * through Spark's built-in columnar ORC codec — orders written to a
+    * 4-file ORC directory (decimal and date stay TYPED, unlike the CSV
+    * leg's string encodings), read back, and row-checksummed against the
+    * parquet original recomputed by the oracle. Exercises the second
+    * columnar interchange format a lake actually mixes with parquet;
+    * the read side vectorizes and splits by stripe, so a 100 TB ORC
+    * landing dir scans at full cluster width with predicate pushdown
+    * intact. Runs inside [[graft.plans.DeferredIngest]] under a
+    * run-unique scratch path like every write-then-read query. */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.core.Scratch.dir("orc", dir)
+    val ddl = "o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DECIMAL(12,2), o_date DATE, " +
+      "o_orderpriority STRING"
+    graft.plans.DeferredIngest(s, ddl) {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          dec(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_date"),
+          col("o_orderpriority"))
+        .repartition(4)
+        .write.mode("overwrite").orc(out)
+      s.read.schema(StructType.fromDDL(ddl)).orc(out)
+    }
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(col("o_totalprice")).cast("double").as("total_price"),
+        sum(hashMod(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          date_format(col("o_date"), "yyyy-MM-dd"),
+          col("o_orderpriority")))).as("row_checksum"))
+  }
+
+  // same census as the CSV leg — the formats must agree byte-for-byte
+  // on the reconstructed rows, so they share one oracle definition
+  private val orcRoundtripSql = csvRoundtripSql
+
   /** JSONL ingest: documents serialized to JSON lines in-plan
     * (`to_json`), parsed back with a schema-full `from_json`, and
     * censused per language with a text checksum — the round-trip is an
@@ -331,6 +369,7 @@ object Ingest {
     GQuery("q_compaction_plan", compactionPlan, Some(compactionPlanSql)),
     GQuery("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql), headline = true),
     GQuery("q_jsonl_parse", jsonlParse, Some(jsonlParseSql)),
+    GQuery("q_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     GQuery("q_json_quarantine", jsonQuarantine, Some(jsonQuarantineSql)),
     GQuery("q_partitioned_write", partitionedWrite, Some(partitionedWriteSql), headline = true))
 }
