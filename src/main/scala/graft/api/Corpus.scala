@@ -135,6 +135,35 @@ object Corpus {
     graft.queries.Analytics.keySkewOf(
       df.select(col(key).cast("string").as("key")), topK)
 
+  /** ANALYZE TABLE over any frame: per-column (n_rows, n_nulls,
+    * n_distinct, rendered min/max) in ONE aggregation over one scan,
+    * unpivoted to a row per column — the stats table a planner reads to
+    * pick broadcast sides and spot skew. Defaults to
+    * `approx_count_distinct` (constant HLL state per column, no Expand —
+    * the 100 TB form); `exactNdv = true` switches to exact distincts,
+    * which is what the oracle-checked q_table_stats runs
+    * ([[graft.queries.Analytics.tableStatsOf]] — shared body, the two
+    * cannot drift; TableStatsSpec pins approx within HLL tolerance of
+    * exact). Renders numerics with fractional types through
+    * DECIMAL(12,2) and timestamps as `yyyy-MM-dd HH:mm:ss`; pass `cols`
+    * to restrict the censused columns (default: all). */
+  def analyzeTable(df: DataFrame, cols: Seq[String] = Nil,
+      exactNdv: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types._
+    val names = if (cols.nonEmpty) cols else df.schema.fieldNames.toSeq
+    val specs = names.map { n =>
+      val render = df.schema(n).dataType match {
+        case DoubleType | FloatType | _: DecimalType =>
+          graft.queries.Analytics.statRenderDec
+        case TimestampType | TimestampNTZType =>
+          graft.queries.Analytics.statRenderTs
+        case _ => graft.queries.Analytics.statRenderId
+      }
+      graft.queries.Analytics.StatCol(n, render)
+    }
+    graft.queries.Analytics.tableStatsOf(df, specs, exactNdv)
+  }
+
   /** Winsorized (outlier-clipped) value census over any frame: clip
     * `value` to its per-`group` [p05, p95] band with DISCRETE
     * order-statistic bounds at integer-exact ranks (ties by `id`) and

@@ -733,8 +733,92 @@ object Analytics {
       |  CAST(MAX(cn) AS BIGINT) AS max_class
       |FROM cls GROUP BY lang""".stripMargin
 
+  // ---------------------------------------------------------- table stats
+
+  /** How a stat column renders to the uniform string schema. Min/max are
+    * aggregated on the NATIVE type (a lexicographic min over rendered
+    * strings would order "10" < "9") and rendered afterwards. */
+  private[graft] case class StatCol(name: String,
+      render: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+
+  private[graft] val statRenderId: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    c => c.cast("string")
+  private[graft] val statRenderDec: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    c => dec(c).cast("string")
+  private[graft] val statRenderTs: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    c => date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  private val lineitemStatCols: Seq[StatCol] = Seq(
+    StatCol("l_orderkey", statRenderId), StatCol("l_partkey", statRenderId),
+    StatCol("l_suppkey", statRenderId), StatCol("l_linenumber", statRenderId),
+    StatCol("l_quantity", statRenderDec),
+    StatCol("l_extendedprice", statRenderDec),
+    StatCol("l_discount", statRenderDec), StatCol("l_tax", statRenderDec),
+    StatCol("l_returnflag", statRenderId),
+    StatCol("l_linestatus", statRenderId),
+    StatCol("l_shipdate", statRenderTs))
+
+  /** ANALYZE TABLE: a per-column statistics census — row count, null
+    * count, distinct count, rendered min/max — computed in ONE
+    * aggregation over one scan and unpivoted to a row per column (the
+    * stats table a cost-based planner reads to pick broadcast sides and
+    * detect skew; the engine's own `q_cms_join_size` is the sketch-side
+    * complement). The oracle query uses EXACT distinct counts so DuckDB
+    * can replay it; exact multi-column distincts make Spark plan an
+    * Expand (input ×#columns before partial aggregation), which is the
+    * wrong trade at 100 TB — `Corpus.analyzeTable` therefore defaults to
+    * `approx_count_distinct` (one pass, constant HLL state per column,
+    * no Expand), with exactness a flag. TableStatsSpec pins the approx
+    * census within HLL tolerance of this exact one. */
+  def tableStats(s: SparkSession, dir: String): DataFrame =
+    tableStatsOf(Tables.lineitem(s, dir), lineitemStatCols, exactNdv = true)
+
+  private[graft] def tableStatsOf(df: DataFrame, cols: Seq[StatCol],
+      exactNdv: Boolean): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { sp =>
+      val c = col(sp.name)
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nn_${sp.name}"),
+        (if (exactNdv) countDistinct(c)
+         else approx_count_distinct(c)).as(s"__nd_${sp.name}"),
+        min(c).as(s"__mn_${sp.name}"), max(c).as(s"__mx_${sp.name}"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val unpivoted = array(cols.map { sp =>
+      struct(lit(sp.name).as("col_name"),
+        col(s"__nn_${sp.name}").as("n_nulls"),
+        col(s"__nd_${sp.name}").cast("long").as("n_distinct"),
+        sp.render(col(s"__mn_${sp.name}")).as("min_s"),
+        sp.render(col(s"__mx_${sp.name}")).as("max_s"))
+    }: _*)
+    one.select(col("n_rows"), explode(unpivoted).as("r"))
+      .select(col("r.col_name").as("col_name"), col("n_rows"),
+        col("r.n_nulls").as("n_nulls"), col("r.n_distinct").as("n_distinct"),
+        col("r.min_s").as("min_s"), col("r.max_s").as("max_s"))
+  }
+
+  private val tableStatsSql = {
+    def row(name: String, mn: String, mx: String) =
+      s"""SELECT '$name' AS col_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $name) AS BIGINT) AS n_distinct,
+         |  $mn AS min_s, $mx AS max_s FROM lineitem""".stripMargin
+    def id(n: String) = row(n, s"CAST(MIN($n) AS VARCHAR)", s"CAST(MAX($n) AS VARCHAR)")
+    def dc(n: String) = row(n,
+      s"CAST(CAST(MIN($n) AS DECIMAL(12,2)) AS VARCHAR)",
+      s"CAST(CAST(MAX($n) AS DECIMAL(12,2)) AS VARCHAR)")
+    def ts(n: String) = row(n,
+      s"strftime(MIN($n), '%Y-%m-%d %H:%M:%S')",
+      s"strftime(MAX($n), '%Y-%m-%d %H:%M:%S')")
+    Seq(id("l_orderkey"), id("l_partkey"), id("l_suppkey"),
+      id("l_linenumber"), dc("l_quantity"), dc("l_extendedprice"),
+      dc("l_discount"), dc("l_tax"), id("l_returnflag"),
+      id("l_linestatus"), ts("l_shipdate")).mkString("\nUNION ALL\n")
+  }
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q_k_anonymity", kAnonymity, Some(kAnonymitySql)),
+    GQuery("q_table_stats", tableStats, Some(tableStatsSql)),
     GQuery("q_retention", retention, Some(retentionSql), headline = true),
     GQuery("q_constraints", constraints, Some(constraintsSql)),
     GQuery("q_bloom_membership", bloomMembership, Some(bloomMembershipSql),
