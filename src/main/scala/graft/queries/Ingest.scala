@@ -105,6 +105,54 @@ object Ingest {
   // on the reconstructed rows, so they share one oracle definition
   private val orcRoundtripSql = csvRoundtripSql
 
+  /** Schema evolution on read: two GENERATIONS of the documents table —
+    * an old layout without the `quality` column (even doc_ids, under
+    * `gen=1`) and a new layout that added it (odd doc_ids, `gen=2`,
+    * quality = doc_id % 97 as DECIMAL(12,2)) — land under one root and
+    * are read back through `mergeSchema`, the way a 100 TB corpus that
+    * gained a column mid-crawl actually reads (old files yield NULL for
+    * the added column; nothing is rewritten). Censused per generation:
+    * doc counts, non-null quality counts, the decimal-exact quality
+    * sum, and a char-count checksum — the oracle re-derives all four
+    * from the split rule. Schema merge is a footer-only operation
+    * (no data scan), and the `gen=` directory layout doubles as a
+    * partition-pruning column for generation-targeted rewrites. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.core.Scratch.dir("schevo", dir)
+    val ddl = "gen INT, doc_id BIGINT, lang STRING, n_chars BIGINT, " +
+      "quality DECIMAL(12,2)"
+    graft.plans.DeferredIngest(s, ddl) {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("quality", (col("doc_id") % 97).cast("decimal(12,2)"))
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select(col("gen").cast("int").as("gen"), col("doc_id"),
+          col("lang"), col("n_chars"),
+          col("quality").cast("decimal(12,2)").as("quality"))
+    }
+      .groupBy(col("gen"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("quality")).as("n_quality"),
+        coalesce(sum(col("quality")).cast("double"), lit(0.0))
+          .as("sum_quality"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  private val schemaEvolutionSql =
+    """WITH t AS (
+      |  SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS gen, n_chars,
+      |    CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 97 AS DECIMAL(12,2)) END AS quality
+      |  FROM documents)
+      |SELECT gen, COUNT(*) AS n_docs,
+      |  CAST(COUNT(quality) AS BIGINT) AS n_quality,
+      |  COALESCE(CAST(CAST(SUM(quality) AS VARCHAR) AS DOUBLE), 0.0) AS sum_quality,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM t GROUP BY gen""".stripMargin
+
   /** JSONL ingest: documents serialized to JSON lines in-plan
     * (`to_json`), parsed back with a schema-full `from_json`, and
     * censused per language with a text checksum — the round-trip is an
@@ -370,6 +418,7 @@ object Ingest {
     GQuery("q_csv_roundtrip", csvRoundtrip, Some(csvRoundtripSql), headline = true),
     GQuery("q_jsonl_parse", jsonlParse, Some(jsonlParseSql)),
     GQuery("q_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
+    GQuery("q_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
     GQuery("q_json_quarantine", jsonQuarantine, Some(jsonQuarantineSql)),
     GQuery("q_partitioned_write", partitionedWrite, Some(partitionedWriteSql), headline = true))
 }
