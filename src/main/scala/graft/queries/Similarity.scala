@@ -1633,6 +1633,60 @@ object Similarity {
       |  ON t.q_id = g.q_id AND t.neighbor_id = g.neighbor_id
       |GROUP BY t.q_id""".stripMargin
 
+  /** NDCG@3 discount ladder 1/log2(rank+1), scaled 1e6 and PINNED as
+    * integer constants (1, 1/1.585, 1/2) so both engines run the same
+    * integer arithmetic — a live log2() would differ by ULPs between
+    * libm implementations and break the hash compare. */
+  private val NdcgDisc = Seq(1000000L, 630930L, 500000L)
+  private val NdcgIdealScaled = // gains (3,2,1) at ranks (1,2,3)
+    3 * NdcgDisc(0) + 2 * NdcgDisc(1) + 1 * NdcgDisc(2)
+
+  /** Rank-quality eval of the IVF index: NDCG@3 per query against the
+    * exact cosine ranking, complementing q_ann_recall's set-overlap
+    * recall with a RANK-weighted score (an index that returns the right
+    * neighbors in the wrong order scores below one that orders them
+    * correctly — recall alone can't see the difference). Graded gains:
+    * the true rank-r neighbor is worth 4−r (3/2/1), anything outside
+    * the true top-3 is worth 0; position discounts are the pinned
+    * [[NdcgDisc]] ladder, and ndcg_ppm = DCG·1e6 DIV ideal-DCG is
+    * integer-exact end to end. Scale shape: both legs are the
+    * already-bucketed ANN plans; the eval itself adds one
+    * queries×k-sized join + agg — eval cost ∝ query workload,
+    * independent of corpus size. */
+  def ndcgEval(s: SparkSession, dir: String): DataFrame = {
+    val truth = knnBrute(s, dir).filter(col("rank") <= 3)
+      .select(col("q_id").as("t_q"), col("neighbor_id").as("t_n"),
+        (lit(4L) - col("rank")).as("gain"))
+    val disc = when(col("rank") === 1, NdcgDisc(0))
+      .when(col("rank") === 2, NdcgDisc(1))
+      .otherwise(NdcgDisc(2))
+    annIvf(s, dir)
+      .join(truth, col("q_id") === col("t_q") &&
+        col("neighbor_id") === col("t_n"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("gain"), lit(0L)) * disc).as("dcg_scaled"))
+      .select(col("q_id"), col("dcg_scaled"),
+        expr(s"dcg_scaled * 1000000 DIV $NdcgIdealScaled").as("ndcg_ppm"))
+  }
+
+  private val ndcgEvalSql =
+    s"""WITH truth AS (
+      |  SELECT q_id AS t_q, neighbor_id AS t_n, 4 - rank AS gain
+      |  FROM ($knnBruteSql) WHERE rank <= 3),
+      |got AS (
+      |  SELECT q_id, rank, neighbor_id,
+      |    CASE WHEN rank = 1 THEN ${NdcgDisc(0)}
+      |         WHEN rank = 2 THEN ${NdcgDisc(1)}
+      |         ELSE ${NdcgDisc(2)} END AS disc
+      |  FROM ($annIvfSql))
+      |SELECT g.q_id,
+      |  CAST(SUM(COALESCE(t.gain, 0) * g.disc) AS BIGINT) AS dcg_scaled,
+      |  CAST(SUM(COALESCE(t.gain, 0) * g.disc) * 1000000
+      |    // $NdcgIdealScaled AS BIGINT) AS ndcg_ppm
+      |FROM got g LEFT JOIN truth t
+      |  ON g.q_id = t.t_q AND g.neighbor_id = t.t_n
+      |GROUP BY g.q_id""".stripMargin
+
   /** Mean recall@3 of every ANN index variant against the exact
     * brute-force truth, one row per variant — the bench telemetry dial
     * that catches an index-QUALITY regression (probe count, codebook,
@@ -1838,6 +1892,7 @@ object Similarity {
     GQuery("q_ivf_probe_cost", ivfProbeCost, Some(ivfProbeCostSql)),
     GQuery("q_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql)),
     GQuery("q_ann_recall", annRecall, Some(annRecallSql)),
+    GQuery("q_ndcg_eval", ndcgEval, Some(ndcgEvalSql)),
     GQuery("q_embed_neardup", embedNeardup, Some(embedNeardupSql)),
     GQuery("q_kmeans_assign", kmeansAssign, Some(kmeansAssignSql)))
 }
