@@ -142,6 +142,67 @@ object Ingest {
         sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** Manifest-pinned snapshot reads (time travel): an append-only table
+    * whose commits are (data files + a MANIFEST listing every file
+    * visible at that version) — commit 1 lands the base documents,
+    * commit 2 appends a delta as NEW files plus a new manifest; nothing
+    * is rewritten, and a reader pinned to v1's manifest is oblivious to
+    * the append (snapshot isolation by construction, the Iceberg/Delta
+    * core idea at its minimum viable size). The query censuses BOTH
+    * versions from their manifests and the oracle re-derives each from
+    * the split rule — v1 must NOT see the appended rows. Scale shape:
+    * manifests are metadata-sized (one row per file); a snapshot read
+    * plans exactly the listed files, so concurrent appends never tear a
+    * running 100 TB scan, and version diffs (compaction planning, CDC)
+    * are manifest-only joins. */
+  def snapshotRead(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.core.Scratch.dir("snap", dir)
+    val ddl = "version INT, doc_id BIGINT, lang STRING, n_chars BIGINT"
+    graft.plans.DeferredIngest(s, ddl) {
+      import graft.sources.HadoopIO
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.filter(col("doc_id") % 3 =!= 0)
+        .write.mode("overwrite").parquet(s"$out/data/c1")
+      docs.filter(col("doc_id") % 3 === 0)
+        .write.mode("overwrite").parquet(s"$out/data/c2")
+      val conf = HadoopIO.sessionConf(s)
+      def files(sub: String): Seq[String] =
+        HadoopIO.listFiles(s"$out/data/$sub", conf)
+          .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+      val v1 = files("c1")
+      val v2 = v1 ++ files("c2")
+      // manifests persist as ordinary parquet next to the data — the
+      // metadata layer is itself a queryable table (one row per file)
+      import s.implicits._
+      v1.toDF("path").write.mode("overwrite").parquet(s"$out/manifest/v=1")
+      v2.toDF("path").write.mode("overwrite").parquet(s"$out/manifest/v=2")
+      def snapshot(v: Int): DataFrame = {
+        val paths = s.read.parquet(s"$out/manifest/v=$v")
+          .as[String].collect().toSeq // metadata-sized: one row per file
+        s.read.parquet(paths: _*).select(lit(v).as("version"),
+          col("doc_id"), col("lang"), col("n_chars"))
+      }
+      snapshot(1).unionByName(snapshot(2))
+    }
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(hashMod(col("doc_id"))).as("id_checksum"))
+  }
+
+  private val snapshotReadSql =
+    """WITH v1 AS (SELECT 1 AS version, doc_id, lang, n_chars
+      |            FROM documents WHERE doc_id % 3 <> 0),
+      |v2 AS (SELECT 2 AS version, doc_id, lang, n_chars FROM documents),
+      |t AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+      |SELECT version, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(SUM(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 1000000007) AS BIGINT) AS id_checksum
+      |FROM t GROUP BY version""".stripMargin
+
   private val schemaEvolutionSql =
     """WITH t AS (
       |  SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS gen, n_chars,
@@ -419,6 +480,7 @@ object Ingest {
     GQuery("q_jsonl_parse", jsonlParse, Some(jsonlParseSql)),
     GQuery("q_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
     GQuery("q_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
+    GQuery("q_snapshot_read", snapshotRead, Some(snapshotReadSql)),
     GQuery("q_json_quarantine", jsonQuarantine, Some(jsonQuarantineSql)),
     GQuery("q_partitioned_write", partitionedWrite, Some(partitionedWriteSql), headline = true))
 }
