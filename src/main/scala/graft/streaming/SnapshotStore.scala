@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.HadoopIO
+
+/** A manifest-pinned snapshot table driven by a STREAM — the
+  * append-only-commit shape of the oracle-checked q_snapshot_read
+  * ([[graft.queries.Ingest.snapshotRead]]) as a `foreachBatch` sink.
+  * Each micro-batch commits (data files under `data/b<batchId>` + a new
+  * manifest `manifest/v<batchId>` = previous manifest ∪ this batch's
+  * files); nothing is ever rewritten, so a reader pinned to any
+  * committed version is oblivious to later appends — snapshot isolation
+  * under continuous ingest.
+  *
+  * Replay idempotence follows [[ChunkStore]]/[[IndexMaintenance]]'s
+  * versioned-state convention: a batch reads the newest manifest
+  * STRICTLY before its own id and OVERWRITES its own data dir and
+  * manifest, so a retried micro-batch re-lands the identical commit
+  * instead of appending twice (the foreachBatch exactly-once recipe).
+  * Manifests are metadata-sized parquet (one row per file) and the
+  * commit path never collects them — the union is a frame-level append;
+  * only [[read]] materializes a path list, to plan the snapshot scan. */
+object SnapshotStore {
+
+  /** The foreachBatch function: commit each arriving micro-batch as a
+    * new snapshot version under `tableDir`.
+    * {{{
+    * docsStream.writeStream
+    *   .foreachBatch(SnapshotStore.appendWriter(dir)).start()
+    * }}} */
+  def appendWriter(tableDir: String): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      batch.write.mode("overwrite").parquet(s"$tableDir/data/b$batchId")
+      val conf = HadoopIO.sessionConf(spark)
+      val mine = HadoopIO.listFiles(s"$tableDir/data/b$batchId", conf)
+        .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+      val prev = manifest(spark, tableDir, beforeBatch = Some(batchId))
+        .getOrElse(Seq.empty[String].toDF("path"))
+      prev.unionByName(mine.toDF("path"))
+        .write.mode("overwrite").parquet(s"$tableDir/manifest/v$batchId")
+  }
+
+  /** The manifest of `version` (default: newest committed); with
+    * `beforeBatch`, the newest STRICTLY before that id (the replay-
+    * idempotence read). None before the first commit. */
+  def manifest(spark: SparkSession, tableDir: String,
+      version: Option[Long] = None,
+      beforeBatch: Option[Long] = None): Option[DataFrame] = {
+    val dir = new Path(s"$tableDir/manifest")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return None
+    val versions = fs.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+      .map(_.drop(1).toLong)
+      .filter(v => beforeBatch.forall(v < _))
+      .filter(v => version.forall(v == _))
+    if (versions.isEmpty) None
+    else Some(spark.read.parquet(s"$tableDir/manifest/v${versions.max}"))
+  }
+
+  /** Snapshot read pinned to `version` (default: newest). The manifest's
+    * path list is metadata-sized (one row per data file) — collecting it
+    * to plan the scan is the same driver-side planning every file index
+    * does. None before the first commit; an empty-manifest version reads
+    * as an empty frame only if the caller committed one. */
+  def read(spark: SparkSession, tableDir: String,
+      version: Option[Long] = None): Option[DataFrame] = {
+    import spark.implicits._
+    manifest(spark, tableDir, version).map { m =>
+      val paths = m.as[String].collect().toSeq
+      spark.read.parquet(paths: _*)
+    }
+  }
+}
