@@ -62,6 +62,25 @@ object SnapshotStore {
     else Some(spark.read.parquet(s"$tableDir/manifest/v${versions.max}"))
   }
 
+  /** Incremental consumption: the rows added strictly AFTER `fromVersion`
+    * up to `toVersion` (default: newest), planned from the MANIFEST DIFF
+    * — an anti-join of two metadata-sized path lists — so the scan reads
+    * only the delta's files, never the base table. This is the
+    * downstream-consumer shape (a nightly index merge, a CDC feed):
+    * work ∝ appended data regardless of table size. None when the
+    * versions coincide or don't exist. */
+  def changes(spark: SparkSession, tableDir: String, fromVersion: Long,
+      toVersion: Option[Long] = None): Option[DataFrame] = {
+    import spark.implicits._
+    for {
+      to <- manifest(spark, tableDir, toVersion)
+      from <- manifest(spark, tableDir, Some(fromVersion))
+      added = to.join(from, Seq("path"), "left_anti")
+        .as[String].collect().toSeq
+      if added.nonEmpty
+    } yield spark.read.parquet(added: _*)
+  }
+
   /** Snapshot read pinned to `version` (default: newest). The manifest's
     * path list is metadata-sized (one row per data file) — collecting it
     * to plan the scan is the same driver-side planning every file index

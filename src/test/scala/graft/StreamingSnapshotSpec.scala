@@ -46,5 +46,13 @@ class StreamingSnapshotSpec extends SparkSpec {
     // manifest row count: 1 file list entry per data file, no duplicates
     val m = SnapshotStore.manifest(spark, dir).get.as[String].collect()
     assert(m.distinct.length === m.length)
+
+    // incremental consumption: the v0→v1 delta is exactly batch 2, planned
+    // from the manifest diff (delta-only files — never the base table)
+    val delta = SnapshotStore.changes(spark, dir, fromVersion = 0L).get
+      .as[(Long, String)].collect().toSet
+    assert(delta === b2.toSet, "manifest diff read more than the delta")
+    assert(SnapshotStore.changes(spark, dir, fromVersion = 1L).isEmpty,
+      "delta from the newest version must be empty")
   }
 }
