@@ -701,8 +701,7 @@ object Vectors {
     df.select(col(id).cast("long").as("vid"),
       expr(s"transform($vec, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("v"))
-      .withColumn("n2", expr(
-        "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS BIGINT), (a, e) -> a + e)"))
+      .withColumn("n2", graft.functions.GraftDot(col("v"), col("v")))
 
   /** Exact cosine top-k: every query row against the full vector set,
     * query side broadcast (its purpose — bulk all-pairs goes through the
@@ -712,8 +711,7 @@ object Vectors {
     val base = canon(vectors, id, vec)
     val q = canon(queries, id, vec)
       .select(col("vid").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
-    val dot = expr(
-      "aggregate(zip_with(v, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, e) -> a + e)")
+    val dot = graft.functions.GraftDot(col("v"), col("qv"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vid"))
     base.join(broadcast(q), col("vid") =!= col("qid"))
@@ -745,8 +743,7 @@ object Vectors {
   def semDedup(vectors: DataFrame, k: Int = 0, tau: Double = 0.3,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val base = canon(vectors, id, vec).trackedPersist()
-    val d2 = expr(
-      "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (a, e) -> a + e)")
+    val d2 = graft.functions.GraftL2(col("v"), col("cv"))
     val wAssign = Window.partitionBy(col("vid")).orderBy(col("dist"), col("cid"))
     def argmin(centers: DataFrame): DataFrame =
       base.join(broadcast(centers))
@@ -785,9 +782,7 @@ object Vectors {
           e => e.getField("cx")).as("cv"))
       argmin(c1)
     }).trackedPersist()
-    val cos = expr(
-      "aggregate(zip_with(av, bv, (x, y) -> x * y), CAST(0 AS BIGINT), (a, e) -> a + e)")
-      .cast("double") / sqrt(col("an2").cast("double")) / sqrt(col("bn2").cast("double"))
+    val cos = graft.functions.GraftDot(col("av"), col("bv")).cast("double") / sqrt(col("an2").cast("double")) / sqrt(col("bn2").cast("double"))
     val dropped = assigned.select(col("cell"), col("vid").as("avid"),
         col("v").as("av"), col("n2").as("an2"))
       .join(assigned.select(col("cell"), col("vid").as("bvid"),

@@ -304,8 +304,7 @@ object Curation {
   /** 16-dim ±1 sign projection of a 64-long integer-array column —
     * entirely scan-local arithmetic, zero added shuffle. */
   def projectExpr(v: Column): Column =
-    transform(typedLit(signRows), row =>
-      aggregate(zip_with(row, v, (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+    transform(typedLit(signRows), row => graft.functions.GraftDot(row, v))
 
   /** Johnson-Lindenstrauss sign projection of the embedding table:
     * 64 dims → 16 via the fixed ±1 matrix (Achlioptas,

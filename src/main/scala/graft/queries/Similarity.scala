@@ -21,8 +21,12 @@ import Qdsl._
   * integer arithmetic; the final cosine is built from those integers with
   * IEEE-exact ops only (divide, sqrt are correctly rounded), so Spark and
   * the DuckDB oracle produce bit-identical doubles and identical rankings.
-  * All vector math is array higher-order functions (`zip_with` +
-  * `aggregate`) — whole-stage-codegen'd, no UDFs.
+  * Scalar vector math (dot, squared-L2) runs through the fused native
+  * kernels [[graft.functions.GraftDot]]/[[graft.functions.GraftL2]] —
+  * value-identical to the `zip_with` + `aggregate` composition the DuckDB
+  * oracle mirrors (VectorKernelSpec pins the parity), without the
+  * per-row-pair intermediate array; vector-VALUED math (residuals,
+  * projections) stays on the higher-order functions. No UDFs anywhere.
   */
 object Similarity {
 
@@ -32,8 +36,18 @@ object Similarity {
   private def ivec(c: Column): Column =
     transform(c, x => floor(x.cast("double") * 1000000).cast("long"))
 
+  /** Fused integer dot product ([[graft.functions.GraftDot]]): identical
+    * Long arithmetic to the `aggregate(zip_with(·,·,*))` composition the
+    * oracle mirrors, minus the per-row-pair intermediate array — this is
+    * the innermost loop of every queries×candidates join. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.GraftDot(a, b)
+
+  /** Fused integer squared-L2 ([[graft.functions.GraftL2]]), same parity
+    * contract as [[dot]] (VectorKernelSpec pins both against the
+    * composition). */
+  private def l2s(a: Column, b: Column): Column =
+    graft.functions.GraftL2(a, b)
 
   /** Integer-scaled vectors + squared norm, the shared scan. */
   private def vecs(s: SparkSession, dir: String): DataFrame =
@@ -732,8 +746,7 @@ object Similarity {
     val all = Caches.tracked(vecs(s, dir))
     val cc = all.filter(col("vec_id") < 8)
       .select(col("vec_id").as("ccid"), col("v").as("ccv"))
-    val dCell = aggregate(zip_with(col("v"), col("ccv"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    val dCell = l2s(col("v"), col("ccv"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("ccid"))
     val distToCells = Caches.tracked(
       all.join(broadcast(cc))
@@ -1082,8 +1095,7 @@ object Similarity {
     val all = vecs(s, dir)
     val c = all.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    val d2 = l2s(col("v"), col("cv"))
     val distToCells = all.join(broadcast(c))
       .select(col("vec_id"), col("label"), col("v"), col("n2"), col("cid"), d2.as("dist"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
@@ -1136,8 +1148,7 @@ object Similarity {
       s"nprobe must be in 1..$cells: $nprobe")
     val c = base.orderBy(col("vid")).limit(cells)
       .select(col("vid").as("cid"), col("v").as("cv"))
-    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    val d2 = l2s(col("v"), col("cv"))
     val wA = Window.partitionBy(col("vid")).orderBy(col("dist"), col("cid"))
     val assigned = base.join(broadcast(c))
       .select(col("vid"), col("v"), col("n2"), col("cid"), d2.as("dist"))
@@ -1148,8 +1159,7 @@ object Similarity {
     val probes = queries.join(broadcast(c))
       .select(col("vid").as("q_id"), col("v").as("qv"),
         col("n2").as("qn2"), col("cid"),
-        aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v).as("dist"))
+        l2s(col("v"), col("cv")).as("dist"))
       .withColumn("rn", row_number().over(wQ))
       .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("qv"), col("qn2"), col("cid").as("cell"))
@@ -1208,8 +1218,7 @@ object Similarity {
     val all = vecs(s, dir)
     val c = all.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    val d2 = l2s(col("v"), col("cv"))
     val distToCells = all.join(broadcast(c))
       .select(col("vec_id"), col("cid"), d2.as("dist"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
@@ -1307,8 +1316,7 @@ object Similarity {
     require(cells > 0, s"cells must be positive: $cells")
     val c = resident.orderBy(col("vid")).limit(cells)
       .select(col("vid").as("cid"), col("v").as("cv"))
-    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    val d2 = l2s(col("v"), col("cv"))
     val wAssign = Window.partitionBy(col("vid"), col("is_batch"))
       .orderBy(col("dist"), col("cid"))
     resident.select(col("vid"), col("v"), lit(false).as("is_batch"))
@@ -1364,8 +1372,7 @@ object Similarity {
     // lazily cached: the scaled vector table anchors both argmin passes
     // and the Lloyd update join (3 full references)
     val all = vecs(s, dir).trackedPersist()
-    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    val d2 = l2s(col("v"), col("cv"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
     def argmin(centers: DataFrame): DataFrame =
       all.join(broadcast(centers))
@@ -1530,8 +1537,7 @@ object Similarity {
     val all = vecs(s, dir)
     val c = all.filter(col("vec_id") < 10)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    val d2 = l2s(col("v"), col("cv"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
     all.join(broadcast(c))
       .select(col("vec_id"), col("cid"), d2.as("dist"))
@@ -1791,8 +1797,7 @@ object Similarity {
     val c0 = all.crossJoin(broadcast(kDf))
       .filter(col("vec_id") < col("kcells"))
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    val d2 = l2s(col("v"), col("cv"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
     def argmin(centers: DataFrame): DataFrame =
       all.join(broadcast(centers))

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftDot, GraftL2}
+
+/** The fused vector kernels must be VALUE-IDENTICAL to the
+  * `aggregate(zip_with(...))` compositions they replaced — the DuckDB
+  * oracles still spell the composition, so any drift (including Long
+  * overflow wrap behavior) would break every ANN/k-means hash compare. */
+class VectorKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randVec(seed: Long, n: Int): Seq[Long] =
+    Seq.tabulate(n)(i => ((seed * 6364136223846793005L + i * 1442695040888963407L) >> 16) % 2000000L)
+
+  test("GraftDot / GraftL2 equal the zip_with composition, codegen path") {
+    val rows = (1 to 200).map { i =>
+      (i.toLong, randVec(i, 64), randVec(i + 7919, 64))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val out = df.select(
+        GraftDot(col("a"), col("b")).as("dot_k"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot_c"),
+        GraftL2(col("a"), col("b")).as("l2_k"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("l2_c"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "dot drift")
+      assert(r.getLong(2) == r.getLong(3), "l2 drift")
+    }
+    // ANSI overflow parity: the composition's `*` throws under Spark 4
+    // ANSI mode — the kernel must throw too, never silently wrap
+    val big = Seq((Seq(Long.MaxValue / 3, Long.MaxValue / 5),
+      Seq(7L, 11L))).toDF("a", "b")
+    intercept[Exception] {
+      big.select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)).head()
+    }
+    intercept[Exception] {
+      big.select(GraftDot(col("a"), col("b"))).head()
+    }
+  }
+
+  test("interpreted eval path agrees with codegen") {
+    val df = Seq((randVec(42, 16), randVec(43, 16))).toDF("a", "b")
+    // filter on the kernel forces an eval in the interpreted Filter
+    // fallback when codegen is disabled session-wide for the check
+    val kDot = df.select(GraftDot(col("a"), col("b")).as("d")).head().getLong(0)
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val iDot = df.select(GraftDot(col("a"), col("b")).as("d")).head().getLong(0)
+      assert(iDot == kDot)
+      val kL2 = df.select(GraftL2(col("a"), col("b")).as("d")).head().getLong(0)
+      val cL2 = df.select(aggregate(zip_with(col("a"), col("b"),
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)).head().getLong(0)
+      assert(kL2 == cL2)
+    }
+  }
+
+  private def withSQLConf(kvs: (String, String)*)(f: => Unit): Unit = {
+    val conf = spark.conf
+    val olds = kvs.map { case (k, _) => k -> conf.getOption(k) }
+    kvs.foreach { case (k, v) => conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}
