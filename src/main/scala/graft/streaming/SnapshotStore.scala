@@ -94,4 +94,70 @@ object SnapshotStore {
       spark.read.parquet(paths: _*)
     }
   }
+
+  /** Scheme-safe identity for a file path: `input_file_name()` and the
+    * manifest can render the same file as `file:/p` vs `file:///p`. */
+  private def fileKey(s: String): String = {
+    val u = new Path(s).toUri
+    s"${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+  }
+
+  /** Copy-on-write DELETE: remove the rows matching `predicate` from the
+    * newest snapshot by rewriting ONLY the files that contain matches
+    * (found in one scan via `input_file_name()`; a metadata-sized
+    * touched-file list), committing `newVersion` = untouched files ∪
+    * rewritten files. Untouched files keep their paths — at 100 TB a
+    * selective delete rewrites a handful of files, never the table, and
+    * every previous version still reads its original bytes (time travel
+    * over deletes). Returns the number of files rewritten.
+    *
+    * Concurrency contract: single maintainer, monotone versions —
+    * `newVersion` must exceed every committed version (the optimistic-
+    * concurrency log a full lake format adds is out of scope here; the
+    * streaming writer's batchIds must also stay below maintenance
+    * version numbers, e.g. maintain under a version floor like 1e9). */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column, newVersion: Long): Int = {
+    import spark.implicits._
+    val m = manifest(spark, tableDir).getOrElse(
+      sys.error(s"deleteWhere: no committed manifest under $tableDir"))
+    val paths = m.as[String].collect().toSeq
+    val touched = spark.read.parquet(paths: _*)
+      .filter(predicate)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().as[String].collect().map(fileKey).toSet
+    if (touched.isEmpty) {
+      m.write.mode("overwrite").parquet(s"$tableDir/manifest/v$newVersion")
+      return 0
+    }
+    val (rewrite, keep) = paths.partition(p => touched(fileKey(p)))
+    spark.read.parquet(rewrite: _*).filter(!predicate)
+      .write.mode("overwrite").parquet(s"$tableDir/data/d$newVersion")
+    val conf = HadoopIO.sessionConf(spark)
+    val fresh = HadoopIO.listFiles(s"$tableDir/data/d$newVersion", conf)
+      .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+    (keep ++ fresh).toDF("path")
+      .write.mode("overwrite").parquet(s"$tableDir/manifest/v$newVersion")
+    rewrite.size
+  }
+
+  /** OPTIMIZE / compaction: rewrite the newest snapshot's files into
+    * `targetFiles` larger ones and commit `newVersion` listing only the
+    * compacted set — row content identical (the spec pins it), previous
+    * versions untouched and still readable. Run on the
+    * q_compaction_plan schedule; same single-maintainer contract as
+    * [[deleteWhere]]. */
+  def compact(spark: SparkSession, tableDir: String, targetFiles: Int,
+      newVersion: Long): Unit = {
+    import spark.implicits._
+    val cur = read(spark, tableDir).getOrElse(
+      sys.error(s"compact: no committed manifest under $tableDir"))
+    cur.repartition(targetFiles)
+      .write.mode("overwrite").parquet(s"$tableDir/data/d$newVersion")
+    val conf = HadoopIO.sessionConf(spark)
+    val fresh = HadoopIO.listFiles(s"$tableDir/data/d$newVersion", conf)
+      .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+    fresh.toDF("path")
+      .write.mode("overwrite").parquet(s"$tableDir/manifest/v$newVersion")
+  }
 }

@@ -54,5 +54,33 @@ class StreamingSnapshotSpec extends SparkSpec {
     assert(delta === b2.toSet, "manifest diff read more than the delta")
     assert(SnapshotStore.changes(spark, dir, fromVersion = 1L).isEmpty,
       "delta from the newest version must be empty")
+
+    // copy-on-write delete: only files containing matches rewrite, the
+    // rest keep their paths; previous versions still read their bytes
+    import org.apache.spark.sql.functions.col
+    val before = SnapshotStore.manifest(spark, dir).get
+      .as[String].collect().toSet
+    val rewritten = SnapshotStore.deleteWhere(spark, dir,
+      col("lang") === "fr", newVersion = 1000L)
+    assert(rewritten >= 1)
+    val afterDel = SnapshotStore.read(spark, dir).get
+      .as[(Long, String)].collect().toSet
+    assert(afterDel === (b1 ++ b2).filterNot(_._2 == "fr").toSet)
+    val mNew = SnapshotStore.manifest(spark, dir).get
+      .as[String].collect().toSet
+    assert((mNew -- before).nonEmpty, "delete produced no rewritten files")
+    assert((mNew & before).nonEmpty, "delete rewrote untouched files")
+    // time travel across the delete: the pre-delete version is intact
+    val preDelete = SnapshotStore.read(spark, dir, version = Some(1L)).get
+      .as[(Long, String)].collect().toSet
+    assert(preDelete === (b1 ++ b2).toSet, "delete damaged a pinned version")
+
+    // compaction: content identical, file count drops to the target
+    SnapshotStore.compact(spark, dir, targetFiles = 1, newVersion = 1001L)
+    val afterComp = SnapshotStore.read(spark, dir).get
+      .as[(Long, String)].collect().toSet
+    assert(afterComp === afterDel, "compaction changed row content")
+    val mComp = SnapshotStore.manifest(spark, dir).get.as[String].collect()
+    assert(mComp.length === 1, s"expected 1 compacted file, got ${mComp.length}")
   }
 }
