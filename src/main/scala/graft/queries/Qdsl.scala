@@ -58,6 +58,13 @@ object Qdsl {
     * inside its word, exactly as in the reference. Mirrored exactly by
     * [[wordsSqlDoc]]. */
   def words(c: Column): Column =
+    graft.functions.GraftTokenize(c.cast("string"))
+
+  /** The composition [[words]] replaced (kept for the parity fuzz in
+    * TokenizerFidelitySpec — the DuckDB mirror still spells it): a regex
+    * pass + two full string copies + split + filter per row, vs the
+    * kernel's single byte walk. */
+  private[graft] def wordsComposition(c: Column): Column =
     filter(split(translate(regexp_replace(c, "\\\\n", " n"),
       "\".,/()?;", "        "), " "), w => w =!= "")
 

@@ -52,16 +52,24 @@ class TokenizerFidelitySpec extends SparkSpec {
       (2, Gen.oneOf(" ", "\"", ".", ",", "/", "(", ")", "?", ";")),
       (1, Gen.const("\\n")),
       (1, Gen.const("\\")),
-      (1, Gen.const("n")))
+      (1, Gen.const("n")),
+      // multi-byte UTF-8 inside tokens: the fused kernel walks BYTES, so
+      // these pin that no delimiter byte ever appears inside a code point
+      (1, Gen.oneOf("é", "ß", "中文", "🙂", "из")))
     val gen = Gen.listOfN(400, Gen.listOfN(12, token).map(_.mkString))
     val strings = gen.apply(Gen.Parameters.default, Seed(20260813L)).get
+    // the fused kernel (Qdsl.words) and the composition it replaced, in
+    // one pass — both must match the imperative reference exactly
     val got = strings.toDF("text")
-      .select(Qdsl.words(col("text")).as("w"))
-      .collect().map(_.getSeq[String](0))
-    strings.zip(got).foreach { case (s, sparkToks) =>
+      .select(Qdsl.words(col("text")).as("w"),
+        Qdsl.wordsComposition(col("text")).as("wc"))
+      .collect().map(r => (r.getSeq[String](0), r.getSeq[String](1)))
+    strings.zip(got).foreach { case (s, (kernelToks, compToks)) =>
       val want = referenceTokenize(s)
-      assert(sparkToks == want,
-        s"tokenizer mismatch on ${s.take(60)}: got $sparkToks want $want")
+      assert(kernelToks == want,
+        s"kernel mismatch on ${s.take(60)}: got $kernelToks want $want")
+      assert(compToks == want,
+        s"composition mismatch on ${s.take(60)}: got $compToks want $want")
     }
   }
 }
