@@ -724,6 +724,27 @@ object Vectors {
         col("vid").as("neighbor_id"), col("cos"))
   }
 
+  /** NDCG@k rank-quality of ANY retrieval result against ANY truth
+    * ranking — both as (query id, rank, neighbor id) frames, e.g. an
+    * [[lshTopK]]/[[ivfTopK]] output against [[cosineTopK]] ground truth,
+    * or a hybrid lexical run against human labels. Gains: truth rank r
+    * is worth k+1−r, anything outside the truth top-k is worth 0;
+    * discounts are the 1e6-scaled integer ladder (driver-rounded once, so
+    * results are engine-exact — at k = 3 it reproduces the oracle-checked
+    * q_ndcg_eval's pinned constants and shares that query's body,
+    * [[graft.queries.Similarity.ndcgOf]]). Output one row per query:
+    * (q_id, dcg_scaled, ndcg_ppm). Eval cost ∝ queries×k — corpus-size
+    * independent. */
+  def ndcgAtK(results: DataFrame, truth: DataFrame, k: Int,
+      queryId: String = "q_id", rank: String = "rank",
+      neighborId: String = "neighbor_id"): DataFrame = {
+    def canonR(df: DataFrame) = df.select(
+      col(queryId).cast("long").as("q_id"),
+      col(rank).cast("long").as("rank"),
+      col(neighborId).cast("long").as("neighbor_id"))
+    graft.queries.Similarity.ndcgOf(canonR(results), canonR(truth), k)
+  }
+
   /** Semantic dedup (SemDeDup) over any vector frame: cluster into
     * coarse cells, then mark the higher id of every within-cell pair at
     * cosine ≥ `tau` as dropped. Returns one row per vector:

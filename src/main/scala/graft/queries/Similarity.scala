@@ -1639,13 +1639,44 @@ object Similarity {
       |  ON t.q_id = g.q_id AND t.neighbor_id = g.neighbor_id
       |GROUP BY t.q_id""".stripMargin
 
-  /** NDCG@3 discount ladder 1/log2(rank+1), scaled 1e6 and PINNED as
-    * integer constants (1, 1/1.585, 1/2) so both engines run the same
-    * integer arithmetic — a live log2() would differ by ULPs between
-    * libm implementations and break the hash compare. */
-  private val NdcgDisc = Seq(1000000L, 630930L, 500000L)
+  /** NDCG discount ladder 1/log2(rank+1), scaled 1e6 and rounded to
+    * integer constants ONCE on the driver, so both engines run the same
+    * integer arithmetic — a live log2() in the plan would differ by ULPs
+    * between libm implementations and break the hash compare. At k = 3
+    * this is exactly the pinned (1000000, 630930, 500000) ladder the
+    * oracle SQL spells (NdcgSpec asserts the reproduction). */
+  private[graft] def ndcgDiscLadder(k: Int): Seq[Long] =
+    Seq.tabulate(k)(i => math.round(1e6 / (math.log(i + 2) / math.log(2))))
+
+  private val NdcgDisc = ndcgDiscLadder(3)
   private val NdcgIdealScaled = // gains (3,2,1) at ranks (1,2,3)
     3 * NdcgDisc(0) + 2 * NdcgDisc(1) + 1 * NdcgDisc(2)
+
+  /** Shared NDCG@k body over canonical (q_id, rank, neighbor_id) result
+    * and truth frames — ONE definition under both the oracle-checked
+    * [[ndcgEval]] and `Vectors.ndcgAtK` (the facade-shares-internals
+    * rule). Gains: truth rank r is worth k+1−r, non-truth 0; output
+    * (q_id, dcg_scaled, ndcg_ppm), integer-exact. */
+  private[graft] def ndcgOf(got: DataFrame, truth: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"ndcg k must be positive: $k")
+    val disc = ndcgDiscLadder(k)
+    val ideal = (1 to k).map(r => (k + 1 - r) * disc(r - 1)).sum
+    val t = truth.filter(col("rank") <= k)
+      .select(col("q_id").as("t_q"), col("neighbor_id").as("t_n"),
+        (lit((k + 1).toLong) - col("rank")).as("gain"))
+    val discCol = (2 to k).foldLeft(
+      when(col("rank") === 1, disc(0))) { (acc, r) =>
+      acc.when(col("rank") === r, disc(r - 1))
+    }.otherwise(lit(0L))
+    got.filter(col("rank") <= k)
+      .join(t, col("q_id") === col("t_q") &&
+        col("neighbor_id") === col("t_n"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("gain"), lit(0L)) * discCol).as("dcg_scaled"))
+      .select(col("q_id"), col("dcg_scaled"),
+        expr(s"dcg_scaled * 1000000 DIV $ideal").as("ndcg_ppm"))
+  }
 
   /** Rank-quality eval of the IVF index: NDCG@3 per query against the
     * exact cosine ranking, complementing q_ann_recall's set-overlap
@@ -1659,21 +1690,8 @@ object Similarity {
     * already-bucketed ANN plans; the eval itself adds one
     * queries×k-sized join + agg — eval cost ∝ query workload,
     * independent of corpus size. */
-  def ndcgEval(s: SparkSession, dir: String): DataFrame = {
-    val truth = knnBrute(s, dir).filter(col("rank") <= 3)
-      .select(col("q_id").as("t_q"), col("neighbor_id").as("t_n"),
-        (lit(4L) - col("rank")).as("gain"))
-    val disc = when(col("rank") === 1, NdcgDisc(0))
-      .when(col("rank") === 2, NdcgDisc(1))
-      .otherwise(NdcgDisc(2))
-    annIvf(s, dir)
-      .join(truth, col("q_id") === col("t_q") &&
-        col("neighbor_id") === col("t_n"), "left")
-      .groupBy(col("q_id"))
-      .agg(sum(coalesce(col("gain"), lit(0L)) * disc).as("dcg_scaled"))
-      .select(col("q_id"), col("dcg_scaled"),
-        expr(s"dcg_scaled * 1000000 DIV $NdcgIdealScaled").as("ndcg_ppm"))
-  }
+  def ndcgEval(s: SparkSession, dir: String): DataFrame =
+    ndcgOf(annIvf(s, dir), knnBrute(s, dir), k = 3)
 
   private val ndcgEvalSql =
     s"""WITH truth AS (
