@@ -141,6 +141,81 @@ object SnapshotStore {
     rewrite.size
   }
 
+  /** MERGE (upsert) as ONE commit: rows of `changes` replace same-`key`
+    * rows of the newest snapshot, new keys append. Match-containing
+    * files are found in one `input_file_name` scan and rewritten minus
+    * the matched keys (broadcast semi-join against the delta-sized key
+    * set); the changes land as fresh files; the new manifest lists
+    * untouched ∪ rewritten ∪ changes — so there is no intermediate
+    * version where the old rows are gone but the new ones not yet
+    * visible. Work ∝ touched files + delta, never table size. Same
+    * single-maintainer/monotone-version contract as [[deleteWhere]].
+    * Returns the number of files rewritten. */
+  def merge(spark: SparkSession, tableDir: String, changes: DataFrame,
+      key: String, newVersion: Long): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+    import spark.implicits._
+    val m = manifest(spark, tableDir).getOrElse(
+      sys.error(s"merge: no committed manifest under $tableDir"))
+    val paths = m.as[String].collect().toSeq
+    val keys = changes.select(col(key)).distinct()
+    val cur = spark.read.parquet(paths: _*)
+    val touched = cur.join(broadcast(keys), Seq(key), "left_semi")
+      .select(input_file_name().as("f"))
+      .distinct().as[String].collect().map(fileKey).toSet
+    val (rewrite, keep) = paths.partition(p => touched(fileKey(p)))
+    if (rewrite.nonEmpty)
+      spark.read.parquet(rewrite: _*)
+        .join(broadcast(keys), Seq(key), "left_anti")
+        .write.mode("overwrite").parquet(s"$tableDir/data/m$newVersion")
+    changes.write.mode("overwrite").parquet(s"$tableDir/data/u$newVersion")
+    val conf = HadoopIO.sessionConf(spark)
+    def fresh(sub: String): Seq[String] =
+      HadoopIO.listFiles(s"$tableDir/data/$sub", conf)
+        .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+    val rewritten = if (rewrite.nonEmpty) fresh(s"m$newVersion") else Nil
+    (keep ++ rewritten ++ fresh(s"u$newVersion")).toDF("path")
+      .write.mode("overwrite").parquet(s"$tableDir/manifest/v$newVersion")
+    rewrite.size
+  }
+
+  /** VACUUM: physically delete data files referenced ONLY by manifests
+    * older than `retainFrom`, then drop those manifests — the bounded
+    * price of time travel (versions ≥ retainFrom stay byte-identical;
+    * older versions become unreadable). The reachability set is a union
+    * of the retained manifests — metadata-sized at any table size.
+    * Returns the number of files deleted. Same single-maintainer
+    * contract as the other maintenance verbs. */
+  def vacuum(spark: SparkSession, tableDir: String, retainFrom: Long): Int = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val mdir = new Path(s"$tableDir/manifest")
+    val fs = mdir.getFileSystem(conf)
+    if (!fs.exists(mdir)) return 0
+    val versions = fs.listStatus(mdir).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toLong)
+    val (old, retained) = versions.partition(_ < retainFrom)
+    if (old.isEmpty) return 0
+    def pathsOf(vs: Seq[Long]): Set[String] =
+      if (vs.isEmpty) Set.empty
+      else spark.read.parquet(vs.map(v => s"$tableDir/manifest/v$v"): _*)
+        .as[String].collect().map(fileKey).toSet
+    val live = pathsOf(retained)
+    val dead = pathsOf(old) -- live
+    // resolve dead keys back to concrete paths via the old manifests
+    val deadPaths =
+      spark.read.parquet(old.map(v => s"$tableDir/manifest/v$v"): _*)
+        .as[String].collect().distinct.filter(p => dead(fileKey(p)))
+    deadPaths.foreach { p =>
+      val hp = new Path(p)
+      hp.getFileSystem(conf).delete(hp, false)
+    }
+    old.foreach { v =>
+      fs.delete(new Path(s"$tableDir/manifest/v$v"), true)
+    }
+    deadPaths.length
+  }
+
   /** OPTIMIZE / compaction: rewrite the newest snapshot's files into
     * `targetFiles` larger ones and commit `newVersion` listing only the
     * compacted set — row content identical (the spec pins it), previous

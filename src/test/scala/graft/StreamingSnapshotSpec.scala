@@ -82,5 +82,30 @@ class StreamingSnapshotSpec extends SparkSpec {
     assert(afterComp === afterDel, "compaction changed row content")
     val mComp = SnapshotStore.manifest(spark, dir).get.as[String].collect()
     assert(mComp.length === 1, s"expected 1 compacted file, got ${mComp.length}")
+
+    // MERGE: doc 1 changes lang, doc 9 is new — one commit, upsert result
+    val changes = Seq((1L, "it"), (9L, "pt")).toDF("doc_id", "lang")
+    val rewrote = SnapshotStore.merge(spark, dir, changes, "doc_id", 1002L)
+    assert(rewrote === 1, s"expected the single compacted file rewritten, got $rewrote")
+    val afterMerge = SnapshotStore.read(spark, dir).get
+      .as[(Long, String)].collect().toSet
+    assert(afterMerge ===
+      (afterComp.filterNot(_._1 == 1L) ++ Set((1L, "it"), (9L, "pt"))))
+    // pre-merge version still pinned
+    assert(SnapshotStore.read(spark, dir, version = Some(1001L)).get
+      .as[(Long, String)].collect().toSet === afterComp)
+
+    // VACUUM: retain from the compaction; older versions' exclusive
+    // files die, retained versions stay byte-identical readable
+    val removed = SnapshotStore.vacuum(spark, dir, retainFrom = 1001L)
+    assert(removed >= 1, s"vacuum removed nothing")
+    assert(SnapshotStore.read(spark, dir, version = Some(1001L)).get
+      .as[(Long, String)].collect().toSet === afterComp,
+      "vacuum damaged a retained version")
+    assert(SnapshotStore.read(spark, dir).get
+      .as[(Long, String)].collect().toSet === afterMerge,
+      "vacuum damaged the newest version")
+    assert(SnapshotStore.manifest(spark, dir, version = Some(0L)).isEmpty,
+      "vacuum left an expired manifest")
   }
 }
