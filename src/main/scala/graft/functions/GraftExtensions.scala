@@ -32,6 +32,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "graft_hash60 takes exactly one argument")
         GraftHash60(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[GraftDot].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot takes exactly two arguments")
+        GraftDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_l2"),
+      new ExpressionInfo(classOf[GraftL2].getName, "graft_l2"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_l2 takes exactly two arguments")
+        GraftL2(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_tokenize"),
+      new ExpressionInfo(classOf[GraftTokenize].getName, "graft_tokenize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_tokenize takes exactly one argument")
+        GraftTokenize(children.head)
+      }))
     // the deferred sink→source stage (write files at EXECUTE time, then
     // read them back) — see graft.plans.DeferredIngest
     ext.injectPlannerStrategy(_ => graft.plans.DeferredIngestStrategy)

@@ -60,6 +60,30 @@ class VectorKernelSpec extends SparkSpec {
     }
   }
 
+  test("SQL registration: graft_dot / graft_l2 / graft_tokenize parse and match") {
+    def reg(name: String, cls: Class[_],
+        make: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      spark.sessionState.functionRegistry.registerFunction(
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          cls.getName, name), make)
+    reg("graft_dot", classOf[graft.functions.GraftDot],
+      c => graft.functions.GraftDot(c.head, c(1)))
+    reg("graft_l2", classOf[graft.functions.GraftL2],
+      c => graft.functions.GraftL2(c.head, c(1)))
+    reg("graft_tokenize", classOf[graft.functions.GraftTokenize],
+      c => graft.functions.GraftTokenize(c.head))
+    val row = spark.sql(
+      """SELECT graft_dot(a, b) AS d, graft_l2(a, b) AS l,
+        |  graft_tokenize('one two.three') AS t
+        |FROM VALUES (array(1L, 2L, 3L), array(4L, 5L, 6L)) AS v(a, b)""".stripMargin)
+      .head()
+    assert(row.getLong(0) == 32L)
+    assert(row.getLong(1) == 27L)
+    assert(row.getSeq[String](2) == Seq("one", "two", "three"))
+  }
+
   private def withSQLConf(kvs: (String, String)*)(f: => Unit): Unit = {
     val conf = spark.conf
     val olds = kvs.map { case (k, _) => k -> conf.getOption(k) }
