@@ -107,6 +107,22 @@ object Bench {
     val recallJson = recallMap.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + BenchGate.jsonNum(v) }
       .mkString("{", ",", "}")
+    // rank-quality telemetry, untimed: mean NDCG@3 ppm per index variant
+    // — integer-exact and deterministic, so the gate band is exact; holds
+    // the returned ORDER, which recall alone cannot see
+    val ndcgMap: Map[String, Double] = try {
+      val rows = graft.queries.Similarity.ndcgSummary(spark, sfDir)
+        .collect().sortBy(_.getString(0))
+      graft.core.Caches.release()
+      rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] ndcg telemetry failed: ${e.getMessage}")
+        Map.empty[String, Double]
+    }
+    val ndcgJson = ndcgMap.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + BenchGate.jsonNum(v) }
+      .mkString("{", ",", "}")
     // estimator-calibration telemetry, untimed: per signature-agreement
     // level, the exact shingle-Jaccard mean the MinHash estimate m/8
     // stands in for. The VALUES are corpus posteriors (selection at low
@@ -168,7 +184,7 @@ object Bench {
     val gateApplies = sfDir.contains("sf0.1") &&
       sys.env.getOrElse("SPARK_BENCH_GATE", "1") != "0"
     val violations =
-      if (gateApplies) BenchGate.check(recallMap, calibMap, ivfCostMap) else Nil
+      if (gateApplies) BenchGate.check(recallMap, calibMap, ivfCostMap, ndcgMap) else Nil
     val gateJson = s"""{"checked":$gateApplies,"violations":${
       violations.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val qs = results.collect { case (k, Some(v), _) => "\"" + k + "\":" + v }
@@ -181,7 +197,7 @@ object Bench {
     val constructionJson = results
       .collect { case (k, _, c) if c > 0.0 => "\"" + k + "\":" + c }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"failed":$failedJson,"construction":$constructionJson,"recall":$recallJson,"minhash_calibration":$calibJson,"lsh_occupancy":$occJson,"ivf_cost":$ivfCostJson,"gate":$gateJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"failed":$failedJson,"construction":$constructionJson,"recall":$recallJson,"minhash_calibration":$calibJson,"lsh_occupancy":$occJson,"ivf_cost":$ivfCostJson,"ndcg":$ndcgJson,"gate":$gateJson,"sf":"$sfDir"}""")
     spark.stop()
     if (violations.nonEmpty) {
       violations.foreach(v => System.err.println(s"[bench] GATE VIOLATION: $v"))

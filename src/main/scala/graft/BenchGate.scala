@@ -67,9 +67,20 @@ object BenchGate {
     4L -> 982.6)
   val ivfCostRelTol: Double = 0.05
 
+  /** Mean NDCG@3 ppm per index variant vs brute truth at sf0.1 —
+    * integer-exact and fully deterministic (pinned discount ladder, no
+    * sampling), so the band is essentially exact: rank-order drift in
+    * probe sequencing or tie-breaks trips it at the first ppm. */
+  val ndcgBaseline: Map[String, Double] = Map(
+    "ann_ivf" -> 849750.7,
+    "ann_ivf_nprobe4" -> 930125.4,
+    "ann_lsh_multi" -> 281250.85)
+  val ndcgTol: Double = 0.5
+
   /** Violations of the tolerance bands; empty = gate passes. */
   def check(recall: Map[String, Double], calib: Map[Long, Double],
-      ivfCost: Map[Long, Double]): Seq[String] = {
+      ivfCost: Map[Long, Double],
+      ndcg: Map[String, Double] = Map.empty): Seq[String] = {
     val r = recallBaseline.toSeq.sortBy(_._1).flatMap { case (k, base) =>
       recall.get(k) match {
         case None => Some(s"recall[$k] missing (baseline $base)")
@@ -94,7 +105,15 @@ object BenchGate {
         case _ => None
       }
     }
-    r ++ c ++ ic
+    val nd = ndcgBaseline.toSeq.sortBy(_._1).flatMap { case (k, base) =>
+      ndcg.get(k) match {
+        case None => Some(s"ndcg[$k] missing (baseline $base)")
+        case Some(v) if v.isNaN || (v - base).abs > ndcgTol =>
+          Some(f"ndcg[$k]=$v%.2f outside +-$ndcgTol%.1f ppm of baseline $base%.2f")
+        case _ => None
+      }
+    }
+    r ++ c ++ ic ++ nd
   }
 
   /** JSON-safe number rendering: NaN/Infinity (e.g. a 0/0 recall from an

@@ -1718,6 +1718,23 @@ object Similarity {
     * [[graft.Bench]] runs this after the timed sweep and emits the
     * values in its JSON line; the per-query distribution lives in the
     * oracle-checked q_ann_recall. */
+  /** Mean NDCG@3 (ppm) of the main index variants against brute-force
+    * truth — the RANK-quality twin of [[recallSummary]] for the bench
+    * telemetry gate: an index can hold recall while degrading the order
+    * it returns neighbors in (probe sequencing, tie-break drift), and
+    * only a rank-weighted score sees that. Integer-exact and
+    * deterministic, so the gate band is exact. */
+  def ndcgSummary(s: SparkSession, dir: String): DataFrame = {
+    val truth = knnBrute(s, dir).trackedPersist()
+    def one(variant: String, got: DataFrame): DataFrame =
+      ndcgOf(got, truth, k = 3)
+        .agg(avg(col("ndcg_ppm")).as("mean_ndcg_ppm"))
+        .select(lit(variant).as("variant"), col("mean_ndcg_ppm"))
+    one("ann_ivf", annIvf(s, dir))
+      .unionByName(one("ann_ivf_nprobe4", annIvfNprobe4(s, dir)))
+      .unionByName(one("ann_lsh_multi", annLshMulti(s, dir)))
+  }
+
   def recallSummary(s: SparkSession, dir: String): DataFrame = {
     val truth = knnBrute(s, dir).filter(col("rank") <= 3)
       .select(col("q_id"), col("neighbor_id")).trackedPersist()
