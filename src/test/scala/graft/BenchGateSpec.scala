@@ -12,55 +12,66 @@ class BenchGateSpec extends AnyFunSuite {
   private val goodRecall = BenchGate.recallBaseline
   private val goodCalib = BenchGate.calibBaseline
   private val goodCost = BenchGate.ivfCostBaseline
+  private val goodNdcg = BenchGate.ndcgBaseline
 
   test("baseline values pass the gate") {
-    assert(BenchGate.check(goodRecall, goodCalib, goodCost).isEmpty)
+    assert(BenchGate.check(goodRecall, goodCalib, goodCost, goodNdcg).isEmpty)
   }
 
   test("values inside the tolerance band pass") {
     val drifted = goodRecall.map { case (k, v) => k -> (v + 0.04) }
     val calibDrift = goodCalib.map { case (k, v) => k -> (v - 0.09) }
-    assert(BenchGate.check(drifted, calibDrift, goodCost).isEmpty)
+    assert(BenchGate.check(drifted, calibDrift, goodCost, goodNdcg).isEmpty)
   }
 
   test("an IVF recall drop to 0.5 fails the gate") {
     val regressed = goodRecall.updated("ann_ivf", 0.5)
-    val v = BenchGate.check(regressed, goodCalib, goodCost)
+    val v = BenchGate.check(regressed, goodCalib, goodCost, goodNdcg)
     assert(v.exists(_.contains("recall[ann_ivf]")), v.mkString("; "))
   }
 
   test("a disappeared baselined index fails the gate") {
-    val v = BenchGate.check(goodRecall - "ann_lsh_multi", goodCalib, goodCost)
+    val v = BenchGate.check(goodRecall - "ann_lsh_multi", goodCalib, goodCost, goodNdcg)
     assert(v.exists(_.contains("recall[ann_lsh_multi] missing")))
   }
 
   test("calibration drift beyond 0.1 at agreement >= 7 fails") {
-    val v = BenchGate.check(goodRecall, goodCalib.updated(8L, 0.6), goodCost)
+    val v = BenchGate.check(goodRecall, goodCalib.updated(8L, 0.6), goodCost, goodNdcg)
     assert(v.exists(_.contains("minhash_calibration[8]")))
   }
 
   test("NaN telemetry fails rather than passing silently") {
-    val v = BenchGate.check(goodRecall.updated("ann_ivf", Double.NaN), goodCalib, goodCost)
+    val v = BenchGate.check(goodRecall.updated("ann_ivf", Double.NaN), goodCalib, goodCost, goodNdcg)
     assert(v.exists(_.contains("recall[ann_ivf]")))
   }
 
   test("new non-baselined telemetry keys pass freely") {
     val extra = goodRecall + ("ann_hnsw" -> 0.42)
-    assert(BenchGate.check(extra, goodCalib, goodCost).isEmpty)
+    assert(BenchGate.check(extra, goodCalib, goodCost, goodNdcg).isEmpty)
   }
 
   test("IVF candidate-cost drift beyond 5% fails the gate") {
     val inflated = goodCost.map { case (k, v) => k -> v * 1.06 }
-    val v = BenchGate.check(goodRecall, goodCalib, inflated)
+    val v = BenchGate.check(goodRecall, goodCalib, inflated, goodNdcg)
     assert(v.exists(_.contains("ivf_cost[1]")), v.mkString("; "))
     // inside the relative band passes
     val ok = goodCost.map { case (k, v) => k -> v * 1.04 }
-    assert(BenchGate.check(goodRecall, goodCalib, ok).isEmpty)
+    assert(BenchGate.check(goodRecall, goodCalib, ok, goodNdcg).isEmpty)
   }
 
   test("a vanished IVF cost curve fails rather than passing silently") {
-    val v = BenchGate.check(goodRecall, goodCalib, Map.empty[Long, Double])
+    val v = BenchGate.check(goodRecall, goodCalib, Map.empty[Long, Double], goodNdcg)
     assert(v.count(_.contains("ivf_cost[")) == 3)
+  }
+
+  test("an NDCG rank-order drift of 1 ppm fails the gate") {
+    val drifted = goodNdcg.map { case (k, v) => k -> (v + 1.0) }
+    val v = BenchGate.check(goodRecall, goodCalib, goodCost, drifted)
+    assert(v.count(_.contains("ndcg[")) == 3, v.mkString("; "))
+    // a vanished ndcg axis fails rather than passing silently (the
+    // default Map.empty is only for pre-ndcg callers in specs)
+    val miss = BenchGate.check(goodRecall, goodCalib, goodCost)
+    assert(miss.count(_.contains("ndcg[")) == 3)
   }
 
   test("jsonNum renders NaN/Infinity as null, numbers as themselves") {
