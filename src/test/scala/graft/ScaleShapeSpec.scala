@@ -155,6 +155,23 @@ class ScaleShapeSpec extends SparkSpec {
     assert(scans == 2, s"expected 2 events scans (e + cohort), got $scans:\n$p")
   }
 
+  test("table stats: one lineitem scan feeds the whole per-column census") {
+    // the ANALYZE census is ONE aggregation over one scan; the exact-NDV
+    // oracle form pays an Expand (documented), but never a second scan
+    val p = plan(graft.queries.Analytics.tableStats(spark, sfDir))
+    val scans = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
+  }
+
+  test("approx table stats (facade default): no Expand in the plan") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val p = plan(graft.api.Corpus.analyzeTable(li))
+    assert(!p.contains("Expand"),
+      s"approx-NDV census must not plan an Expand:\n$p")
+    val scans = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
+  }
+
   test("chunk overlap is scan-local: census agg is the only exchange") {
     val p = plan(graft.queries.TextPipeline.chunkOverlap(spark, sfDir))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
