@@ -38,6 +38,20 @@ object GraftVec {
     s
   }
 
+  def affineMin(hs: ArrayData, a: Long, b: Long, p: Long): Long = {
+    val n = hs.numElements()
+    require(n > 0, "graft_affine_min: empty array (the composition would " +
+      "yield null — filter empties before the signature fold)")
+    var m = Long.MaxValue
+    var i = 0
+    while (i < n) {
+      val v = Math.addExact(Math.multiplyExact(hs.getLong(i), a), b) % p
+      if (v < m) m = v
+      i += 1
+    }
+    m
+  }
+
   def l2(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
     require(n == b.numElements(),
@@ -67,6 +81,37 @@ sealed abstract class GraftVecExpr extends BinaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.GraftVec.$kernel($a, $b);")
+}
+
+/** min((h·a + b) mod p) over an array<bigint> column — one MinHash
+  * permutation's signature fold, fused: the
+  * `array_min(transform(hs, h => (h*a+b) % p))` composition it replaces
+  * materializes the transformed array per (document, permutation) pair,
+  * and the signature stage IS the cost of MinHash dedup at 100 TB
+  * (SURVEY §8.2). ANSI overflow parity via multiplyExact/addExact.
+  * Requires a non-empty array (signature callers filter size ≥ 2 docs;
+  * the composition would yield null — fail loudly instead). */
+case class GraftAffineMin(child: Expression, a: Long, b: Long, p: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_affine_min requires array<bigint> input, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_affine_min"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftVec.affineMin(input.asInstanceOf[ArrayData], a, b, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.GraftVec.affineMin($v, ${a}L, ${b}L, ${p}L);")
+  override protected def withNewChildInternal(newChild: Expression): GraftAffineMin =
+    copy(child = newChild)
+}
+
+object GraftAffineMin {
+  def apply(c: Column, a: Long, b: Long, p: Long): Column =
+    Bridge.column(GraftAffineMin(Bridge.expression(c), a, b, p))
 }
 
 /** Σ a(i)·b(i) over two array<bigint> columns. */

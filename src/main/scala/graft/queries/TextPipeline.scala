@@ -85,8 +85,11 @@ object TextPipeline {
 
   private def minhashSig(docs: DataFrame): DataFrame = {
     val w = col("w")
+    // fused affine-min kernel per permutation: same Long math the oracle
+    // spells (MIN((a*h+b) % p)), no per-(doc, permutation) intermediate
+    // array — the composition form it replaced is what the SQL mirrors
     val mins = minhashAB.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("hs"), h => (h * a + b) % P)).as(s"m$i")
+      graft.functions.GraftAffineMin(col("hs"), a, b, P).as(s"m$i")
     }
     docs.select(col("doc_id"), ws.as("w"))
       .filter(size(w) >= 2)

@@ -60,6 +60,18 @@ class VectorKernelSpec extends SparkSpec {
     }
   }
 
+  test("GraftAffineMin equals the array_min(transform) composition") {
+    val rows = (1 to 100).map(i => Tuple1(randVec(i, 37).map(_.abs % 1000000007L)))
+    val df = rows.toDF("hs")
+    Seq((3L, 7L), (131L, 17L), (999999L, 1L)).foreach { case (a, b) =>
+      val out = df.select(
+        graft.functions.GraftAffineMin(col("hs"), a, b, 1000000007L).as("k"),
+        array_min(transform(col("hs"), h => (h * a + b) % 1000000007L)).as("c"))
+        .collect()
+      out.foreach(r => assert(r.getLong(0) == r.getLong(1), s"drift at a=$a b=$b"))
+    }
+  }
+
   test("SQL registration: graft_dot / graft_l2 / graft_tokenize parse and match") {
     def reg(name: String, cls: Class[_],
         make: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
