@@ -693,8 +693,9 @@ object Corpus {
   * equals the query's id is excluded as "the query finding itself" (the
   * self-search shape the oracle-checked q_ann_* queries pin). If your
   * query frame has its OWN id sequence, a coincidental id collision
-  * would silently drop one true neighbor — offset the query ids (e.g.
-  * negate them) into a disjoint range first. */
+  * would silently drop one true neighbor — pass `excludeSelf = false`
+  * (every `*TopK` takes it) or offset the query ids into a disjoint
+  * range first. */
 object Vectors {
 
   private def canon(df: DataFrame, id: String, vec: String): DataFrame =
@@ -836,11 +837,12 @@ object Vectors {
   def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int = 3,
       bits: Int = 6, tables: Int = 4, hamming: Int = 1,
       id: String = "vec_id", vec: String = "embedding",
-      bucketCap: Long = Long.MaxValue): DataFrame =
+      bucketCap: Long = Long.MaxValue,
+      excludeSelf: Boolean = true): DataFrame =
     graft.queries.Similarity.lshSearch(
       canon(vectors, id, vec).select(col("vid"), col("v"), col("n2")),
       canon(queries, id, vec).select(col("vid"), col("v"), col("n2")),
-      k, bits, tables, hamming, bucketCap)
+      k, bits, tables, hamming, bucketCap, excludeSelf)
       .withColumnRenamed("q_id", "query_id")
 
   /** IVF top-k similarity search over arbitrary (id, Array[Float])
@@ -856,9 +858,11 @@ object Vectors {
     * (query_id, rank, neighbor_id, cos); vectors must be 64-dim. */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int = 3,
       cells: Int = 8, nprobe: Int = 2,
-      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+      id: String = "vec_id", vec: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame =
     graft.queries.Similarity.ivfSearch(
-      canon(vectors, id, vec), canon(queries, id, vec), k, cells, nprobe)
+      canon(vectors, id, vec), canon(queries, id, vec), k, cells, nprobe,
+      excludeSelf)
       .withColumnRenamed("q_id", "query_id")
 
   /** IVF drift census over arbitrary (id, Array[Float]) resident and
@@ -892,14 +896,15 @@ object Vectors {
     * q_ann_pq shape exactly. */
   def pqTopK(vectors: DataFrame, queries: DataFrame, k: Int = 3,
       id: String = "vec_id", vec: String = "embedding",
-      centroids: Int = 16, rounds: Int = 0, rerank: Int = 0): DataFrame =
+      centroids: Int = 16, rounds: Int = 0, rerank: Int = 0,
+      excludeSelf: Boolean = true): DataFrame =
     (if (centroids == 16 && rounds == 0 && rerank == 0)
       graft.queries.Similarity.pqSearch(
-        canon(vectors, id, vec), canon(queries, id, vec), k)
+        canon(vectors, id, vec), canon(queries, id, vec), k, excludeSelf)
     else
       graft.queries.Similarity.pqSearchProduction(
         canon(vectors, id, vec), canon(queries, id, vec), k,
-        centroids, rounds, rerank))
+        centroids, rounds, rerank, excludeSelf))
       .withColumnRenamed("q_id", "query_id")
 
   /** Johnson-Lindenstrauss sign projection 64 → 16 for any

@@ -406,7 +406,7 @@ object Similarity {
     * The [[graft.api.Vectors.pqTopK]] surface; [[annPq]] is this shape
     * pinned to the testdata and the oracle. */
   private[graft] def pqSearch(base: DataFrame, queries: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val subIdx = posexplode(expr(
       s"transform(sequence(0, ${PQ_M - 1}), m -> slice(v, m * $PQ_SUB + 1, $PQ_SUB))"))
@@ -434,7 +434,7 @@ object Similarity {
         col("m") === col("lm") && col("code") === col("lcid"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("lutd")).as("adc"))
-      .filter(col("vec_id") =!= col("q_id"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"),
@@ -608,7 +608,8 @@ object Similarity {
     * curve, not prose; [[graft.api.Tuning.pqCentroids]] picks the dial
     * from corpus size. */
   private[graft] def pqSearchProduction(base: DataFrame, queries: DataFrame,
-      k: Int, centroids: Int, rounds: Int, rerank: Int): DataFrame = {
+      k: Int, centroids: Int, rounds: Int, rerank: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(centroids > 0, s"centroids must be positive: $centroids")
     require(rounds >= 0 && rerank >= 0, "rounds/rerank must be >= 0")
@@ -652,7 +653,7 @@ object Similarity {
         col("m") === col("lm") && col("code") === col("lcid"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("lutd")).as("adc"))
-      .filter(col("vec_id") =!= col("q_id"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
     if (rerank <= 0) {
       adc.withColumn("rank", row_number().over(wAdc))
         .filter(col("rank") <= k)
@@ -996,7 +997,8 @@ object Similarity {
     * (the engine's fixed hyperplane family); the query side broadcasts
     * (tables × (1 + bits·hamming) probe rows per query). */
   private[graft] def lshSearch(base: DataFrame, queries: DataFrame,
-      k: Int, bits: Int, tables: Int, hamming: Int, cap: Long): DataFrame = {
+      k: Int, bits: Int, tables: Int, hamming: Int, cap: Long,
+      excludeSelf: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(bits >= 0 && bits <= 32, s"bits out of range: $bits")
     require(tables > 0, s"tables must be positive: $tables")
@@ -1033,7 +1035,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("vid"))
     guarded.join(broadcast(qs),
         col("t") === col("qt") && col("bucket") === col("qbucket") &&
-          col("vid") =!= col("q_id"))
+          (if (excludeSelf) col("vid") =!= col("q_id") else lit(true)))
       .select(col("q_id"), col("vid"),
         cosine(dot(col("v"), col("qv")), col("n2"), col("qn2")).as("cos"))
       // dedup across tables/probes AFTER scoring (one double per pair)
@@ -1141,7 +1143,8 @@ object Similarity {
     * rank by exact cosine with the cosineTopK tie-break, so at
     * nprobe = cells the result IS the brute-force answer row for row. */
   private[graft] def ivfSearch(base: DataFrame, queries: DataFrame,
-      k: Int, cells: Int, nprobe: Int): DataFrame = {
+      k: Int, cells: Int, nprobe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(cells > 0, s"cells must be positive: $cells")
     require(nprobe > 0 && nprobe <= cells,
@@ -1166,7 +1169,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vid"))
     assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("vid") =!= col("q_id"))
+      .filter(if (excludeSelf) col("vid") =!= col("q_id") else lit(true))
       .select(col("q_id"), col("vid"),
         cosine(dot(col("v"), col("qv")), col("n2"), col("qn2")).as("cos"))
       .withColumn("rank", row_number().over(w))
