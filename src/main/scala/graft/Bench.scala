@@ -97,13 +97,12 @@ object Bench {
     val recallMap: Map[String, Double] = try {
       val rows = graft.queries.Similarity.recallSummary(spark, sfDir)
         .collect().sortBy(_.getString(0))
-      graft.core.Caches.release()
       rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] recall telemetry failed: ${e.getMessage}")
         Map.empty[String, Double]
-    }
+    } finally graft.core.Caches.release()
     val recallJson = recallMap.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + BenchGate.jsonNum(v) }
       .mkString("{", ",", "}")
@@ -113,13 +112,12 @@ object Bench {
     val ndcgMap: Map[String, Double] = try {
       val rows = graft.queries.Similarity.ndcgSummary(spark, sfDir)
         .collect().sortBy(_.getString(0))
-      graft.core.Caches.release()
       rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] ndcg telemetry failed: ${e.getMessage}")
         Map.empty[String, Double]
-    }
+    } finally graft.core.Caches.release()
     val ndcgJson = ndcgMap.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + BenchGate.jsonNum(v) }
       .mkString("{", ",", "}")
@@ -132,13 +130,12 @@ object Bench {
     val calibMap: Map[Long, Double] = try {
       val rows = graft.queries.TextPipeline.minhashCalibration(spark, sfDir)
         .collect().sortBy(_.getLong(0))
-      graft.core.Caches.release()
       rows.map(r => r.getLong(0) -> r.getDouble(4)).toMap
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] calibration telemetry failed: ${e.getMessage}")
         Map.empty[Long, Double]
-    }
+    } finally graft.core.Caches.release()
     val calibJson = calibMap.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + BenchGate.jsonNum(v) }
       .mkString("{", ",", "}")
@@ -150,7 +147,6 @@ object Bench {
     val occJson = try {
       val rows = graft.queries.Similarity.lshOccupancy(spark, sfDir)
         .collect().sortBy(_.getLong(0))
-      graft.core.Caches.release()
       rows.map(r => "\"" + r.getLong(0) + "\":{\"n_buckets\":" + r.getLong(1) +
           ",\"mean\":" + BenchGate.jsonNum(r.getDouble(3)) +
           ",\"max\":" + r.getLong(4) + "}")
@@ -159,7 +155,7 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] occupancy telemetry failed: ${e.getMessage}")
         "{}"
-    }
+    } finally graft.core.Caches.release()
     // nprobe-axis telemetry, untimed: the IVF cost curve — mean
     // candidates scored per query at nprobe 1/2/4. Together with
     // recall[ann_ivf_nprobe*] this is the full cost/recall trade of the
@@ -168,13 +164,12 @@ object Bench {
     val ivfCostMap: Map[Long, Double] = try {
       val rows = graft.queries.Similarity.ivfProbeCost(spark, sfDir)
         .collect()
-      graft.core.Caches.release()
       rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] ivf cost telemetry failed: ${e.getMessage}")
         Map.empty[Long, Double]
-    }
+    } finally graft.core.Caches.release()
     val ivfCostJson = ivfCostMap.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + BenchGate.jsonNum(v) }
       .mkString("{", ",", "}")

@@ -708,14 +708,16 @@ object Vectors {
     * query side broadcast (its purpose — bulk all-pairs goes through the
     * LSH/IVF paths instead). Output (query_id, rank, neighbor_id, cos). */
   def cosineTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+      id: String = "vec_id", vec: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
     val base = canon(vectors, id, vec)
     val q = canon(queries, id, vec)
       .select(col("vid").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
     val dot = graft.functions.GraftDot(col("v"), col("qv"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vid"))
-    base.join(broadcast(q), col("vid") =!= col("qid"))
+    base.join(broadcast(q),
+        if (excludeSelf) col("vid") =!= col("qid") else lit(true))
       .select(col("qid"), col("vid"),
         (dot.cast("double") / sqrt(col("n2").cast("double")) /
           sqrt(col("qn2").cast("double"))).as("cos"))

@@ -88,12 +88,21 @@ object Tables {
       import org.apache.parquet.hadoop.util.HadoopInputFile
       import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
       val conf = new org.apache.hadoop.conf.Configuration()
-      // a direct file path matches itself; a directory expands one level
-      // (part files), keeping the first .parquet by sorted name
-      val listed = graft.sources.HadoopIO.listFiles(p, conf)
-      val target: Option[org.apache.hadoop.fs.Path] =
-        listed.filter(_.getPath.getName.endsWith(".parquet")).headOption
-          .orElse(listed.headOption).map(_.getPath)
+      // a DIRECT file path is probed regardless of suffix (the caller
+      // chose it); a directory expands one level and probes its first
+      // .parquet part by sorted name — a directory with no parquet parts
+      // falls back to the default, exactly like a missing path (probing
+      // an arbitrary non-parquet file would crash the footer read)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val direct: Option[org.apache.hadoop.fs.Path] =
+        try {
+          val st = hp.getFileSystem(conf).getFileStatus(hp)
+          if (st.isFile) Some(st.getPath) else None
+        } catch { case _: java.io.FileNotFoundException => None }
+      val target: Option[org.apache.hadoop.fs.Path] = direct.orElse(
+        graft.sources.HadoopIO.listFiles(p, conf)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .headOption.map(_.getPath))
       target match {
         case None => TsNativeTimestamp(utcAdjusted = false)
         case Some(file) =>

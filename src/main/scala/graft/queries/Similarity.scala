@@ -1714,13 +1714,6 @@ object Similarity {
       |  ON g.q_id = t.t_q AND g.neighbor_id = t.t_n
       |GROUP BY g.q_id""".stripMargin
 
-  /** Mean recall@3 of every ANN index variant against the exact
-    * brute-force truth, one row per variant — the bench telemetry dial
-    * that catches an index-QUALITY regression (probe count, codebook,
-    * hash width) which wall-clock timing alone would wave through.
-    * [[graft.Bench]] runs this after the timed sweep and emits the
-    * values in its JSON line; the per-query distribution lives in the
-    * oracle-checked q_ann_recall. */
   /** Mean NDCG@3 (ppm) of the main index variants against brute-force
     * truth — the RANK-quality twin of [[recallSummary]] for the bench
     * telemetry gate: an index can hold recall while degrading the order
@@ -1738,6 +1731,13 @@ object Similarity {
       .unionByName(one("ann_lsh_multi", annLshMulti(s, dir)))
   }
 
+  /** Mean recall@3 of every ANN index variant against the exact
+    * brute-force truth, one row per variant — the bench telemetry dial
+    * that catches an index-QUALITY regression (probe count, codebook,
+    * hash width) which wall-clock timing alone would wave through.
+    * [[graft.Bench]] runs this after the timed sweep and emits the
+    * values in its JSON line; the per-query distribution lives in the
+    * oracle-checked q_ann_recall. */
   def recallSummary(s: SparkSession, dir: String): DataFrame = {
     val truth = knnBrute(s, dir).filter(col("rank") <= 3)
       .select(col("q_id"), col("neighbor_id")).trackedPersist()

@@ -9,19 +9,21 @@ import graft.sources.HadoopIO
   * append-only-commit shape of the oracle-checked q_snapshot_read
   * ([[graft.queries.Ingest.snapshotRead]]) as a `foreachBatch` sink.
   * Each micro-batch commits (data files under `data/b<batchId>` + a new
-  * manifest `manifest/v<batchId>` = previous manifest ∪ this batch's
-  * files); nothing is ever rewritten, so a reader pinned to any
-  * committed version is oblivious to later appends — snapshot isolation
-  * under continuous ingest.
+  * manifest `manifest/v<n>` = previous manifest ∪ this batch's files);
+  * committed files are never rewritten in place, so a reader pinned to
+  * any version is oblivious to later commits — snapshot isolation under
+  * continuous ingest, across appends AND the maintenance verbs
+  * ([[deleteWhere]], [[merge]], [[compact]]), which interleave with the
+  * stream because every commit chains from the global newest manifest.
   *
-  * Replay idempotence follows [[ChunkStore]]/[[IndexMaintenance]]'s
-  * versioned-state convention: a batch reads the newest manifest
-  * STRICTLY before its own id and OVERWRITES its own data dir and
-  * manifest, so a retried micro-batch re-lands the identical commit
-  * instead of appending twice (the foreachBatch exactly-once recipe).
+  * Replay idempotence: per-batch markers (see [[appendWriter]]).
   * Manifests are metadata-sized parquet (one row per file) and the
   * commit path never collects them — the union is a frame-level append;
-  * only [[read]] materializes a path list, to plan the snapshot scan. */
+  * only [[read]] materializes a path list, to plan the snapshot scan.
+  * Concurrency contract: ONE writer at a time (the stream, or one
+  * maintenance verb between/alongside its batches) — the
+  * optimistic-concurrency commit log a full lake format layers on top
+  * is out of scope here. */
 object SnapshotStore {
 
   /** The foreachBatch function: commit each arriving micro-batch as a
@@ -29,34 +31,64 @@ object SnapshotStore {
     * {{{
     * docsStream.writeStream
     *   .foreachBatch(SnapshotStore.appendWriter(dir)).start()
-    * }}} */
+    * }}}
+    *
+    * Versions are monotone (`max committed + 1`) and the chain base is
+    * the GLOBAL newest manifest, so appends interleave correctly with
+    * the maintenance verbs: a batch arriving after a [[deleteWhere]] or
+    * [[compact]] chains from the post-maintenance file list — deleted
+    * files can never resurrect through the streaming lineage. Replay
+    * idempotence comes from a per-batch marker (`manifest/b<id>.done`):
+    * a retried batch whose marker exists is a no-op, and a crash BETWEEN
+    * manifest and marker re-commits the same content (the chain base
+    * excludes this batch's own prior files before unioning), so the
+    * duplicate version is file-set-identical — never double rows. */
   def appendWriter(tableDir: String): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
       val spark = batch.sparkSession
+      import org.apache.spark.sql.functions.{col, not}
       import spark.implicits._
-      batch.write.mode("overwrite").parquet(s"$tableDir/data/b$batchId")
       val conf = HadoopIO.sessionConf(spark)
-      val mine = HadoopIO.listFiles(s"$tableDir/data/b$batchId", conf)
-        .map(_.getPath.toString).filter(_.endsWith(".parquet"))
-      val prev = manifest(spark, tableDir, beforeBatch = Some(batchId))
-        .getOrElse(Seq.empty[String].toDF("path"))
-      prev.unionByName(mine.toDF("path"))
-        .write.mode("overwrite").parquet(s"$tableDir/manifest/v$batchId")
+      val marker = new Path(s"$tableDir/manifest/b$batchId.done")
+      val fs = marker.getFileSystem(conf)
+      if (!fs.exists(marker)) { // marker present = replayed batch: no-op
+        batch.write.mode("overwrite").parquet(s"$tableDir/data/b$batchId")
+        val mine = HadoopIO.listFiles(s"$tableDir/data/b$batchId", conf)
+          .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+        // the marker is written AFTER the manifest; if a previous attempt
+        // died between the two, the newest manifest already lists this
+        // batch's (just-overwritten) files — drop them from the chain base
+        // so the re-commit stays file-set-identical instead of doubling
+        val ownPrefix = s"/data/b$batchId/"
+        val prev = manifest(spark, tableDir)
+          .getOrElse(Seq.empty[String].toDF("path"))
+          .filter(not(col("path").contains(ownPrefix)))
+        val next = newestVersion(fs, tableDir).getOrElse(0L) + 1
+        prev.unionByName(mine.toDF("path"))
+          .write.mode("overwrite").parquet(s"$tableDir/manifest/v$next")
+        fs.create(marker, true).close()
+      }
   }
 
-  /** The manifest of `version` (default: newest committed); with
-    * `beforeBatch`, the newest STRICTLY before that id (the replay-
-    * idempotence read). None before the first commit. */
+  private def newestVersion(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: String): Option[Long] = {
+    val dir = new Path(s"$tableDir/manifest")
+    if (!fs.exists(dir)) return None
+    val vs = fs.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toLong)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** The manifest of `version` (default: newest committed). None before
+    * the first commit. */
   def manifest(spark: SparkSession, tableDir: String,
-      version: Option[Long] = None,
-      beforeBatch: Option[Long] = None): Option[DataFrame] = {
+      version: Option[Long] = None): Option[DataFrame] = {
     val dir = new Path(s"$tableDir/manifest")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir)) return None
     val versions = fs.listStatus(dir).toSeq
       .map(_.getPath.getName).filter(_.startsWith("v"))
       .map(_.drop(1).toLong)
-      .filter(v => beforeBatch.forall(v < _))
       .filter(v => version.forall(v == _))
     if (versions.isEmpty) None
     else Some(spark.read.parquet(s"$tableDir/manifest/v${versions.max}"))
@@ -111,11 +143,11 @@ object SnapshotStore {
     * every previous version still reads its original bytes (time travel
     * over deletes). Returns the number of files rewritten.
     *
-    * Concurrency contract: single maintainer, monotone versions —
-    * `newVersion` must exceed every committed version (the optimistic-
-    * concurrency log a full lake format adds is out of scope here; the
-    * streaming writer's batchIds must also stay below maintenance
-    * version numbers, e.g. maintain under a version floor like 1e9). */
+    * Concurrency contract: one writer at a time, monotone versions —
+    * `newVersion` must exceed every committed version. Appends arriving
+    * AFTER this commit chain from its post-delete file list (the
+    * appendWriter global-newest rule), so deleted files never
+    * resurrect. */
   def deleteWhere(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column, newVersion: Long): Int = {
     import spark.implicits._
@@ -131,7 +163,12 @@ object SnapshotStore {
       return 0
     }
     val (rewrite, keep) = paths.partition(p => touched(fileKey(p)))
-    spark.read.parquet(rewrite: _*).filter(!predicate)
+    // SQL DELETE semantics: a NULL-evaluating predicate KEEPS the row —
+    // a bare !predicate would be NULL too and silently drop it (and
+    // inconsistently: the same row in an untouched file would survive)
+    spark.read.parquet(rewrite: _*)
+      .filter(!org.apache.spark.sql.functions.coalesce(predicate,
+        org.apache.spark.sql.functions.lit(false)))
       .write.mode("overwrite").parquet(s"$tableDir/data/d$newVersion")
     val conf = HadoopIO.sessionConf(spark)
     val fresh = HadoopIO.listFiles(s"$tableDir/data/d$newVersion", conf)
@@ -195,6 +232,10 @@ object SnapshotStore {
     val versions = fs.listStatus(mdir).toSeq
       .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toLong)
     val (old, retained) = versions.partition(_ < retainFrom)
+    require(retained.nonEmpty || versions.isEmpty,
+      s"vacuum(retainFrom=$retainFrom) would delete EVERY version " +
+        s"(newest committed is ${versions.max}) — the current snapshot " +
+        "is always retained; pass retainFrom <= the newest version")
     if (old.isEmpty) return 0
     def pathsOf(vs: Seq[Long]): Set[String] =
       if (vs.isEmpty) Set.empty

@@ -1,17 +1,20 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 import graft.streaming.SnapshotStore
 
-/** The stream-driven snapshot table: every micro-batch commits a new
-  * manifest version, old versions stay readable and pinned (snapshot
-  * isolation under continuous ingest), and a replayed batch re-lands the
-  * identical commit instead of appending twice. */
+/** The stream-driven snapshot table: per-batch commits accumulate under
+  * monotone versions, pinned versions never move, replay is a no-op,
+  * the maintenance verbs (delete/merge/compact/vacuum) interleave with
+  * appends without resurrecting deleted rows, NULL-evaluating delete
+  * predicates keep their rows (SQL DELETE semantics), and vacuum can
+  * never destroy the current snapshot. */
 class StreamingSnapshotSpec extends SparkSpec {
   import spark.implicits._
 
-  test("per-batch commits accumulate; pinned versions never move; replay is idempotent") {
+  test("commits, pinning, replay, maintenance verbs, and their interleave") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("snapstore").toString
 
@@ -23,41 +26,40 @@ class StreamingSnapshotSpec extends SparkSpec {
       .start()
     try {
       input.addData(b1: _*); q.processAllAvailable()
-      val v0 = SnapshotStore.read(spark, dir).get
+      val v1 = SnapshotStore.read(spark, dir).get
         .as[(Long, String)].collect().toSet
-      assert(v0 === b1.toSet)
+      assert(v1 === b1.toSet)
 
       input.addData(b2: _*); q.processAllAvailable()
-      // newest sees both batches; version 0 stays pinned to batch 1
+      // newest sees both batches; version 1 stays pinned to batch 1
       val newest = SnapshotStore.read(spark, dir).get
         .as[(Long, String)].collect().toSet
       assert(newest === (b1 ++ b2).toSet)
-      val pinned = SnapshotStore.read(spark, dir, version = Some(0L)).get
+      val pinned = SnapshotStore.read(spark, dir, version = Some(1L)).get
         .as[(Long, String)].collect().toSet
-      assert(pinned === b1.toSet, "v0 reader saw a later append")
+      assert(pinned === b1.toSet, "v1 reader saw a later append")
     } finally q.stop()
 
-    // replay batch 1 (retry semantics): same id, same data — the commit
-    // must re-land identically, not double-append
+    // replay batch 1 (retry semantics): its marker exists, so the commit
+    // is a NO-OP — no new version, no content change
     SnapshotStore.appendWriter(dir)(b2.toDF("doc_id", "lang"), 1L)
     val after = SnapshotStore.read(spark, dir).get
       .as[(Long, String)].collect().toSet
-    assert(after === (b1 ++ b2).toSet, "replayed batch double-appended")
-    // manifest row count: 1 file list entry per data file, no duplicates
+    assert(after === (b1 ++ b2).toSet, "replayed batch changed the table")
+    assert(SnapshotStore.manifest(spark, dir, version = Some(3L)).isEmpty,
+      "replayed batch committed a new version")
     val m = SnapshotStore.manifest(spark, dir).get.as[String].collect()
     assert(m.distinct.length === m.length)
 
-    // incremental consumption: the v0→v1 delta is exactly batch 2, planned
-    // from the manifest diff (delta-only files — never the base table)
-    val delta = SnapshotStore.changes(spark, dir, fromVersion = 0L).get
+    // incremental consumption: the v1→newest delta is exactly batch 2
+    val delta = SnapshotStore.changes(spark, dir, fromVersion = 1L).get
       .as[(Long, String)].collect().toSet
     assert(delta === b2.toSet, "manifest diff read more than the delta")
-    assert(SnapshotStore.changes(spark, dir, fromVersion = 1L).isEmpty,
+    assert(SnapshotStore.changes(spark, dir, fromVersion = 2L).isEmpty,
       "delta from the newest version must be empty")
 
     // copy-on-write delete: only files containing matches rewrite, the
     // rest keep their paths; previous versions still read their bytes
-    import org.apache.spark.sql.functions.col
     val before = SnapshotStore.manifest(spark, dir).get
       .as[String].collect().toSet
     val rewritten = SnapshotStore.deleteWhere(spark, dir,
@@ -71,41 +73,69 @@ class StreamingSnapshotSpec extends SparkSpec {
     assert((mNew -- before).nonEmpty, "delete produced no rewritten files")
     assert((mNew & before).nonEmpty, "delete rewrote untouched files")
     // time travel across the delete: the pre-delete version is intact
-    val preDelete = SnapshotStore.read(spark, dir, version = Some(1L)).get
+    val preDelete = SnapshotStore.read(spark, dir, version = Some(2L)).get
       .as[(Long, String)].collect().toSet
     assert(preDelete === (b1 ++ b2).toSet, "delete damaged a pinned version")
 
+    // a NEW streaming batch arriving AFTER the delete chains from the
+    // post-delete manifest — the deleted row must NOT resurrect
+    val b3 = Seq((7L, "es"))
+    SnapshotStore.appendWriter(dir)(b3.toDF("doc_id", "lang"), 2L)
+    val afterAppend = SnapshotStore.read(spark, dir).get
+      .as[(Long, String)].collect().toSet
+    assert(afterAppend === afterDel ++ b3.toSet,
+      "post-delete append resurrected deleted rows or lost the delete")
+
     // compaction: content identical, file count drops to the target
-    SnapshotStore.compact(spark, dir, targetFiles = 1, newVersion = 1001L)
+    SnapshotStore.compact(spark, dir, targetFiles = 1, newVersion = 1002L)
     val afterComp = SnapshotStore.read(spark, dir).get
       .as[(Long, String)].collect().toSet
-    assert(afterComp === afterDel, "compaction changed row content")
+    assert(afterComp === afterAppend, "compaction changed row content")
     val mComp = SnapshotStore.manifest(spark, dir).get.as[String].collect()
     assert(mComp.length === 1, s"expected 1 compacted file, got ${mComp.length}")
 
     // MERGE: doc 1 changes lang, doc 9 is new — one commit, upsert result
     val changes = Seq((1L, "it"), (9L, "pt")).toDF("doc_id", "lang")
-    val rewrote = SnapshotStore.merge(spark, dir, changes, "doc_id", 1002L)
+    val rewrote = SnapshotStore.merge(spark, dir, changes, "doc_id", 1003L)
     assert(rewrote === 1, s"expected the single compacted file rewritten, got $rewrote")
     val afterMerge = SnapshotStore.read(spark, dir).get
       .as[(Long, String)].collect().toSet
     assert(afterMerge ===
       (afterComp.filterNot(_._1 == 1L) ++ Set((1L, "it"), (9L, "pt"))))
     // pre-merge version still pinned
-    assert(SnapshotStore.read(spark, dir, version = Some(1001L)).get
+    assert(SnapshotStore.read(spark, dir, version = Some(1002L)).get
       .as[(Long, String)].collect().toSet === afterComp)
 
-    // VACUUM: retain from the compaction; older versions' exclusive
-    // files die, retained versions stay byte-identical readable
-    val removed = SnapshotStore.vacuum(spark, dir, retainFrom = 1001L)
+    // VACUUM: a retainFrom beyond the newest version must refuse rather
+    // than delete the current snapshot
+    intercept[IllegalArgumentException] {
+      SnapshotStore.vacuum(spark, dir, retainFrom = 99999L)
+    }
+    // legitimate vacuum: retain from the compaction; older versions'
+    // exclusive files die, retained versions stay byte-identical
+    val removed = SnapshotStore.vacuum(spark, dir, retainFrom = 1002L)
     assert(removed >= 1, s"vacuum removed nothing")
-    assert(SnapshotStore.read(spark, dir, version = Some(1001L)).get
+    assert(SnapshotStore.read(spark, dir, version = Some(1002L)).get
       .as[(Long, String)].collect().toSet === afterComp,
       "vacuum damaged a retained version")
     assert(SnapshotStore.read(spark, dir).get
       .as[(Long, String)].collect().toSet === afterMerge,
       "vacuum damaged the newest version")
-    assert(SnapshotStore.manifest(spark, dir, version = Some(0L)).isEmpty,
+    assert(SnapshotStore.manifest(spark, dir, version = Some(1L)).isEmpty,
       "vacuum left an expired manifest")
+  }
+
+  test("deleteWhere keeps NULL-evaluating rows (SQL DELETE semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("snapnull").toString
+    val rows = Seq((1L, Some(10.0)), (2L, None), (3L, Some(3.0)))
+    SnapshotStore.appendWriter(dir)(
+      rows.toDF("id", "score"), 0L)
+    // score > 5 matches row 1; row 2's predicate is NULL and must SURVIVE
+    // even though it shares a file with a matching row
+    SnapshotStore.deleteWhere(spark, dir, col("score") > 5.0, 100L)
+    val kept = SnapshotStore.read(spark, dir).get
+      .select(col("id")).as[Long].collect().toSet
+    assert(kept === Set(2L, 3L),
+      s"NULL-predicate row dropped (or wrong rows deleted): kept $kept")
   }
 }
