@@ -110,7 +110,7 @@ object SnapshotStore {
       added = to.join(from, Seq("path"), "left_anti")
         .as[String].collect().toSeq
       if added.nonEmpty
-    } yield spark.read.parquet(added: _*)
+    } yield spark.read.option("mergeSchema", "true").parquet(added: _*)
   }
 
   /** Snapshot read pinned to `version` (default: newest). The manifest's
@@ -123,7 +123,10 @@ object SnapshotStore {
     import spark.implicits._
     manifest(spark, tableDir, version).map { m =>
       val paths = m.as[String].collect().toSeq
-      spark.read.parquet(paths: _*)
+      // mergeSchema: a column added mid-stream (the q_schema_evolution
+      // shape) must surface — a first-file-inferred schema would
+      // silently drop it from every snapshot read
+      spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
   }
 

@@ -125,6 +125,19 @@ class StreamingSnapshotSpec extends SparkSpec {
       "vacuum left an expired manifest")
   }
 
+  test("a mid-stream added column surfaces on read (mergeSchema), null for old rows") {
+    val dir = java.nio.file.Files.createTempDirectory("snapevo").toString
+    SnapshotStore.appendWriter(dir)(Seq((1L, "en")).toDF("id", "lang"), 0L)
+    SnapshotStore.appendWriter(dir)(
+      Seq((2L, "de", 0.9)).toDF("id", "lang", "quality"), 1L)
+    val rows = SnapshotStore.read(spark, dir).get
+      .select(col("id"), col("quality")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(rows === Map(1L -> None, 2L -> Some(0.9)),
+      s"schema-evolved read wrong: $rows")
+  }
+
   test("deleteWhere keeps NULL-evaluating rows (SQL DELETE semantics)") {
     val dir = java.nio.file.Files.createTempDirectory("snapnull").toString
     val rows = Seq((1L, Some(10.0)), (2L, None), (3L, Some(3.0)))
