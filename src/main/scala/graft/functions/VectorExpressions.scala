@@ -40,15 +40,21 @@ object GraftVec {
 
   def affineMin(hs: ArrayData, a: Long, b: Long, p: Long): Long = {
     val n = hs.numElements()
-    require(n > 0, "graft_affine_min: empty array (the composition would " +
-      "yield null — filter empties before the signature fold)")
     var m = Long.MaxValue
+    var seen = false
     var i = 0
     while (i < n) {
-      val v = Math.addExact(Math.multiplyExact(hs.getLong(i), a), b) % p
-      if (v < m) m = v
+      // skip null slots like array_min does — reading them as getLong
+      // garbage would silently corrupt a signature
+      if (!hs.isNullAt(i)) {
+        val v = Math.addExact(Math.multiplyExact(hs.getLong(i), a), b) % p
+        if (v < m) m = v
+        seen = true
+      }
       i += 1
     }
+    require(seen, "graft_affine_min: no non-null elements (the " +
+      "composition would yield null — filter empties before the fold)")
     m
   }
 

@@ -37,61 +37,71 @@ object SnapshotStore {
     * the GLOBAL newest manifest, so appends interleave correctly with
     * the maintenance verbs: a batch arriving after a [[deleteWhere]] or
     * [[compact]] chains from the post-maintenance file list — deleted
-    * files can never resurrect through the streaming lineage. Replay
-    * idempotence comes from a per-batch marker (`manifest/b<id>.done`):
-    * a retried batch whose marker exists is a no-op, and a crash BETWEEN
-    * manifest and marker re-commits the same content (the chain base
-    * excludes this batch's own prior files before unioning), so the
-    * duplicate version is file-set-identical — never double rows. */
+    * files can never resurrect through the streaming lineage.
+    *
+    * Replay idempotence is two-layered. A per-batch marker
+    * (`manifest/b<id>.done`, written AFTER the manifest) makes a retry
+    * of a fully committed batch a no-op. A retry after a crash BETWEEN
+    * manifest and marker finds its own files already listed in the
+    * newest manifest and ADOPTS that commit (writes only the marker) —
+    * it must NOT rewrite the data dir, because `overwrite` regenerates
+    * part-file names and would orphan the already-committed manifest
+    * (readers pinned to it would lose their files, and a manifest-diff
+    * consumer would see the batch twice under new names). */
   def appendWriter(tableDir: String): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
       val spark = batch.sparkSession
-      import org.apache.spark.sql.functions.{col, not}
       import spark.implicits._
       val conf = HadoopIO.sessionConf(spark)
       val marker = new Path(s"$tableDir/manifest/b$batchId.done")
       val fs = marker.getFileSystem(conf)
+      // structural own-directory prefix, scheme-normalized — a substring
+      // test on the raw path would false-match a tableDir that itself
+      // contains a /data/b<id>/ segment
+      val ownDirKey = fileKey(s"$tableDir/data/b$batchId") + "/"
+      def isOwn(p: String): Boolean = fileKey(p).startsWith(ownDirKey)
       if (!fs.exists(marker)) { // marker present = replayed batch: no-op
-        batch.write.mode("overwrite").parquet(s"$tableDir/data/b$batchId")
-        val mine = HadoopIO.listFiles(s"$tableDir/data/b$batchId", conf)
-          .map(_.getPath.toString).filter(_.endsWith(".parquet"))
-        // the marker is written AFTER the manifest; if a previous attempt
-        // died between the two, the newest manifest already lists this
-        // batch's (just-overwritten) files — drop them from the chain base
-        // so the re-commit stays file-set-identical instead of doubling
-        val ownPrefix = s"/data/b$batchId/"
-        val prev = manifest(spark, tableDir)
-          .getOrElse(Seq.empty[String].toDF("path"))
-          .filter(not(col("path").contains(ownPrefix)))
-        val next = newestVersion(fs, tableDir).getOrElse(0L) + 1
-        prev.unionByName(mine.toDF("path"))
-          .write.mode("overwrite").parquet(s"$tableDir/manifest/v$next")
+        val prevOpt = manifest(spark, tableDir)
+        val orphaned = prevOpt.exists(
+          _.as[String].collect().exists(isOwn))
+        if (!orphaned) {
+          batch.write.mode("overwrite").parquet(s"$tableDir/data/b$batchId")
+          val mine = HadoopIO.listFiles(s"$tableDir/data/b$batchId", conf)
+            .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+          val prev = prevOpt.getOrElse(Seq.empty[String].toDF("path"))
+          val next = newestVersion(fs, tableDir).getOrElse(0L) + 1
+          prev.unionByName(mine.toDF("path"))
+            .write.mode("overwrite").parquet(s"$tableDir/manifest/v$next")
+        } // else: adopt the prior attempt's commit as-is
         fs.create(marker, true).close()
       }
   }
 
-  private def newestVersion(fs: org.apache.hadoop.fs.FileSystem,
-      tableDir: String): Option[Long] = {
+  /** Committed manifest versions under `tableDir`, ascending. ONE
+    * definition of the naming scheme (`v<long>`; `b<id>.done` markers
+    * and debris are invisible) shared by every reader and verb. */
+  private def versionsOf(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: String): Seq[Long] = {
     val dir = new Path(s"$tableDir/manifest")
-    if (!fs.exists(dir)) return None
-    val vs = fs.listStatus(dir).toSeq
-      .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toLong)
-    if (vs.isEmpty) None else Some(vs.max)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+      .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
+      .sorted
   }
+
+  private def newestVersion(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: String): Option[Long] = versionsOf(fs, tableDir).lastOption
 
   /** The manifest of `version` (default: newest committed). None before
     * the first commit. */
   def manifest(spark: SparkSession, tableDir: String,
       version: Option[Long] = None): Option[DataFrame] = {
-    val dir = new Path(s"$tableDir/manifest")
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(dir)) return None
-    val versions = fs.listStatus(dir).toSeq
-      .map(_.getPath.getName).filter(_.startsWith("v"))
-      .map(_.drop(1).toLong)
+    val fs = new Path(tableDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = versionsOf(fs, tableDir)
       .filter(v => version.forall(v == _))
-    if (versions.isEmpty) None
-    else Some(spark.read.parquet(s"$tableDir/manifest/v${versions.max}"))
+    versions.lastOption.map(v =>
+      spark.read.parquet(s"$tableDir/manifest/v$v"))
   }
 
   /** Incremental consumption: the rows added strictly AFTER `fromVersion`
@@ -157,7 +167,11 @@ object SnapshotStore {
     val m = manifest(spark, tableDir).getOrElse(
       sys.error(s"deleteWhere: no committed manifest under $tableDir"))
     val paths = m.as[String].collect().toSeq
-    val touched = spark.read.parquet(paths: _*)
+    // mergeSchema everywhere a maintenance verb reads data files: after
+    // a mid-stream column addition, schema inference from one arbitrary
+    // file could DROP the evolved column from the rewritten files (or
+    // fail to resolve a predicate on it)
+    val touched = spark.read.option("mergeSchema", "true").parquet(paths: _*)
       .filter(predicate)
       .select(org.apache.spark.sql.functions.input_file_name().as("f"))
       .distinct().as[String].collect().map(fileKey).toSet
@@ -169,7 +183,7 @@ object SnapshotStore {
     // SQL DELETE semantics: a NULL-evaluating predicate KEEPS the row —
     // a bare !predicate would be NULL too and silently drop it (and
     // inconsistently: the same row in an untouched file would survive)
-    spark.read.parquet(rewrite: _*)
+    spark.read.option("mergeSchema", "true").parquet(rewrite: _*)
       .filter(!org.apache.spark.sql.functions.coalesce(predicate,
         org.apache.spark.sql.functions.lit(false)))
       .write.mode("overwrite").parquet(s"$tableDir/data/d$newVersion")
@@ -199,13 +213,14 @@ object SnapshotStore {
       sys.error(s"merge: no committed manifest under $tableDir"))
     val paths = m.as[String].collect().toSeq
     val keys = changes.select(col(key)).distinct()
-    val cur = spark.read.parquet(paths: _*)
+    // mergeSchema: see deleteWhere — a rewrite must carry every column
+    val cur = spark.read.option("mergeSchema", "true").parquet(paths: _*)
     val touched = cur.join(broadcast(keys), Seq(key), "left_semi")
       .select(input_file_name().as("f"))
       .distinct().as[String].collect().map(fileKey).toSet
     val (rewrite, keep) = paths.partition(p => touched(fileKey(p)))
     if (rewrite.nonEmpty)
-      spark.read.parquet(rewrite: _*)
+      spark.read.option("mergeSchema", "true").parquet(rewrite: _*)
         .join(broadcast(keys), Seq(key), "left_anti")
         .write.mode("overwrite").parquet(s"$tableDir/data/m$newVersion")
     changes.write.mode("overwrite").parquet(s"$tableDir/data/u$newVersion")
@@ -231,9 +246,8 @@ object SnapshotStore {
     val conf = spark.sessionState.newHadoopConf()
     val mdir = new Path(s"$tableDir/manifest")
     val fs = mdir.getFileSystem(conf)
-    if (!fs.exists(mdir)) return 0
-    val versions = fs.listStatus(mdir).toSeq
-      .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toLong)
+    val versions = versionsOf(fs, tableDir)
+    if (versions.isEmpty) return 0
     val (old, retained) = versions.partition(_ < retainFrom)
     require(retained.nonEmpty || versions.isEmpty,
       s"vacuum(retainFrom=$retainFrom) would delete EVERY version " +

@@ -72,6 +72,16 @@ class VectorKernelSpec extends SparkSpec {
     }
   }
 
+  test("GraftAffineMin skips null slots like array_min") {
+    val df = Seq(Tuple1(Seq[java.lang.Long](null, 7L, 3L)))
+      .toDF("hs")
+    val out = df.select(
+      graft.functions.GraftAffineMin(col("hs"), 3L, 1L, 1000000007L).as("k"),
+      array_min(transform(col("hs"), h => (h * 3L + 1L) % 1000000007L)).as("c"))
+      .head()
+    assert(out.getLong(0) == out.getLong(1))
+  }
+
   test("SQL registration: graft_dot / graft_l2 / graft_tokenize parse and match") {
     def reg(name: String, cls: Class[_],
         make: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
