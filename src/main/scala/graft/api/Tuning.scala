@@ -153,4 +153,31 @@ object Tuning {
     math.max(graft.queries.Analytics.BloomMinBits,
       graft.queries.Analytics.BloomBitsPerKey * keys)
   }
+
+  /** Compaction target for a snapshot-table version
+    * (`SnapshotStore.compact`): files of ~`targetFileBytes` (default
+    * 1 GB — parquet's sweet spot: row groups stay whole, scan tasks
+    * amortize open cost, and the file count at 100 TB is ~10^5, well
+    * inside listing/manifest comfort). Run it when the live file count
+    * exceeds ~4× this target (the q_compaction_plan signal) — streaming
+    * appends land one small file set per batch, and scan task count
+    * tracks file count until compaction folds them. */
+  def compactTargetFiles(tableBytes: Long,
+      targetFileBytes: Long = 1L << 30): Int = {
+    require(tableBytes > 0 && targetFileBytes > 0)
+    math.max(1L, (tableBytes + targetFileBytes - 1) / targetFileBytes)
+      .min(1L << 24).toInt
+  }
+
+  /** Snapshot-table retention depth: how many trailing versions VACUUM
+    * keeps. One version per streaming batch accumulates a manifest per
+    * trigger — at a 1-minute trigger, ~1440/day — and each retained
+    * version pins its exclusive files on disk; `days × versionsPerDay`
+    * is the time-travel window a deployment actually promises. The
+    * floor of 2 mirrors IndexMaintenance.prune's replay argument: never
+    * vacuum up to the in-flight edge. */
+  def snapshotRetainVersions(days: Int, versionsPerDay: Long = 1440L): Long = {
+    require(days >= 0 && versionsPerDay > 0)
+    math.max(2L, days * versionsPerDay)
+  }
 }

@@ -101,4 +101,14 @@ class TuningSpec extends SparkSpec {
       assert(n <= 2 * ((bytes >> 30) + 1), s"$n buckets over-provision $bytes")
     }
   }
+
+  test("snapshot-table dials: compaction target and retention depth") {
+    assert(Tuning.compactTargetFiles(1L << 30) == 1)
+    assert(Tuning.compactTargetFiles((1L << 30) + 1) == 2, "rounds up")
+    assert(Tuning.compactTargetFiles(100L << 40) == 102400,
+      "100 TB at 1 GB/file")
+    assert(Tuning.snapshotRetainVersions(7) == 7L * 1440L)
+    assert(Tuning.snapshotRetainVersions(0) == 2L,
+      "never vacuum up to the in-flight edge")
+  }
 }
