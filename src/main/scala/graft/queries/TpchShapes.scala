@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{GQuery, Tables}
+import graft.core.Caches.TrackedOps
 import Qdsl._
 
 /** The remaining classic TPC-H join/subquery patterns, adapted to the
@@ -13,10 +14,13 @@ import Qdsl._
   * `ps_supplycost`). Together with `Relational` (Q1-Q7, Q13, Q18, Q22
   * shapes) this closes out the TPC-H pattern zoo: conditional-share
   * aggregation (Q8/Q14), multi-dim profit rollup (Q9), returned-item
-  * top-k (Q10), lateness banding (Q12), max-equality selection (Q15),
+  * top-k (Q10), global-share HAVING via a scalar subquery (Q11),
+  * lateness banding (Q12), max-equality selection (Q15),
   * distinct-count with NOT-IN exclusion (Q16), correlated per-group
-  * threshold (Q17), disjunctive join residuals (Q19), and the
-  * EXISTS/NOT-EXISTS self-join (Q21).
+  * threshold (Q17), disjunctive join residuals (Q19), the nested
+  * semi-join with correlated threshold (Q20), and the
+  * EXISTS/NOT-EXISTS self-join (Q21) — all 22 classic patterns now
+  * have a numbered analog.
   *
   * Reference anchor: the reference engine's relational surface is the
   * MapReduce job zoo (SURVEY.md §2.2-2.3); these shapes are the Spark-side
@@ -417,8 +421,88 @@ object TpchShapes {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
 
+  /** TPC-H Q11 shape — important parts by global value share: parts
+    * whose lineitem revenue exceeds 1.2× the mean part value, i.e.
+    * `value > (6/5) · total / n_parts`, the classic
+    * HAVING-against-a-scalar-subquery pattern (no partsupp table here,
+    * so revenue stands in for stock value). Both the total and the part
+    * count derive from a 1-ROW broadcast aggregate of the SAME part-value
+    * frame — never a second scan, never a driver-side count — and the
+    * threshold compares as exact integers (`val·np·5 > tot·6`), so no
+    * double ever enters the filter. Scale shape: one fact-table hash agg
+    * (shuffled bytes ∝ parts), a 1-row broadcast, a scan-local filter. */
+  def importantParts(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("val_d"))
+      .trackedPersist()
+    val t = v.agg(sum(col("val_d")).as("tot"), count(lit(1)).as("np"))
+    v.crossJoin(broadcast(t))
+      .filter(col("val_d") * col("np") * 5 > col("tot") * 6)
+      .select(col("partkey"), col("val_d").cast("double").as("value"))
+  }
+
+  private val importantPartsSql =
+    """WITH v AS (
+      |  SELECT l_partkey AS partkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT SUM(val) AS tot, COUNT(*) AS np FROM v)
+      |SELECT partkey, CAST(CAST(val AS VARCHAR) AS DOUBLE) AS value
+      |FROM v, t WHERE val * np * 5 > tot * 6""".stripMargin
+
+  /** TPC-H Q20 shape — excess shippers: suppliers who shipped more than
+    * 3× the per-part mean pair quantity of any 'red' part — the
+    * nested-semi-join pattern (supplier IN (pairs over part IN (name
+    * LIKE ...))) with a correlated per-part threshold, partsupp's
+    * availqty-vs-half-demand test re-expressed on shipment pairs. The
+    * filtered part list broadcasts (one color — small by construction);
+    * the threshold compares decimal-exact (`q·cnt > 3·sum`); per-pair
+    * and per-part aggregates reuse ONE cached pair frame. Scale shape:
+    * one fact agg on (supplier, part), a parts-sized agg, one join
+    * between them — supplier names join at the END, on the
+    * already-thresholded (tiny) survivor set. */
+  def excessShippers(s: SparkSession, dir: String): DataFrame = {
+    val pp = Tables.part(s, dir).filter(col("p_name").startsWith("red "))
+      .select("p_partkey")
+    val pairs = Tables.lineitem(s, dir)
+      .select("l_suppkey", "l_partkey", "l_quantity")
+      .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("q_d"))
+      .trackedPersist()
+    val m = pairs.groupBy(col("l_partkey").as("mp"))
+      .agg(sum(col("q_d")).as("sq"), count(lit(1)).as("cnt"))
+    val excess = pairs.join(m, col("l_partkey") === col("mp"))
+      .filter(col("q_d") * col("cnt") > col("sq") * 3)
+    val perSupp = excess.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_excess_parts"),
+        sum(col("q_d")).cast("double").as("excess_qty"))
+    perSupp.join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("n_excess_parts"), col("excess_qty"))
+  }
+
+  private val excessShippersSql =
+    """WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'),
+      |pairs AS MATERIALIZED (
+      |  SELECT l_suppkey, l_partkey,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+      |  FROM lineitem JOIN pp ON l_partkey = p_partkey GROUP BY 1, 2),
+      |m AS (SELECT l_partkey AS mp, SUM(q) AS sq, COUNT(*) AS cnt
+      |      FROM pairs GROUP BY 1),
+      |e AS (SELECT l_suppkey, q FROM pairs JOIN m ON l_partkey = mp
+      |      WHERE q * cnt > 3 * sq)
+      |SELECT s_suppkey, s_name, COUNT(*) AS n_excess_parts,
+      |  CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) AS excess_qty
+      |FROM e JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_suppkey, s_name""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
     GQuery("q8_market_share", marketShare, Some(marketShareSql)),
+    GQuery("q11_important_parts", importantParts, Some(importantPartsSql)),
+    GQuery("q20_excess_shippers", excessShippers, Some(excessShippersSql)),
     GQuery("q9_profit_nation", profitByNation, Some(profitByNationSql)),
     GQuery("q10_returned_items", returnedItems, Some(returnedItemsSql), headline = true),
     GQuery("q12_lateness_bands", latenessBands, Some(latenessBandsSql)),
