@@ -40,6 +40,26 @@ class TokenizerFidelitySpec extends SparkSpec {
     out.toSeq
   }
 
+  test("pathological edges: kernel == composition == reference, exactly") {
+    import spark.implicits._
+    val cases = Seq(
+      "", " ", "   ", "\\", "\\\\", "\\n", "n\\", "\\n\\n", "\\\\n",
+      "a\\nb", "a\\\\nb", "\\na", "a\\n", "x", ".", "\".,/()?;",
+      "a" * 10000,                       // one long token, no boundaries
+      ("ab " * 5000).trim,               // many small tokens
+      "\\n" * 100,                       // stop-char run
+      "é\\nß", "中文.日本語", "🙂 🙂", "tail\\")
+    val got = cases.toDF("text")
+      .select(Qdsl.words(col("text")).as("w"),
+        Qdsl.wordsComposition(col("text")).as("wc"))
+      .collect().map(r => (r.getSeq[String](0), r.getSeq[String](1)))
+    cases.zip(got).foreach { case (s, (k, c)) =>
+      val want = referenceTokenize(s)
+      assert(k == want, s"kernel mismatch on ${s.take(40)}: $k vs $want")
+      assert(c == want, s"composition mismatch on ${s.take(40)}: $c vs $want")
+    }
+  }
+
   test("fuzz: Qdsl.words matches the reference tokenizer on random text") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
