@@ -138,6 +138,27 @@ class StreamingSnapshotSpec extends SparkSpec {
       s"schema-evolved read wrong: $rows")
   }
 
+  test("deleteWhere rewrites ONLY the files that contain matches (multi-file commit)") {
+    val dir = java.nio.file.Files.createTempDirectory("snapmulti").toString
+    // one commit, 4 files, ids partitioned so matches live in ONE file
+    val df = spark.range(0, 400)
+      .selectExpr("id", "CAST(id % 4 AS INT) AS bucket")
+      .repartitionByRange(4, col("bucket"))
+    SnapshotStore.appendWriter(dir)(df, 0L)
+    val files0 = SnapshotStore.manifest(spark, dir).get.as[String].collect().toSet
+    assert(files0.size >= 4, s"expected >=4 files, got ${files0.size}")
+    val rewritten = SnapshotStore.deleteWhere(spark, dir,
+      col("bucket") === 2, newVersion = 10L)
+    assert(rewritten < files0.size, // matching file(s) only, never the table
+      s"delete rewrote $rewritten of ${files0.size} files")
+    val files1 = SnapshotStore.manifest(spark, dir).get.as[String].collect().toSet
+    assert((files0 & files1).size == files0.size - rewritten,
+      "untouched files did not keep their paths")
+    assert(SnapshotStore.read(spark, dir).get
+      .filter(col("bucket") === 2).count() === 0L)
+    assert(SnapshotStore.read(spark, dir).get.count() === 300L)
+  }
+
   test("deleteWhere keeps NULL-evaluating rows (SQL DELETE semantics)") {
     val dir = java.nio.file.Files.createTempDirectory("snapnull").toString
     val rows = Seq((1L, Some(10.0)), (2L, None), (3L, Some(3.0)))
