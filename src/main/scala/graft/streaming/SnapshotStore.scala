@@ -140,6 +140,37 @@ object SnapshotStore {
     }
   }
 
+  /** DESCRIBE HISTORY: one row per committed version — (version,
+    * n_files, n_bytes) — from the manifests plus ONE recursive listing
+    * of the data tree (sizes keyed by normalized path; a manifest entry
+    * whose file was vacuumed away counts 0 bytes). Metadata-sized work
+    * at any table size: manifests are file lists and the data tree holds
+    * one entry per live file. */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(tableDir).getFileSystem(conf)
+    val sizes: Map[String, Long] = {
+      val root = new Path(s"$tableDir/data")
+      if (!fs.exists(root)) Map.empty
+      else {
+        val it = fs.listFiles(root, true)
+        val b = Map.newBuilder[String, Long]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile) b += fileKey(st.getPath.toString) -> st.getLen
+        }
+        b.result()
+      }
+    }
+    versionsOf(fs, tableDir).map { v =>
+      val paths = spark.read.parquet(s"$tableDir/manifest/v$v")
+        .as[String].collect()
+      (v, paths.length.toLong,
+        paths.map(p => sizes.getOrElse(fileKey(p), 0L)).sum)
+    }.toDF("version", "n_files", "n_bytes")
+  }
+
   /** Scheme-safe identity for a file path: `input_file_name()` and the
     * manifest can render the same file as `file:/p` vs `file:///p`. */
   private def fileKey(s: String): String = {

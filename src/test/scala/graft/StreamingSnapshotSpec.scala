@@ -123,6 +123,17 @@ class StreamingSnapshotSpec extends SparkSpec {
       "vacuum damaged the newest version")
     assert(SnapshotStore.manifest(spark, dir, version = Some(1L)).isEmpty,
       "vacuum left an expired manifest")
+
+    // DESCRIBE HISTORY: surviving versions only, file counts match the
+    // manifests, bytes positive for live files
+    val hist = SnapshotStore.history(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hist.map(_._1).toSet === Set(1002L, 1003L),
+      s"history versions wrong: ${hist.toSeq}")
+    val h1003 = hist.find(_._1 == 1003L).get
+    val mFiles = SnapshotStore.manifest(spark, dir).get.count()
+    assert(h1003._2 === mFiles && h1003._3 > 0L,
+      s"history row for the merge commit wrong: $h1003 (manifest $mFiles)")
   }
 
   test("a mid-stream added column surfaces on read (mergeSchema), null for old rows") {
