@@ -104,7 +104,7 @@ object Bench {
         Map.empty[String, Double]
     } finally graft.core.Caches.release()
     val recallJson = recallMap.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + BenchGate.jsonNum(v) }
+      .map { case (k, v) => "\"" + k + "\":" + BenchGate.jsonNum(v, 6) }
       .mkString("{", ",", "}")
     // rank-quality telemetry, untimed: mean NDCG@3 ppm per index variant
     // — integer-exact and deterministic, so the gate band is exact; holds
@@ -119,7 +119,7 @@ object Bench {
         Map.empty[String, Double]
     } finally graft.core.Caches.release()
     val ndcgJson = ndcgMap.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + BenchGate.jsonNum(v) }
+      .map { case (k, v) => "\"" + k + "\":" + BenchGate.jsonNum(v, 2) }
       .mkString("{", ",", "}")
     // estimator-calibration telemetry, untimed: per signature-agreement
     // level, the exact shingle-Jaccard mean the MinHash estimate m/8
@@ -137,7 +137,7 @@ object Bench {
         Map.empty[Long, Double]
     } finally graft.core.Caches.release()
     val calibJson = calibMap.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + BenchGate.jsonNum(v) }
+      .map { case (k, v) => "\"" + k + "\":" + BenchGate.jsonNum(v, 6) }
       .mkString("{", ",", "}")
     // bits-axis telemetry, untimed: per LSH bit width, bucket count /
     // mean / max occupancy — the dial SURVEY §10 scales from 6 bits at
@@ -148,7 +148,7 @@ object Bench {
       val rows = graft.queries.Similarity.lshOccupancy(spark, sfDir)
         .collect().sortBy(_.getLong(0))
       rows.map(r => "\"" + r.getLong(0) + "\":{\"n_buckets\":" + r.getLong(1) +
-          ",\"mean\":" + BenchGate.jsonNum(r.getDouble(3)) +
+          ",\"mean\":" + BenchGate.jsonNum(r.getDouble(3), 4) +
           ",\"max\":" + r.getLong(4) + "}")
         .mkString("{", ",", "}")
     } catch {
@@ -171,7 +171,7 @@ object Bench {
         Map.empty[Long, Double]
     } finally graft.core.Caches.release()
     val ivfCostJson = ivfCostMap.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + BenchGate.jsonNum(v) }
+      .map { case (k, v) => "\"" + k + "\":" + BenchGate.jsonNum(v, 2) }
       .mkString("{", ",", "}")
     // the round-over-round telemetry gate: recall/calibration are corpus
     // statistics, so the r07 baseline only applies on the driver's bench
@@ -182,7 +182,11 @@ object Bench {
       if (gateApplies) BenchGate.check(recallMap, calibMap, ivfCostMap, ndcgMap) else Nil
     val gateJson = s"""{"checked":$gateApplies,"violations":${
       violations.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
-    val qs = results.collect { case (k, Some(v), _) => "\"" + k + "\":" + v }
+    // 4-decimal (0.1 ms) timing precision: full double reprs bloated
+    // r10's single JSON line past the driver's stdout capture buffer,
+    // truncating the artifact mid-queries
+    val qs = results.collect { case (k, Some(v), _) =>
+        "\"" + k + "\":" + BenchGate.jsonNum(math.rint(v * 1e4) / 1e4) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None, _) => k }
     val total = results.flatMap(_._2).sum
@@ -190,9 +194,25 @@ object Bench {
     // only the write-then-read queries have a nonzero write leg; emitting
     // just those keeps the field an explicit marker of the asymmetry
     val constructionJson = results
-      .collect { case (k, _, c) if c > 0.0 => "\"" + k + "\":" + c }
+      .collect { case (k, _, c) if c > 0.0 =>
+        "\"" + k + "\":" + BenchGate.jsonNum(math.rint(c * 1e4) / 1e4) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"failed":$failedJson,"construction":$constructionJson,"recall":$recallJson,"minhash_calibration":$calibJson,"lsh_occupancy":$occJson,"ivf_cost":$ivfCostJson,"ndcg":$ndcgJson,"gate":$gateJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${
+      BenchGate.jsonNum(math.rint(total * 1e4) / 1e4)
+    },"unit":"sec","passes":$passes,"queries":$qs,"failed":$failedJson,"construction":$constructionJson,"recall":$recallJson,"minhash_calibration":$calibJson,"lsh_occupancy":$occJson,"ivf_cost":$ivfCostJson,"ndcg":$ndcgJson,"gate":$gateJson,"sf":"$sfDir"}"""
+    // durable artifact FIRST: r10's stdout line was truncated by the
+    // driver's capture buffer, losing the round's headline total — the
+    // file survives verbatim whatever happens to stdout
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] json written to $outPath")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(json)
     spark.stop()
     if (violations.nonEmpty) {
       violations.foreach(v => System.err.println(s"[bench] GATE VIOLATION: $v"))

@@ -102,6 +102,11 @@ object Tables {
       val target: Option[org.apache.hadoop.fs.Path] = direct.orElse(
         graft.sources.HadoopIO.listFiles(p, conf)
           .filter(_.getPath.getName.endsWith(".parquet"))
+          // FileSystem listing order is unspecified — sort so the probed
+          // part is deterministic (any part would do, each path is
+          // written homogeneously, but determinism keeps cache behavior
+          // reproducible across runs)
+          .sortBy(_.getPath.getName)
           .headOption.map(_.getPath))
       target match {
         case None => TsNativeTimestamp(utcAdjusted = false)

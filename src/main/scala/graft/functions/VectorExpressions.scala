@@ -22,8 +22,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * diverge from the DuckDB oracle's exact 128-bit view).
   *
   * Both require equal-length non-null-element arrays — the canonical
-  * (vid, v, n2) vector frames guarantee it; unequal lengths fail loudly
-  * instead of zip_with's silent null. */
+  * (vid, v, n2) vector frames guarantee it; unequal lengths AND null
+  * slots fail loudly (named index in the message) instead of zip_with's
+  * silent null or a garbage unsafe-word read. */
 object GraftVec {
   def dot(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
@@ -32,6 +33,18 @@ object GraftVec {
     var s = 0L
     var i = 0
     while (i < n) {
+      // null slots fail LOUDLY: checkInputDataTypes accepts
+      // array<bigint> with nullable elements (parquet reads report
+      // containsNull=true even for clean data), but a raw getLong on a
+      // null slot reads garbage from UnsafeArrayData — a dirty vector
+      // would yield a silently wrong norm/cosine. The composition this
+      // kernel replaced returned NULL there; an explicit error names
+      // the dirty row's slot instead of letting it rank.
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_dot: null element at index $i — clean the vector " +
+            "column (the aggregate(zip_with) composition would return " +
+            "NULL here; this kernel refuses to score dirty vectors)")
       s = Math.addExact(s, Math.multiplyExact(a.getLong(i), b.getLong(i)))
       i += 1
     }
@@ -65,6 +78,12 @@ object GraftVec {
     var s = 0L
     var i = 0
     while (i < n) {
+      // see dot: refuse null slots loudly rather than reading garbage
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_l2: null element at index $i — clean the vector " +
+            "column (the aggregate(zip_with) composition would return " +
+            "NULL here; this kernel refuses to score dirty vectors)")
       val d = Math.subtractExact(a.getLong(i), b.getLong(i))
       s = Math.addExact(s, Math.multiplyExact(d, d))
       i += 1

@@ -72,6 +72,28 @@ class VectorKernelSpec extends SparkSpec {
     }
   }
 
+  test("GraftDot / GraftL2 refuse null slots loudly (never read garbage)") {
+    // checkInputDataTypes accepts array<bigint> with nullable elements
+    // (parquet reads report containsNull=true for clean data too), so a
+    // dirty vector reaches the kernel at runtime: the composition would
+    // return NULL, a raw getLong would read an arbitrary unsafe word —
+    // the kernel must fail with the slot named instead of mis-ranking
+    val dirty = Seq((Seq[java.lang.Long](1L, null, 3L),
+      Seq[java.lang.Long](4L, 5L, 6L))).toDF("a", "b")
+    val eDot = intercept[Exception] {
+      dirty.select(GraftDot(col("a"), col("b"))).head()
+    }
+    assert(eDot.getMessage.contains("null element") ||
+      eDot.getCause != null && eDot.getCause.getMessage.contains("null element"),
+      s"dot error did not name the null slot: ${eDot.getMessage}")
+    val eL2 = intercept[Exception] {
+      dirty.select(GraftL2(col("a"), col("b"))).head()
+    }
+    assert(eL2.getMessage.contains("null element") ||
+      eL2.getCause != null && eL2.getCause.getMessage.contains("null element"),
+      s"l2 error did not name the null slot: ${eL2.getMessage}")
+  }
+
   test("GraftAffineMin skips null slots like array_min") {
     val df = Seq(Tuple1(Seq[java.lang.Long](null, 7L, 3L)))
       .toDF("hs")
