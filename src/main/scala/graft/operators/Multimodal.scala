@@ -153,7 +153,9 @@ object Multimodal {
     fromDocuments(spark, dir).toDF()
       .select(col("media_id"), col("kind"), col("content"))
       .withColumn("frame_idx",
-        explode(expr("sequence(0, (length(content) - 1) DIV 64)")))
+        explode(graft.queries.Qdsl.oracleCapped(
+          expr("sequence(0, (length(content) - 1) DIV 64)"),
+          512, "frame-sample frames")))
       .select(col("media_id"), col("kind"), col("frame_idx"),
         expr("substring(content, frame_idx * 64 + 1, 64)").cast("string").as("frame"))
       .groupBy(col("kind"))

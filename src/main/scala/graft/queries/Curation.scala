@@ -57,10 +57,11 @@ object Curation {
     val chunks = tok.filter(size(col("ws")) >= 1)
       .select(
         (Seq(col("doc_id")) ++ ex :+
-          posexplode(transform(
+          posexplode(oracleCapped(transform(
             sequence(lit(0), expr(s"(size(ws) - 1) DIV $chunkTokens")),
             i => array_join(slice(col("ws"), i * chunkTokens + 1,
-              lit(chunkTokens)), " ")))): _*)
+              lit(chunkTokens)), " ")),
+            1024, "dedup-rewrite chunks"))): _*)
       .withColumnRenamed("col", "chunk")
       .trackedPersist()
     // keep-first by LEXICOGRAPHIC (doc_id, pos) struct min — exact at any

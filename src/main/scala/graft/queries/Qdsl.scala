@@ -113,12 +113,30 @@ object Qdsl {
     aggregate(transform(tokens, t => hash60(t) % 2001L - 1000L),
       lit(0L), (a, x) => a + x)
 
+  /** Loud-failure guard for the DuckDB oracle's static `range(N)`
+    * fan-out caps (SURVEY §9): DuckDB's range() cannot take subqueries,
+    * so each oracle enumerates at most N items per row while the Spark
+    * side enumerates unbounded — a corpus grown past a cap would
+    * SILENTLY hash-diverge the gate. Wrapping the enumerated array makes
+    * a breach a NAMED in-plan error on exactly the offending row, with
+    * the fix spelled out. Pure scalar projection: no new exchange, the
+    * golden plan censuses are unchanged. */
+  def oracleCapped(arr: Column, cap: Int, site: String): Column =
+    when(size(arr) <= lit(cap), arr).otherwise(raise_error(format_string(
+      s"oracle fan-out cap breached [$site]: %d enumerated items > $cap " +
+        "— grow the DuckDB range(N) cap and this guard together (SURVEY §9)",
+      size(arr))))
+
   /** All space-joined 8-grams of a token-array column (caller filters
     * size ≥ 8). ONE definition shared by decontamination and the curate
     * funnel — the gram construction is load-bearing for oracle parity
     * (DuckDB mirror: `array_to_string(ws[j : j+7], ' ')` over
-    * `range(4096)`; see SURVEY's fan-out-cap note), so it must not fork. */
+    * `range(4096)`; see SURVEY's fan-out-cap note), so it must not fork.
+    * Cap-guarded: the oracle's range(4096) yields starts 1..4095, so a
+    * document with more than 4095 grams fails loudly here. */
   def grams8(tokenCol: String): Column =
-    expr(s"transform(sequence(1, size($tokenCol) - 7), " +
-      s"i -> concat_ws(' ', slice($tokenCol, i, 8)))")
+    oracleCapped(
+      expr(s"transform(sequence(1, size($tokenCol) - 7), " +
+        s"i -> concat_ws(' ', slice($tokenCol, i, 8)))"),
+      4095, s"8-grams($tokenCol)")
 }

@@ -1517,8 +1517,10 @@ object TextPipeline {
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"),
         // (size-1) DIV 10, integral — Column `/` would be double division
-        posexplode(transform(sequence(lit(0), expr("(size(ws) - 1) DIV 10")),
-          i => array_join(slice(col("ws"), i * 10 + 1, lit(10)), " "))))
+        posexplode(oracleCapped(
+          transform(sequence(lit(0), expr("(size(ws) - 1) DIV 10")),
+            i => array_join(slice(col("ws"), i * 10 + 1, lit(10)), " ")),
+          1024, "chunk-dedup chunks")))
       .select(col("doc_id"), col("pos"), col("col").as("chunk"))
       .groupBy(col("chunk"))
       .agg(count(lit(1)).as("cnt"),
@@ -1613,7 +1615,8 @@ object TextPipeline {
     // windows instead of contributing none
     d.filter(col("n") >= SpanL)
       .select(col("doc_id") +: cs ++: Seq(col("w"),
-        explode(expr(s"sequence(1, size(w) - ${SpanL - 1})")).as("i")): _*)
+        explode(oracleCapped(expr(s"sequence(1, size(w) - ${SpanL - 1})"),
+          4095, "substring-dedup windows")).as("i")): _*)
       .select(col("doc_id") +: cs ++: Seq(col("i"),
         hash60(concat_ws(" ", expr(s"slice(w, i, $SpanL)"))).as("wkey")): _*)
   }
@@ -1959,7 +1962,8 @@ object TextPipeline {
       .select(col("doc_id"), ws.as("w"))
       .filter(size(col("w")) >= SpanL)
       .select(col("doc_id"),
-        explode(expr(s"sequence(1, size(w) - ${SpanL - 1})")).as("i"),
+        explode(oracleCapped(expr(s"sequence(1, size(w) - ${SpanL - 1})"),
+          4095, "boilerplate windows")).as("i"),
         col("w"))
       .select(col("doc_id"), col("i"),
         hash60(concat_ws(" ", expr(s"slice(w, i, $SpanL)"))).as("wkey"))
@@ -2105,7 +2109,8 @@ object TextPipeline {
       .select(col("lang"), col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 1)
       .select(col("lang"), col("doc_id"), col("w"),
-        explode(sequence(lit(1), size(col("w")), lit(24))).as("s"))
+        explode(oracleCapped(sequence(lit(1), size(col("w")), lit(24)),
+          4096, "chunk-overlap starts")).as("s"))
       .select(col("lang"), col("doc_id"),
         concat_ws(" ", slice(col("w"), col("s"), lit(32))).as("chunk"),
         // token count derived from the window bounds — re-splitting the

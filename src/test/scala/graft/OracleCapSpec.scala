@@ -32,6 +32,43 @@ class OracleCapSpec extends SparkSpec {
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
       .filter(d => new java.io.File(s"$d/documents.parquet").exists())
 
+  import spark.implicits._
+
+  private def chain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+
+  private def longDoc(words: Int): String =
+    (1 to words).map(i => s"w$i").mkString(" ")
+
+  test("a planted over-cap document trips the IN-PLAN guard with a named error") {
+    // the guards live in the query plans themselves (Qdsl.oracleCapped),
+    // so a long document fails at RUN time with the cap site named —
+    // even if this spec's testdata census were skipped
+    // 8-grams: grams = size-7 must stay ≤ 4095 → 4103+ tokens breach
+    val over8 = Seq(Tuple1(longDoc(4110))).toDF("text")
+      .select(split(col("text"), " ").as("ws"))
+    val e8 = intercept[Exception] {
+      over8.select(explode(Qdsl.grams8("ws"))).count()
+    }
+    assert(chain(e8).contains("oracle fan-out cap breached") &&
+      chain(e8).contains("8-grams"), s"8-gram guard message: ${chain(e8)}")
+    // 10-token chunks: chunks = (size-1)/10+1 must stay ≤ 1024
+    val overChunk = Seq((1L, "en", longDoc(10251))).toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+    val eC = intercept[Exception] {
+      graft.queries.Curation.rebuildDocs(overChunk, Seq("lang")).count()
+    }
+    assert(chain(eC).contains("oracle fan-out cap breached") &&
+      chain(eC).contains("dedup-rewrite chunks"),
+      s"chunk guard message: ${chain(eC)}")
+    graft.core.Caches.release()
+    // just-under-cap passes through with exact fan-out
+    val under = Seq(Tuple1(longDoc(4102))).toDF("text")
+      .select(split(col("text"), " ").as("ws"))
+    assert(under.select(explode(Qdsl.grams8("ws"))).count() === 4095L)
+  }
+
   test("every oracle range(N) cap covers the real document fan-out") {
     assert(slices.nonEmpty, "no local testdata slices found")
     for (dir <- slices) {
