@@ -674,6 +674,60 @@ object Analytics {
         col("min_doc"), col("max_doc"))
   }
 
+  /** [[mergeUpsert]] at the BUCKETED base layout — the 100 TB MERGE
+    * story as an oracle row. The base table is written `bucketBy(8,
+    * doc_id)` once (inside the deferred stage, so Bench bills the
+    * layout as `construction`), and the CDC apply's full-outer join
+    * then exchanges ONLY the delta side: the base's join shuffle is
+    * deleted by the layout, which is the entire economics of MERGE at
+    * scale (the delta is GBs, the base is the 100 TB). Output and
+    * oracle are deliberately IDENTICAL to q_merge_upsert — value
+    * identity is the correctness pin; the single-Exchange plan shape is
+    * BucketedJoinSpec's. */
+  def mergeUpsertBucketed(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.core.Scratch.dir("bktdocs", dir)
+    graft.plans.DeferredIngest(s,
+      "doc_id BIGINT, mlang STRING, mchars BIGINT") {
+      mergeUpsertBucketedFrames(s, dir, path, numBuckets = 8)
+    }
+      .groupBy(col("mlang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("mchars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .select(col("mlang").as("lang"), col("n_docs"), col("sum_chars"),
+        col("min_doc"), col("max_doc"))
+  }
+
+  /** The bucketize + merge-join leg, factored out so BucketedJoinSpec
+    * can census the plan directly: exactly one Exchange (the delta
+    * side), the bucketed base scan reaching the SortMergeJoin
+    * unexchanged. Same change-batch derivation as [[mergeUpsert]]. */
+  private[graft] def mergeUpsertBucketedFrames(s: SparkSession, dir: String,
+      path: String, numBuckets: Int): DataFrame = {
+    val tag = Integer.toHexString(dir.hashCode)
+    val base = graft.api.Layout.bucketize(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      "doc_id", numBuckets, path, s"graft_bkt_documents_$tag")
+    val del = base.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), lit("D").as("op"),
+        lit(null).cast("long").as("new_chars"),
+        lit(null).cast("string").as("new_lang"))
+    val upd = base.filter(col("doc_id") % 13 =!= 0 && col("doc_id") % 7 === 0)
+      .select(col("doc_id"), lit("U").as("op"),
+        (col("n_chars") + 1000).as("new_chars"), col("lang").as("new_lang"))
+    val ins = base.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1099511627776L).as("doc_id"), lit("I").as("op"),
+        (col("n_chars") + 7).as("new_chars"), col("lang").as("new_lang"))
+    // merge hint: pin SortMergeJoin so the layout, not a small-side
+    // broadcast, is what deletes the base exchange at every scale
+    base.hint("merge")
+      .join(del.union(upd).union(ins), Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("op"), lit("keep")) =!= "D")
+      .select(col("doc_id"),
+        coalesce(col("new_lang"), col("lang")).as("mlang"),
+        coalesce(col("new_chars"), col("n_chars")).as("mchars"))
+  }
+
   private val mergeUpsertSql =
     """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
       |del AS (SELECT doc_id, 'D' AS op, CAST(NULL AS BIGINT) AS new_chars,
@@ -831,5 +885,7 @@ object Analytics {
     GQuery("q_winsorize_guarded", winsorizeGuarded, Some(winsorizeSql)),
     GQuery("q_trend_fit", trendFit, Some(trendFitSql)),
     GQuery("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql),
-      headline = true))
+      headline = true),
+    GQuery("q_merge_upsert_bucketed", mergeUpsertBucketed,
+      Some(mergeUpsertSql), headline = true))
 }

@@ -95,6 +95,36 @@ class BucketedJoinSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"), p)
   }
 
+  test("q_merge_upsert_bucketed's merge leg: one delta-side Exchange, unexchanged base") {
+    // the REGISTERED query's own join leg (not a spec re-derivation):
+    // the full CDC change batch (delete/update/insert union) may
+    // shuffle once; the bucketed base must reach the full-outer
+    // SortMergeJoin straight from its layout
+    val merged = graft.queries.Analytics.mergeUpsertBucketedFrames(
+      spark, sfDir, graft.core.Scratch.dir("bktdocs_spec", sfDir),
+      numBuckets = 4)
+    val p = merged.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"expected full-outer SMJ:\n$p")
+    val exchanges =
+      p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"exactly the delta side may shuffle (found $exchanges):\n$p")
+    assert(p.contains("Bucketed: true"), s"base scan must be bucketed:\n$p")
+    // value identity with the plain merge: same census as mergeUpsert
+    val census = merged
+      .groupBy(col("mlang"))
+      .agg(count(lit(1)).as("n"), sum(col("mchars")).as("c"))
+      .orderBy(col("mlang")).collect().toSeq
+    val plain = graft.queries.Analytics.mergeUpsert(spark, sfDir)
+      .select(col("lang").as("mlang"), col("n_docs").as("n"),
+        col("sum_chars").as("c"))
+      .orderBy(col("mlang")).collect().toSeq
+    assert(census.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ==
+      plain.map(r => (r.getString(0), r.getLong(1), r.getLong(2))),
+      "bucketed merge census drifted from the plain merge")
+  }
+
   test("layout lands exactly one file per bucket per table") {
     val liPath = graft.core.Scratch.dir("bktli_files", sfDir)
     val ordPath = graft.core.Scratch.dir("bktord_files", sfDir)
