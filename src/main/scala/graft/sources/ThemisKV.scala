@@ -99,7 +99,172 @@ object ThemisKV {
     }
   }
 
-  private def readU32LE(in: DataInputStream): Int = {
+  // ------------------------- sync-marker framing (splittable variant)
+  //
+  // One giant variable-length KV file is an operational footgun at
+  // 100 TB: the base format frames sequentially, so parallelism is
+  // per-file. The `.kvs` variant makes a single file split
+  // record-aligned the way Hadoop SequenceFile does it (public design):
+  // a per-file 16-byte sync marker in the header, re-inserted at record
+  // boundaries every ~`syncIntervalBytes`; a reader assigned byte range
+  // [start, end) scans forward to the first full marker whose START
+  // offset is >= start and owns every record group whose marker starts
+  // before `end` — each group lands in exactly one task. A data byte
+  // string equal to the marker mid-record false-syncs with probability
+  // 2^-128 per position, the same accepted risk as SequenceFile.
+
+  private val KvsMagic = Array[Byte]('G', 'K', 'V', 'S')
+  private val KvsVersion: Byte = 1
+  private val KvsHeaderLen = 21L // magic(4) + version(1) + sync(16)
+  private val SyncLen = 16
+
+  /** Write (key, value) binary columns as sync-framed themis-kv
+    * (`.kvs`), one file per task, hidden-temp + rename commit like
+    * [[write]]. The sync marker is DERIVED (md5 of path|partition), not
+    * random, so a task retry rewrites byte-identical output. */
+  def writeSync(df: DataFrame, path: String,
+      syncIntervalBytes: Int = 2048): Unit = {
+    require(syncIntervalBytes > 0,
+      s"syncIntervalBytes must be positive: $syncIntervalBytes")
+    val conf = new HadoopIO.SerializableConf(HadoopIO.sessionConf(df.sparkSession))
+    HadoopIO.cleanOutputs(path, ".kvs", conf.value)
+    df.select(col("key"), col("value")).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = TaskContext.getPartitionId()
+        val attempt = TaskContext.get().taskAttemptId()
+        val finalName = f"part-$pid%05d.kvs"
+        val tmpName = s".$finalName.$attempt.tmp"
+        val sync = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"graft-kvs|$path|$pid".getBytes("UTF-8"))
+        val out = new BufferedOutputStream(
+          HadoopIO.create(path, tmpName, conf.value), 1 << 20)
+        try {
+          out.write(KvsMagic); out.write(KvsVersion); out.write(sync)
+          var sinceSync = 0L
+          it.foreach { r =>
+            if (sinceSync >= syncIntervalBytes) {
+              out.write(sync); sinceSync = 0L
+            }
+            val k = r.getAs[Array[Byte]](0); val v = r.getAs[Array[Byte]](1)
+            writeU32LE(out, k.length); writeU32LE(out, v.length)
+            out.write(k); out.write(v)
+            sinceSync += 8L + k.length + v.length
+          }
+        } finally out.close()
+        HadoopIO.commit(path, tmpName, finalName, conf.value)
+    }
+  }
+
+  /** Read a directory/glob of `.kvs` files with RECORD-ALIGNED SPLITS:
+    * each file is cut into `splitBytes` ranges planned driver-side from
+    * the listing alone (like graft-fixed), and each task seeks + scans
+    * to its first sync marker — so ONE large file fans out across the
+    * cluster instead of serializing on a single reader. */
+  def readSync(spark: SparkSession, path: String,
+      splitBytes: Long = 32L << 20): DataFrame = {
+    import spark.implicits._
+    require(splitBytes > 0, s"splitBytes must be positive: $splitBytes")
+    val conf = new HadoopIO.SerializableConf(HadoopIO.sessionConf(spark))
+    val splits = HadoopIO.listFiles(path, conf.value)
+      .filter(_.getPath.getName.endsWith(".kvs"))
+      .flatMap { st =>
+        val len = st.getLen
+        (0L until math.max(1L, (len + splitBytes - 1) / splitBytes)).map { i =>
+          (st.getPath.toString, i * splitBytes, math.min(len, (i + 1) * splitBytes))
+        }
+      }
+    spark.sparkContext.parallelize(splits, math.max(1, splits.size))
+      .flatMap { case (f, start, end) => readKvsSplit(f, start, end, conf.value) }
+      .toDF()
+  }
+
+  /** Records of one byte-range split of a `.kvs` file; see the framing
+    * note above for the ownership rule. */
+  private def readKvsSplit(f: String, start: Long, end: Long,
+      conf: org.apache.hadoop.conf.Configuration): Iterator[Rec] = {
+    val raw = HadoopIO.open(f, conf)
+    val header = new Array[Byte](KvsHeaderLen.toInt)
+    new DataInputStream(raw).readFully(header)
+    require(header.take(4).sameElements(KvsMagic) && header(4) == KvsVersion,
+      s"$f: not a graft-kvs file (bad magic/version)")
+    val sync = header.slice(5, 5 + SyncLen)
+    // position at the first sync whose START is >= max(start, 5): the
+    // header's own marker (offset 5) seeds group 1 for the first split;
+    // later splits seek and roll a 16-byte window forward (over a
+    // buffered stream — the scan is byte-at-a-time)
+    var pos = 0L // offset of the next unread byte
+    var syncStart = -1L
+    val base: java.io.InputStream =
+      if (start <= KvsHeaderLen - SyncLen) {
+        syncStart = 5L; pos = KvsHeaderLen
+        new BufferedInputStream(raw, 1 << 20)
+      } else {
+        raw.seek(start); pos = start
+        val buf = new BufferedInputStream(raw, 1 << 20)
+        val win = new Array[Byte](SyncLen)
+        val n = readUpTo(buf, win)
+        pos += n
+        var found = n == SyncLen && java.util.Arrays.equals(win, sync)
+        while (!found) {
+          val b = buf.read()
+          if (b < 0) { raw.close(); return Iterator.empty } // EOF: no group starts here
+          System.arraycopy(win, 1, win, 0, SyncLen - 1)
+          win(SyncLen - 1) = b.toByte
+          pos += 1
+          found = java.util.Arrays.equals(win, sync)
+        }
+        syncStart = pos - SyncLen
+        buf
+      }
+    if (syncStart >= end) { raw.close(); return Iterator.empty }
+    val in = new java.io.PushbackInputStream(base, SyncLen)
+    new Iterator[Rec] {
+      private var nextRec: Rec = advance()
+      private def advance(): Rec = {
+        // at a record boundary: the next bytes are a sync marker, a
+        // record header, or EOF — peek SyncLen bytes to decide
+        while (true) {
+          val peek = new Array[Byte](SyncLen)
+          val n = readUpTo(in, peek)
+          if (n == 0) { in.close(); return null } // clean EOF
+          if (n == SyncLen && java.util.Arrays.equals(peek, sync)) {
+            if (pos >= end) { in.close(); return null } // next split's group
+            pos += SyncLen
+          } else {
+            in.unread(peek, 0, n)
+            val kl = readU32LE(in); val vl = readU32LE(in)
+            val k = new Array[Byte](kl); readFullyStrict(in, k, f)
+            val v = new Array[Byte](vl); readFullyStrict(in, v, f)
+            pos += 8L + kl + vl
+            return Rec(k, v)
+          }
+        }
+        null // unreachable
+      }
+      override def hasNext: Boolean = nextRec != null
+      override def next(): Rec = {
+        val r = nextRec; nextRec = advance(); r
+      }
+    }
+  }
+
+  private def readUpTo(in: java.io.InputStream, buf: Array[Byte]): Int = {
+    var off = 0
+    while (off < buf.length) {
+      val r = in.read(buf, off, buf.length - off)
+      if (r < 0) return off
+      off += r
+    }
+    off
+  }
+
+  private def readFullyStrict(in: java.io.InputStream, buf: Array[Byte],
+      f: String): Unit = {
+    if (readUpTo(in, buf) != buf.length)
+      throw new EOFException(s"$f: truncated record body")
+  }
+
+  private def readU32LE(in: java.io.InputStream): Int = {
     val b0 = in.read(); val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
     if ((b0 | b1 | b2 | b3) < 0) throw new EOFException()
     b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)

@@ -58,6 +58,42 @@ class HadoopSchemeSpec extends SparkSpec {
     assert(n === 7)
   }
 
+  test("sync-framed kvs: ONE large file splits record-aligned across >1 task") {
+    val dir = Files.createTempDirectory("kvsync").toString
+    // variable-length records (0..200-byte values, zero-length edge
+    // included) in a SINGLE file, small sync interval so markers land
+    // throughout; splits cut mid-record and mid-marker by construction
+    val recs = (0 until 3000).map { i =>
+      ThemisKV.Rec(
+        if (i % 97 == 0) Array.emptyByteArray
+        else s"k$i".getBytes("UTF-8"),
+        Array.tabulate(i % 201)(j => ((i + j) % 251).toByte))
+    }
+    ThemisKV.writeSync(recs.toDF().repartition(1), dir,
+      syncIntervalBytes = 512)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".kvs"))
+    assert(files.length === 1, s"expected ONE kvs file, got ${files.length}")
+    val want = recs.map(r => (r.key.toSeq, r.value.toSeq))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // several split sizes, each forcing many tasks over the one file —
+    // every cut point must yield the identical record multiset
+    for (splitBytes <- Seq(4096L, 10000L, 64 << 10)) {
+      val df = ThemisKV.readSync(spark, dir, splitBytes = splitBytes)
+      assert(df.rdd.getNumPartitions > 1,
+        s"splitBytes=$splitBytes: expected >1 task over one file")
+      val got = df.as[ThemisKV.Rec].collect()
+        .map(r => (r.key.toSeq, r.value.toSeq))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got === want,
+        s"splitBytes=$splitBytes: split read diverged from the written records")
+    }
+    // whole-file split degenerates to the sequential read
+    val one = ThemisKV.readSync(spark, dir, splitBytes = 1L << 30)
+      .as[ThemisKV.Rec].collect()
+    assert(one.length === recs.length)
+  }
+
   test("writers commit by rename: no temp files remain, stale temps ignored") {
     val dir = Files.createTempDirectory("kvcommit")
     // a stale temp from a dead task attempt must not confuse readers
