@@ -156,6 +156,23 @@ object Bench {
         System.err.println(s"[bench] occupancy telemetry failed: ${e.getMessage}")
         "{}"
     } finally graft.core.Caches.release()
+    // tuned-dial occupancy, untimed: the lshBits(n) law itself — bits =
+    // ceil(log2(ceil(n/32))) puts raw load n/2^bits in (16, 32], so the
+    // measured mean must land in that band at ANY corpus size. Gated as
+    // a scale-invariant law, unlike the per-corpus recall baselines.
+    val occTuned: Option[(Long, Double)] = try {
+      val r = graft.queries.Similarity.lshOccupancyTuned(spark, sfDir).head()
+      Some((r.getLong(0), r.getDouble(3)))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] tuned occupancy telemetry failed: ${e.getMessage}")
+        None
+    } finally graft.core.Caches.release()
+    val occTunedJson = occTuned match {
+      case Some((bits, mean)) =>
+        s"""{"bits":$bits,"mean":${BenchGate.jsonNum(mean, 4)}}"""
+      case None => "{}"
+    }
     // nprobe-axis telemetry, untimed: the IVF cost curve — mean
     // candidates scored per query at nprobe 1/2/4. Together with
     // recall[ann_ivf_nprobe*] this is the full cost/recall trade of the
@@ -179,7 +196,9 @@ object Bench {
     val gateApplies = sfDir.contains("sf0.1") &&
       sys.env.getOrElse("SPARK_BENCH_GATE", "1") != "0"
     val violations =
-      if (gateApplies) BenchGate.check(recallMap, calibMap, ivfCostMap, ndcgMap) else Nil
+      if (gateApplies)
+        BenchGate.check(recallMap, calibMap, ivfCostMap, ndcgMap, occTuned)
+      else Nil
     val gateJson = s"""{"checked":$gateApplies,"violations":${
       violations.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     // 4-decimal (0.1 ms) timing precision: full double reprs bloated
@@ -199,7 +218,7 @@ object Bench {
       .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${
       BenchGate.jsonNum(math.rint(total * 1e4) / 1e4)
-    },"unit":"sec","passes":$passes,"queries":$qs,"failed":$failedJson,"construction":$constructionJson,"recall":$recallJson,"minhash_calibration":$calibJson,"lsh_occupancy":$occJson,"ivf_cost":$ivfCostJson,"ndcg":$ndcgJson,"gate":$gateJson,"sf":"$sfDir"}"""
+    },"unit":"sec","passes":$passes,"queries":$qs,"failed":$failedJson,"construction":$constructionJson,"recall":$recallJson,"minhash_calibration":$calibJson,"lsh_occupancy":$occJson,"lsh_occupancy_tuned":$occTunedJson,"ivf_cost":$ivfCostJson,"ndcg":$ndcgJson,"gate":$gateJson,"sf":"$sfDir"}"""
     // durable artifact FIRST: r10's stdout line was truncated by the
     // driver's capture buffer, losing the round's headline total — the
     // file survives verbatim whatever happens to stdout

@@ -43,6 +43,12 @@ object BenchGate {
     // the exact top-10 re-rank), baselined from the round-10 sf0.1 sweep
     "ann_pq_256" -> 0.2833333333333333,
     "ann_pq_256_refined" -> 0.5833333333333334,
+    // the Tuning-dial keys (round-11 sf0.1 sweep): lshBits(n)=6 with
+    // the production (tables=4, hamming=1) repair; pqCentroids(n)=188
+    // with exact top-10 refine — the executable formulas measured
+    // end-to-end, not just their static test-dial cousins
+    "ann_lsh_tuned" -> 0.7,
+    "ann_pq_tuned" -> 0.5333333333333333,
     "ann_ivfpq" -> 0.16666666666666666)
   val recallTol: Double = 0.05
 
@@ -77,10 +83,19 @@ object BenchGate {
     "ann_lsh_multi" -> 281250.85)
   val ndcgTol: Double = 0.5
 
+  /** The lshBits(n) dial law: bits = ⌈log2⌈n/32⌉⌉ puts the raw bucket
+    * load n/2^bits in (16, 32]; measured mean occupancy (n / OCCUPIED
+    * buckets) sits at or just above that, so the band is (16, 40] —
+    * scale-invariant, enforced at every corpus size rather than pinned
+    * to one corpus like the recall baselines. */
+  val occTunedLow = 16.0
+  val occTunedHigh = 40.0
+
   /** Violations of the tolerance bands; empty = gate passes. */
   def check(recall: Map[String, Double], calib: Map[Long, Double],
       ivfCost: Map[Long, Double],
-      ndcg: Map[String, Double] = Map.empty): Seq[String] = {
+      ndcg: Map[String, Double] = Map.empty,
+      occTuned: Option[(Long, Double)] = None): Seq[String] = {
     val r = recallBaseline.toSeq.sortBy(_._1).flatMap { case (k, base) =>
       recall.get(k) match {
         case None => Some(s"recall[$k] missing (baseline $base)")
@@ -113,7 +128,16 @@ object BenchGate {
         case _ => None
       }
     }
-    r ++ c ++ ic ++ nd
+    val ot = occTuned match {
+      case None => Seq("lsh_occupancy_tuned missing (the lshBits(n) law " +
+        s"must measure in ($occTunedLow, $occTunedHigh])")
+      case Some((bits, mean)) if mean.isNaN ||
+          mean <= occTunedLow || mean > occTunedHigh =>
+        Seq(f"lsh_occupancy_tuned mean=$mean%.2f at bits=$bits outside " +
+          f"($occTunedLow%.0f, $occTunedHigh%.0f] — the lshBits(n) dial law broke")
+      case _ => Nil
+    }
+    r ++ c ++ ic ++ nd ++ ot
   }
 
   /** JSON-safe number rendering: NaN/Infinity (e.g. a 0/0 recall from an

@@ -1799,10 +1799,58 @@ object Similarity {
           cells = cells, nprobe = math.min(8, cells))
           .select(col("q_id"), col("rank"), col("neighbor_id"))
       }))
+      .unionByName(one("ann_lsh_tuned", {
+        // the lshBits(n) dial end-to-end: bit width from the executable
+        // Tuning formula (target occupancy 32/bucket) with the
+        // production (tables=4, hamming=1) recall repair — the LSH twin
+        // of ann_ivf_sqrtn, so BOTH dial formulas are gated numbers,
+        // not prose (the 10x replica shifts the width, the recall band
+        // must hold)
+        val base = vecs(s, dir)
+          .select(col("vec_id").as("vid"), col("v"), col("n2"))
+        val bits = graft.api.Tuning.lshBits(base.count())
+        lshSearch(base, base.filter(col("vid") < 20), k = 3, bits = bits,
+          tables = 4, hamming = 1, cap = Long.MaxValue)
+          .select(col("q_id"), col("rank"), col("neighbor_id"))
+      }))
+      .unionByName(one("ann_pq_tuned", {
+        // the pqCentroids(n) dial: min(256, ceil(n/8)) centroids per
+        // subspace + exact top-10 refine — the floor keeps codebooks
+        // trainable at test corpora; at production sizes this IS the
+        // 256-centroid byte-code dial
+        val base = vecs(s, dir)
+          .select(col("vec_id").as("vid"), col("v"), col("n2"))
+        val cents = graft.api.Tuning.pqCentroids(base.count())
+        pqSearchProduction(base, base.filter(col("vid") < 20), k = 3,
+          centroids = cents, rounds = 3, rerank = 10)
+          .select(col("q_id"), col("rank"), col("neighbor_id"))
+      }))
       .unionByName(one("ann_ivf", annIvf(s, dir)))
       .unionByName(one("ann_ivf_nprobe1", annIvfProbes(s, dir, 1)))
       .unionByName(one("ann_ivf_nprobe4", annIvfProbes(s, dir, 4)))
       .unionByName(one("ann_ivf_trained", annIvfTrained(s, dir)))
+  }
+
+  /** Occupancy census at the TUNED bit width (`Tuning.lshBits(n)`),
+    * Bench-only telemetry (the oracle-checked q_lsh_occupancy pins the
+    * two static widths). The dial law is scale-INVARIANT: bits =
+    * ⌈log2⌈n/32⌉⌉ puts raw load n/2^bits in (16, 32], so the measured
+    * mean occupancy must land in that band (small headroom for empty
+    * buckets) at ANY corpus size — BenchGate enforces the law itself,
+    * not a per-corpus constant. */
+  def lshOccupancyTuned(s: SparkSession, dir: String): DataFrame = {
+    val all = Caches.tracked(vecs(s, dir))
+    val bits = graft.api.Tuning.lshBits(all.count())
+    lshBucketed(all, bits)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("n_vectors"),
+        max(col("n")).as("max_occupancy"))
+      .select(lit(bits.toLong).as("bits"), col("n_buckets"),
+        col("n_vectors"),
+        (col("n_vectors").cast("double") / col("n_buckets").cast("double"))
+          .as("mean_occupancy"),
+        col("max_occupancy"))
   }
 
   // ---------------------------------------------- semantic dedup (SemDeDup)
