@@ -195,9 +195,13 @@ object Bench {
     // corpus (sf0.1); SPARK_BENCH_GATE=0 is the experimentation escape
     val gateApplies = sfDir.contains("sf0.1") &&
       sys.env.getOrElse("SPARK_BENCH_GATE", "1") != "0"
+    // check() lets an absent lsh_occupancy_tuned pass (arbitrary
+    // telemetry need not claim the key), but Bench PRODUCES the key —
+    // requireOccTuned makes its silent disappearance a violation here
     val violations =
       if (gateApplies)
-        BenchGate.check(recallMap, calibMap, ivfCostMap, ndcgMap, occTuned)
+        BenchGate.check(recallMap, calibMap, ivfCostMap, ndcgMap, occTuned) ++
+          BenchGate.requireOccTuned(occTuned)
       else Nil
     val gateJson = s"""{"checked":$gateApplies,"violations":${
       violations.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
@@ -231,7 +235,16 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    println(json)
+    // stdout gets a COMPACT line: the driver's per-round capture keeps
+    // only a ~2 KB stdout tail, so r10/r11's full line (2.1 KB + sbt's
+    // trailing "[success]" noise) lost its head and recorded
+    // parsed:null. Headline numbers + gate verdict fit in ~300 bytes;
+    // the per-query/telemetry detail lives verbatim in `queries_file`.
+    val compact = s"""{"metric":"total","value":${
+      BenchGate.jsonNum(math.rint(total * 1e4) / 1e4)
+    },"unit":"sec","passes":$passes,"n_queries":${
+      results.count(_._2.isDefined)},"failed":$failedJson,"gate":$gateJson,"queries_file":"$outPath","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
     if (violations.nonEmpty) {
       violations.foreach(v => System.err.println(s"[bench] GATE VIOLATION: $v"))

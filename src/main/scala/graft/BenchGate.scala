@@ -129,8 +129,12 @@ object BenchGate {
       }
     }
     val ot = occTuned match {
-      case None => Seq("lsh_occupancy_tuned missing (the lshBits(n) law " +
-        s"must measure in ($occTunedLow, $occTunedHigh])")
+      // absent-when-not-claimed passes freely, like every other
+      // non-baselined telemetry family (the r11 regression hard-failed
+      // every caller without the key, breaking the gate's own contract);
+      // Bench itself ALWAYS emits the key and additionally applies
+      // [[requireOccTuned]] so its own output cannot silently drop it
+      case None => Nil
       case Some((bits, mean)) if mean.isNaN ||
           mean <= occTunedLow || mean > occTunedHigh =>
         Seq(f"lsh_occupancy_tuned mean=$mean%.2f at bits=$bits outside " +
@@ -139,6 +143,19 @@ object BenchGate {
     }
     r ++ c ++ ic ++ nd ++ ot
   }
+
+  /** Missing-when-expected check scoped to Bench's OWN output: Bench
+    * computes lsh_occupancy_tuned every run, so absence there means the
+    * tuned-dial sweep silently vanished — a regression [[check]] must
+    * not excuse for the producer even though it passes for arbitrary
+    * telemetry consumers. */
+  def requireOccTuned(occTuned: Option[(Long, Double)]): Seq[String] =
+    occTuned match {
+      case None => Seq("lsh_occupancy_tuned missing from Bench's own " +
+        s"telemetry (the lshBits(n) law must measure in ($occTunedLow, " +
+        s"$occTunedHigh])")
+      case Some(_) => Nil
+    }
 
   /** JSON-safe number rendering: NaN/Infinity (e.g. a 0/0 recall from an
     * empty truth set) become `null` instead of the bare literals JSON

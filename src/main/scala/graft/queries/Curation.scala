@@ -43,11 +43,15 @@ object Curation {
     * is one hash agg on chunk content + an equi-join back (AQE-broadcast
     * when the distinct-chunk side is small); the rebuild groups each
     * doc's own chunks — one doc-keyed exchange whose payload is exactly
-    * the surviving text. Nothing is compared all-pairs. The 1024
-    * position cap mirrors chunkDedup's (OracleCapSpec tripwires the doc
-    * length bound). */
+    * the surviving text. Nothing is compared all-pairs.
+    *
+    * `oracleCap`: the registered q_dedup_rewrite query passes Some(1024)
+    * — its DuckDB mirror enumerates range(1024), so a longer document
+    * must fail loudly (OracleCapSpec tripwires the bound). The
+    * `Corpus.dedupRewrite` facade passes None: it has no oracle and is
+    * spec-pinned exact at any document length (the r11 regression). */
   def rebuildDocs(tok: DataFrame, extra: Seq[String],
-      chunkTokens: Int = 10): DataFrame = {
+      chunkTokens: Int = 10, oracleCap: Option[Int] = None): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
     val ex = extra.map(col)
     // empty documents carry no chunks (without the guard, size(ws)=0
@@ -61,7 +65,7 @@ object Curation {
             sequence(lit(0), expr(s"(size(ws) - 1) DIV $chunkTokens")),
             i => array_join(slice(col("ws"), i * chunkTokens + 1,
               lit(chunkTokens)), " ")),
-            1024, "dedup-rewrite chunks"))): _*)
+            oracleCap, "dedup-rewrite chunks"))): _*)
       .withColumnRenamed("col", "chunk")
       .trackedPersist()
     // keep-first by LEXICOGRAPHIC (doc_id, pos) struct min — exact at any
@@ -89,7 +93,7 @@ object Curation {
       .select(col("lang"),
         (expr("(size(ws) - 1) DIV 10") + 1).as("nc"))
       .groupBy(col("lang")).agg(sum(col("nc")).as("n_chunks"))
-    rebuildDocs(tok, Seq("lang"))
+    rebuildDocs(tok, Seq("lang"), oracleCap = Some(1024))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs_kept"),
         sum(col("n_kept")).as("n_chunks_kept"),

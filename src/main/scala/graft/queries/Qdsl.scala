@@ -122,10 +122,26 @@ object Qdsl {
     * the fix spelled out. Pure scalar projection: no new exchange, the
     * golden plan censuses are unchanged. */
   def oracleCapped(arr: Column, cap: Int, site: String): Column =
-    when(size(arr) <= lit(cap), arr).otherwise(raise_error(format_string(
-      s"oracle fan-out cap breached [$site]: %d enumerated items > $cap " +
-        "— grow the DuckDB range(N) cap and this guard together (SURVEY §9)",
-      size(arr))))
+    // NULL arrays pass through untouched (size(NULL) is NULL, which would
+    // route to the raise_error branch): explode(NULL) yields zero rows,
+    // exactly the pre-guard behavior for a null text/content row
+    when(arr.isNull || size(arr) <= lit(cap), arr)
+      .otherwise(raise_error(format_string(
+        s"oracle fan-out cap breached [$site]: %d enumerated items > $cap " +
+          "— grow the DuckDB range(N) cap and this guard together (SURVEY §9)",
+        size(arr))))
+
+  /** [[oracleCapped]] for code paths SHARED between a registered oracle
+    * query and a library facade: the query passes `Some(cap)` (its DuckDB
+    * mirror enumerates `range(cap)` so a breach must fail loudly), the
+    * facade passes `None` (it has no oracle and must accept arbitrary
+    * frames — the r11 lesson: a cap leaked into `Corpus.dedupRewrite`
+    * regressed every >1024-chunk document). */
+  def oracleCapped(arr: Column, cap: Option[Int], site: String): Column =
+    cap match {
+      case Some(c) => oracleCapped(arr, c, site)
+      case None => arr
+    }
 
   /** All space-joined 8-grams of a token-array column (caller filters
     * size ≥ 8). ONE definition shared by decontamination and the curate

@@ -1588,7 +1588,8 @@ object TextPipeline {
     * exchange when the recurring-key table outgrows broadcast, which is
     * exactly when the straggler would bite. */
   def substringDedup(s: SparkSession, dir: String): DataFrame =
-    substringDedupDocs(Tables.documents(s, dir))
+    substringDedupDocs(Tables.documents(s, dir),
+      spanDupStats(_, Seq("lang"), oracleCap = Some(4095)))
 
   /** [[substringDedup]] through the hot-window guard
     * ([[spanDupStatsGuarded]]) — value-identical output, straggler-bounded
@@ -1596,7 +1597,7 @@ object TextPipeline {
     * pins the equivalence every round. */
   def substringDedupGuarded(s: SparkSession, dir: String): DataFrame =
     substringDedupDocs(Tables.documents(s, dir),
-      spanDupStatsGuarded(_, Seq("lang")))
+      spanDupStatsGuarded(_, Seq("lang"), oracleCap = Some(4095)))
 
   /** Per-document recurring-span stats over a tokenized projection `d`
     * with columns (doc_id, `carry`..., w, n): one row per document that
@@ -1607,8 +1608,11 @@ object TextPipeline {
     * `Corpus.substringSpans` facade so the two can never drift. */
   /** Stride-1 [[SpanL]]-token windows of a tokenized projection, each
     * carrying its 8-byte content hash — the shared front half of the
-    * plain and guarded span-stats paths. */
-  private[graft] def spanWindows(d: DataFrame, carry: Seq[String]): DataFrame = {
+    * plain and guarded span-stats paths. `oracleCap` is Some(4095) from
+    * the registered queries (DuckDB range(4096) mirror) and None from the
+    * `Corpus` facades, which take arbitrary-length documents. */
+  private[graft] def spanWindows(d: DataFrame, carry: Seq[String],
+      oracleCap: Option[Int] = None): DataFrame = {
     val cs = carry.map(col)
     // sequence(1, n-L+1) only under n >= L: Spark's sequence DESCENDS
     // when start > stop, so an unguarded short doc would fabricate
@@ -1616,7 +1620,7 @@ object TextPipeline {
     d.filter(col("n") >= SpanL)
       .select(col("doc_id") +: cs ++: Seq(col("w"),
         explode(oracleCapped(expr(s"sequence(1, size(w) - ${SpanL - 1})"),
-          4095, "substring-dedup windows")).as("i")): _*)
+          oracleCap, "substring-dedup windows")).as("i")): _*)
       .select(col("doc_id") +: cs ++: Seq(col("i"),
         hash60(concat_ws(" ", expr(s"slice(w, i, $SpanL)"))).as("wkey")): _*)
   }
@@ -1635,9 +1639,10 @@ object TextPipeline {
         sum(least(lit(SpanL.toLong), coalesce(col("gap"), lit(SpanL.toLong))))
           .as("dup_tok"))
 
-  private[graft] def spanDupStats(d: DataFrame, carry: Seq[String]): DataFrame =
+  private[graft] def spanDupStats(d: DataFrame, carry: Seq[String],
+      oracleCap: Option[Int] = None): DataFrame =
     spanUnion(
-      spanWindows(d, carry)
+      spanWindows(d, carry, oracleCap)
         .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("wkey"))))
         .filter(col("cnt") >= 2)
         .drop("cnt"),
@@ -1663,10 +1668,10 @@ object TextPipeline {
     * bounded by `cap` instead of corpus-scale. [[spanHotCensus]] reports
     * the diversion loudly. */
   private[graft] def spanDupStatsGuarded(d: DataFrame, carry: Seq[String],
-      cap: Long = SpanHotCap): DataFrame = {
+      cap: Long = SpanHotCap, oracleCap: Option[Int] = None): DataFrame = {
     val cs = carry.map(col)
     // referenced three times (key census + both paths)
-    val wins = spanWindows(d, carry).trackedPersist()
+    val wins = spanWindows(d, carry, oracleCap).trackedPersist()
     val hotKeys = wins.groupBy(col("wkey")).agg(count(lit(1)).as("kcnt"))
       .filter(col("kcnt") > cap)
       .select(col("wkey"))
@@ -1953,17 +1958,19 @@ object TextPipeline {
     * (doc, position) exemplar so an operator can open the offending text
     * directly. */
   def boilerplateTop(s: SparkSession, dir: String): DataFrame =
-    boilerplateTopDocs(Tables.documents(s, dir), 10)
+    boilerplateTopDocs(Tables.documents(s, dir), 10, Some(4095))
 
-  /** Core shared by the oracle-checked query (topK = 10) and the
-    * `Corpus.boilerplate` facade. */
-  private[graft] def boilerplateTopDocs(docs: DataFrame, topK: Int): DataFrame = {
+  /** Core shared by the oracle-checked query (topK = 10, oracleCap
+    * Some(4095) mirroring DuckDB's range(4096)) and the
+    * `Corpus.boilerplate` facade (oracleCap None — arbitrary frames). */
+  private[graft] def boilerplateTopDocs(docs: DataFrame, topK: Int,
+      oracleCap: Option[Int] = None): DataFrame = {
     val wins = docs
       .select(col("doc_id"), ws.as("w"))
       .filter(size(col("w")) >= SpanL)
       .select(col("doc_id"),
         explode(oracleCapped(expr(s"sequence(1, size(w) - ${SpanL - 1})"),
-          4095, "boilerplate windows")).as("i"),
+          oracleCap, "boilerplate windows")).as("i"),
         col("w"))
       .select(col("doc_id"), col("i"),
         hash60(concat_ws(" ", expr(s"slice(w, i, $SpanL)"))).as("wkey"))

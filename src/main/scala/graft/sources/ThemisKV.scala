@@ -183,6 +183,14 @@ object ThemisKV {
   private def readKvsSplit(f: String, start: Long, end: Long,
       conf: org.apache.hadoop.conf.Configuration): Iterator[Rec] = {
     val raw = HadoopIO.open(f, conf)
+    // a task abandoning the iterator early (limit / take / a join's
+    // short-circuit) never reaches the EOF close below — the completion
+    // listener guarantees the handle is released at task end either
+    // way, the same contract Spark's own file-format iterators make;
+    // double-close is a no-op
+    Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+      try raw.close() catch { case _: java.io.IOException => () }
+    })
     val header = new Array[Byte](KvsHeaderLen.toInt)
     new DataInputStream(raw).readFully(header)
     require(header.take(4).sameElements(KvsMagic) && header(4) == KvsVersion,

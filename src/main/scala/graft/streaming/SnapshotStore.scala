@@ -93,7 +93,7 @@ object SnapshotStore {
     * held by `token` (this writer's own crashed attempt — e.g. a
     * replayed streaming batch) is resumed, not awaited. */
   private[graft] def commitVersion(spark: SparkSession, tableDir: String,
-      op: String, token: String, waitMs: Long = 120000L)(
+      op: String, token: String, waitMs: Long = 600000L)(
       build: (Option[DataFrame], Long) => DataFrame): Long = {
     val fs = new Path(tableDir).getFileSystem(spark.sessionState.newHadoopConf())
     val deadline = System.nanoTime() + waitMs * 1000000L
@@ -118,9 +118,27 @@ object SnapshotStore {
         // advances newest) or time out naming the orphan
         if (System.nanoTime() > deadline) {
           val owner = readSmall(fs, claimFor(tableDir, n)).getOrElse("?")
+          // a claim held across a full maintenance Spark job is SLOW,
+          // not dead — only a claim older than the staleness threshold
+          // earns the releaseClaim suggestion (releasing a live writer's
+          // claim is exactly the double-commit the CAS prevents)
+          val ageMs = try {
+            System.currentTimeMillis() -
+              fs.getFileStatus(claimFor(tableDir, n)).getModificationTime
+          } catch { case _: java.io.IOException => -1L }
+          val staleMs = 15 * 60 * 1000L
+          val hint =
+            if (ageMs >= 0 && ageMs < staleMs)
+              f"the claim is only ${ageMs / 1000.0}%.0fs old — likely a live " +
+                "writer mid-job; retry with a larger waitMs, do NOT releaseClaim"
+            else if (ageMs >= staleMs)
+              f"the claim is ${ageMs / 1000.0}%.0fs old (> ${staleMs / 1000}s " +
+                s"staleness threshold) — if that writer is confirmed dead, " +
+                s"SnapshotStore.releaseClaim($n) recovers"
+            else s"claim age unreadable — verify the claimant before " +
+              s"SnapshotStore.releaseClaim($n)"
           sys.error(s"SnapshotStore '$op' commit timed out after ${waitMs}ms " +
-            s"waiting on $tableDir/manifest/v$n.claim (owner '$owner') — if " +
-            "that writer is dead, SnapshotStore.releaseClaim($n) recovers")
+            s"waiting on $tableDir/manifest/v$n.claim (owner '$owner'); $hint")
         }
         Thread.sleep(25)
       } // marker appeared: loop — newest advanced, re-claim n+1
@@ -157,11 +175,22 @@ object SnapshotStore {
     * Replay idempotence is two-layered. A per-batch marker
     * (`manifest/b<id>.done`, written AFTER the commit) makes a retry of
     * a fully committed batch a no-op. A retry after a crash between the
-    * commit and the marker finds its own files already listed in the
-    * newest committed manifest and ADOPTS that commit (writes only the
-    * marker). A retry after a crash BEFORE the commit sealed resumes
-    * its own claim (token `b<id>`) and rewrites data + manifest from
-    * scratch — safe precisely because an unsealed version has no
+    * commit and the marker finds its own files listed in SOME committed
+    * manifest and ADOPTS that commit (writes only the marker). The
+    * adoption scan covers EVERY committed version, not just the newest:
+    * a concurrent compact/merge/delete sealing after the crashed append
+    * rewrites the batch's files into `data/d*`, so the newest manifest
+    * no longer lists `data/b<id>` — a newest-only check would re-commit
+    * the batch (duplicate rows) AND `mode("overwrite")` on `data/b<id>`
+    * would regenerate part-file names, orphaning the sealed version's
+    * manifest for pinned readers. The all-versions scan only runs when
+    * `data/b<id>` already exists (a crashed attempt); a fresh batch
+    * pays one `exists` probe. Caveat: [[vacuum]]ing the batch's version
+    * away during the replay gap destroys the adoption evidence — retain
+    * at least the replay horizon, the same retention contract Delta's
+    * txn table has. A retry after a crash BEFORE the commit sealed
+    * resumes its own claim (token `b<id>`) and rewrites data + manifest
+    * from scratch — safe precisely because an unsealed version has no
     * readers (versions exist only once their `.commit` marker does). */
   def appendWriter(tableDir: String): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
@@ -176,8 +205,13 @@ object SnapshotStore {
       val ownDirKey = fileKey(s"$tableDir/data/b$batchId") + "/"
       def isOwn(p: String): Boolean = fileKey(p).startsWith(ownDirKey)
       if (!fs.exists(marker)) { // marker present = replayed batch: no-op
-        val adopted = manifest(spark, tableDir).exists(
-          _.as[String].collect().exists(isOwn))
+        val adopted = fs.exists(new Path(s"$tableDir/data/b$batchId")) && {
+          val committed = versionsOf(fs, tableDir)
+          committed.nonEmpty &&
+            spark.read.parquet(
+                committed.map(v => s"$tableDir/manifest/v$v"): _*)
+              .as[String].collect().exists(isOwn)
+        }
         if (!adopted) {
           commitVersion(spark, tableDir, op = "append", token = s"b$batchId") {
             (prevOpt, _) =>

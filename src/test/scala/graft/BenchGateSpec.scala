@@ -74,6 +74,35 @@ class BenchGateSpec extends AnyFunSuite {
     assert(miss.count(_.contains("ndcg[")) == 3)
   }
 
+  test("lsh_occupancy_tuned in the (16, 40] law band passes") {
+    assert(BenchGate.check(goodRecall, goodCalib, goodCost, goodNdcg,
+      Some((6L, 31.25))).isEmpty)
+  }
+
+  test("lsh_occupancy_tuned outside the law band fails the gate") {
+    val low = BenchGate.check(goodRecall, goodCalib, goodCost, goodNdcg,
+      Some((6L, 12.0)))
+    assert(low.exists(_.contains("lsh_occupancy_tuned")), low.mkString("; "))
+    val high = BenchGate.check(goodRecall, goodCalib, goodCost, goodNdcg,
+      Some((6L, 55.0)))
+    assert(high.exists(_.contains("lsh_occupancy_tuned")), high.mkString("; "))
+    val nan = BenchGate.check(goodRecall, goodCalib, goodCost, goodNdcg,
+      Some((6L, Double.NaN)))
+    assert(nan.exists(_.contains("lsh_occupancy_tuned")), nan.mkString("; "))
+  }
+
+  test("absent occupancy passes check() but fails requireOccTuned") {
+    // check() serves arbitrary telemetry consumers: a caller that never
+    // claimed the key is not in violation (the r11 regression broke
+    // this). Bench, which PRODUCES the key, layers requireOccTuned on
+    // top so its own output cannot silently drop the law.
+    assert(BenchGate.check(goodRecall, goodCalib, goodCost, goodNdcg,
+      None).isEmpty)
+    val miss = BenchGate.requireOccTuned(None)
+    assert(miss.exists(_.contains("lsh_occupancy_tuned missing")))
+    assert(BenchGate.requireOccTuned(Some((6L, 31.25))).isEmpty)
+  }
+
   test("jsonNum renders NaN/Infinity as null, numbers as themselves") {
     assert(BenchGate.jsonNum(Double.NaN) == "null")
     assert(BenchGate.jsonNum(Double.PositiveInfinity) == "null")

@@ -57,11 +57,17 @@ class OracleCapSpec extends SparkSpec {
     val overChunk = Seq((1L, "en", longDoc(10251))).toDF("doc_id", "lang", "text")
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
     val eC = intercept[Exception] {
-      graft.queries.Curation.rebuildDocs(overChunk, Seq("lang")).count()
+      graft.queries.Curation.rebuildDocs(overChunk, Seq("lang"),
+        oracleCap = Some(1024)).count()
     }
     assert(chain(eC).contains("oracle fan-out cap breached") &&
       chain(eC).contains("dedup-rewrite chunks"),
       s"chunk guard message: ${chain(eC)}")
+    graft.core.Caches.release()
+    // the facade route (oracleCap = None, the default) is exact on the
+    // SAME over-cap document — the r11 regression pinned from both sides
+    assert(graft.queries.Curation.rebuildDocs(overChunk, Seq("lang"))
+      .agg(sum(col("n_kept"))).head().getLong(0) === 1026L)
     graft.core.Caches.release()
     // just-under-cap passes through with exact fan-out
     val under = Seq(Tuple1(longDoc(4102))).toDF("text")
