@@ -109,14 +109,25 @@ object ThemisKV {
   // boundaries every ~`syncIntervalBytes`; a reader assigned byte range
   // [start, end) scans forward to the first full marker whose START
   // offset is >= start and owns every record group whose marker starts
-  // before `end` — each group lands in exactly one task. A data byte
-  // string equal to the marker mid-record false-syncs with probability
-  // 2^-128 per position, the same accepted risk as SequenceFile.
+  // before `end` — each group lands in exactly one task.
+  //
+  // False-sync hardening (format v2): SequenceFile accepts a 2^-128
+  // per-position risk of payload bytes equalling its RANDOM marker; our
+  // marker is DERIVED (md5 of path|partition, for retry-deterministic
+  // output), so a payload CAN deliberately contain the exact marker
+  // bytes — probability is the wrong argument. Every in-body sync is
+  // therefore followed by an 8-byte LE stamp of the marker's own file
+  // offset: the seek scan accepts a candidate only when its stamp
+  // matches the position it was found at, which payload bytes cannot do
+  // (the payload is fixed; its file position isn't). Sequential
+  // iteration verifies the stamp too — a mismatch at a record boundary
+  // is loud corruption, never a silent mis-parse.
 
   private val KvsMagic = Array[Byte]('G', 'K', 'V', 'S')
-  private val KvsVersion: Byte = 1
+  private val KvsVersion: Byte = 2
   private val KvsHeaderLen = 21L // magic(4) + version(1) + sync(16)
   private val SyncLen = 16
+  private val StampLen = 8
 
   /** Write (key, value) binary columns as sync-framed themis-kv
     * (`.kvs`), one file per task, hidden-temp + rename commit like
@@ -140,14 +151,18 @@ object ThemisKV {
           HadoopIO.create(path, tmpName, conf.value), 1 << 20)
         try {
           out.write(KvsMagic); out.write(KvsVersion); out.write(sync)
+          var written = KvsHeaderLen // absolute offset of the next byte
           var sinceSync = 0L
           it.foreach { r =>
             if (sinceSync >= syncIntervalBytes) {
-              out.write(sync); sinceSync = 0L
+              // marker + offset-of-marker stamp (the v2 false-sync guard)
+              out.write(sync); writeU64LE(out, written)
+              written += SyncLen + StampLen; sinceSync = 0L
             }
             val k = r.getAs[Array[Byte]](0); val v = r.getAs[Array[Byte]](1)
             writeU32LE(out, k.length); writeU32LE(out, v.length)
             out.write(k); out.write(v)
+            written += 8L + k.length + v.length
             sinceSync += 8L + k.length + v.length
           }
         } finally out.close()
@@ -179,8 +194,10 @@ object ThemisKV {
   }
 
   /** Records of one byte-range split of a `.kvs` file; see the framing
-    * note above for the ownership rule. */
-  private def readKvsSplit(f: String, start: Long, end: Long,
+    * note above for the ownership rule. `private[graft]` so the
+    * adversarial split-boundary spec can place cuts at exact byte
+    * offsets (readSync only cuts uniformly). */
+  private[graft] def readKvsSplit(f: String, start: Long, end: Long,
       conf: org.apache.hadoop.conf.Configuration): Iterator[Rec] = {
     val raw = HadoopIO.open(f, conf)
     // a task abandoning the iterator early (limit / take / a join's
@@ -197,47 +214,80 @@ object ThemisKV {
       s"$f: not a graft-kvs file (bad magic/version)")
     val sync = header.slice(5, 5 + SyncLen)
     // position at the first sync whose START is >= max(start, 5): the
-    // header's own marker (offset 5) seeds group 1 for the first split;
-    // later splits seek and roll a 16-byte window forward (over a
-    // buffered stream — the scan is byte-at-a-time)
+    // header's own marker (offset 5, unstamped — found by arithmetic,
+    // never by scan) seeds group 1 for the first split; later splits
+    // seek and roll a 16-byte window forward (over a buffered stream —
+    // the scan is byte-at-a-time), accepting a candidate only when its
+    // 8-byte offset stamp names the position it was found at
     var pos = 0L // offset of the next unread byte
     var syncStart = -1L
-    val base: java.io.InputStream =
+    val in: java.io.PushbackInputStream =
       if (start <= KvsHeaderLen - SyncLen) {
         syncStart = 5L; pos = KvsHeaderLen
-        new BufferedInputStream(raw, 1 << 20)
+        new java.io.PushbackInputStream(
+          new BufferedInputStream(raw, 1 << 20), SyncLen)
       } else {
         raw.seek(start); pos = start
-        val buf = new BufferedInputStream(raw, 1 << 20)
+        val buf = new java.io.PushbackInputStream(
+          new BufferedInputStream(raw, 1 << 20), SyncLen)
         val win = new Array[Byte](SyncLen)
         val n = readUpTo(buf, win)
         pos += n
-        var found = n == SyncLen && java.util.Arrays.equals(win, sync)
+        if (n < SyncLen) { raw.close(); return Iterator.empty }
+        var found = false
         while (!found) {
-          val b = buf.read()
-          if (b < 0) { raw.close(); return Iterator.empty } // EOF: no group starts here
-          System.arraycopy(win, 1, win, 0, SyncLen - 1)
-          win(SyncLen - 1) = b.toByte
-          pos += 1
-          found = java.util.Arrays.equals(win, sync)
+          if (java.util.Arrays.equals(win, sync)) {
+            // candidate at q: true syncs carry their own offset; payload
+            // bytes that merely LOOK like the marker cannot (the payload
+            // is fixed, its file position isn't) — on mismatch the stamp
+            // bytes re-enter the scan so an overlapping true sync is
+            // still found
+            val q = pos - SyncLen
+            val stamp = new Array[Byte](StampLen)
+            val m = readUpTo(buf, stamp)
+            pos += m
+            if (m == StampLen && readU64LE(stamp) == q) {
+              found = true; syncStart = q
+            } else {
+              buf.unread(stamp, 0, m); pos -= m
+              val b = buf.read()
+              if (b < 0) { raw.close(); return Iterator.empty }
+              System.arraycopy(win, 1, win, 0, SyncLen - 1)
+              win(SyncLen - 1) = b.toByte
+              pos += 1
+            }
+          } else {
+            val b = buf.read()
+            if (b < 0) { raw.close(); return Iterator.empty } // EOF: no group here
+            System.arraycopy(win, 1, win, 0, SyncLen - 1)
+            win(SyncLen - 1) = b.toByte
+            pos += 1
+          }
         }
-        syncStart = pos - SyncLen
         buf
       }
     if (syncStart >= end) { raw.close(); return Iterator.empty }
-    val in = new java.io.PushbackInputStream(base, SyncLen)
     new Iterator[Rec] {
       private var nextRec: Rec = advance()
       private def advance(): Rec = {
-        // at a record boundary: the next bytes are a sync marker, a
-        // record header, or EOF — peek SyncLen bytes to decide
+        // at a record boundary: the next bytes are a sync marker (+ its
+        // stamp), a record header, or EOF — peek SyncLen bytes to decide
         while (true) {
           val peek = new Array[Byte](SyncLen)
           val n = readUpTo(in, peek)
           if (n == 0) { in.close(); return null } // clean EOF
           if (n == SyncLen && java.util.Arrays.equals(peek, sync)) {
             if (pos >= end) { in.close(); return null } // next split's group
-            pos += SyncLen
+            // consume + verify the stamp: at an aligned record boundary
+            // a marker is the writer's (payload marker bytes live inside
+            // record bodies, consumed whole below), so a bad stamp is
+            // file corruption, reported loudly
+            val stamp = new Array[Byte](StampLen)
+            if (readUpTo(in, stamp) != StampLen || readU64LE(stamp) != pos)
+              throw new java.io.IOException(
+                s"$f: sync marker at offset $pos carries a foreign offset " +
+                  "stamp — corrupt or truncated graft-kvs body")
+            pos += SyncLen + StampLen
           } else {
             in.unread(peek, 0, n)
             val kl = readU32LE(in); val vl = readU32LE(in)
@@ -280,5 +330,15 @@ object ThemisKV {
   private def writeU32LE(out: java.io.OutputStream, v: Int): Unit = {
     out.write(v & 0xff); out.write((v >> 8) & 0xff)
     out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+  }
+
+  private def readU64LE(b: Array[Byte]): Long = {
+    var v = 0L; var i = 7
+    while (i >= 0) { v = (v << 8) | (b(i) & 0xffL); i -= 1 }
+    v
+  }
+  private def writeU64LE(out: java.io.OutputStream, v: Long): Unit = {
+    var i = 0
+    while (i < 8) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
   }
 }

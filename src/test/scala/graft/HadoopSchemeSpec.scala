@@ -94,6 +94,77 @@ class HadoopSchemeSpec extends SparkSpec {
     assert(one.length === recs.length)
   }
 
+  test("sync-framed kvs: payloads CONTAINING the derived marker read record-exact") {
+    // the marker is md5(path|partition) — deterministic, so a payload
+    // can deliberately embed the exact marker bytes; the v2 offset
+    // stamp must reject every such false sync at every possible split
+    // boundary, not probabilistically
+    val dir = Files.createTempDirectory("kvadv").toString
+    val sync = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft-kvs|$dir|0".getBytes("UTF-8"))
+    def fakeStamp(i: Int): Array[Byte] =
+      Array.tabulate(8)(j => ((i >> (8 * (j % 4))) & 0xff).toByte)
+    val recs = (0 until 400).map { i =>
+      val v: Array[Byte] = i % 5 match {
+        case 0 => sync.clone // value IS the marker
+        case 1 => Array[Byte](1, 2, 3) ++ sync ++ Array[Byte](4, 5) // embedded
+        case 2 => sync ++ sync // back-to-back markers
+        case 3 => sync ++ fakeStamp(i) // marker + plausible-looking stamp
+        case _ => Array.tabulate(i % 40)(j => ((i + j) % 251).toByte)
+      }
+      val k: Array[Byte] =
+        if (i % 7 == 0) sync ++ Array[Byte](i.toByte) // marker in the KEY too
+        else s"k$i".getBytes("UTF-8")
+      ThemisKV.Rec(k, v)
+    }
+    ThemisKV.writeSync(recs.toDF().repartition(1), dir, syncIntervalBytes = 128)
+    val file = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".kvs")).head
+    val bytes = Files.readAllBytes(file.toPath)
+    // every occurrence of the 16 marker bytes in the file — true writer
+    // syncs AND the planted payload collisions
+    val occurrences = (0 to bytes.length - sync.length).filter { q =>
+      java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(bytes, q, q + sync.length), sync)
+    }
+    assert(occurrences.length > recs.count(_ => true) / 5,
+      s"expected many marker occurrences, found ${occurrences.length}")
+    val trueSyncs = occurrences.filter { q =>
+      q + 24 <= bytes.length && {
+        var v = 0L; var j = 23
+        while (j >= 16) { v = (v << 8) | (bytes(q + j) & 0xffL); j -= 1 }
+        v == q
+      } && q != 5 // header marker is unstamped
+    }
+    assert(trueSyncs.nonEmpty, "no stamped in-body syncs written")
+    assert(occurrences.size > trueSyncs.size + 1,
+      "the planted payload collisions did not survive into the file")
+    val want = recs.map(r => (r.key.toSeq, r.value.toSeq))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // ANY partition of [0, len) must yield the exact record multiset:
+    // cuts at every marker occurrence ±1 (true and false), mid-stamp,
+    // and a 113-byte comb for mid-record coverage
+    val cuts = (occurrences.flatMap(q => Seq(q - 1, q, q + 1, q + 17)) ++
+        (0 until bytes.length by 113)).map(_.toLong)
+      .filter(c => c > 0 && c < bytes.length).distinct.sorted
+    val bounds = (0L +: cuts) :+ bytes.length.toLong
+    val conf = HadoopIO.sessionConf(spark)
+    val got = bounds.zip(bounds.tail).flatMap { case (s, e) =>
+        ThemisKV.readKvsSplit(file.toString, s, e, conf)
+      }.map(r => (r.key.toSeq, r.value.toSeq))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got === want,
+      s"adversarial split partition (${bounds.length - 1} splits) diverged")
+    // and the public uniform-split reader agrees at several grains
+    for (splitBytes <- Seq(256L, 1000L, 4096L)) {
+      val g2 = ThemisKV.readSync(spark, dir, splitBytes = splitBytes)
+        .as[ThemisKV.Rec].collect()
+        .map(r => (r.key.toSeq, r.value.toSeq))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(g2 === want, s"readSync splitBytes=$splitBytes diverged")
+    }
+  }
+
   test("writers commit by rename: no temp files remain, stale temps ignored") {
     val dir = Files.createTempDirectory("kvcommit")
     // a stale temp from a dead task attempt must not confuse readers
