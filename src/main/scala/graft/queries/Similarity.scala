@@ -381,9 +381,14 @@ object Similarity {
     sv.filter(col("vec_id") < PQ_K)
       .select(col("m").as("cm"), col("vec_id").as("cid"), col("vm").as("cv"))
 
-  private def pqD2 = aggregate(
-    zip_with(col("vm"), col("cv"), (x, y) => (x - y) * (x - y)),
-    lit(0L), (acc, v) => acc + v)
+  /** Slice-L2² on the fused native kernel — value-identical to the
+    * aggregate(zip_with) composition (VectorKernelSpec parity), and the
+    * difference matters here: code assignment evaluates this on
+    * n·M·K rows (the 100× drive caught the interpreted composition
+    * burning ~10 min/pass at 205k vectors where the codegen'd kernel is
+    * seconds — ZipWith is CodegenFallback, and it also forced the
+    * enclosing aggregation onto the SortAggregate path). */
+  private def pqD2 = l2s(col("vm"), col("cv"))
 
   /** (vec_id, m, code) nibble codes — the compressed index (spec surface). */
   private[graft] def pqCodesVecs(all: DataFrame): DataFrame = {

@@ -1140,9 +1140,13 @@ object TextPipeline {
       // fixpoint probe: one tiny agg per round. A (count, checksum)
       // collision could only stop EARLY on a non-fixpoint — the census
       // oracle (exact transitive closure) would catch that; rounds only
-      // rewrite monotonically toward stars, they never oscillate.
+      // rewrite monotonically toward stars, they never oscillate. Each
+      // term is pmod-bounded < 1e9 so the SUM stays inside Long at any
+      // edge volume and any id magnitude (the 100× skew drive overflowed
+      // the unbounded a*1000003+b sum under ANSI at 2.1e9 doc_ids)
       val row = e.agg(count(lit(1)),
-        coalesce(sum(col("a") * 1000003L + col("b")), lit(0L))).head()
+        coalesce(sum(pmod(col("a") * 1000003L + col("b"),
+          lit(1000000007L))), lit(0L))).head()
       val sig = (row.getLong(0), row.getLong(1))
       if (sig == last || sig._1 == 0L) converged = true
       else last = sig
