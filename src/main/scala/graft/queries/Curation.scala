@@ -105,19 +105,35 @@ object Curation {
         col("text_checksum"), col("tokens_kept"))
   }
 
+  // chunk enumeration via a scalar range() LIST + zipped unnest, not
+  // CROSS JOIN range(1024): the cross join materializes docs×1024 wide
+  // rows before its filter and OOM-killed DuckDB at the 100× replica
+  // drive (555k docs), while the per-row list is work ∝ actual chunks.
+  // Value-identical for any document within the 1024-chunk guard bound.
+  // AS MATERIALIZED: c is referenced twice (f, tot) and DuckDB inlines
+  // CTEs per reference — the q_hits lesson (BENCH_LOCAL r10). The
+  // keep-first row is read straight off the arg-min struct (the keeper's
+  // lang rides the struct behind the already-unique (d, p) prefix), not
+  // re-joined on the chunk string — the join-back formulation ground
+  // unboundedly in DuckDB at the 100× volume.
   private val dedupRewriteSql =
     s"""WITH w AS (
       |  SELECT doc_id, lang, $wordsSqlDoc AS ws FROM documents),
-      |c AS (
-      |  SELECT doc_id, lang, j.j AS pos,
-      |    array_to_string(ws[j.j*10+1 : j.j*10+10], ' ') AS chunk
-      |  FROM w CROSS JOIN range(1024) j(j)
-      |  WHERE len(ws) >= 1 AND j.j <= (len(ws) - 1) // 10),
-      |f AS (SELECT chunk, MIN({'d': doc_id, 'p': pos}) AS fo FROM c GROUP BY chunk),
+      |c AS MATERIALIZED (
+      |  SELECT doc_id, lang,
+      |    unnest(range(0, len(chunks))) AS pos,
+      |    unnest(chunks) AS chunk
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      list_transform(range(0, ((len(ws) - 1) // 10) + 1),
+      |        k -> array_to_string(ws[k*10+1 : k*10+10], ' ')) AS chunks
+      |    FROM w WHERE len(ws) >= 1)),
+      |f AS (
+      |  SELECT chunk, MIN({'d': doc_id, 'p': pos, 'g': lang}) AS fo
+      |  FROM c GROUP BY chunk),
       |k AS (
-      |  SELECT c.doc_id, c.lang, c.pos, c.chunk
-      |  FROM c JOIN f USING (chunk)
-      |  WHERE c.doc_id = (f.fo).d AND c.pos = (f.fo).p),
+      |  SELECT (fo).d AS doc_id, (fo).g AS lang, (fo).p AS pos, chunk
+      |  FROM f),
       |r AS (
       |  SELECT doc_id, lang, COUNT(*) AS n_kept,
       |    SUM(len(string_split(chunk, ' '))) AS toks,

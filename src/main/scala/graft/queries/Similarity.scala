@@ -1923,34 +1923,47 @@ object Similarity {
           .as("dropped_id_sum"))
   }
 
+  // centroid DISTANCES stay in list form (one n×cells row per pair, a
+  // 64-term comprehension each) instead of the dim-exploded three-way
+  // join the oracle used through r11 — that join's pre-aggregation
+  // volume is n×cells×64 rows (5.9 BILLION at the 100× drive's 205k
+  // vectors), which spilled DuckDB to disk-full. Only the centroid
+  // UPDATE (a per-dim mean, genuinely an aggregation) keeps the
+  // exploded shape: members×64 rows, bounded. Arg-min via struct MIN,
+  // not a row_number window — no global sort of the n×cells frame.
   private val semDedupSql =
     s"""WITH iv AS (
       |  SELECT vec_id, $ivecSql AS v FROM embeddings),
-      |n AS (
+      |n AS MATERIALIZED (
       |  SELECT vec_id, v, list_sum([v[i]*v[i] for i in range(1,${DIM + 1})]) AS n2 FROM iv),
       |kk AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS kcells FROM n),
-      |pts AS (
-      |  SELECT vec_id, t.dim, v[t.dim] AS x FROM n CROSS JOIN range(1, ${DIM + 1}) t(dim)),
-      |c0 AS (
-      |  SELECT vec_id AS cid, dim, x AS cx FROM pts CROSS JOIN kk WHERE vec_id < kcells),
-      |a1 AS (
-      |  SELECT vec_id, cid FROM (
+      |c0 AS MATERIALIZED (
+      |  SELECT vec_id AS cid, v AS cv FROM n CROSS JOIN kk WHERE vec_id < kcells),
+      |a1 AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    (MIN({'d': dist, 'c': cid})).c AS cid
+      |  FROM (
       |    SELECT p.vec_id, c.cid,
-      |      row_number() OVER (PARTITION BY p.vec_id
-      |                         ORDER BY SUM((p.x-c.cx)*(p.x-c.cx)), c.cid) AS rn
-      |    FROM pts p JOIN c0 c ON p.dim = c.dim
-      |    GROUP BY p.vec_id, c.cid) t WHERE rn = 1),
-      |c1 AS (
-      |  SELECT cid, dim, SUM(x) // COUNT(*) AS cx
-      |  FROM pts JOIN a1 USING (vec_id) GROUP BY cid, dim),
-      |d AS (
-      |  SELECT p.vec_id, c.cid, SUM((p.x-c.cx)*(p.x-c.cx)) AS dist
-      |  FROM pts p JOIN c1 c ON p.dim = c.dim
-      |  GROUP BY p.vec_id, c.cid),
-      |assigned AS (
-      |  SELECT vec_id, cid AS cell FROM (
-      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-      |    FROM d) t WHERE rn = 1),
+      |      list_sum([(p.v[i]-c.cv[i])*(p.v[i]-c.cv[i]) for i in range(1,${DIM + 1})]) AS dist
+      |    FROM n p CROSS JOIN c0 c) t
+      |  GROUP BY vec_id),
+      |pts AS MATERIALIZED (
+      |  SELECT vec_id, t.dim, v[t.dim] AS x FROM n CROSS JOIN range(1, ${DIM + 1}) t(dim)),
+      |c1 AS MATERIALIZED (
+      |  SELECT cid, [CAST(sx[d] // cnt AS BIGINT) for d in range(1, ${DIM + 1})] AS cv
+      |  FROM (
+      |    SELECT cid, list(sx ORDER BY dim) AS sx, MAX(cnt) AS cnt
+      |    FROM (
+      |      SELECT a1.cid, pts.dim, SUM(pts.x) AS sx, COUNT(*) AS cnt
+      |      FROM pts JOIN a1 USING (vec_id) GROUP BY a1.cid, pts.dim) g
+      |    GROUP BY cid) z),
+      |assigned AS MATERIALIZED (
+      |  SELECT vec_id, (MIN({'d': dist, 'c': cid})).c AS cell
+      |  FROM (
+      |    SELECT p.vec_id, c.cid,
+      |      list_sum([(p.v[i]-c.cv[i])*(p.v[i]-c.cv[i]) for i in range(1,${DIM + 1})]) AS dist
+      |    FROM n p CROSS JOIN c1 c) t
+      |  GROUP BY vec_id),
       |aj AS (
       |  SELECT a.vec_id, a.cell, n.v, n.n2 FROM assigned a JOIN n USING (vec_id)),
       |dropped AS (

@@ -1200,9 +1200,14 @@ object TextPipeline {
   }
 
   /** The 5-round hash-min label CTE chain shared by the cluster oracles
-    * (l0 = every doc its own label, l5 = the settled labels). */
+    * (l0 = every doc its own label, l5 = the settled labels).
+    * AS MATERIALIZED is load-bearing: each step references l(i-1) twice
+    * and DuckDB inlines CTEs per reference, so the unmaterialized chain
+    * re-evaluates the whole pair pipeline 2^5 times — the q_hits lesson
+    * (BENCH_LOCAL r10), re-found by the r12 100× drive where it turned
+    * a seconds-long oracle into a >15-minute one. */
   private def labelStepsSql: String = (1 to 5).map { i =>
-    s"""l$i AS (
+    s"""l$i AS MATERIALIZED (
       |  SELECT n.doc_id, LEAST(n.lbl, COALESCE(MIN(x.lbl), n.lbl)) AS lbl
       |  FROM l${i - 1} n
       |  LEFT JOIN e ON e.dst = n.doc_id
@@ -1211,9 +1216,9 @@ object TextPipeline {
   }.mkString(",\n")
 
   private val dupClustersSql =
-    s"""WITH mh AS ($dedupMinhashSql),
-      |p AS (SELECT doc_a, doc_b FROM mh WHERE n_match >= 6),
-      |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+    s"""WITH mh AS MATERIALIZED ($dedupMinhashSql),
+      |p AS MATERIALIZED (SELECT doc_a, doc_b FROM mh WHERE n_match >= 6),
+      |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p
       |      UNION ALL SELECT doc_b, doc_a FROM p),
       |l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
       |$labelStepsSql
@@ -1263,13 +1268,13 @@ object TextPipeline {
           .otherwise(0L)).as("n_keep_not_first"))
 
   private val dedupKeepBestSql =
-    s"""WITH mh AS ($dedupMinhashSql),
-      |p AS (SELECT doc_a, doc_b FROM mh WHERE n_match >= 6),
-      |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+    s"""WITH mh AS MATERIALIZED ($dedupMinhashSql),
+      |p AS MATERIALIZED (SELECT doc_a, doc_b FROM mh WHERE n_match >= 6),
+      |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p
       |      UNION ALL SELECT doc_b, doc_a FROM p),
       |l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
       |$labelStepsSql,
-      |d AS (
+      |d AS MATERIALIZED (
       |  SELECT doc_id, lang, $wordsSqlDoc AS w FROM documents),
       |lg AS (
       |  SELECT d.doc_id, d.lang, COALESCE(s.logit, 0) AS logit
@@ -1296,9 +1301,9 @@ object TextPipeline {
     * reachable id per node — the true fixpoint the converging variant
     * must reach regardless of diameter. */
   private val dupClustersConvSql =
-    s"""WITH RECURSIVE mh AS ($dedupMinhashSql),
-      |p AS (SELECT doc_a, doc_b FROM mh WHERE n_match >= 6),
-      |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+    s"""WITH RECURSIVE mh AS MATERIALIZED ($dedupMinhashSql),
+      |p AS MATERIALIZED (SELECT doc_a, doc_b FROM mh WHERE n_match >= 6),
+      |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p
       |      UNION ALL SELECT doc_b, doc_a FROM p),
       |reach(doc_id, r) AS (
       |  SELECT doc_id, doc_id FROM documents
@@ -2354,9 +2359,9 @@ object TextPipeline {
         |  (SELECT CAST(COALESCE(SUM(CASE WHEN a.$spCol != b.$spCol THEN 1 ELSE 0 END), 0) AS BIGINT)
         |   FROM p JOIN sp a ON p.doc_a = a.doc_id JOIN sp b ON p.doc_b = b.doc_id) AS n_leaky_pairs
         |FROM sp""".stripMargin
-    s"""WITH RECURSIVE mh AS ($dedupMinhashSql),
-      |p AS (SELECT doc_a, doc_b FROM mh WHERE n_match >= 6),
-      |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+    s"""WITH RECURSIVE mh AS MATERIALIZED ($dedupMinhashSql),
+      |p AS MATERIALIZED (SELECT doc_a, doc_b FROM mh WHERE n_match >= 6),
+      |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p
       |      UNION ALL SELECT doc_b, doc_a FROM p),
       |reach(doc_id, r) AS (
       |  SELECT doc_id, doc_id FROM documents

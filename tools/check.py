@@ -38,6 +38,17 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # heavy oracles at replica-scale corpora (100x drive) exceed RAM
+    # without a spill path and get OOM-killed; cap memory below physical
+    # and give DuckDB a temp dir so it spills instead
+    mem = os.environ.get("DUCKDB_MEM", "64GB")
+    tmp = os.environ.get("DUCKDB_TMP", "/tmp/duckdb_spill")
+    os.makedirs(tmp, exist_ok=True)
+    con.sql(f"SET memory_limit='{mem}'")
+    con.sql(f"SET temp_directory='{tmp}'")
+    # row order is irrelevant (the compare sorts) and preserving it is
+    # what keeps giant intermediate pipelines fully resident in DuckDB
+    con.sql("SET preserve_insertion_order=false")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
@@ -50,6 +61,43 @@ def main():
         qdir = f"{outdir}/{name}"
         if not os.path.isdir(qdir):
             print(f"[MISS] {name}: no spark output dir"); n_bad += 1; continue
+        # results past ~2M rows (full-table sorts like q_sort_global at
+        # replica scale) would take hours through the Python fetch+sort
+        # path — compare them inside DuckDB instead: equal row counts +
+        # empty symmetric EXCEPT ALL over name-sorted columns. Value
+        # semantics match the strict path except -0.0/NaN bit identity,
+        # which no oracle emits.
+        BIG = int(os.environ.get("CHECK_BIG_ROWS", "2000000"))
+        try:
+            n_got = con.sql(
+                f"SELECT count(*) FROM '{qdir}/*.parquet'").fetchone()[0]
+        except Exception as e:
+            print(f"[READ-ERR] {name}: {e}"); n_bad += 1; continue
+        if n_got > BIG:
+            try:
+                cols = sorted(con.sql(
+                    f"SELECT * FROM '{qdir}/*.parquet' LIMIT 0").columns)
+                cl = ", ".join(f'"{c}"' for c in cols)
+                n_exp = con.sql(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+                if n_exp != n_got:
+                    print(f"[NROWS] {name}: oracle={n_exp} spark={n_got}")
+                    n_bad += 1; continue
+                diff = con.sql(
+                    f"SELECT count(*) FROM ("
+                    f"(SELECT {cl} FROM ({sql}) EXCEPT ALL "
+                    f" SELECT {cl} FROM '{qdir}/*.parquet') UNION ALL "
+                    f"(SELECT {cl} FROM '{qdir}/*.parquet' EXCEPT ALL "
+                    f" SELECT {cl} FROM ({sql})))").fetchone()[0]
+                if diff:
+                    print(f"[VALS] {name}: {diff} differing rows "
+                          f"(duckdb-side compare, {n_got} rows)")
+                    n_bad += 1
+                else:
+                    print(f"[OK]   {name} rows={n_got} (duckdb-side compare)")
+                    n_ok += 1
+                continue
+            except Exception as e:
+                print(f"[ORACLE-ERR] {name}: {e}"); n_bad += 1; continue
         try:
             exp = con.sql(sql)
             exp_cols = list(exp.columns)
