@@ -45,11 +45,14 @@ object Curation {
     * doc's own chunks — one doc-keyed exchange whose payload is exactly
     * the surviving text. Nothing is compared all-pairs.
     *
-    * `oracleCap`: the registered q_dedup_rewrite query passes Some(1024)
-    * — its DuckDB mirror enumerates range(1024), so a longer document
-    * must fail loudly (OracleCapSpec tripwires the bound). The
-    * `Corpus.dedupRewrite` facade passes None: it has no oracle and is
-    * spec-pinned exact at any document length (the r11 regression). */
+    * `oracleCap`: callers whose DuckDB mirror enumerates a bounded
+    * `range(N)` pass Some(N) so a longer document fails loudly
+    * (OracleCapSpec tripwires the guard mechanism from both sides).
+    * Since the r12 oracle rewrite, q_dedup_rewrite's mirror enumerates
+    * exact per-doc chunks via list_transform — no bound — so the
+    * registered query now passes None too, like the `Corpus.dedupRewrite`
+    * facade (spec-pinned exact at any document length, the r11
+    * regression). */
   def rebuildDocs(tok: DataFrame, extra: Seq[String],
       chunkTokens: Int = 10, oracleCap: Option[Int] = None): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
@@ -93,7 +96,7 @@ object Curation {
       .select(col("lang"),
         (expr("(size(ws) - 1) DIV 10") + 1).as("nc"))
       .groupBy(col("lang")).agg(sum(col("nc")).as("n_chunks"))
-    rebuildDocs(tok, Seq("lang"), oracleCap = Some(1024))
+    rebuildDocs(tok, Seq("lang"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs_kept"),
         sum(col("n_kept")).as("n_chunks_kept"),
@@ -108,8 +111,9 @@ object Curation {
   // chunk enumeration via a scalar range() LIST + zipped unnest, not
   // CROSS JOIN range(1024): the cross join materializes docs×1024 wide
   // rows before its filter and OOM-killed DuckDB at the 100× replica
-  // drive (555k docs), while the per-row list is work ∝ actual chunks.
-  // Value-identical for any document within the 1024-chunk guard bound.
+  // drive (555k docs), while the per-row list is work ∝ actual chunks —
+  // and exact at ANY document length (no range bound), which is why
+  // q_dedup_rewrite registers with oracleCap = None since r12.
   // AS MATERIALIZED: c is referenced twice (f, tot) and DuckDB inlines
   // CTEs per reference — the q_hits lesson (BENCH_LOCAL r10). The
   // keep-first row is read straight off the arg-min struct (the keeper's

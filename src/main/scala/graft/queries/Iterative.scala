@@ -301,28 +301,42 @@ object Iterative {
       .agg(count(lit(1)).as("n_points"), sum(col("vec_id")).as("sum_vec_id"))
   }
 
+  // list-comprehension distances + MATERIALIZED CTEs (the q_semdedup r12
+  // pattern): the per-dimension unnest join builds n×64×k intermediate
+  // rows and ground unboundedly at the 100× replica volume; whole-vector
+  // list_sum is work ∝ n×k. The unnested pts survives ONLY for the Lloyd
+  // per-dim mean (work ∝ n×64, no k factor). OracleScaleSpec pins the
+  // formulation.
   private val kmeansIter2Sql =
-    """WITH pts AS (
-      |  SELECT vec_id, t.dim, CAST(floor(CAST(embedding[t.dim] AS DOUBLE) * 1000000) AS BIGINT) AS x
-      |  FROM embeddings CROSS JOIN range(1, 65) t(dim)),
-      |c0 AS (SELECT vec_id AS cid, dim, x AS cx FROM pts WHERE vec_id < 10),
-      |a1 AS (
-      |  SELECT vec_id, cid FROM (
+    """WITH iv AS MATERIALIZED (
+      |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding] AS v
+      |  FROM embeddings),
+      |c0 AS MATERIALIZED (
+      |  SELECT vec_id AS cid, v AS cv FROM iv WHERE vec_id < 10),
+      |a1 AS MATERIALIZED (
+      |  SELECT vec_id, (MIN({'d': dist, 'c': cid})).c AS cid
+      |  FROM (
       |    SELECT p.vec_id, c.cid,
-      |      row_number() OVER (PARTITION BY p.vec_id
-      |                         ORDER BY SUM((p.x-c.cx)*(p.x-c.cx)), c.cid) AS rn
-      |    FROM pts p JOIN c0 c ON p.dim = c.dim
-      |    GROUP BY p.vec_id, c.cid) t WHERE rn = 1),
-      |c1 AS (
-      |  SELECT cid, dim, SUM(x) // COUNT(*) AS cx
-      |  FROM pts JOIN a1 USING (vec_id) GROUP BY cid, dim),
+      |      list_sum([(p.v[i]-c.cv[i])*(p.v[i]-c.cv[i]) for i in range(1,65)]) AS dist
+      |    FROM iv p CROSS JOIN c0 c) t
+      |  GROUP BY vec_id),
+      |pts AS MATERIALIZED (
+      |  SELECT vec_id, t.dim, v[t.dim] AS x FROM iv CROSS JOIN range(1, 65) t(dim)),
+      |c1 AS MATERIALIZED (
+      |  SELECT cid, [CAST(sx[d] // cnt AS BIGINT) for d in range(1, 65)] AS cv
+      |  FROM (
+      |    SELECT cid, list(sx ORDER BY dim) AS sx, MAX(cnt) AS cnt
+      |    FROM (
+      |      SELECT a1.cid, pts.dim, SUM(pts.x) AS sx, COUNT(*) AS cnt
+      |      FROM pts JOIN a1 USING (vec_id) GROUP BY a1.cid, pts.dim) g
+      |    GROUP BY cid) z),
       |a2 AS (
-      |  SELECT vec_id, cid FROM (
+      |  SELECT vec_id, (MIN({'d': dist, 'c': cid})).c AS cid
+      |  FROM (
       |    SELECT p.vec_id, c.cid,
-      |      row_number() OVER (PARTITION BY p.vec_id
-      |                         ORDER BY SUM((p.x-c.cx)*(p.x-c.cx)), c.cid) AS rn
-      |    FROM pts p JOIN c1 c ON p.dim = c.dim
-      |    GROUP BY p.vec_id, c.cid) t WHERE rn = 1)
+      |      list_sum([(p.v[i]-c.cv[i])*(p.v[i]-c.cv[i]) for i in range(1,65)]) AS dist
+      |    FROM iv p CROSS JOIN c1 c) t
+      |  GROUP BY vec_id)
       |SELECT cid, COUNT(*) AS n_points, CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id FROM a2 GROUP BY cid""".stripMargin
 
   val defs: Seq[GQuery] = Seq(

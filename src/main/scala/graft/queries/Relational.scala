@@ -177,7 +177,7 @@ object Relational {
   private val partStatsSql =
     """SELECT p_brand, COUNT(*) AS n_parts, COUNT(DISTINCT p_type) AS n_types,
       |  MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price,
-      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(p_retailprice) AS DOUBLE) AS avg_price,
+      |  CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(p_retailprice) AS DOUBLE) AS avg_price,
       |  CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size
       |FROM part GROUP BY p_brand""".stripMargin
 

@@ -1418,32 +1418,42 @@ object Similarity {
         col("vec_id").as("neighbor_id"))
   }
 
+  // list-comprehension distances + MATERIALIZED CTEs (the q_semdedup r12
+  // pattern): the per-dimension unnest join (pts JOIN c ON dim) builds
+  // n×64×k intermediate rows and ground unboundedly at the 100× replica
+  // volume; whole-vector list_sum is work ∝ n×k. OracleScaleSpec pins
+  // the formulation.
   private val annIvfTrainedSql =
     s"""WITH iv AS (
       |  SELECT vec_id, $ivecSql AS v FROM embeddings),
-      |n AS (
+      |n AS MATERIALIZED (
       |  SELECT vec_id, v, list_sum([v[i]*v[i] for i in range(1,${DIM + 1})]) AS n2 FROM iv),
-      |pts AS (
-      |  SELECT vec_id, t.dim, v[t.dim] AS x FROM n CROSS JOIN range(1, ${DIM + 1}) t(dim)),
-      |c0 AS (SELECT vec_id AS cid, dim, x AS cx FROM pts WHERE vec_id < 10),
-      |a1 AS (
-      |  SELECT vec_id, cid FROM (
+      |c0 AS MATERIALIZED (
+      |  SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 10),
+      |a1 AS MATERIALIZED (
+      |  SELECT vec_id, (MIN({'d': dist, 'c': cid})).c AS cid
+      |  FROM (
       |    SELECT p.vec_id, c.cid,
-      |      row_number() OVER (PARTITION BY p.vec_id
-      |                         ORDER BY SUM((p.x-c.cx)*(p.x-c.cx)), c.cid) AS rn
-      |    FROM pts p JOIN c0 c ON p.dim = c.dim
-      |    GROUP BY p.vec_id, c.cid) t WHERE rn = 1),
-      |c1 AS (
-      |  SELECT cid, dim, SUM(x) // COUNT(*) AS cx
-      |  FROM pts JOIN a1 USING (vec_id) GROUP BY cid, dim),
-      |d AS (
-      |  SELECT p.vec_id, c.cid, SUM((p.x-c.cx)*(p.x-c.cx)) AS dist
-      |  FROM pts p JOIN c1 c ON p.dim = c.dim
-      |  GROUP BY p.vec_id, c.cid),
+      |      list_sum([(p.v[i]-c.cv[i])*(p.v[i]-c.cv[i]) for i in range(1,${DIM + 1})]) AS dist
+      |    FROM n p CROSS JOIN c0 c) t
+      |  GROUP BY vec_id),
+      |pts AS MATERIALIZED (
+      |  SELECT vec_id, t.dim, v[t.dim] AS x FROM n CROSS JOIN range(1, ${DIM + 1}) t(dim)),
+      |c1 AS MATERIALIZED (
+      |  SELECT cid, [CAST(sx[d] // cnt AS BIGINT) for d in range(1, ${DIM + 1})] AS cv
+      |  FROM (
+      |    SELECT cid, list(sx ORDER BY dim) AS sx, MAX(cnt) AS cnt
+      |    FROM (
+      |      SELECT a1.cid, pts.dim, SUM(pts.x) AS sx, COUNT(*) AS cnt
+      |      FROM pts JOIN a1 USING (vec_id) GROUP BY a1.cid, pts.dim) g
+      |    GROUP BY cid) z),
+      |d AS MATERIALIZED (
+      |  SELECT p.vec_id, c.cid,
+      |    list_sum([(p.v[i]-c.cv[i])*(p.v[i]-c.cv[i]) for i in range(1,${DIM + 1})]) AS dist
+      |  FROM n p CROSS JOIN c1 c),
       |assigned AS (
-      |  SELECT vec_id, cid AS cell FROM (
-      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-      |    FROM d) t WHERE rn = 1),
+      |  SELECT vec_id, (MIN({'d': dist, 'c': cid})).c AS cell
+      |  FROM d GROUP BY vec_id),
       |probes AS (
       |  SELECT vec_id AS q_id, cid AS cell FROM (
       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn

@@ -480,7 +480,7 @@ object Temporal {
   private val resampleFillSql =
     s"""WITH hourly AS (
       |  SELECT event_type, (epoch_ms(ts) - $T0) // 3600000 AS hour,
-      |    COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+      |    COUNT(*) AS n, CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS v
       |  FROM events GROUP BY 1, 2),
       |grid AS (
       |  SELECT t.event_type, g.h AS hour

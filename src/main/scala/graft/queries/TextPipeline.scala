@@ -1140,13 +1140,16 @@ object TextPipeline {
       // fixpoint probe: one tiny agg per round. A (count, checksum)
       // collision could only stop EARLY on a non-fixpoint — the census
       // oracle (exact transitive closure) would catch that; rounds only
-      // rewrite monotonically toward stars, they never oscillate. Each
-      // term is pmod-bounded < 1e9 so the SUM stays inside Long at any
-      // edge volume and any id magnitude (the 100× skew drive overflowed
-      // the unbounded a*1000003+b sum under ANSI at 2.1e9 doc_ids)
+      // rewrite monotonically toward stars, they never oscillate. BOTH
+      // ids are pmod-reduced BEFORE the multiply-add (a·1000003 alone
+      // overflows Long above ~9.2e12 ids), so every term is < 1e15+1e9
+      // and the SUM stays inside Long at any id magnitude (the 100× skew
+      // drive overflowed the unbounded a*1000003+b sum under ANSI at
+      // 2.1e9 doc_ids); ≡ (a*1000003+b) mod M by modular arithmetic
+      val M = lit(1000000007L)
       val row = e.agg(count(lit(1)),
-        coalesce(sum(pmod(col("a") * 1000003L + col("b"),
-          lit(1000000007L))), lit(0L))).head()
+        coalesce(sum(pmod(pmod(col("a"), M) * 1000003L + pmod(col("b"), M),
+          M)), lit(0L))).head()
       val sig = (row.getLong(0), row.getLong(1))
       if (sig == last || sig._1 == 0L) converged = true
       else last = sig
@@ -2075,27 +2078,114 @@ object TextPipeline {
 
   // -------------------------------------------------- sequence packing
 
-  /** Sequence packing: documents are packed in doc_id order into 4096-token
-    * context windows per language — the running-cumsum binning
-    * (`bin = (cumsum - 1) DIV 4096`) that approximates first-fit packing in
-    * one linear pass, the way large pretraining pipelines actually pack.
-    * One hash exchange on lang, a per-partition window cumsum, then the
-    * bin census; nothing is ever resorted globally. A document straddling
-    * a bin boundary is attributed to its ENDING bin (where real packing
-    * would split it), so census tokens-per-bin ≤ budget + one straddler. */
-  def packSequences(s: SparkSession, dir: String): DataFrame = {
+  /** Rows-per-language population above which [[langCumsumGuardedOf]]
+    * diverts a language off the per-language cumsum window onto the
+    * distributed two-phase path — sized like Analytics.GroupHotCap: far
+    * above what the window's per-task serialization can comfortably hold,
+    * low enough that ONE dominant language (half a 100 TB corpus is one
+    * lang partition) cannot serialize a straggler. */
+  private[graft] val PackHotCap = 262144L
+
+  /** Per-language running token cumsum over a (lang, doc_id, n_tok) frame
+    * — the single-window form: one hash exchange on lang, per-partition
+    * window. Parallelism = #languages, so a dominant language is ONE
+    * task; [[langCumsumGuardedOf]] is the production posture. */
+  private[graft] def langCumsumOf(d: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("n_tok")).over(w))
+  }
+
+  /** [[langCumsumOf]] with the AUTOMATIC hot-group straggler guard (the
+    * winsorizeGuardedOf discipline): language populations are counted by
+    * a map-side-combined hash aggregation; languages over `cap` rows
+    * leave the per-language window — which serializes a whole language
+    * per task — for the distributed two-phase cumsum
+    * ([[langCumsumHotOf]]), and the two legs union. The hot list is
+    * ≤ totalRows/cap entries by construction, so it broadcasts.
+    * Value-identical to the window form (q_pack_sequences_guarded pins it
+    * against the SAME oracle SQL every round; HotGroupGuardSpec plants a
+    * 1000× language); the worst task is bounded by a range slice, not by
+    * the most common language. Membership is NULL-SAFE (<=>): a hot
+    * all-NULL language must divert like any other. */
+  private[graft] def langCumsumGuardedOf(d0: DataFrame,
+      cap: Long = PackHotCap): DataFrame = {
+    val d = d0.trackedPersist()
+    val hotLangs = d.groupBy(col("lang")).agg(count(lit(1)).as("__gn"))
+      .filter(col("__gn") > cap)
+      .select(col("lang").as("__hl"))
+    val cold = d.join(broadcast(hotLangs), col("lang") <=> col("__hl"),
+      "left_anti")
+    val hot = d.join(broadcast(hotLangs), col("lang") <=> col("__hl"),
+      "left_semi")
+    langCumsumOf(cold).unionByName(langCumsumHotOf(hot))
+  }
+
+  /** The hot-language leg: a per-language running cumsum without a
+    * per-language window — the q_token_budget two-phase shape, per group.
+    * Phase 1: a range exchange on the full order key (lang, doc_id)
+    * spreads even ONE corpus-sized language over every partition in
+    * doc_id-sorted slices (cached so pid is well-defined across the two
+    * readers). Phase 2: per-(lang, slice) token totals — partitions ×
+    * hot-languages rows of metadata — become exclusive prefix offsets via
+    * a window over that tiny table and broadcast back. Phase 3: the
+    * cumsum window runs per (slice, lang) — every window partition at
+    * most one range slice, bounded regardless of skew — offset by
+    * phase 2. The result is a function of the (lang, doc_id) order alone,
+    * so the sampled range boundaries never affect the output. */
+  private def langCumsumHotOf(hot: DataFrame): DataFrame = {
+    val ranked = Caches.tracked(hot
+      .repartitionByRange(col("lang"), col("doc_id"))
+      .withColumn("pid", spark_partition_id()))
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranked.groupBy(col("lang"), col("pid"))
+      .agg(sum(col("n_tok")).as("pt"))
+      .withColumn("off", coalesce(sum(col("pt")).over(wOff), lit(0L)))
+      .select(col("lang").as("__ol"), col("pid").as("__op"), col("off"))
+    val wLoc = Window.partitionBy(col("pid"), col("lang"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.join(broadcast(offs),
+        col("lang") <=> col("__ol") && col("pid") === col("__op"))
+      .withColumn("cum", col("off") + sum(col("n_tok")).over(wLoc))
+      .select(hot.columns.map(col) :+ col("cum"): _*)
+  }
+
+  private def packTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("lang"), col("doc_id"), size(words(col("text"))).cast("long").as("n_tok"))
-      .withColumn("cum", sum(col("n_tok")).over(w))
-      .withColumn("bin", expr("(cum - 1) DIV 4096"))
+      .select(col("lang"), col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tok"))
+
+  private def packCensusOf(cum: DataFrame): DataFrame =
+    cum.withColumn("bin", expr("(cum - 1) DIV 4096"))
       .groupBy(col("lang"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
-  }
+
+  /** Sequence packing: documents are packed in doc_id order into 4096-token
+    * context windows per language — the running-cumsum binning
+    * (`bin = (cumsum - 1) DIV 4096`) that approximates first-fit packing in
+    * one linear pass, the way large pretraining pipelines actually pack.
+    * The cumsum runs through the hot-language guard
+    * ([[langCumsumGuardedOf]] at the production cap — at sf0.01 every
+    * language is cold, so the oracle pins the window leg); nothing is
+    * ever resorted globally. A document straddling a bin boundary is
+    * attributed to its ENDING bin (where real packing would split it),
+    * so census tokens-per-bin ≤ budget + one straddler. */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    packCensusOf(langCumsumGuardedOf(packTokens(s, dir)))
+
+  /** [[packSequences]] with a cap low enough that sf0.01's dominant
+    * language (en, 218 docs) takes the HOT (distributed two-phase cumsum)
+    * path while the rest stay cold — both legs AND their union are
+    * value-pinned, registered against the SAME oracle SQL so the driver
+    * itself pins the equivalence every round (the q_winsorize_guarded
+    * discipline). */
+  def packSequencesGuarded(s: SparkSession, dir: String): DataFrame =
+    packCensusOf(langCumsumGuardedOf(packTokens(s, dir), cap = 100L))
 
   private val packSequencesSql =
     s"""WITH d AS (
@@ -2601,10 +2691,12 @@ object TextPipeline {
         sum(when(col("uniq"), 1L).otherwise(0L)).as("n_unique"),
         sum(when(col("clean"), 1L).otherwise(0L)).as("n_clean"),
         sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
-    val wPack = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = flagged.filter(col("sampled"))
-      .withColumn("cum", sum(col("n_tok")).over(wPack))
+    // the packing leg rides the hot-language guard too (production cap:
+    // all-cold at sf0.01, so the oracle pins the window leg; a dominant
+    // language at 100 TB takes the distributed two-phase cumsum instead
+    // of serializing through one window task)
+    val packed = langCumsumGuardedOf(flagged.filter(col("sampled"))
+        .select(col("lang"), col("doc_id"), col("n_tok")))
       .withColumn("bin", expr("(cum - 1) DIV 4096"))
       .groupBy(col("lang"))
       .agg(sum(col("n_tok")).as("tokens_packed"),
@@ -2676,6 +2768,8 @@ object TextPipeline {
     GQuery("q_chunk_dedup", chunkDedup, Some(chunkDedupSql), headline = true),
     GQuery("q_vocab_build", vocabBuild, Some(vocabBuildSql)),
     GQuery("q_pack_sequences", packSequences, Some(packSequencesSql)),
+    GQuery("q_pack_sequences_guarded", packSequencesGuarded,
+      Some(packSequencesSql)),
     GQuery("q_chunk_overlap", chunkOverlap, Some(chunkOverlapSql)),
     GQuery("q_bigram_lm", bigramLm, Some(bigramLmSql)),
     GQuery("q_decontaminate", decontaminate, Some(decontaminateSql)),

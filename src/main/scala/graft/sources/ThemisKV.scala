@@ -210,8 +210,15 @@ object ThemisKV {
     })
     val header = new Array[Byte](KvsHeaderLen.toInt)
     new DataInputStream(raw).readFully(header)
-    require(header.take(4).sameElements(KvsMagic) && header(4) == KvsVersion,
-      s"$f: not a graft-kvs file (bad magic/version)")
+    require(header.take(4).sameElements(KvsMagic),
+      s"$f: not a graft-kvs file (bad magic)")
+    // v1 (r11, stampless syncs) was never persisted outside test temp
+    // dirs, so there is no v1 read branch — but the error must say
+    // "old version" rather than "bad magic" if such a file ever surfaces
+    require(header(4) == KvsVersion,
+      s"$f: graft-kvs version ${header(4)} is not supported by this " +
+        s"reader (expected $KvsVersion; v1 files predate offset-stamped " +
+        "syncs and must be rewritten)")
     val sync = header.slice(5, 5 + SyncLen)
     // position at the first sync whose START is >= max(start, 5): the
     // header's own marker (offset 5, unstamped — found by arithmetic,

@@ -48,11 +48,14 @@ object SnapshotStore {
   private def markerFor(tableDir: String, n: Long) =
     new Path(s"$tableDir/manifest/v$n.commit")
 
-  /** Intra-JVM claim serialization per table — the local-filesystem
+  /** Intra-JVM claim serialization per table — Hadoop's local-filesystem
     * `create(overwrite=false)` is check-then-act, not atomic (the same
     * reason Delta's LocalLogStore holds a JVM lock for file:// URIs);
-    * cross-process exclusion on real stores comes from the claim
-    * file's atomic exclusive create. */
+    * cross-process exclusion on real stores comes from the claim file's
+    * atomic exclusive create. For file:// the claim create itself goes
+    * through NIO `CREATE_NEW` (O_CREAT|O_EXCL — see [[tryClaim]]), so
+    * cross-PROCESS exclusion holds on local disks too; the r13
+    * two-process drive (SnapshotProcessSpec) exercises exactly that. */
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(tableDir: String): Object =
@@ -71,11 +74,29 @@ object SnapshotStore {
       token: String): Boolean = lockFor(tableDir).synchronized {
     // a committed version can never be re-claimed even if its claim
     // file were cleaned up — the marker check closes that door
-    if (fs.exists(claimFor(tableDir, n)) || fs.exists(markerFor(tableDir, n)))
+    val claim = claimFor(tableDir, n)
+    if (fs.exists(claim) || fs.exists(markerFor(tableDir, n)))
       false
     else try {
-      val out = fs.create(claimFor(tableDir, n), false)
-      try out.write(token.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      if ("file" == fs.getScheme) {
+        // Hadoop's local create(overwrite=false) is exists-then-open —
+        // two PROCESSES can slip through the window. NIO CREATE_NEW is
+        // one O_CREAT|O_EXCL syscall: the create IS the CAS. The token
+        // lands in the same call; a racer's readSmall between create
+        // and content visibility sees a non-matching token and treats
+        // the claim as foreign, which is the safe direction.
+        val local = java.nio.file.Paths.get(claim.toUri.getPath)
+        java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.write(local,
+          token.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+      } else {
+        // object stores / HDFS: exclusive create is atomic server-side
+        val out = fs.create(claim, false)
+        try out.write(token.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      }
       true
     } catch { case _: java.io.IOException => false } // lost a cross-process race
   }

@@ -277,6 +277,69 @@ class HotGroupGuardSpec extends SparkSpec {
         graft.queries.Temporal.funnelStagesWindowOf(evN)), "stage"))
   }
 
+  /** Packing frame with one language holding ~all rows (1000×) — the
+    * low-cardinality-stratum case the per-lang cumsum window serializes. */
+  private def skewedPack: DataFrame =
+    (Seq.tabulate(3, 40) { (g, i) =>
+      (s"cold$g", (g * 1000 + i).toLong, (i % 37 + 1).toLong)
+    }.flatten ++ Seq.tabulate(40000) { i =>
+      ("hot", (100000 + i).toLong, (i % 211 + 1).toLong)
+    }).toDF("lang", "doc_id", "n_tok")
+
+  private def packCensus(cum: DataFrame) =
+    cum.withColumn("bin", expr("(cum - 1) DIV 4096"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "bin").collect().map(_.toSeq).toSeq
+
+  test("guarded lang cumsum matches the window form on a 1000x language") {
+    val d = skewedPack
+    val plain = packCensus(graft.queries.TextPipeline.langCumsumOf(d))
+    assert(packCensus(
+      graft.queries.TextPipeline.langCumsumGuardedOf(d, cap = 100L)) === plain)
+    // all-hot (every language over cap) still matches
+    assert(packCensus(
+      graft.queries.TextPipeline.langCumsumGuardedOf(d, cap = 10L)) === plain)
+    // all-cold input takes the window path unchanged
+    val cold = d.filter(col("lang") =!= "hot")
+    assert(packCensus(
+      graft.queries.TextPipeline.langCumsumGuardedOf(cold, cap = 100L)) ===
+      packCensus(graft.queries.TextPipeline.langCumsumOf(cold)))
+  }
+
+  test("hot-language cumsum is exact across slice boundaries") {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      // ONE language, 40k one-token docs: the range exchange splits it
+      // over many slices, and the offset-stitched cumsum must still cut
+      // bins at EXACTLY 4096 tokens — any slice-boundary drift changes
+      // a bin census immediately
+      val n = 40000
+      val d = Seq.tabulate(n) { i => ("en", i.toLong, 1L) }
+        .toDF("lang", "doc_id", "n_tok")
+      val ranked = d.repartitionByRange(col("lang"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val slices = ranked.groupBy(col("pid")).count().count()
+      assert(slices > 1, "hot language must span multiple slices")
+      val bins = packCensus(
+        graft.queries.TextPipeline.langCumsumGuardedOf(d, cap = 100L))
+      assert(bins.length === (n + 4095) / 4096)
+      assert(bins.init.forall(_(3) == 4096L),
+        "every full bin must hold exactly 4096 tokens")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("a hot NULL language diverts and stays value-identical") {
+    val d = skewedPack.withColumn("lang",
+      when(col("lang") === "hot", lit(null)).otherwise(col("lang")))
+    assert(packCensus(
+      graft.queries.TextPipeline.langCumsumGuardedOf(d, cap = 100L)) ===
+      packCensus(graft.queries.TextPipeline.langCumsumOf(d)))
+  }
+
   test("Corpus.winsorize facade applies the guard automatically") {
     val df = skewed.toDF("g", "id", "val")
     val out = Corpus.winsorize(df, "g", "val", "id", hotCap = 1000L)

@@ -14,8 +14,10 @@ import graft.queries.Qdsl
   * under every cap, so testdata growth fails loudly here instead of as an
   * opaque oracle hash mismatch:
   *
-  *   - q_chunk_dedup / q_dedup_rewrite range(1024), 10-token stride
-  *     → (maxTok-1)/10 ≤ 1023
+  *   - q_chunk_dedup range(1024), 10-token stride → (maxTok-1)/10 ≤ 1023
+  *     (q_dedup_rewrite's mirror is exact via list_transform since r12 —
+  *     it registers with oracleCap = None; the guard MECHANISM is still
+  *     tripwired below through rebuildDocs(oracleCap = Some(1024)))
   *   - q_chunk_overlap range(4096), 24-token stride → (maxTok-1)/24 ≤ 4095
   *   - q_decontaminate / q_pipeline_clean range(4096) over 8-gram starts
   *     (1-based j ≤ len-7) → maxTok-7 ≤ 4095

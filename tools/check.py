@@ -54,6 +54,18 @@ def main():
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # Driver parity: its compare is dtype-aware (pandas hash), so a DuckDB
+    # HUGEINT (uncast SUM) vs Spark int64 is a hash failure even when the
+    # values match. Int widths hash identically in pandas (r02 evidence:
+    # int32 rn vs BIGINT passed the driver gate), so the int family is one
+    # class — HUGEINT is NOT in it (pandas renders it float64/object).
+    # Shared by BOTH compare paths: the >BIG duckdb-side path must enforce
+    # the same [DTYPE]/[LISTCOL] verdicts the strict path does, or a
+    # replica-scale query prints [OK] locally while the driver gate fails
+    # it (EXCEPT ALL implicitly casts mismatched types).
+    INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+    def tclass(t):
+        return "int" if t in INT_FAMILY else t
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
@@ -75,8 +87,27 @@ def main():
             print(f"[READ-ERR] {name}: {e}"); n_bad += 1; continue
         if n_got > BIG:
             try:
-                cols = sorted(con.sql(
-                    f"SELECT * FROM '{qdir}/*.parquet' LIMIT 0").columns)
+                got0 = con.sql(f"SELECT * FROM '{qdir}/*.parquet' LIMIT 0")
+                exp0 = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+                cols = sorted(got0.columns)
+                if sorted(exp0.columns) != cols:
+                    print(f"[COLS] {name}: oracle={sorted(exp0.columns)} "
+                          f"spark={cols}")
+                    n_bad += 1; continue
+                exp_t = {c: tclass(str(t))
+                         for c, t in zip(exp0.columns, exp0.types)}
+                got_t = {c: tclass(str(t))
+                         for c, t in zip(got0.columns, got0.types)}
+                tmis = {c: (exp_t[c], got_t[c])
+                        for c in cols if exp_t[c] != got_t[c]}
+                if tmis:
+                    print(f"[DTYPE] {name}: {tmis}")
+                    n_bad += 1; continue
+                lcols = [c for c in cols if exp_t[c].endswith("[]")]
+                if lcols:
+                    print(f"[LISTCOL] {name}: driver compare crashes on "
+                          f"list columns {lcols}")
+                    n_bad += 1; continue
                 cl = ", ".join(f'"{c}"' for c in cols)
                 n_exp = con.sql(f"SELECT count(*) FROM ({sql})").fetchone()[0]
                 if n_exp != n_got:
@@ -113,15 +144,8 @@ def main():
         if sorted(exp_cols) != sorted(got_cols):
             print(f"[COLS] {name}: oracle={sorted(exp_cols)} spark={sorted(got_cols)}")
             n_bad += 1; continue
-        # Driver parity: its compare is dtype-aware (pandas hash), so a DuckDB
-        # HUGEINT (uncast SUM) vs Spark int64 is a hash failure even when the
-        # values match. Compare DuckDB-reported types per (name-sorted) column.
-        # Int widths hash identically in pandas (r02 evidence: int32 rn vs
-        # BIGINT passed the driver gate), so the int family is one class —
-        # HUGEINT is NOT in it (pandas renders it float64/object).
-        INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
-        def tclass(t):
-            return "int" if t in INT_FAMILY else t
+        # Compare DuckDB-reported types per (name-sorted) column — see
+        # tclass() above for the driver-parity rationale.
         exp_types = {c: tclass(str(t)) for c, t in zip(exp_cols, exp.types)}
         got_types = {c: tclass(str(t)) for c, t in zip(got_cols, got.types)}
         tmismatch = {c: (exp_types[c], got_types[c])
