@@ -22,6 +22,11 @@ deterministic skew components (no RNG; reruns bit-identical):
   Hits: one IVF cell holding ~71% of the corpus (cell skew), one LSH
   hash bucket at 5000 population, brute/ANN top-k with a dominant
   neighbor clique.
+- documents PACK FLOOD (r13): 10_000 tiny unique-token docs, all lang
+  'en' (doc_id 2_200_000_000+i). Pushes the dominant language past
+  PackHotCap=262_144 so the packing-cumsum hot-language guard fires at
+  its PRODUCTION cap on the drive corpus (pre-r13 the census showed
+  max_lang 255_900 — 2% under the cap, guard never engaged).
 
 Usage:
   python3 tools/scale10x.py /root/testdata/sf0.1 /tmp/sf100x 100
@@ -36,10 +41,12 @@ import duckdb
 
 STORM_N = 5000
 BOILER_N = 50_000
+FLOOD_N = 10_000
 STORM_BASE_DOC = 553       # a 100-token doc in sf0.1 (longest class)
 HOT_VEC = 1999             # base vector for the hot cluster
 OFF_STORM = 2_000_000_000
 OFF_BOILER = 2_100_000_000
+OFF_FLOOD = 2_200_000_000
 
 BOILER_BLOCK = ("subscribe to our newsletter for updates terms of service "
                 "apply all rights reserved contact us today")  # 16 tokens
@@ -68,6 +75,13 @@ def main():
               [format('bp{{}}x{{}}', i, j) for j in range(30)], ' ')
               || ' ' || '{BOILER_BLOCK}' AS txt
           FROM range({BOILER_N}) r(i))
+        UNION ALL
+        SELECT {OFF_FLOOD} + i AS doc_id,
+               format('flood{{}}a flood{{}}b flood{{}}c', i, i, i) AS text,
+               'en' AS lang, 'flood' AS source,
+               CAST(length(format('flood{{}}a flood{{}}b flood{{}}c',
+                                  i, i, i)) AS BIGINT) AS n_chars
+        FROM range({FLOOD_N}) r(i)
       ) TO '{dst}/documents2.parquet' (FORMAT PARQUET)""")
     con.sql(f"""
       COPY (
@@ -88,8 +102,8 @@ def main():
     os.replace(f'{dst}/embeddings2.parquet', f'{dst}/embeddings.parquet')
     n_d = con.sql(f"SELECT count(*) FROM '{dst}/documents.parquet'").fetchone()[0]
     n_e = con.sql(f"SELECT count(*) FROM '{dst}/embeddings.parquet'").fetchone()[0]
-    print(f"[skew] documents={n_d} (storm {STORM_N}, boiler {BOILER_N}), "
-          f"embeddings={n_e} (hot cluster {STORM_N})")
+    print(f"[skew] documents={n_d} (storm {STORM_N}, boiler {BOILER_N}, "
+          f"flood {FLOOD_N}), embeddings={n_e} (hot cluster {STORM_N})")
 
 
 if __name__ == '__main__':
