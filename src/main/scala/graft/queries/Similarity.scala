@@ -1870,6 +1870,81 @@ object Similarity {
 
   // ---------------------------------------------- semantic dedup (SemDeDup)
 
+  /** Cells above this population leave the single-task per-cell pair
+    * join for the block-decomposed enumeration ([[semDroppedOf]]) — the
+    * hot-group guard discipline applied to a SELF-JOIN. The r13 100×
+    * skew drive measured the need: its 5000-member hot cell put 12.5M of
+    * the corpus' 93M candidate pairs in ONE task. */
+  private[graft] val SemCellCap = 2048L
+
+  /** Block size for the hot-cell decomposition: an over-cap cell's
+    * members are hashed into ⌈pop/SemBlockRows⌉ blocks, and each block
+    * TILE (an unordered block pair) becomes one join key — per-task pair
+    * work is bounded by ~SemBlockRows² no matter how big the cell. */
+  private[graft] val SemBlockRows = 1024L
+
+  /** The dropped-id set of SemDeDup's within-cell pair scan, with the
+    * hot-cell straggler guard: every unordered within-cell pair with
+    * cosine ≥ `minCos` yields its HIGHER vec_id (keep-first), exactly
+    * once, and the per-task pair volume is bounded.
+    *
+    * Cold cells (pop ≤ cap) keep the plain self-equi-join on cell id —
+    * one key per cell, ≤ cap²/2 pairs per task. Hot cells are
+    * block-decomposed: each member lands in block `pmod(xxhash64(id), B)`
+    * with B = ⌈pop/blockRows⌉ per cell, the a-side replicates each row
+    * into tiles (blk, j≥blk), the b-side into tiles (i≤blk, blk), and the
+    * join keys on (cell, i, j) — so a P-member cell's P²/2 pairs spread
+    * over B(B+1)/2 independent keys instead of one. Diagonal tiles
+    * (i = j) hold both copies of every member, so the vec_id < vec_id
+    * predicate dedups them; off-diagonal tiles hold disjoint member sets
+    * (exactly one orientation exists, since tiles are only emitted with
+    * i ≤ j), so every cross pair appears once with no predicate, and
+    * `greatest` recovers the dropped (higher) id regardless of which
+    * side it landed on. Value-identity with the plain join is pinned by
+    * q_semdedup_guarded (same oracle SQL, hot path forced) and
+    * HotGroupGuardSpec's planted-storm case.
+    *
+    * The hot-cell list is ≤ k = ⌈√n⌉ entries (cells, not rows), so the
+    * broadcast stays metadata-sized at any corpus size. Replicating a
+    * hot row B+1 ≈ pop/blockRows times is ~2·blockRows× SMALLER than the
+    * pair volume the cell already owes, so the guard never changes the
+    * asymptotic cost — it only un-serializes it. */
+  private[graft] def semDroppedOf(assigned: DataFrame, minCos: Double,
+      cap: Long = SemCellCap, blockRows: Long = SemBlockRows): DataFrame = {
+    // cell ids are argmin outputs — never null, so plain === joins
+    val hotCells = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__cn"))
+      .filter(col("__cn") > cap)
+      .select(col("cell").as("__hc"), col("__cn"))
+    val cold = assigned.join(broadcast(hotCells.select(col("__hc"))),
+      col("cell") === col("__hc"), "left_anti")
+    val hot = assigned.join(broadcast(hotCells), col("cell") === col("__hc"))
+      .withColumn("__b",
+        ceil(col("__cn").cast("double") / lit(blockRows.toDouble)).cast("long"))
+      .withColumn("__blk", pmod(xxhash64(col("vec_id")), col("__b")))
+      .drop("__hc", "__cn")
+    def sim = cosine(dot(col("a.v"), col("b.v")),
+      col("a.n2"), col("b.n2")) >= minCos
+    val coldPairs = cold.as("a").join(cold.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(sim)
+      .select(col("b.vec_id").as("vec_id"))
+    val aSide = hot
+      .withColumn("__bj", explode(sequence(col("__blk"), col("__b") - 1)))
+      .withColumnRenamed("__blk", "__bi")
+    val bSide = hot
+      .withColumn("__bi", explode(sequence(lit(0L), col("__blk"))))
+      .withColumnRenamed("__blk", "__bj")
+    val hotPairs = aSide.as("a").join(bSide.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.__bi") === col("b.__bi") && col("a.__bj") === col("b.__bj") &&
+          (col("a.__bi") =!= col("a.__bj") ||
+            col("a.vec_id") < col("b.vec_id")))
+      .filter(sim)
+      .select(greatest(col("a.vec_id"), col("b.vec_id")).as("vec_id"))
+    coldPairs.unionByName(hotPairs).distinct()
+      .withColumn("is_dropped", lit(1L))
+  }
+
   /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023): vectors
     * are clustered by a TRAINED coarse quantizer — k = ⌈√n⌉ seed cells
     * refined by one integer-exact Lloyd update, the [[annIvfTrained]]
@@ -1885,9 +1960,23 @@ object Similarity {
     * O(√n) and total pair volume O(n^1.5) at any corpus size; centers
     * broadcast (k×dim rows), cell assignment is a map-side argmin, and
     * the in-cell join is an equi-join on cell id that hash-partitions
-    * clusters across the fleet. The embedding-space analogue of
-    * q_dup_clusters' MinHash canonicalization. */
-  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    * clusters across the fleet — with over-cap cells block-decomposed by
+    * [[semDroppedOf]] so one giant near-dup clique cannot serialize into
+    * a single task. The embedding-space analogue of q_dup_clusters'
+    * MinHash canonicalization. */
+  def semDedup(s: SparkSession, dir: String): DataFrame =
+    semDedupWith(s, dir, SemCellCap, SemBlockRows)
+
+  /** [[semDedup]] with caps low enough that sf0.01's cells (mean
+    * population ~22 at n = 500, k = 23) take the HOT (block-decomposed)
+    * pair path while smaller cells stay cold — both legs and their union
+    * are value-pinned against the SAME oracle SQL every round, the
+    * established guarded-query discipline. */
+  def semDedupGuarded(s: SparkSession, dir: String): DataFrame =
+    semDedupWith(s, dir, cap = 20L, blockRows = 8L)
+
+  private def semDedupWith(s: SparkSession, dir: String,
+      cap: Long, blockRows: Long): DataFrame = {
     // the vector table anchors the count, the seed filter, both argmin
     // passes and the Lloyd join — cache it once for the whole pipeline
     val all = Caches.tracked(vecs(s, dir))
@@ -1919,12 +2008,7 @@ object Similarity {
     // and the census — cache so the k-way argmin runs once
     val assigned = Caches.tracked(argmin(c1)
       .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell")))
-    val dropped = assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .filter(cosine(dot(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")) >= 0.3)
-      .select(col("b.vec_id").as("vec_id"))
-      .distinct()
-      .withColumn("is_dropped", lit(1L))
+    val dropped = semDroppedOf(assigned, 0.3, cap, blockRows)
     assigned.join(dropped, Seq("vec_id"), "left")
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vectors"),
@@ -1990,6 +2074,7 @@ object Similarity {
 
   val defs: Seq[GQuery] = Seq(
     GQuery("q_semdedup", semDedup, Some(semDedupSql), headline = true),
+    GQuery("q_semdedup_guarded", semDedupGuarded, Some(semDedupSql)),
     GQuery("q_embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     GQuery("q_knn_brute", knnBrute, Some(knnBruteSql), headline = true),
     GQuery("q_ann_lsh", annLsh, Some(annLshSql)),

@@ -340,6 +340,67 @@ class HotGroupGuardSpec extends SparkSpec {
       packCensus(graft.queries.TextPipeline.langCumsumOf(d)))
   }
 
+  /** SemDeDup assigned frame with one 1200-member hot cell (a planted
+    * near-dup storm) and 4 cold 30-member cells. Two direction classes
+    * (axis-0-dominant / axis-1-dominant) so within-class cosines ≈ 1 and
+    * cross-class ≈ 0 — the 0.9 threshold separates them exactly. */
+  private def semAssigned: DataFrame = {
+    def vec(i: Int): Seq[Long] =
+      if (i % 2 == 0) Seq(1000000L + i, i.toLong, 7L, 0L)
+      else Seq(i.toLong, 1000000L + i, 0L, 7L)
+    val rows =
+      (for { c <- 0L until 4L; i <- 0 until 30 }
+        yield (c * 1000 + i, vec(i), c)) ++
+        (for { i <- 0 until 1200 } yield (100000L + i, vec(i), 9L))
+    rows.toDF("vec_id", "v", "cell")
+      .withColumn("n2",
+        expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+  }
+
+  /** The plain single-key within-cell pair scan — the law the guard must
+    * reproduce (the semDedup join shape before the r13 guard). */
+  private def semPlainDropped(assigned: DataFrame, minCos: Double) =
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("a.v").as("av"),
+        col("b.v").as("bv"), col("a.n2").as("an2"), col("b.n2").as("bn2"))
+      .filter(expr(
+        "CAST(aggregate(zip_with(av, bv, (x, y) -> x * y), 0L, (a, x) -> a + x)" +
+          " AS DOUBLE) / sqrt(CAST(an2 AS DOUBLE)) / sqrt(CAST(bn2 AS DOUBLE))")
+        >= minCos)
+      .select(col("vec_id")).distinct()
+
+  private def droppedIds(df: DataFrame): Seq[Long] =
+    df.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("block-decomposed semdedup pair scan matches the single-key join") {
+    val a = semAssigned
+    val plain = droppedIds(semPlainDropped(a, 0.9))
+    assert(plain.nonEmpty, "the planted storm must produce drops")
+    val guarded = droppedIds(
+      graft.queries.Similarity.semDroppedOf(a, 0.9, cap = 100L, blockRows = 64L))
+    assert(guarded === plain)
+    // all-hot (every cell over cap, incl. the 30-member ones) still matches
+    assert(droppedIds(graft.queries.Similarity.semDroppedOf(
+      a, 0.9, cap = 10L, blockRows = 8L)) === plain)
+    // all-cold input takes the single-key path unchanged
+    val cold = a.filter(col("cell") =!= 9L)
+    assert(droppedIds(graft.queries.Similarity.semDroppedOf(
+      cold, 0.9, cap = 10000L, blockRows = 64L)) ===
+      droppedIds(semPlainDropped(cold, 0.9)))
+  }
+
+  test("hot cell's pairs spread over multiple tile keys") {
+    // the structural claim: a 1200-member cell at blockRows=64 hashes
+    // into B=19 blocks, so the pair join sees 190 tile keys, not 1
+    val a = semAssigned
+    val hot = a.filter(col("cell") === 9L)
+      .withColumn("__b", lit(19L))
+      .withColumn("__blk", pmod(xxhash64(col("vec_id")), col("__b")))
+    val nBlocks = hot.select(col("__blk")).distinct().count()
+    assert(nBlocks > 1, "hash blocking must actually split the hot cell")
+  }
+
   test("Corpus.winsorize facade applies the guard automatically") {
     val df = skewed.toDF("g", "id", "val")
     val out = Corpus.winsorize(df, "g", "val", "id", hotCap = 1000L)
