@@ -19,6 +19,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 16 MB scan splits — single-file drive corpora otherwise scan
+      // ~5-wide on 32 threads at 100x volume (see Verify.scala)
+      .config("spark.sql.files.maxPartitionBytes", (16L << 20).toString)
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft_warehouse")
       .getOrCreate()

@@ -23,6 +23,10 @@ import graft.queries.Qdsl._
   *   - group_hot: event_types over GroupHotCap (winsorize family) and
   *                the max per-user event count (asof/sessionize/funnel
   *                family caps key on user)
+  *   - sem_hot:   SemDeDup trained cells over SemCellCap (the r13
+  *                block-decomposed pair-join guard) — runs the actual
+  *                ⌈√n⌉+Lloyd quantizer, so this leg costs a real
+  *                assignment pass over the embeddings
   *
   * Usage: sbt "runMain graft.SkewCensus /tmp/sf100x"
   * Evidence lands in BENCH_LOCAL round sections; not part of any gate. */
@@ -36,6 +40,9 @@ object SkewCensus {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 16 MB scan splits — single-file drive corpora otherwise scan
+      // ~5-wide on 32 threads at 100x volume (see Verify.scala)
+      .config("spark.sql.files.maxPartitionBytes", (16L << 20).toString)
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft_warehouse_census")
       .getOrCreate()
@@ -67,13 +74,21 @@ object SkewCensus {
       val usr = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
         .agg(max(col("c")).as("max_user")).head()
 
+      val sem = graft.queries.Similarity.semAssignedOf(spark, dir)
+        .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+        .agg(sum(when(col("c") > graft.queries.Similarity.SemCellCap, 1L)
+            .otherwise(0L)).as("n_hot"),
+          max(col("c")).as("max_cell"),
+          count(lit(1)).as("n_cells")).head()
+
       // the one metrics consumer-visible line (the Bench convention)
       println(
         s"""{"metric":"skew_census","sf_dir":"$dir"""" +
           s""","span_hot":{"cap":${TextPipeline.SpanHotCap},"n_hot_keys":${span.getLong(0)},"n_hot_rows":${span.getLong(1)},"max_key_rows":${span.getLong(2)}}""" +
           s""","lsh_hot":{"cap":${TextPipeline.LshBucketCap},"n_hot_buckets":${lsh.getLong(0)},"tombstoned_rows":${lsh.getLong(1)},"max_bucket":${lsh.getLong(2)}}""" +
           s""","pack_hot":{"cap":${TextPipeline.PackHotCap},"n_hot_langs":${lang.getLong(0)},"max_lang":${lang.getLong(1)}}""" +
-          s""","group_hot":{"cap":${Analytics.GroupHotCap},"n_hot_groups":${grp.getLong(0)},"max_group":${grp.getLong(1)},"max_user":${usr.getLong(0)}}}""")
+          s""","group_hot":{"cap":${Analytics.GroupHotCap},"n_hot_groups":${grp.getLong(0)},"max_group":${grp.getLong(1)},"max_user":${usr.getLong(0)}}""" +
+          s""","sem_hot":{"cap":${graft.queries.Similarity.SemCellCap},"n_hot_cells":${sem.getLong(0)},"max_cell":${sem.getLong(1)},"n_cells":${sem.getLong(2)}}}""")
     } finally spark.stop()
   }
 }

@@ -19,6 +19,13 @@ object Verify {
       // back as ns and can confuse dtype normalization).
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // 16 MB scan splits: the driver corpus ships one parquet file per
+      // table, and at replica-drive volume (100×: documents.parquet is
+      // ~600 MB, lineitem ~1.1 GB) the 128 MB default leaves a 32-thread
+      // box scanning 5-wide. Testdata row groups are small (~122k rows),
+      // so 16 MB still cuts on row-group boundaries; sf0.01/sf0.1 files
+      // are under 16 MB and keep their single split.
+      .config("spark.sql.files.maxPartitionBytes", (16L << 20).toString)
       // catalog tables (the bucketed-layout queries) keep their metadata
       // out of the repo cwd; data files go to explicit external paths
       .config("spark.sql.warehouse.dir",
@@ -29,9 +36,22 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      // repartition(1), not coalesce(1): coalesce fuses into the final
+      // stage, so an exchange-free plan (scan→project dumps) would run
+      // single-task END TO END — unnoticeable at the driver's sf0.01,
+      // a straggler at replica-scale drives. The explicit shuffle keeps
+      // the query itself at full parallelism and only serializes the
+      // one-file write, which the result must pay anyway.
+      try {
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // per-query progress on stderr: a drive that stalls is
+        // diagnosable from the log's last line (learned at 100×, where
+        // the silent dump loop gave no clue which query was grinding)
+        System.err.println(
+          f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop this query's tracked caches so a 117-query dump doesn't

@@ -1977,6 +1977,20 @@ object Similarity {
 
   private def semDedupWith(s: SparkSession, dir: String,
       cap: Long, blockRows: Long): DataFrame = {
+    val assigned = semAssignedOf(s, dir)
+    val dropped = semDroppedOf(assigned, 0.3, cap, blockRows)
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        coalesce(sum(col("is_dropped")), lit(0L)).as("n_dropped"),
+        coalesce(sum(col("is_dropped") * col("vec_id")), lit(0L))
+          .as("dropped_id_sum"))
+  }
+
+  /** SemDeDup's trained-cell assignment frame (vec_id, v, n2, cell) —
+    * the ⌈√n⌉-seed + one-Lloyd-update quantizer shared by the dedup
+    * census and [[graft.SkewCensus]]'s sem_hot guard-fire report. */
+  private[graft] def semAssignedOf(s: SparkSession, dir: String): DataFrame = {
     // the vector table anchors the count, the seed filter, both argmin
     // passes and the Lloyd join — cache it once for the whole pipeline
     val all = Caches.tracked(vecs(s, dir))
@@ -2006,15 +2020,8 @@ object Similarity {
         e => e.getField("cx")).as("cv"))
     // assignment against the TRAINED centers feeds both pair-join sides
     // and the census — cache so the k-way argmin runs once
-    val assigned = Caches.tracked(argmin(c1)
+    Caches.tracked(argmin(c1)
       .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell")))
-    val dropped = semDroppedOf(assigned, 0.3, cap, blockRows)
-    assigned.join(dropped, Seq("vec_id"), "left")
-      .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_vectors"),
-        coalesce(sum(col("is_dropped")), lit(0L)).as("n_dropped"),
-        coalesce(sum(col("is_dropped") * col("vec_id")), lit(0L))
-          .as("dropped_id_sum"))
   }
 
   // centroid DISTANCES stay in list form (one n×cells row per pair, a
