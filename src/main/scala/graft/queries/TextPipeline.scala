@@ -532,17 +532,44 @@ object TextPipeline {
       |SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS simhash
       |FROM s GROUP BY doc_id""".stripMargin
 
-  /** SimHash near-dup pairs: candidates share at least one of the 4
-    * 8-bit bands of the 32-bit fingerprint (any pair within Hamming
-    * distance 3 must agree on ≥1 band — pigeonhole), then exact Hamming
-    * ≤ 3 via bit_count on the XOR. Same ban-the-cross-join shape as
-    * MinHash: band equi-join, never O(n²). */
+  /** 6-block split of the 32-bit fingerprint (widths 6,6,5,5,5,5) and
+    * the C(6,3) = 20 three-block subsets — the Manku/Jain/Das Sarma
+    * combinatorial probing tables (WWW'07, the production SimHash
+    * candidate scheme). A pair within Hamming distance 3 differs in at
+    * most 3 blocks, so it is IDENTICAL on some 3-block subset — every
+    * ≤3-distance pair shares at least one of the 20 combo keys
+    * (pigeonhole, exhaustive). The r12 4×8-bit band scheme was also
+    * exhaustive but its key space was 4×256: random candidate volume
+    * n²·4/2·256 — 2.5 BILLION pair rows at the r13 drive's 565k docs.
+    * The combo keys carry ~16 bits each, cutting random collisions
+    * ~100× (20/2¹⁶ vs 4/2⁸) and spreading an identical-fingerprint
+    * clique over 20 keys instead of 4. Shared by the Column builder and
+    * the DuckDB oracle so the two candidate schemes cannot drift. */
+  private val simBlockOff = Vector(0, 6, 12, 17, 22, 27)
+  private val simBlockMod = Vector(64L, 64L, 32L, 32L, 32L, 32L)
+  private val simCombos: Seq[(Int, Seq[Int])] =
+    (0 until 6).combinations(3).toSeq.map(_.toSeq).zipWithIndex
+      .map { case (c, i) => (i, c) }
+
+  /** SimHash near-dup pairs: candidates share at least one of the 20
+    * combinatorial 3-block keys of the 32-bit fingerprint ([[simCombos]]
+    * — exhaustive for Hamming ≤ 3 by pigeonhole), then exact Hamming ≤ 3
+    * via bit_count on the XOR. Same ban-the-cross-join shape as MinHash:
+    * band equi-join, never O(n²) — and the wide keys keep the random-
+    * collision constant survivable at replica-drive volume. An
+    * identical-fingerprint clique still owes all its pairs (the output
+    * is exact); the 20 keys parallelize that debt, they cannot shrink
+    * it. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     // lazy cache: one fingerprint computation feeding both join sides
     val sig = dedupSimhash(s, dir).trackedPersist()
     val bands = sig.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b => struct(lit(b).as("b"),
-        (expr(s"shiftright(simhash, ${8 * b})") % 256).as("v"))): _*)).as("bk"))
+      explode(array(simCombos.map { case (ci, blocks) =>
+        struct(lit(ci).as("c") +: blocks.zipWithIndex.map { case (b, i) =>
+          (expr(s"shiftright(simhash, ${simBlockOff(b)})")
+            % simBlockMod(b)).as(s"v$i")
+        }: _*)
+      }: _*)).as("bk"))
     bands.as("l").join(bands.as("r"),
         col("l.bk") === col("r.bk") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
@@ -579,17 +606,31 @@ object TextPipeline {
           .as("mean_jaccard"))
   }
 
-  private val simhashPairsSql =
+  // the oracle mirrors the same 20-combo candidate scheme (same
+  // simCombos table, interpolated — the two sides cannot drift); the
+  // 4×8-bit band form ground DuckDB at replica-drive volume exactly
+  // like the Spark side
+  private val simhashPairsSql = {
+    val comboRows = simCombos.map { case (ci, blocks) =>
+      val vals = blocks.map(b => s"${simBlockOff(b)}, ${simBlockMod(b)}")
+        .mkString(", ")
+      s"($ci, $vals)"
+    }.mkString(",\n      |    ")
     s"""WITH sig AS ($dedupSimhashSql),
+      |combos(ci, o0, m0, o1, m1, o2, m2) AS (VALUES
+      |    $comboRows),
       |bands AS (
-      |  SELECT doc_id, simhash, [t.b, (simhash >> (8*t.b)) % 256] AS bk
-      |  FROM sig CROSS JOIN range(4) t(b))
+      |  SELECT doc_id, simhash,
+      |    [ci, (simhash >> o0) % m0, (simhash >> o1) % m1,
+      |     (simhash >> o2) % m2] AS bk
+      |  FROM sig CROSS JOIN combos)
       |SELECT doc_a, doc_b, hamming FROM (
       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
       |    MIN(CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT)) AS hamming
       |  FROM bands l JOIN bands r ON l.bk = r.bk AND l.doc_id < r.doc_id
       |  GROUP BY l.doc_id, r.doc_id) t
       |WHERE hamming <= 3""".stripMargin
+  }
 
   private val simhashCalibrationSql =
     s"""WITH p AS (SELECT * FROM ($simhashPairsSql)),

@@ -101,6 +101,24 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("simhash combinatorial probing is exhaustive for hamming <= 3") {
+    // the law the 20-combo candidate scheme must satisfy: identical pair
+    // set (with identical hamming) to the brute-force all-pairs scan —
+    // pigeonhole over the 6-block split can miss nothing at distance <= 3
+    val sig = TextPipeline.dedupSimhash(spark, sfDir)
+    val brute = sig.as("l").crossJoin(sig.as("r"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        expr("bit_count(l.simhash ^ r.simhash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+    val got = TextPipeline.simhashPairs(spark, sfDir)
+    assert(brute.count() > 0, "sf0.01 must contain near-dup fingerprints")
+    assert(got.unionByName(brute).distinct().count() === brute.count(),
+      "combinatorial candidates must equal the brute-force pair set")
+    assert(got.count() === brute.count())
+    graft.core.Caches.release()
+  }
+
   test("simhash calibration: laws hold, hamming 0 means high overlap") {
     val rows = TextPipeline.simhashCalibration(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
