@@ -2001,13 +2001,19 @@ object Similarity {
     val c0 = all.crossJoin(broadcast(kDf))
       .filter(col("vec_id") < col("kcells"))
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val d2 = l2s(col("v"), col("cv"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-    def argmin(centers: DataFrame): DataFrame =
-      all.join(broadcast(centers))
-        .select(col("vec_id"), col("v"), col("n2"), col("cid"), d2.as("dist"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
+    // scan-local argmin on the fused kernel: the center table folds to
+    // ONE array row and cross-joins broadcast, so assignment never
+    // materializes the n×k distance frame the join+window form pushed
+    // through map-side sorts (93M rows at the r13 drive; O(n^1.5) at
+    // k=⌈√n⌉). Value-identical to Window.orderBy(dist, cid).rn=1 —
+    // VectorKernelSpec pins the parity including distance ties.
+    def argmin(centers: DataFrame): DataFrame = {
+      val carr = centers.agg(sort_array(collect_list(
+        struct(col("cid"), col("cv")))).as("cs"))
+      all.crossJoin(broadcast(carr))
+        .select(col("vec_id"), col("v"), col("n2"),
+          graft.functions.GraftNearestCell(col("v"), col("cs")).as("cid"))
+    }
     // one Lloyd update over the seed assignment: per-dim integer mean,
     // arrays rebuilt in dim order (identical to the annIvfTrained step)
     val a1 = argmin(c0).select(col("vec_id"), col("cid"))

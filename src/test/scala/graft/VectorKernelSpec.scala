@@ -72,6 +72,62 @@ class VectorKernelSpec extends SparkSpec {
     }
   }
 
+  test("GraftNearestCell equals the join+window argmin, ties included") {
+    // centers engineered so ties happen: center 5 duplicates center 2's
+    // vector — on any vector equidistant the LOWER cid must win, exactly
+    // the Window.orderBy(dist, cid) / MIN(struct) contract
+    val centers = (0L to 9L).map { c =>
+      (c, if (c == 5L) randVec(2 + 100, 16) else randVec(c + 100, 16))
+    }
+    val vecs = (1 to 300).map(i => (i.toLong, randVec(i, 16)))
+    val vdf = vecs.toDF("vec_id", "v")
+    val cdf = centers.toDF("cid", "cv")
+    val carr = cdf.agg(sort_array(collect_list(struct(col("cid"), col("cv"))))
+      .as("cs"))
+    val kern = vdf.crossJoin(broadcast(carr))
+      .select(col("vec_id"),
+        graft.functions.GraftNearestCell(col("v"), col("cs")).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    val wind = vdf.join(broadcast(cdf))
+      .select(col("vec_id"), col("cid"),
+        GraftL2(col("v"), col("cv")).as("dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kern === wind)
+    // the duplicated center proves tie-breaking: no vector may ever
+    // resolve to cid 5 (cid 2 carries the identical vector)
+    assert(!kern.values.exists(_ == 5L), "tie must break to the lower cid")
+    // empty center table fails loudly (the window form silently drops
+    // every row — an upstream bug must not masquerade as empty output)
+    val e = intercept[Exception] {
+      vdf.crossJoin(broadcast(
+          cdf.filter(col("cid") < 0)
+            .agg(sort_array(collect_list(struct(col("cid"), col("cv"))))
+              .as("cs"))))
+        .select(graft.functions.GraftNearestCell(col("v"), col("cs")))
+        .head()
+    }
+    assert(e.getMessage.contains("empty center") ||
+      e.getCause != null && e.getCause.getMessage.contains("empty center"))
+  }
+
+  test("GraftNearestCell interpreted eval agrees with codegen") {
+    val cdf = (0L to 3L).map(c => (c, randVec(c + 50, 8))).toDF("cid", "cv")
+    val carr = cdf.agg(sort_array(collect_list(struct(col("cid"), col("cv"))))
+      .as("cs"))
+    val vdf = Seq((1L, randVec(9, 8))).toDF("vec_id", "v")
+    def run(): Long = vdf.crossJoin(broadcast(carr))
+      .select(graft.functions.GraftNearestCell(col("v"), col("cs")))
+      .head().getLong(0)
+    val cg = run()
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(run() == cg)
+    }
+  }
+
   test("GraftDot / GraftL2 refuse null slots loudly (never read garbage)") {
     // checkInputDataTypes accepts array<bigint> with nullable elements
     // (parquet reads report containsNull=true for clean data too), so a
