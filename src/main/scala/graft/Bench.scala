@@ -193,6 +193,24 @@ object Bench {
     val ivfCostJson = ivfCostMap.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + BenchGate.jsonNum(v, 2) }
       .mkString("{", ",", "}")
+    // width-dial telemetry, untimed: the simBits(n) law end-to-end —
+    // fingerprint width chosen at the corpus' own count, then the full
+    // 20-combo candidate join + exact-Hamming pair pipeline at that
+    // width. Fully deterministic, so the sf0.1 band is exact (at sf0.1
+    // the dial lands on 32 and n_pairs IS q_simhash_pairs' row count);
+    // the 100× drive crosses the dial to 64 bits.
+    val simTuned: Option[(Long, Long)] = try {
+      val r = graft.queries.TextPipeline.simhashTuned(spark, sfDir).head()
+      Some((r.getLong(0), r.getLong(1)))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] simhash tuned telemetry failed: ${e.getMessage}")
+        None
+    } finally graft.core.Caches.release()
+    val simTunedJson = simTuned match {
+      case Some((bits, n)) => s"""{"bits":$bits,"n_pairs":$n}"""
+      case None => "{}"
+    }
     // the round-over-round telemetry gate: recall/calibration are corpus
     // statistics, so the r07 baseline only applies on the driver's bench
     // corpus (sf0.1); SPARK_BENCH_GATE=0 is the experimentation escape
@@ -203,8 +221,10 @@ object Bench {
     // requireOccTuned makes its silent disappearance a violation here
     val violations =
       if (gateApplies)
-        BenchGate.check(recallMap, calibMap, ivfCostMap, ndcgMap, occTuned) ++
-          BenchGate.requireOccTuned(occTuned)
+        BenchGate.check(recallMap, calibMap, ivfCostMap, ndcgMap, occTuned,
+          simTuned) ++
+          BenchGate.requireOccTuned(occTuned) ++
+          BenchGate.requireSimTuned(simTuned)
       else Nil
     val gateJson = s"""{"checked":$gateApplies,"violations":${
       violations.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
@@ -225,7 +245,7 @@ object Bench {
       .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${
       BenchGate.jsonNum(math.rint(total * 1e4) / 1e4)
-    },"unit":"sec","passes":$passes,"queries":$qs,"failed":$failedJson,"construction":$constructionJson,"recall":$recallJson,"minhash_calibration":$calibJson,"lsh_occupancy":$occJson,"lsh_occupancy_tuned":$occTunedJson,"ivf_cost":$ivfCostJson,"ndcg":$ndcgJson,"gate":$gateJson,"sf":"$sfDir"}"""
+    },"unit":"sec","passes":$passes,"queries":$qs,"failed":$failedJson,"construction":$constructionJson,"recall":$recallJson,"minhash_calibration":$calibJson,"lsh_occupancy":$occJson,"lsh_occupancy_tuned":$occTunedJson,"ivf_cost":$ivfCostJson,"ndcg":$ndcgJson,"simhash_tuned":$simTunedJson,"gate":$gateJson,"sf":"$sfDir"}"""
     // durable artifact FIRST: r10's stdout line was truncated by the
     // driver's capture buffer, losing the round's headline total — the
     // file survives verbatim whatever happens to stdout

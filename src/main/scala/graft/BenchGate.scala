@@ -91,11 +91,22 @@ object BenchGate {
   val occTunedLow = 16.0
   val occTunedHigh = 40.0
 
+  /** The simBits(n) dial measured end-to-end at sf0.1: width 32 (the
+    * dial's test-scale end — 56k docs sits under the ~105k crossover)
+    * and the exact Hamming-≤3 pair count at that width. Everything in
+    * the pipeline is deterministic (md5-derived word hashes, integer
+    * votes, exact bit_count), so the band is EXACT equality — any
+    * drift in tokenizer, hash, block tables, or combo enumeration
+    * trips it at the first pair. Banked from the round-14 sf0.1 sweep
+    * (two runs agreed). */
+  val simTunedBaseline: (Long, Long) = (32L, 129158L)
+
   /** Violations of the tolerance bands; empty = gate passes. */
   def check(recall: Map[String, Double], calib: Map[Long, Double],
       ivfCost: Map[Long, Double],
       ndcg: Map[String, Double] = Map.empty,
-      occTuned: Option[(Long, Double)] = None): Seq[String] = {
+      occTuned: Option[(Long, Double)] = None,
+      simTuned: Option[(Long, Long)] = None): Seq[String] = {
     val r = recallBaseline.toSeq.sortBy(_._1).flatMap { case (k, base) =>
       recall.get(k) match {
         case None => Some(s"recall[$k] missing (baseline $base)")
@@ -141,8 +152,28 @@ object BenchGate {
           f"($occTunedLow%.0f, $occTunedHigh%.0f] — the lshBits(n) dial law broke")
       case _ => Nil
     }
-    r ++ c ++ ic ++ nd ++ ot
+    val st = simTuned match {
+      // absent-when-not-claimed passes freely (same contract as
+      // occTuned); Bench itself applies [[requireSimTuned]]
+      case None => Nil
+      case Some(v) if v != simTunedBaseline =>
+        Seq(s"simhash_tuned (bits, n_pairs)=$v != banked " +
+          s"$simTunedBaseline — the simBits(n) dial or the pair " +
+          "pipeline drifted (everything in it is deterministic)")
+      case _ => Nil
+    }
+    r ++ c ++ ic ++ nd ++ ot ++ st
   }
+
+  /** Missing-when-expected check scoped to Bench's OWN output, the
+    * [[requireOccTuned]] twin for the SimHash width dial. */
+  def requireSimTuned(simTuned: Option[(Long, Long)]): Seq[String] =
+    simTuned match {
+      case None => Seq("simhash_tuned missing from Bench's own telemetry " +
+        s"(the simBits(n) dial must measure exactly $simTunedBaseline " +
+        "at sf0.1)")
+      case Some(_) => Nil
+    }
 
   /** Missing-when-expected check scoped to Bench's OWN output: Bench
     * computes lsh_occupancy_tuned every run, so absence there means the

@@ -103,6 +103,28 @@ object Tuning {
     math.min(256L, (corpusRows + 7) / 8).toInt
   }
 
+  /** SimHash fingerprint width for the Manku/Jain/Das Sarma 20-combo
+    * probing scheme (WWW'07): 32 bits while the scheme's RANDOM
+    * candidate load stays bounded, 64 past that — the width axis LSH
+    * already has as [[lshBits]]. At width w split into 6 near-equal
+    * blocks, a 3-block combo key carries at least minCombo bits (15 at
+    * w = 32: 5+5+5; 31 at w = 64: 10+10+11), so expected random
+    * candidate pairs per document ≈ 20·n/2^minCombo. The 32-bit
+    * fingerprint holds while 20·n/2^15 ≤ target (default 64
+    * candidates/doc → n ≤ ~105k docs); beyond that the 64-bit width
+    * cuts the collision constant by ~2^16 AND defers fingerprint-space
+    * saturation — identical-fingerprint cliques grow ∝ n²/2^w, and each
+    * clique re-derives its pairs on all 20 combo keys, so at 2^32 the
+    * clique debt itself turns quadratic past ~10M docs. 64 is Manku's
+    * production width. The 32-bit oracle rows (q_dedup_simhash /
+    * q_simhash_pairs / q_simhash_calibration) deliberately pin the
+    * test-scale end for DuckDB bit-parity; the simhash_tuned Bench
+    * telemetry measures THIS formula end-to-end. */
+  def simBits(corpusRows: Long, targetCandidatesPerDoc: Long = 64L): Int = {
+    require(corpusRows > 0 && targetCandidatesPerDoc > 0)
+    if (20L * corpusRows <= (targetCandidatesPerDoc << 15)) 32 else 64
+  }
+
   /** Salt factor for one hot key: ceil(keyRows · nKeys / totalRows) —
     * the number of uniform key-loads the key weighs, the exact integer
     * the oracle-checked q_key_skew emits per head key and

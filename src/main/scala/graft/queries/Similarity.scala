@@ -59,6 +59,29 @@ object Similarity {
   private def cosine(d: Column, n2a: Column, n2b: Column): Column =
     d.cast("double") / sqrt(n2a.cast("double")) / sqrt(n2b.cast("double"))
 
+  /** Scan-local nearest-center assignment on the fused
+    * [[graft.functions.GraftNearestCell]] kernel: the center table
+    * `(cid, cv)` folds to ONE sorted-array row and cross-joins broadcast,
+    * so every task holds the codebook once and the argmin stays inside
+    * whole-stage codegen — no n×k distance frame, no per-vid sort window
+    * (the O(n·k)-row shape whose removal measured q_semdedup 160 → 33 s
+    * at the r13 100× drive). Value-identical to
+    * `Window.orderBy(dist, cid)` rn = 1 — VectorKernelSpec pins the
+    * parity including engineered distance ties. Appends `outCol` (the
+    * winning cid) to `points`' columns; `points` must carry the vector
+    * as `v`. An EMPTY center table fails loudly inside the kernel when
+    * `points` is non-empty (the window form silently dropped every row);
+    * an empty `points` side short-circuits to zero rows as before. */
+  private[graft] def nearestAssign(points: DataFrame, centers: DataFrame,
+      outCol: String): DataFrame = {
+    val carr = centers.agg(sort_array(collect_list(
+      struct(col("cid"), col("cv")))).as("cs"))
+    points.crossJoin(broadcast(carr))
+      .withColumn(outCol,
+        graft.functions.GraftNearestCell(col("v"), col("cs")))
+      .drop("cs")
+  }
+
   private val ivecSql =
     "[CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding]"
 
@@ -1102,16 +1125,16 @@ object Similarity {
     val all = vecs(s, dir)
     val c = all.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val d2 = l2s(col("v"), col("cv"))
-    val distToCells = all.join(broadcast(c))
-      .select(col("vec_id"), col("label"), col("v"), col("n2"), col("cid"), d2.as("dist"))
+    // corpus-side assignment on the fused kernel (n×8 was survivable,
+    // but one argmin form engine-wide beats two); the probe leg keeps
+    // its top-nprobe window over the 20-query side, with the query
+    // filter pushed BELOW the center join
+    val assigned = nearestAssign(
+      all.select(col("vec_id"), col("v"), col("n2")), c, "cell")
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-    val assigned = distToCells
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
-    val probes = distToCells
-      .filter(col("vec_id") < 20)
+    val probes = all.filter(col("vec_id") < 20).join(broadcast(c))
+      .select(col("vec_id"), col("v"), col("n2"), col("cid"),
+        l2s(col("v"), col("cv")).as("dist"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -1156,13 +1179,15 @@ object Similarity {
       s"nprobe must be in 1..$cells: $nprobe")
     val c = base.orderBy(col("vid")).limit(cells)
       .select(col("vid").as("cid"), col("v").as("cv"))
-    val d2 = l2s(col("v"), col("cv"))
-    val wA = Window.partitionBy(col("vid")).orderBy(col("dist"), col("cid"))
-    val assigned = base.join(broadcast(c))
-      .select(col("vid"), col("v"), col("n2"), col("cid"), d2.as("dist"))
-      .withColumn("rn", row_number().over(wA))
-      .filter(col("rn") === 1)
-      .select(col("vid"), col("v"), col("n2"), col("cid").as("cell"))
+    // base-side assignment on the fused kernel: at the production dial
+    // (cells = ⌈√n⌉, ann_ivf_sqrtn / Vectors.ivfTopK) the join+window
+    // form this replaces planned an n×√n-row distance frame through a
+    // map-side sort — the exact O(n^1.5) shape whose removal measured
+    // q_semdedup 160 → 33 s at the r13 100× drive. The probe leg below
+    // keeps the window form: it needs top-NPROBE cells (the kernel is
+    // argmin-1) and runs on the queries-sized side only.
+    val assigned = nearestAssign(
+      base.select(col("vid"), col("v"), col("n2")), c, "cell")
     val wQ = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cid"))
     val probes = queries.join(broadcast(c))
       .select(col("vid").as("q_id"), col("v").as("qv"),
@@ -1170,6 +1195,49 @@ object Similarity {
         l2s(col("v"), col("cv")).as("dist"))
       .withColumn("rn", row_number().over(wQ))
       .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn2"), col("cid").as("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vid"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(if (excludeSelf) col("vid") =!= col("q_id") else lit(true))
+      .select(col("q_id"), col("vid"),
+        cosine(dot(col("v"), col("qv")), col("n2"), col("qn2")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vid").as("neighbor_id"), col("cos"))
+  }
+
+  /** [[ivfSearch]] at the PRODUCTION cell dial — cells = ⌈√n⌉ — with the
+    * count derived IN-PLAN as a 1-row broadcast aggregate (the
+    * q_semdedup trick), so sizing the codebook costs no separate
+    * driver-side action per run. Centers seed from `vid < kcells`
+    * (dense-id contract, same as [[semAssignedOf]]'s seed: the canonical
+    * embeddings frame numbers vec_ids densely from 0; callers with
+    * sparse ids use [[ivfSearch]]'s sort-limit seed and pass cells
+    * explicitly). Assignment is the fused kernel; probes take the
+    * top-min(nprobeCap, kcells) cells per query — the row_number filter
+    * needs no explicit min, rn cannot exceed the center count. Output
+    * and ranking identical to [[ivfSearch]] at the same (cells, nprobe),
+    * which is how the ann_ivf_sqrtn recall band stays banked. */
+  private[graft] def ivfSearchSqrtN(base: DataFrame, queries: DataFrame,
+      k: Int, nprobeCap: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(nprobeCap > 0, s"nprobeCap must be positive: $nprobeCap")
+    val kDf = base.agg(
+      ceil(sqrt(count(lit(1)).cast("double"))).cast("long").as("kcells"))
+    val c = base.crossJoin(broadcast(kDf))
+      .filter(col("vid") < col("kcells"))
+      .select(col("vid").as("cid"), col("v").as("cv"))
+    val assigned = nearestAssign(
+      base.select(col("vid"), col("v"), col("n2")), c, "cell")
+    val wQ = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cid"))
+    val probes = queries.join(broadcast(c))
+      .select(col("vid").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cid"),
+        l2s(col("v"), col("cv")).as("dist"))
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= nprobeCap)
       .select(col("q_id"), col("qv"), col("qn2"), col("cid").as("cell"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vid"))
@@ -1324,17 +1392,20 @@ object Similarity {
     require(cells > 0, s"cells must be positive: $cells")
     val c = resident.orderBy(col("vid")).limit(cells)
       .select(col("vid").as("cid"), col("v").as("cv"))
-    val d2 = l2s(col("v"), col("cv"))
-    val wAssign = Window.partitionBy(col("vid"), col("is_batch"))
-      .orderBy(col("dist"), col("cid"))
-    resident.select(col("vid"), col("v"), lit(false).as("is_batch"))
+    // both populations assign on the fused kernel (no n×cells frame at
+    // caller-chosen center counts), then ONE broadcast equi-join on the
+    // winning cell recovers that cell's center so the census distance is
+    // computed n×1, not n×cells — the window form this replaces sorted
+    // the full distance frame per vid
+    val both = resident.select(col("vid"), col("v"),
+        lit(false).as("is_batch"))
       .unionByName(arriving.select(col("vid"), col("v"),
         lit(true).as("is_batch")))
-      .join(broadcast(c))
-      .select(col("vid"), col("is_batch"), col("cid"), d2.as("dist"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .groupBy(col("cid").as("cell"))
+    nearestAssign(both, c, "cell")
+      .join(broadcast(c), col("cell") === col("cid"))
+      .select(col("vid"), col("is_batch"), col("cell"),
+        l2s(col("v"), col("cv")).as("dist"))
+      .groupBy(col("cell"))
       .agg(
         sum(when(!col("is_batch"), 1L).otherwise(0L)).as("n_resident"),
         sum(when(col("is_batch"), 1L).otherwise(0L)).as("n_arriving"),
@@ -1380,17 +1451,17 @@ object Similarity {
     // lazily cached: the scaled vector table anchors both argmin passes
     // and the Lloyd update join (3 full references)
     val all = vecs(s, dir).trackedPersist()
-    val d2 = l2s(col("v"), col("cv"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    // both corpus-wide argmin passes (seed assignment feeding the Lloyd
+    // update, final assignment against the trained centers) ride the
+    // fused kernel — at caller/dial-derived center counts the join+window
+    // form planned the O(n·k) distance frame this engine banned from
+    // every other assignment path in r13/r14
     def argmin(centers: DataFrame): DataFrame =
-      all.join(broadcast(centers))
-        .select(col("vec_id"), col("label"), col("v"), col("n2"), col("cid"),
-          d2.as("dist"))
+      nearestAssign(all.select(col("vec_id"), col("v"), col("n2")),
+        centers, "cid")
     val c0 = all.filter(col("vec_id") < 10)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val a1 = argmin(c0)
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"))
+    val a1 = argmin(c0).select(col("vec_id"), col("cid"))
     // one Lloyd update: per-dim integer mean, arrays rebuilt in dim order
     val c1 = all.join(a1, "vec_id")
       .select(col("cid"), posexplode(col("v")))
@@ -1399,11 +1470,16 @@ object Similarity {
       .groupBy(col("cid"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         e => e.getField("cx")).as("cv"))
-    val trained = argmin(c1)
-    val assigned = trained
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+    val assigned = argmin(c1)
       .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
-    val probes = trained.filter(col("vec_id") < 20)
+    // probe leg: top-2 trained cells per query — a window by necessity
+    // (the kernel is argmin-1), over the 20-query side only, with the
+    // query filter below the center join
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    val probes = all.filter(col("vec_id") < 20).join(broadcast(c1))
+      .select(col("vec_id"), col("v"), col("n2"), col("cid"),
+        l2s(col("v"), col("cv")).as("dist"))
       .withColumn("rn", row_number().over(wAssign)).filter(col("rn") <= 2)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("n2").as("qn2"), col("cid").as("cell"))
@@ -1807,11 +1883,13 @@ object Similarity {
         // sublinear in corpus size, the scaling the fixed-8-cell oracle
         // queries (candidates ∝ n/4) deliberately do not have. Measured
         // here so the §9 "k grows with n" posture is a gated number.
+        // cells = ⌈√n⌉ derived IN-PLAN (ivfSearchSqrtN) — no separate
+        // count() action per bench run; Tuning.ivfCells stays the
+        // advisory formula, TuningSpec pins the two equal
         val base = vecs(s, dir)
           .select(col("vec_id").as("vid"), col("v"), col("n2"))
-        val cells = graft.api.Tuning.ivfCells(base.count())
-        ivfSearch(base, base.filter(col("vid") < 20), k = 3,
-          cells = cells, nprobe = math.min(8, cells))
+        ivfSearchSqrtN(base, base.filter(col("vid") < 20), k = 3,
+          nprobeCap = 8)
           .select(col("q_id"), col("rank"), col("neighbor_id"))
       }))
       .unionByName(one("ann_lsh_tuned", {
@@ -1971,7 +2049,17 @@ object Similarity {
     * population ~22 at n = 500, k = 23) take the HOT (block-decomposed)
     * pair path while smaller cells stay cold — both legs and their union
     * are value-pinned against the SAME oracle SQL every round, the
-    * established guarded-query discipline. */
+    * established guarded-query discipline.
+    *
+    * DRIVER-CORPUS-ONLY PIN (r13 advice): cap=20/blockRows=8 exist to
+    * force the hot path on sf0.01's tiny cells, nothing more. They do
+    * NOT scale — at these caps a population-P cell replicates each
+    * member ~P/16 times (vector payload included), so the a-side explode
+    * volume of an all-hot forced run grows ~P/16× the cold path's. The
+    * PRODUCTION caps are [[SemCellCap]]/[[SemBlockRows]] (2048/1024),
+    * which the 100× drive's injected storm cell exercises at its real
+    * setting ([[semDedup]] + SkewCensus sem_hot); never run the forced
+    * variant on a drive-scale corpus. */
   def semDedupGuarded(s: SparkSession, dir: String): DataFrame =
     semDedupWith(s, dir, cap = 20L, blockRows = 8L)
 
@@ -2001,19 +2089,13 @@ object Similarity {
     val c0 = all.crossJoin(broadcast(kDf))
       .filter(col("vec_id") < col("kcells"))
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // scan-local argmin on the fused kernel: the center table folds to
-    // ONE array row and cross-joins broadcast, so assignment never
+    // scan-local argmin on the fused kernel ([[nearestAssign]]): never
     // materializes the n×k distance frame the join+window form pushed
     // through map-side sorts (93M rows at the r13 drive; O(n^1.5) at
-    // k=⌈√n⌉). Value-identical to Window.orderBy(dist, cid).rn=1 —
-    // VectorKernelSpec pins the parity including distance ties.
-    def argmin(centers: DataFrame): DataFrame = {
-      val carr = centers.agg(sort_array(collect_list(
-        struct(col("cid"), col("cv")))).as("cs"))
-      all.crossJoin(broadcast(carr))
-        .select(col("vec_id"), col("v"), col("n2"),
-          graft.functions.GraftNearestCell(col("v"), col("cs")).as("cid"))
-    }
+    // k=⌈√n⌉)
+    def argmin(centers: DataFrame): DataFrame =
+      nearestAssign(all.select(col("vec_id"), col("v"), col("n2")),
+        centers, "cid")
     // one Lloyd update over the seed assignment: per-dim integer mean,
     // arrays rebuilt in dim order (identical to the annIvfTrained step)
     val a1 = argmin(c0).select(col("vec_id"), col("cid"))

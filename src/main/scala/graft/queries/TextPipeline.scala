@@ -505,17 +505,35 @@ object TextPipeline {
     * (The exploded form shuffled 32 rows per document twice — pure
     * signature-traffic overhead at scale.) Docs with no tokens carry no
     * fingerprint, matching the exploded form's dropped groups. */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val bits = (0 until 32).map { i =>
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashDocs(Tables.documents(s, dir), 32)
+
+  /** Width-parameterized SimHash fingerprint over an arbitrary
+    * (doc_id, text) frame. 32-bit: per-word hash60 mod 2³² (md5-parity
+    * with the DuckDB oracle — the width the oracle rows pin). 64-bit:
+    * per-word xxhash64 (codegen'd builtin, full word) — the
+    * [[graft.api.Tuning.simBits]] production width, no oracle twin by
+    * design (the scheme is identical, only the word-hash and bit count
+    * change; TextPipelineSpec pins Hamming-≤3 exhaustiveness at BOTH
+    * widths). Vote folds stay scan-local either way: one `aggregate`
+    * per bit over the projected hash array, never a ×bits explode. */
+  private[graft] def simhashDocs(docs: DataFrame, width: Int): DataFrame = {
+    require(width == 32 || width == 64, s"simhash width must be 32|64: $width")
+    val bits = (0 until width).map { i =>
+      // logical shift: identical to the arithmetic form at 32 bits
+      // (fingerprint-nonnegative), correct for bit 63 at 64
       when(aggregate(col("hs"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, i) % 2 === 1, 1L).otherwise(-1L))
-        > 0, lit(1L << i)).otherwise(lit(0L))
+        (acc, h) => acc +
+          when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1, 1L)
+            .otherwise(-1L)) > 0,
+        lit(1L << i)).otherwise(lit(0L))
     }
-    Tables.documents(s, dir)
+    val wordHash: Column => Column =
+      if (width == 32) (w => hash60(w) % 4294967296L) else (w => xxhash64(w))
+    docs
       .select(col("doc_id"), ws.as("w"))
       .filter(size(col("w")) >= 1)
-      .select(col("doc_id"),
-        transform(col("w"), w => hash60(w) % 4294967296L).as("hs"))
+      .select(col("doc_id"), transform(col("w"), wordHash).as("hs"))
       .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
   }
 
@@ -547,6 +565,15 @@ object TextPipeline {
     * the DuckDB oracle so the two candidate schemes cannot drift. */
   private val simBlockOff = Vector(0, 6, 12, 17, 22, 27)
   private val simBlockMod = Vector(64L, 64L, 32L, 32L, 32L, 32L)
+  /** The 64-bit twin (Manku's production width, [[graft.api.Tuning
+    * .simBits]]): widths 11,11,11,11,10,10 — 3-block combo keys carry
+    * 31–33 bits, cutting the random-collision constant another ~2^16
+    * below the 32-bit tables and deferring fingerprint-space clique
+    * saturation (∝ n²/2^w) past any driveable corpus. Same C(6,3) = 20
+    * combo enumeration; the pigeonhole exhaustiveness argument is
+    * width-independent (≤3 flipped bits touch ≤3 of 6 blocks). */
+  private val simBlockOff64 = Vector(0, 11, 22, 33, 44, 54)
+  private val simBlockMod64 = Vector(2048L, 2048L, 2048L, 2048L, 1024L, 1024L)
   private val simCombos: Seq[(Int, Seq[Int])] =
     (0 until 6).combinations(3).toSeq.map(_.toSeq).zipWithIndex
       .map { case (c, i) => (i, c) }
@@ -560,14 +587,28 @@ object TextPipeline {
     * identical-fingerprint clique still owes all its pairs (the output
     * is exact); the 20 keys parallelize that debt, they cannot shrink
     * it. */
-  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairsDocs(Tables.documents(s, dir), 32)
+
+  /** [[simhashPairs]] over an arbitrary (doc_id, text) frame at either
+    * fingerprint width — the 20-combo candidate join against the
+    * width's block tables, then exact Hamming ≤ 3 on the XOR. 32 is the
+    * oracle-pinned test width; 64 is the [[graft.api.Tuning.simBits]]
+    * production width the simhash_tuned Bench telemetry measures. */
+  private[graft] def simhashPairsDocs(docs: DataFrame,
+      width: Int): DataFrame = {
+    val (offs, mods) =
+      if (width == 64) (simBlockOff64, simBlockMod64)
+      else (simBlockOff, simBlockMod)
     // lazy cache: one fingerprint computation feeding both join sides
-    val sig = dedupSimhash(s, dir).trackedPersist()
+    val sig = simhashDocs(docs, width).trackedPersist()
     val bands = sig.select(col("doc_id"), col("simhash"),
       explode(array(simCombos.map { case (ci, blocks) =>
         struct(lit(ci).as("c") +: blocks.zipWithIndex.map { case (b, i) =>
-          (expr(s"shiftright(simhash, ${simBlockOff(b)})")
-            % simBlockMod(b)).as(s"v$i")
+          // logical shift: parity with the arithmetic oracle form at 32
+          // bits (nonnegative), well-defined for the 64-bit sign block
+          (expr(s"shiftrightunsigned(simhash, ${offs(b)})")
+            % mods(b)).as(s"v$i")
         }: _*)
       }: _*)).as("bk"))
     bands.as("l").join(bands.as("r"),
@@ -577,6 +618,22 @@ object TextPipeline {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(min(col("hamming")).as("hamming"))
       .filter(col("hamming") <= 3)
+  }
+
+  /** The width dial measured end-to-end (the `ann_lsh_tuned` pattern):
+    * fingerprint width from [[graft.api.Tuning.simBits]] at the corpus'
+    * own row count, then the full candidate-join + exact-Hamming pair
+    * pipeline at that width. Emits ONE row (bits, n_pairs) — gated in
+    * Bench as the simhash_tuned key. At sf0.1 simBits lands on 32, so
+    * n_pairs is exactly q_simhash_pairs' row count (the band is exact:
+    * everything is deterministic); at the 100× drive the dial crosses
+    * to 64 and the candidate volume drop is the recorded measurement. */
+  def simhashTuned(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bits = graft.api.Tuning.simBits(docs.count())
+    simhashPairsDocs(docs, bits)
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(lit(bits).cast("long").as("bits"), col("n_pairs"))
   }
 
   /** SimHash estimator calibration — the fingerprint-side twin of

@@ -313,6 +313,48 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dial-k IVF assignment rides the fused kernel, never a per-vid window") {
+    // the r13 `weak`: ivfSearch / ivfSearchSqrtN / ivfDriftCensusOf fed
+    // the production dials (cells = ⌈√n⌉) an n×k distance frame sorted
+    // per vid — O(n^1.5) rows by design. All corpus-side assignment now
+    // rides GraftNearestCell; the only windows left partition by q_id
+    // (probe selection + final ranking over the QUERIES-sized side).
+    val base = Tables.embeddings(spark, sfDir).select(
+      col("vec_id").as("vid"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000).cast("bigint")).as("v"))
+      .withColumn("n2", graft.functions.GraftDot(col("v"), col("v")))
+    val queries = base.filter(col("vid") < 20)
+    def assertNoVidWindow(df: org.apache.spark.sql.DataFrame,
+        what: String): Unit = {
+      val p = plan(df)
+      assert(p.contains("graft_nearest_cell"),
+        s"$what must assign cells on the fused kernel:\n$p")
+      val exec = df.queryExecution.executedPlan
+      val vidWindows = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.exists(_.toString.contains("vid#")) => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.exists(_.toString.contains("vid#")) => w
+      }
+      assert(vidWindows.isEmpty,
+        s"$what plans a per-vid window over the corpus side:\n$p")
+    }
+    assertNoVidWindow(
+      graft.queries.Similarity.ivfSearch(base, queries, k = 3,
+        cells = 50, nprobe = 8),
+      "ivfSearch at a dial-derived cell count")
+    assertNoVidWindow(
+      graft.queries.Similarity.ivfSearchSqrtN(base, queries, k = 3,
+        nprobeCap = 8),
+      "ivfSearchSqrtN (the ann_ivf_sqrtn production path)")
+    assertNoVidWindow(
+      graft.queries.Similarity.ivfDriftCensusOf(
+        base.filter(col("vid") % 2 === 0), base.filter(col("vid") % 2 === 1),
+        cells = 50),
+      "ivfDriftCensusOf at a caller-chosen cell count")
+  }
+
   test("corpus drift: one languages-sized exchange, totals broadcast back") {
     val p = plan(TextPipeline.corpusDrift(spark, sfDir))
     assert(distinctHashExchanges(p) == 1,

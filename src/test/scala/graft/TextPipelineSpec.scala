@@ -119,6 +119,41 @@ class TextPipelineSpec extends SparkSpec {
     graft.core.Caches.release()
   }
 
+  test("64-bit simhash probing is exhaustive for hamming <= 3 " +
+      "and the tuned dial rides simBits(n)") {
+    // the width axis (Tuning.simBits — 64 past ~105k docs): same
+    // pigeonhole law at the production width. ≤3 flipped bits touch ≤3
+    // of the 6 blocks, width-independent; this pins the 64-bit BLOCK
+    // TABLES (offsets/mods incl. the sign block via logical shift)
+    // against the brute-force pair set, which no oracle row covers (the
+    // 32-bit rows pin DuckDB md5 parity instead).
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val sig = TextPipeline.simhashDocs(docs, 64)
+    val brute = sig.as("l").crossJoin(sig.as("r"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        expr("bit_count(l.simhash ^ r.simhash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+    val got = TextPipeline.simhashPairsDocs(docs, 64)
+    // 64-bit fingerprints of unrelated docs almost never land within
+    // Hamming 3, so the meat is the EXACT duplicates (hamming 0) the
+    // corpus carries — require a non-empty truth set so the assertion
+    // can't pass vacuously
+    assert(brute.count() > 0, "sf0.01 must contain 64-bit near-dups")
+    assert(got.unionByName(brute).distinct().count() === brute.count(),
+      "64-bit combinatorial candidates must equal the brute-force pair set")
+    assert(got.count() === brute.count())
+    // the dial itself: sf0.01 (~5.6k docs) sits under the crossover →
+    // 32; past the crossover the width flips to Manku's production 64
+    assert(graft.api.Tuning.simBits(docs.count()) === 32)
+    assert(graft.api.Tuning.simBits(200000L) === 64)
+    assert(graft.api.Tuning.simBits(104857L) === 32)
+    val tuned = TextPipeline.simhashTuned(spark, sfDir).head()
+    assert(tuned.getLong(0) === 32L)
+    assert(tuned.getLong(1) === TextPipeline.simhashPairs(spark, sfDir).count())
+    graft.core.Caches.release()
+  }
+
   test("simhash calibration: laws hold, hamming 0 means high overlap") {
     val rows = TextPipeline.simhashCalibration(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

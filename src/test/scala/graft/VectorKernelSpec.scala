@@ -109,8 +109,11 @@ class VectorKernelSpec extends SparkSpec {
         .select(graft.functions.GraftNearestCell(col("v"), col("cs")))
         .head()
     }
-    assert(e.getMessage.contains("empty center") ||
-      e.getCause != null && e.getCause.getMessage.contains("empty center"))
+    // Option-guard both messages: an outer exception with a null message
+    // must fail the assertion, not NPE it (r13 advice)
+    assert(Option(e.getMessage).exists(_.contains("empty center")) ||
+      (e.getCause != null &&
+        Option(e.getCause.getMessage).exists(_.contains("empty center"))))
   }
 
   test("GraftNearestCell interpreted eval agrees with codegen") {
@@ -139,14 +142,16 @@ class VectorKernelSpec extends SparkSpec {
     val eDot = intercept[Exception] {
       dirty.select(GraftDot(col("a"), col("b"))).head()
     }
-    assert(eDot.getMessage.contains("null element") ||
-      eDot.getCause != null && eDot.getCause.getMessage.contains("null element"),
+    assert(Option(eDot.getMessage).exists(_.contains("null element")) ||
+      (eDot.getCause != null &&
+        Option(eDot.getCause.getMessage).exists(_.contains("null element"))),
       s"dot error did not name the null slot: ${eDot.getMessage}")
     val eL2 = intercept[Exception] {
       dirty.select(GraftL2(col("a"), col("b"))).head()
     }
-    assert(eL2.getMessage.contains("null element") ||
-      eL2.getCause != null && eL2.getCause.getMessage.contains("null element"),
+    assert(Option(eL2.getMessage).exists(_.contains("null element")) ||
+      (eL2.getCause != null &&
+        Option(eL2.getCause.getMessage).exists(_.contains("null element"))),
       s"l2 error did not name the null slot: ${eL2.getMessage}")
   }
 
