@@ -1988,6 +1988,15 @@ object Similarity {
     * pair volume the cell already owes, so the guard never changes the
     * asymptotic cost — it only un-serializes it. */
   private[graft] def semDroppedOf(assigned: DataFrame, minCos: Double,
+      cap: Long = SemCellCap, blockRows: Long = SemBlockRows): DataFrame =
+    semDroppedRaw(assigned, minCos, cap, blockRows).distinct()
+      .withColumn("is_dropped", lit(1L))
+
+  /** [[semDroppedOf]] BEFORE the final distinct — the multiset of
+    * dropped ids, one per qualifying pair (a vec_id dropped by d pairs
+    * appears d times). Exposed so SkewCensus' SPARK_SEM_PROFILE leg can
+    * time the pair-enumeration layer separately from the distinct. */
+  private[graft] def semDroppedRaw(assigned: DataFrame, minCos: Double,
       cap: Long = SemCellCap, blockRows: Long = SemBlockRows): DataFrame = {
     // cell ids are argmin outputs — never null, so plain === joins
     val hotCells = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__cn"))
@@ -2019,8 +2028,7 @@ object Similarity {
             col("a.vec_id") < col("b.vec_id")))
       .filter(sim)
       .select(greatest(col("a.vec_id"), col("b.vec_id")).as("vec_id"))
-    coldPairs.unionByName(hotPairs).distinct()
-      .withColumn("is_dropped", lit(1L))
+    coldPairs.unionByName(hotPairs)
   }
 
   /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023): vectors
