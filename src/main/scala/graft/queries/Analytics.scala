@@ -829,26 +829,57 @@ object Analytics {
 
   private[graft] def tableStatsOf(df: DataFrame, cols: Seq[StatCol],
       exactNdv: Boolean): DataFrame = {
+    // exact NDVs deliberately do NOT ride the one-pass agg: k
+    // countDistincts in one Aggregate plan through an Expand — k+1
+    // copies of every input row through the hash aggregate (720M rows
+    // for lineitem's 11 stat columns at the r14 100× drive; 537 s).
+    // Instead each exact NDV is its own single-distinct aggregate over a
+    // COLUMN-PRUNED scan: partial aggregation dedups map-side, the
+    // exchange carries only per-partition distinct values, and the k
+    // branches union into one 11-row frame that broadcast-joins back —
+    // k cheap single-column passes beat one k×-expanded pass at any
+    // volume. The approx (HLL) path keeps the true one-pass shape — at
+    // 100 TB that is the production dial (Corpus.analyzeTable default).
     val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { sp =>
       val c = col(sp.name)
       Seq(
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nn_${sp.name}"),
-        (if (exactNdv) countDistinct(c)
-         else approx_count_distinct(c)).as(s"__nd_${sp.name}"),
-        min(c).as(s"__mn_${sp.name}"), max(c).as(s"__mx_${sp.name}"))
+        min(c).as(s"__mn_${sp.name}"), max(c).as(s"__mx_${sp.name}")) ++
+        (if (exactNdv) Nil
+         else Seq(approx_count_distinct(c).as(s"__nd_${sp.name}")))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val unpivoted = array(cols.map { sp =>
-      struct(lit(sp.name).as("col_name"),
-        col(s"__nn_${sp.name}").as("n_nulls"),
-        col(s"__nd_${sp.name}").cast("long").as("n_distinct"),
-        sp.render(col(s"__mn_${sp.name}")).as("min_s"),
-        sp.render(col(s"__mx_${sp.name}")).as("max_s"))
-    }: _*)
-    one.select(col("n_rows"), explode(unpivoted).as("r"))
-      .select(col("r.col_name").as("col_name"), col("n_rows"),
-        col("r.n_nulls").as("n_nulls"), col("r.n_distinct").as("n_distinct"),
-        col("r.min_s").as("min_s"), col("r.max_s").as("max_s"))
+    if (exactNdv) {
+      val unpivoted = array(cols.map { sp =>
+        struct(lit(sp.name).as("col_name"),
+          col(s"__nn_${sp.name}").as("n_nulls"),
+          sp.render(col(s"__mn_${sp.name}")).as("min_s"),
+          sp.render(col(s"__mx_${sp.name}")).as("max_s"))
+      }: _*)
+      val base = one.select(col("n_rows"), explode(unpivoted).as("r"))
+        .select(col("r.col_name").as("col_name"), col("n_rows"),
+          col("r.n_nulls").as("n_nulls"),
+          col("r.min_s").as("min_s"), col("r.max_s").as("max_s"))
+      val ndvs = cols.map { sp =>
+        df.agg(countDistinct(col(sp.name)).cast("long").as("n_distinct"))
+          .select(lit(sp.name).as("col_name"), col("n_distinct"))
+      }.reduce(_.unionByName(_))
+      base.join(broadcast(ndvs), Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    } else {
+      val unpivoted = array(cols.map { sp =>
+        struct(lit(sp.name).as("col_name"),
+          col(s"__nn_${sp.name}").as("n_nulls"),
+          col(s"__nd_${sp.name}").cast("long").as("n_distinct"),
+          sp.render(col(s"__mn_${sp.name}")).as("min_s"),
+          sp.render(col(s"__mx_${sp.name}")).as("max_s"))
+      }: _*)
+      one.select(col("n_rows"), explode(unpivoted).as("r"))
+        .select(col("r.col_name").as("col_name"), col("n_rows"),
+          col("r.n_nulls").as("n_nulls"), col("r.n_distinct").as("n_distinct"),
+          col("r.min_s").as("min_s"), col("r.max_s").as("max_s"))
+    }
   }
 
   private val tableStatsSql = {

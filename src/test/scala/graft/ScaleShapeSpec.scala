@@ -155,12 +155,24 @@ class ScaleShapeSpec extends SparkSpec {
     assert(scans == 2, s"expected 2 events scans (e + cohort), got $scans:\n$p")
   }
 
-  test("table stats: one lineitem scan feeds the whole per-column census") {
-    // the ANALYZE census is ONE aggregation over one scan; the exact-NDV
-    // oracle form pays an Expand (documented), but never a second scan
+  test("exact table stats: k column-pruned passes, never an Expand") {
+    // the r14 reversal of the old one-scan pin: k countDistincts in ONE
+    // aggregate lower through an Expand — k+1 copies of every row
+    // through the hash aggregate (720M rows at the 100× drive, 537 s).
+    // The exact path now unions k single-distinct aggregates, each over
+    // a scan pruned to ITS column (scans are cheap, row multiplication
+    // is not), broadcast-joined back to the one-pass nulls/min/max leg.
     val p = plan(graft.queries.Analytics.tableStats(spark, sfDir))
+    assert(!p.contains("Expand"),
+      s"exact NDV stats must not ride an Expand:\n$p")
     val scans = "lineitem\\.parquet".r.findAllIn(p).length
-    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
+    assert(scans == 12, s"expected 1 base + 11 NDV scans, got $scans:\n$p")
+    // every NDV scan must be pruned to a single column ([^>\n]: the
+    // base scan's 11-column schema truncates at 100 chars with no
+    // closing '>', and an unanchored class would gobble lines past it)
+    val ndvScans = "ReadSchema: struct<[^>\n]*".r.findAllIn(p).toSeq
+    assert(ndvScans.count(s => !s.contains(",")) >= 11,
+      s"NDV scans must be single-column pruned:\n${ndvScans.mkString("\n")}")
   }
 
   test("approx table stats (facade default): no Expand in the plan") {
