@@ -282,15 +282,16 @@ object Iterative {
     val c0 = pts.filter(col("vec_id") < 10)
       .select(col("vec_id").as("cid"), col("dim"), col("x").as("cx"))
 
-    def assign(centers: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    // argmin via struct-MIN over (dist, cid) — one hash aggregation,
+    // identical tie-break to the row_number window it replaces (and to
+    // the oracle's MIN({'d','c'})) with no per-vid sort of the n×k frame
+    def assign(centers: DataFrame): DataFrame =
       pts.join(broadcast(centers), "dim")
         .groupBy(col("vec_id"), col("cid"))
         .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"))
-    }
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m").getField("cid").as("cid"))
     def recenter(asg: DataFrame): DataFrame =
       pts.join(asg, "vec_id")
         .groupBy(col("cid"), col("dim"))

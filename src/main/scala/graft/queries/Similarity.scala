@@ -777,13 +777,14 @@ object Similarity {
       .select(col("vec_id").as("ccid"), col("v").as("ccv"))
     val dCell = l2s(col("v"), col("ccv"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("ccid"))
-    val distToCells = Caches.tracked(
-      all.join(broadcast(cc))
-        .select(col("vec_id"), col("v"), col("ccid"), col("ccv"), dCell.as("dist")))
     val residual = zip_with(col("v"), col("ccv"), (x, y) => x - y)
-    val assigned = distToCells
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("ccid").as("cell"), residual.as("r"))
+    // coarse assignment on the fused kernel, then ONE broadcast
+    // equi-join on the winning cell recovers that center for the
+    // residual — n×1 rows, the ivfDriftCensusOf shape
+    val assigned = nearestAssign(all.select(col("vec_id"), col("v")),
+        cc.select(col("ccid").as("cid"), col("ccv").as("cv")), "cell")
+      .join(broadcast(cc), col("cell") === col("ccid"))
+      .select(col("vec_id"), col("cell"), residual.as("r"))
     val subIdx = posexplode(expr(
       s"transform(sequence(0, ${PQ_M - 1}), m -> slice(r, m * $PQ_SUB + 1, $PQ_SUB))"))
     val sv = assigned.select(col("vec_id"), col("cell"), subIdx)
@@ -796,8 +797,11 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("m"), col("cid"), pqD2.as("dist"))
       .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
       .select(col("vec_id"), col("cell"), col("m"), col("cid").as("code"))
-    // per probed cell, the query's residual against THAT center
-    val qsv = distToCells.filter(col("vec_id") < 20)
+    // per probed cell, the query's residual against THAT center — a
+    // top-2 window over the 20-query side only
+    val qsv = all.filter(col("vec_id") < 20).join(broadcast(cc))
+      .select(col("vec_id"), col("v"), col("ccid"), col("ccv"),
+        dCell.as("dist"))
       .withColumn("rn", row_number().over(wAssign)).filter(col("rn") <= 2)
       .select(col("vec_id").as("q_id"), col("ccid").as("qcell"), residual.as("r"))
       .select(col("q_id"), col("qcell"), subIdx)
@@ -1294,16 +1298,15 @@ object Similarity {
     val all = vecs(s, dir)
     val c = all.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val d2 = l2s(col("v"), col("cv"))
-    val distToCells = all.join(broadcast(c))
-      .select(col("vec_id"), col("cid"), d2.as("dist"))
+    // corpus-side assignment on the fused kernel (the last per-vid
+    // window assignment leg, closed in r14 for engine-wide consistency);
+    // probe ranks stay a window over the 20-query side
+    val assigned = nearestAssign(
+        all.select(col("vec_id"), col("v")), c, "cell")
+      .select(col("vec_id"), col("cell"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-    val assigned = distToCells
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
-    val probes = distToCells
-      .filter(col("vec_id") < 20)
+    val probes = all.filter(col("vec_id") < 20).join(broadcast(c))
+      .select(col("vec_id"), col("cid"), l2s(col("v"), col("cv")).as("dist"))
       .withColumn("prn", row_number().over(wAssign))
       .filter(col("prn") <= 4)
       .select(col("vec_id").as("q_id"), col("prn"), col("cid").as("cell"))
@@ -1631,12 +1634,9 @@ object Similarity {
     val all = vecs(s, dir)
     val c = all.filter(col("vec_id") < 10)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val d2 = l2s(col("v"), col("cv"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-    all.join(broadcast(c))
-      .select(col("vec_id"), col("cid"), d2.as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // assignment on the fused kernel (the shared argmin form of every
+    // nearest-center leg engine-wide as of r14)
+    nearestAssign(all.select(col("vec_id"), col("v")), c, "cid")
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_points"), sum(col("vec_id")).as("sum_vec_id"))
   }
