@@ -2247,7 +2247,7 @@ object TextPipeline {
     ranked.join(broadcast(offs),
         col("lang") <=> col("__ol") && col("pid") === col("__op"))
       .withColumn("cum", col("off") + sum(col("n_tok")).over(wLoc))
-      .select(hot.columns.map(col) :+ col("cum"): _*)
+      .select(hot.columns.toIndexedSeq.map(col) :+ col("cum"): _*)
   }
 
   private def packTokens(s: SparkSession, dir: String): DataFrame =

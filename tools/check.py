@@ -37,15 +37,25 @@ def key(row):
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
-    con = duckdb.connect()
+    # DUCKDB_DB=<path>: file-backed database — blocking operators spill
+    # through the buffer manager far more reliably than in :memory: mode
+    # (r14 drive lesson: q_dedup_rewrite's string-heavy rebuild blew a
+    # 48GB memory_limit to 130GB RSS in-memory and OOM-killed twice)
+    db = os.environ.get("DUCKDB_DB", ":memory:")
+    con = duckdb.connect(db)
     # heavy oracles at replica-scale corpora (100x drive) exceed RAM
     # without a spill path and get OOM-killed; cap memory below physical
-    # and give DuckDB a temp dir so it spills instead
+    # and give DuckDB a temp dir so it spills instead. DUCKDB_THREADS
+    # caps per-thread operator state (32 threads of a string-heavy hash
+    # agg each hold their own partials — fewer threads, less peak RSS).
     mem = os.environ.get("DUCKDB_MEM", "64GB")
     tmp = os.environ.get("DUCKDB_TMP", "/tmp/duckdb_spill")
     os.makedirs(tmp, exist_ok=True)
     con.sql(f"SET memory_limit='{mem}'")
     con.sql(f"SET temp_directory='{tmp}'")
+    thr = os.environ.get("DUCKDB_THREADS")
+    if thr:
+        con.sql(f"SET threads={int(thr)}")
     # row order is irrelevant (the compare sorts) and preserving it is
     # what keeps giant intermediate pipelines fully resident in DuckDB
     con.sql("SET preserve_insertion_order=false")
