@@ -87,6 +87,19 @@ object SparkEntry {
         |  CAST(SUM(list_sum(list_transform([0,1,2,3,4,5,6,7],
         |    j -> (checksum + j * 2654435761) % 1000))) AS BIGINT) AS emb_checksum
         |FROM f GROUP BY kind""".stripMargin))),
+    // REAL codec decode (r14): payloads rendered from closed-form
+    // pixel/sample laws, encoded with the JDK's actual codecs (DEFLATE
+    // PNG via ImageIO; RIFF/WAVE PCM-16), decoded back with the real
+    // decoder, and the DECODED values aggregated — the oracle recomputes
+    // the same aggregates arithmetically, so an encode defect, decode
+    // defect, or lossy round-trip fails the hash compare. Video decode
+    // alone remains behind Multimodal.decodeStub (no JDK video codec).
+    Seq(GQuery("q_image_decode",
+      graft.operators.RealCodec.imageDecodeStats _,
+      Some(graft.operators.RealCodec.imageDecodeOracle))),
+    Seq(GQuery("q_audio_decode",
+      graft.operators.RealCodec.audioDecodeStats _,
+      Some(graft.operators.RealCodec.audioDecodeOracle))),
     Seq(GQuery("q_frame_sample",
       graft.operators.Multimodal.frameSample _,
       Some("""WITH m AS (

@@ -7,9 +7,13 @@ import org.apache.spark.sql.functions._
   * travel as opaque `binary` columns next to typed metadata, and
   * decode/feature-extract runs as a partition-local typed transform.
   *
-  * The actual image/audio/video codecs are STUBBED — this container ships
-  * no decoders, so [[Multimodal.decodeStub]] derives deterministic fake
-  * features from the raw bytes. Everything around the stub is real and
+  * Decode status (r14): image and audio decode are REAL — see
+  * [[RealCodec]] (JDK ImageIO PNG/BMP/GIF/JPEG + a RIFF/WAVE PCM parser,
+  * both oracle-checked end-to-end by q_image_decode / q_audio_decode).
+  * Only VIDEO decode remains stubbed here — the JDK has no video codec
+  * and this container ships none — so [[Multimodal.decodeStub]] derives
+  * deterministic fake features from the raw bytes for that modality.
+  * Everything around the stub is real and
   * what matters at 100 TB: the schema (binary + metadata struct), the
   * `Dataset[T]` encoder plumbing, partition-local batch processing via
   * `mapPartitions` (one decoder init per partition, not per record — the

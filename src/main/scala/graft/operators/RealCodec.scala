@@ -1,0 +1,330 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** REAL media codecs over binary columns — the JDK ships them, no native
+  * deps: `javax.imageio` decodes PNG/BMP/GIF/JPEG (lossless round-trip
+  * for 8-bit gray PNG/BMP), and WAV/RIFF is plain little-endian byte
+  * parsing. This closes the long-standing "decode is a stub" gap for the
+  * image and audio modalities; only VIDEO decode remains behind
+  * [[Multimodal.decodeStub]] (the JDK has no video codec and this
+  * container ships none — documented, unchanged).
+  *
+  * The oracle trick that makes a binary codec DuckDB-checkable: payloads
+  * are rendered from a closed-form pixel/sample formula in the row's key,
+  * the Spark side ENCODES (real compressed PNG bytes / real RIFF-framed
+  * PCM) then DECODES with the real codec and aggregates the decoded
+  * values, and the oracle recomputes the same aggregates from the formula
+  * arithmetically. Any encode defect, decode defect, or lossy round-trip
+  * shifts a sum and fails the hash compare — the codec itself is under
+  * oracle test, not just the plumbing around it.
+  *
+  * Reference anchor: the reference treats record values as opaque bytes
+  * end-to-end (`mapreduce/common/KeyValuePair.h`) and leaves decode to
+  * map functions with `configure`/`teardown` codec-context hooks
+  * (`mapreduce/functions/map/MapFunction.h:42`); here the codec context
+  * is partition-local (`ImageIO.setUseCache(false)` + one reader per
+  * task) and decode output feeds normal relational aggregation.
+  *
+  * Scale posture (100 TB): encode+decode are scan-local (zero shuffle
+  * until the tiny per-dimension census), blob work is bounded per row by
+  * the fixed pixel/sample budget, and `ImageIO.setUseCache(false)` keeps
+  * the JDK codec off temp files — the default disk-backed stream cache
+  * would write one temp file per record, a silent IOPS storm at scale.
+  */
+object RealCodec {
+
+  // the JDK's default ImageIO behavior caches encode/decode streams in
+  // temp FILES; one temp file per record at 100 TB is an IOPS storm.
+  // Safe to set process-wide from executor threads (idempotent).
+  ImageIO.setUseCache(false)
+
+  // ------------------------------------------------------------- images
+
+  /** The synthetic pixel law: gray(i, j) of image `mediaId` =
+    * (i·31 + j·17 + mediaId) mod 256. Mirrored verbatim by the
+    * q_image_decode oracle SQL. */
+  def grayAt(mediaId: Long, i: Int, j: Int): Int =
+    (((i.toLong * 31 + j.toLong * 17 + mediaId) % 256).toInt + 256) % 256
+
+  /** Render the formula into a real 8-bit grayscale raster. */
+  def renderGray(mediaId: Long, w: Int, h: Int): BufferedImage = {
+    require(w > 0 && h > 0, s"renderGray: bad dims ${w}x$h")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < h) {
+      var j = 0
+      while (j < w) {
+        raster.setSample(j, i, 0, grayAt(mediaId, i, j))
+        j += 1
+      }
+      i += 1
+    }
+    img
+  }
+
+  /** Encode through the JDK's real writer ("png", "bmp", "gif", "jpg").
+    * PNG output is genuinely DEFLATE-compressed — the decode leg below
+    * exercises a real decompressor, not a byte copy. */
+  def encodeImage(img: BufferedImage, format: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val ok = ImageIO.write(img, format, bos)
+    require(ok, s"encodeImage: no JDK ImageIO writer for format '$format'")
+    bos.toByteArray
+  }
+
+  /** Decoded-image census row (band 0 = gray/luma). */
+  final case class DecodedImage(
+      width: Int, height: Int, lumSum: Long, lumMin: Int, lumMax: Int)
+
+  /** Decode with the real JDK codec (format sniffed from magic bytes) and
+    * fold band-0 stats. Loud failure on unrecognized/corrupt payloads —
+    * a pipeline must quarantine bad media, never emit silent zeros. */
+  def decodeImage(bytes: Array[Byte]): DecodedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null,
+      "decodeImage: no JDK codec recognized the payload " +
+        "(bad magic, truncated header, or unsupported format)")
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    var lumSum = 0L
+    var lumMin = 256
+    var lumMax = -1
+    var i = 0
+    while (i < h) {
+      var j = 0
+      while (j < w) {
+        val s = raster.getSample(j, i, 0)
+        lumSum += s
+        if (s < lumMin) lumMin = s
+        if (s > lumMax) lumMax = s
+        j += 1
+      }
+      i += 1
+    }
+    DecodedImage(w, h, lumSum, lumMin, lumMax)
+  }
+
+  /** Per-image decoded stats (DF row shape for the census query). */
+  final case class ImageStats(
+      media_id: Long, width: Int, height: Int,
+      lum_sum: Long, lum_min: Int, lum_max: Int)
+
+  /** Render spec rows (encoder-named so `.as[ImageSpec]` resolves). */
+  final case class ImageSpec(media_id: Long, w: Int, h: Int)
+  final case class AudioSpec(media_id: Long, rate: Int, n: Int)
+
+  /** q_image_decode: documents drive (media_id, w, h) specs with w in
+    * 8..16, h in 8..14 (bounded pixel budget per row — the per-record
+    * cost cap that keeps the scan uniform at any corpus size); each spec
+    * renders → PNG-encodes → REAL-decodes partition-locally; the census
+    * groups decoded stats by decoded width. Shuffles only the ≤9-group
+    * census rows. */
+  def imageDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 9 + 8).cast("int").as("w"),
+        (col("doc_id") % 7 + 8).cast("int").as("h"))
+      .as[ImageSpec]
+      .mapPartitions { it =>
+        // codec context is partition-local: no per-record plugin scan
+        it.map { s =>
+          val d = decodeImage(encodeImage(renderGray(s.media_id, s.w, s.h), "png"))
+          ImageStats(s.media_id, d.width, d.height, d.lumSum, d.lumMin, d.lumMax)
+        }
+      }
+      .toDF()
+      .groupBy(col("width").cast("long").as("width"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("width").cast("long") * col("height")).as("n_pixels"),
+        sum(col("lum_sum")).as("lum_sum"),
+        min(col("lum_min")).cast("long").as("lum_min"),
+        max(col("lum_max")).cast("long").as("lum_max"))
+  }
+
+  /** q_image_decode oracle: the pixel law re-summed arithmetically —
+    * range(14)×range(16) lateral grids filtered to each image's h×w. */
+  val imageDecodeOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    (doc_id % 9) + 8 AS w, (doc_id % 7) + 8 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT media_id, w, h,
+      |    SUM((i.i*31 + j.j*17 + media_id) % 256) AS lum_sum,
+      |    MIN((i.i*31 + j.j*17 + media_id) % 256) AS lum_min,
+      |    MAX((i.i*31 + j.j*17 + media_id) % 256) AS lum_max
+      |  FROM m CROSS JOIN range(14) i(i) CROSS JOIN range(16) j(j)
+      |  WHERE i.i < h AND j.j < w
+      |  GROUP BY 1, 2, 3)
+      |SELECT w AS width, COUNT(*) AS n_images,
+      |  CAST(SUM(w * h) AS BIGINT) AS n_pixels,
+      |  CAST(SUM(lum_sum) AS BIGINT) AS lum_sum,
+      |  CAST(MIN(lum_min) AS BIGINT) AS lum_min,
+      |  CAST(MAX(lum_max) AS BIGINT) AS lum_max
+      |FROM px GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------------- audio
+
+  /** The synthetic sample law: s(t) of clip `mediaId` =
+    * ((mediaId·104729 + t·7919) mod 65536) − 32768 (signed 16-bit PCM).
+    * Mirrored verbatim by the q_audio_decode oracle SQL. */
+  def sampleAt(mediaId: Long, t: Int): Int =
+    ((((mediaId * 104729 + t.toLong * 7919) % 65536) + 65536) % 65536).toInt - 32768
+
+  /** Encode a real RIFF/WAVE file: canonical header, a LIST chunk the
+    * parser must SKIP (with RIFF's odd-size pad byte — "graft:<id>" tags
+    * come in both parities across ids), then the 16-bit LE PCM data
+    * chunk. Byte-identical to what `audiofile`/`soundfile` would emit
+    * for the same samples modulo the tag chunk. */
+  def encodeWav(mediaId: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    require(nSamples > 0 && sampleRate > 0,
+      s"encodeWav: bad shape n=$nSamples rate=$sampleRate")
+    val tag = s"graft:$mediaId".getBytes("US-ASCII")
+    val tagPadded = tag.length + (tag.length & 1)
+    val dataLen = nSamples * 2
+    val riffLen = 4 + (8 + 16) + (8 + tagPadded) + (8 + dataLen)
+    val buf = ByteBuffer.allocate(8 + riffLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits/sample
+    buf.put("LIST".getBytes("US-ASCII")).putInt(tag.length).put(tag)
+    if ((tag.length & 1) == 1) buf.put(0.toByte) // RIFF even-size pad
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var t = 0
+    while (t < nSamples) {
+      buf.putShort(sampleAt(mediaId, t).toShort)
+      t += 1
+    }
+    buf.array()
+  }
+
+  /** Decoded-clip census row. */
+  final case class AudioStats(
+      media_id: Long, sample_rate: Int, n_samples: Long,
+      amp_sum: Long, amp_abs_sum: Long, amp_min: Int, amp_max: Int)
+
+  /** Parse a RIFF/WAVE payload with a genuine chunk walker: verify the
+    * RIFF/WAVE magic, iterate chunks honoring the even-size pad rule,
+    * require a PCM-16 mono fmt chunk before data, and fold amplitude
+    * stats over the little-endian samples. Loud failure on bad magic,
+    * missing/garbled fmt, or a data chunk that overruns the payload
+    * (truncated file). */
+  def decodeWav(mediaId: Long, bytes: Array[Byte]): AudioStats = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def ascii4(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(bytes.length >= 44, s"decodeWav: ${bytes.length}B is no WAV")
+    require(ascii4() == "RIFF", "decodeWav: bad RIFF magic")
+    val riffLen = buf.getInt
+    require(riffLen == bytes.length - 8,
+      s"decodeWav: RIFF length $riffLen != payload ${bytes.length - 8}")
+    require(ascii4() == "WAVE", "decodeWav: bad WAVE magic")
+    var sampleRate = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (buf.remaining() >= 8 && dataOff < 0) {
+      val id = ascii4()
+      val len = buf.getInt
+      require(len >= 0 && buf.position() + len <= bytes.length,
+        s"decodeWav: chunk '$id' of $len bytes overruns the payload (truncated?)")
+      id match {
+        case "fmt " =>
+          require(len >= 16, s"decodeWav: fmt chunk too short ($len)")
+          val fmtCode = buf.getShort
+          val channels = buf.getShort
+          sampleRate = buf.getInt
+          buf.getInt // byte rate
+          buf.getShort // block align
+          val bits = buf.getShort
+          require(fmtCode == 1 && channels == 1 && bits == 16,
+            s"decodeWav: only PCM-16 mono supported (fmt=$fmtCode ch=$channels bits=$bits)")
+          buf.position(buf.position() + (len - 16) + (len & 1))
+        case "data" =>
+          dataOff = buf.position(); dataLen = len
+        case _ => // skip unknown chunks (LIST tag etc.), honoring the pad
+          buf.position(buf.position() + len + (len & 1))
+      }
+    }
+    require(sampleRate > 0, "decodeWav: no fmt chunk before data")
+    require(dataOff >= 0, "decodeWav: no data chunk")
+    require(dataLen % 2 == 0, s"decodeWav: odd PCM-16 data length $dataLen")
+    val n = dataLen / 2
+    buf.position(dataOff)
+    var ampSum = 0L
+    var ampAbs = 0L
+    var ampMin = 65536
+    var ampMax = -65536
+    var t = 0
+    while (t < n) {
+      val s = buf.getShort.toInt
+      ampSum += s
+      ampAbs += math.abs(s)
+      if (s < ampMin) ampMin = s
+      if (s > ampMax) ampMax = s
+      t += 1
+    }
+    AudioStats(mediaId, sampleRate, n.toLong, ampSum, ampAbs, ampMin, ampMax)
+  }
+
+  /** q_audio_decode: documents drive (media_id, rate, n) clip specs
+    * (64..319 samples — bounded per-row cost); each spec encodes a real
+    * RIFF/WAVE payload and REAL-parses it back partition-locally; the
+    * census groups decoded amplitude stats by the DECODED sample rate
+    * (two groups). Shuffles only the census rows. */
+  def audioDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 2 === 0, 16000).otherwise(8000)
+          .cast("int").as("rate"),
+        (col("doc_id") % 256 + 64).cast("int").as("n"))
+      .as[AudioSpec]
+      .mapPartitions { it =>
+        it.map(s => decodeWav(s.media_id, encodeWav(s.media_id, s.n, s.rate)))
+      }
+      .toDF()
+      .groupBy(col("sample_rate").cast("long").as("sample_rate"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("n_samples")).as("n_samples"),
+        sum(col("amp_sum")).as("amp_sum"),
+        sum(col("amp_abs_sum")).as("amp_abs_sum"),
+        min(col("amp_min")).cast("long").as("amp_min"),
+        max(col("amp_max")).cast("long").as("amp_max"))
+  }
+
+  /** q_audio_decode oracle: the sample law re-summed arithmetically. */
+  val audioDecodeOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS sample_rate,
+      |    (doc_id % 256) + 64 AS n
+      |  FROM documents),
+      |s AS (
+      |  SELECT media_id, sample_rate,
+      |    ((media_id * 104729 + t.t * 7919) % 65536) - 32768 AS amp
+      |  FROM m CROSS JOIN range(320) t(t)
+      |  WHERE t.t < n)
+      |SELECT sample_rate, COUNT(DISTINCT media_id) AS n_clips,
+      |  COUNT(*) AS n_samples,
+      |  CAST(SUM(amp) AS BIGINT) AS amp_sum,
+      |  CAST(SUM(ABS(amp)) AS BIGINT) AS amp_abs_sum,
+      |  CAST(MIN(amp) AS BIGINT) AS amp_min,
+      |  CAST(MAX(amp) AS BIGINT) AS amp_max
+      |FROM s GROUP BY 1""".stripMargin
+}

@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators.RealCodec
+
+/** The REAL codec paths: JDK ImageIO (PNG/BMP/GIF/JPEG) and the RIFF/WAVE
+  * chunk walker. The pixel/sample laws have closed forms, so round-trip
+  * exactness is asserted value-by-value here and re-proven against DuckDB
+  * arithmetic by the q_image_decode / q_audio_decode oracles. */
+class RealCodecSpec extends SparkSpec {
+
+  // ------------------------------------------------------------- images
+
+  test("PNG encode→decode round-trips every pixel of the gray law") {
+    // drive-range media_id included: the law must hold past 2^31
+    for (id <- Seq(0L, 7L, 499L, 2_200_000_123L); (w, h) <- Seq((8, 14), (16, 8))) {
+      val bytes = RealCodec.encodeImage(RealCodec.renderGray(id, w, h), "png")
+      // real compressed PNG, not a raw dump: magic + smaller-than-raster
+      assert((bytes(1) & 0xff) == 'P' && (bytes(2) & 0xff) == 'N')
+      val d = RealCodec.decodeImage(bytes)
+      assert(d.width == w && d.height == h)
+      var sum = 0L; var mn = 256; var mx = -1
+      for (i <- 0 until h; j <- 0 until w) {
+        val p = RealCodec.grayAt(id, i, j)
+        sum += p; mn = math.min(mn, p); mx = math.max(mx, p)
+      }
+      assert(d.lumSum == sum && d.lumMin == mn && d.lumMax == mx,
+        s"PNG round-trip drifted for id=$id ${w}x$h")
+    }
+  }
+
+  test("BMP and GIF round-trip the same raster (multi-codec, one decoder)") {
+    val img = RealCodec.renderGray(42L, 12, 9)
+    val png = RealCodec.decodeImage(RealCodec.encodeImage(img, "png"))
+    for (fmt <- Seq("bmp", "gif")) {
+      val d = RealCodec.decodeImage(RealCodec.encodeImage(img, fmt))
+      assert(d == png, s"$fmt decode disagrees with png decode")
+    }
+  }
+
+  test("JPEG decodes with correct dimensions (lossy: stats off-grid is expected)") {
+    val bytes = RealCodec.encodeImage(RealCodec.renderGray(7L, 16, 10), "jpg")
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "JFIF magic")
+    val d = RealCodec.decodeImage(bytes)
+    assert(d.width == 16 && d.height == 10)
+    assert(d.lumMin >= 0 && d.lumMax <= 255)
+  }
+
+  test("garbage and truncated image payloads fail loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      RealCodec.decodeImage("not an image at all".getBytes("UTF-8"))
+    }
+    assert(Option(e1.getMessage).exists(_.contains("no JDK codec")))
+    val png = RealCodec.encodeImage(RealCodec.renderGray(1L, 8, 8), "png")
+    // a PNG cut mid-IDAT: ImageIO either returns null (require fires) or
+    // throws its own IIOException — either way the failure is loud
+    assertThrows[Exception] {
+      RealCodec.decodeImage(png.take(png.length / 2))
+    }
+  }
+
+  // -------------------------------------------------------------- audio
+
+  test("WAV encode→parse round-trips the sample law exactly, both tag parities") {
+    // "graft:100" has even length, "graft:1001" odd — the RIFF pad-byte
+    // branch runs in both states
+    for (id <- Seq(100L, 1001L, 2_000_000_001L); (n, rate) <- Seq((64, 8000), (319, 16000))) {
+      val d = RealCodec.decodeWav(id, RealCodec.encodeWav(id, n, rate))
+      assert(d.sample_rate == rate && d.n_samples == n.toLong)
+      var sum = 0L; var abs = 0L; var mn = 65536; var mx = -65536
+      for (t <- 0 until n) {
+        val s = RealCodec.sampleAt(id, t)
+        sum += s; abs += math.abs(s); mn = math.min(mn, s); mx = math.max(mx, s)
+      }
+      assert(d.amp_sum == sum && d.amp_abs_sum == abs
+        && d.amp_min == mn && d.amp_max == mx,
+        s"WAV round-trip drifted for id=$id n=$n rate=$rate")
+    }
+  }
+
+  test("WAV parser rejects bad magic, truncation, and non-PCM shapes loudly") {
+    val good = RealCodec.encodeWav(5L, 100, 16000)
+    def msg(e: Throwable) = Option(e.getMessage).getOrElse("")
+    val bad = good.clone(); bad(0) = 'X'.toByte
+    assert(msg(intercept[IllegalArgumentException] {
+      RealCodec.decodeWav(5L, bad)
+    }).contains("RIFF"))
+    // truncated mid-data: RIFF length no longer matches the payload
+    assert(msg(intercept[IllegalArgumentException] {
+      RealCodec.decodeWav(5L, good.take(good.length - 10))
+    }).contains("RIFF length"))
+    // a stereo fmt chunk must be refused, not mis-summed
+    val stereo = good.clone()
+    stereo(22) = 2.toByte // channels field, LE lo byte
+    assert(msg(intercept[IllegalArgumentException] {
+      RealCodec.decodeWav(5L, stereo)
+    }).contains("PCM-16 mono"))
+  }
+
+  // ------------------------------------------- end-to-end census queries
+
+  test("q_image_decode census matches the law re-derived in Scala") {
+    val rows = RealCodec.imageDecodeStats(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // recompute from the law over the real doc_ids
+    val ids = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val expect = ids.groupBy(id => id % 9 + 8).map { case (w, g) =>
+      val pixels = g.flatMap { id =>
+        val h = (id % 7 + 8).toInt
+        for (i <- 0 until h; j <- 0 until w.toInt) yield RealCodec.grayAt(id, i, j)
+      }
+      w -> ((g.length.toLong, g.map(id => w * (id % 7 + 8)).sum,
+        pixels.map(_.toLong).sum, pixels.min.toLong, pixels.max.toLong))
+    }
+    assert(rows == expect, "decoded census drifted from the pixel law")
+  }
+
+  test("q_audio_decode census matches the law re-derived in Scala") {
+    val rows = RealCodec.audioDecodeStats(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val ids = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val expect = ids.groupBy(id => if (id % 2 == 0) 16000L else 8000L).map { case (rate, g) =>
+      val samples = g.flatMap { id =>
+        (0 until (id % 256 + 64).toInt).map(t => RealCodec.sampleAt(id, t))
+      }
+      rate -> ((g.length.toLong, samples.length.toLong,
+        samples.map(_.toLong).sum, samples.map(s => math.abs(s).toLong).sum,
+        samples.min.toLong, samples.max.toLong))
+    }
+    assert(rows == expect, "decoded census drifted from the sample law")
+  }
+}
