@@ -92,6 +92,12 @@ object RealCodec {
     require(img != null,
       "decodeImage: no JDK codec recognized the payload " +
         "(bad magic, truncated header, or unsupported format)")
+    foldImage(img)
+  }
+
+  /** Band-0 stat fold over an already-decoded raster (shared by the
+    * sniffing decode above and the cached-reader query path). */
+  private def foldImage(img: BufferedImage): DecodedImage = {
     val raster = img.getRaster
     val (w, h) = (img.getWidth, img.getHeight)
     var lumSum = 0L
@@ -135,9 +141,25 @@ object RealCodec {
         (col("doc_id") % 7 + 8).cast("int").as("h"))
       .as[ImageSpec]
       .mapPartitions { it =>
-        // codec context is partition-local: no per-record plugin scan
+        // codec context is genuinely partition-local: ONE PNG writer and
+        // reader serve the whole task (the ImageIO.write/read facades
+        // re-run the plugin-registry lookup per call — measurable per
+        // record, ruinous at 565k+ images); generic sniffing decode
+        // stays available as decodeImage for mixed-format payloads
+        val writer = ImageIO.getImageWritersByFormatName("png").next()
+        val reader = ImageIO.getImageReadersByFormatName("png").next()
         it.map { s =>
-          val d = decodeImage(encodeImage(renderGray(s.media_id, s.w, s.h), "png"))
+          val bos = new ByteArrayOutputStream()
+          val ios = ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(renderGray(s.media_id, s.w, s.h))
+          ios.close()
+          val iis = ImageIO.createImageInputStream(
+            new ByteArrayInputStream(bos.toByteArray))
+          reader.setInput(iis)
+          val img = reader.read(0)
+          iis.close()
+          val d = foldImage(img)
           ImageStats(s.media_id, d.width, d.height, d.lumSum, d.lumMin, d.lumMax)
         }
       }
