@@ -100,6 +100,12 @@ object SparkEntry {
     Seq(GQuery("q_audio_decode",
       graft.operators.RealCodec.audioDecodeStats _,
       Some(graft.operators.RealCodec.audioDecodeOracle))),
+    // dedup extended to the image modality: dHash perceptual fingerprints
+    // over REAL decoded pixels, keep-first groups bit-identical to the
+    // oracle's law-resampled BIGINT packing (sign bit included)
+    Seq(GQuery("q_image_dhash",
+      graft.operators.RealCodec.imageDHashCensus _,
+      Some(graft.operators.RealCodec.imageDHashOracle))),
     Seq(GQuery("q_frame_sample",
       graft.operators.Multimodal.frameSample _,
       Some("""WITH m AS (

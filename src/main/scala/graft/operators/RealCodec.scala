@@ -194,6 +194,123 @@ object RealCodec {
       |  CAST(MAX(lum_max) AS BIGINT) AS lum_max
       |FROM px GROUP BY 1""".stripMargin
 
+  // ------------------------------------------- perceptual-hash image dedup
+
+  /** dHash (difference hash) of a DECODED image: nearest-neighbor resample
+    * to a 9×8 luminance grid, then bit i·8+j = 1 iff grid(i, j+1) >
+    * grid(i, j) — the classic 64-bit perceptual fingerprint (gradient
+    * directions survive rescaling/re-encoding, so re-encoded or resized
+    * copies of one image collide). Packs bit 63 into the sign bit, which
+    * the oracle mirrors exactly, so fingerprint GROUPS — not just
+    * checksums — agree bit-for-bit across engines. */
+  def dHash(img: BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w > 0 && h > 0, s"dHash: empty raster ${w}x$h")
+    // below 9x8 the nearest-neighbor indexes repeat (standard upsampling)
+    // — the oracle's index math repeats identically, so parity holds
+    val raster = img.getRaster
+    var fp = 0L
+    var i = 0
+    while (i < 8) {
+      val si = i * h / 8
+      var j = 0
+      while (j < 8) {
+        val g0 = raster.getSample(j * w / 9, si, 0)
+        val g1 = raster.getSample((j + 1) * w / 9, si, 0)
+        if (g1 > g0) fp |= (1L << (i * 8 + j))
+        j += 1
+      }
+      i += 1
+    }
+    fp
+  }
+
+  /** q_image_dhash: perceptual-hash image dedup census — the dedup family
+    * extended to the image modality, with the fingerprint computed from
+    * REAL decoded pixels (PNG encode → cached-reader decode → dHash), not
+    * from payload bytes. Keep-first semantics per fingerprint (lowest
+    * media_id owns the group) exactly like exact text dedup; the census
+    * reports corpus/kept/dropped counts, the largest clique, the
+    * keep-first owner checksum, and a fingerprint checksum. Groups join
+    * on the 64-bit fingerprint — byte-identical AND re-encoded copies
+    * collide; near-dup (Hamming ≤ k) extends via the same Manku banding
+    * SimHash uses, on this fingerprint column.
+    *
+    * Scale shape: decode+hash are scan-local; the only shuffle carries
+    * (fingerprint, partial count, partial min) pairs — 8 bytes + counters
+    * per distinct fingerprint, never pixels. A hot fingerprint (boiler-
+    * plate logo at drive volume) lands on one reducer as ONE combined
+    * row, not a row per copy — map-side partial agg is the guard here. */
+  def imageDHashCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 9 + 8).cast("int").as("w"),
+        (col("doc_id") % 7 + 8).cast("int").as("h"))
+      .as[ImageSpec]
+      .mapPartitions { it =>
+        val writer = ImageIO.getImageWritersByFormatName("png").next()
+        val reader = ImageIO.getImageReadersByFormatName("png").next()
+        it.map { s =>
+          val bos = new ByteArrayOutputStream()
+          val ios = ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(renderGray(s.media_id, s.w, s.h))
+          ios.close()
+          val iis = ImageIO.createImageInputStream(
+            new ByteArrayInputStream(bos.toByteArray))
+          reader.setInput(iis)
+          val img = reader.read(0)
+          iis.close()
+          (s.media_id, dHash(img))
+        }
+      }
+      .toDF("media_id", "fp")
+    hashes
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), min(col("media_id")).as("kept"))
+      .agg(sum(col("n")).as("n_images"),
+        count(lit(1)).as("n_kept"),
+        (sum(col("n")) - count(lit(1))).as("n_dropped"),
+        max(col("n")).as("max_group"),
+        sum(col("kept")).as("kept_id_sum"),
+        sum(pmod(col("fp"), lit(1000000007L))).as("fp_checksum"))
+  }
+
+  /** q_image_dhash oracle: the pixel law resampled with the same integer
+    * nearest-neighbor index math, gradient bits packed into a BIGINT with
+    * the same sign-bit convention, grouped identically. */
+  val imageDHashOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    (doc_id % 9) + 8 AS w, (doc_id % 7) + 8 AS h
+      |  FROM documents),
+      |g AS (
+      |  SELECT media_id, i.i AS i, j.j AS j,
+      |    (((i.i * h) // 8) * 31 + ((j.j * w) // 9) * 17 + media_id) % 256 AS g
+      |  FROM m CROSS JOIN range(8) i(i) CROSS JOIN range(9) j(j)),
+      |b AS (
+      |  SELECT media_id, i, j, g,
+      |    lead(g) OVER (PARTITION BY media_id, i ORDER BY j) AS gn
+      |  FROM g),
+      |fp AS (
+      |  SELECT media_id,
+      |    SUM(CASE WHEN gn > g THEN
+      |      CASE WHEN i*8 + j = 63 THEN (-9223372036854775807 - 1)
+      |           ELSE (1::BIGINT << (i*8 + j)) END
+      |      ELSE 0 END) AS fp
+      |  FROM b WHERE j < 8 GROUP BY media_id),
+      |grp AS (
+      |  SELECT fp, COUNT(*) AS n, MIN(media_id) AS kept
+      |  FROM fp GROUP BY fp)
+      |SELECT CAST(SUM(n) AS BIGINT) AS n_images,
+      |  COUNT(*) AS n_kept,
+      |  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dropped,
+      |  CAST(MAX(n) AS BIGINT) AS max_group,
+      |  CAST(SUM(kept) AS BIGINT) AS kept_id_sum,
+      |  CAST(SUM(((fp % 1000000007) + 1000000007) % 1000000007) AS BIGINT) AS fp_checksum
+      |FROM grp""".stripMargin
+
   // -------------------------------------------------------------- audio
 
   /** The synthetic sample law: s(t) of clip `mediaId` =

@@ -58,6 +58,60 @@ class RealCodecSpec extends SparkSpec {
     }
   }
 
+  test("dHash matches the law-resampled reference and survives re-encode") {
+    for (id <- Seq(0L, 7L, 499L, 2_200_000_123L)) {
+      val (w, h) = ((id % 9 + 8).toInt, (id % 7 + 8).toInt)
+      val img = RealCodec.renderGray(id, w, h)
+      // reference fingerprint straight from the pixel law
+      var fp = 0L
+      for (i <- 0 until 8; j <- 0 until 8) {
+        val g0 = RealCodec.grayAt(id, i * h / 8, j * w / 9)
+        val g1 = RealCodec.grayAt(id, i * h / 8, (j + 1) * w / 9)
+        if (g1 > g0) fp |= (1L << (i * 8 + j))
+      }
+      assert(RealCodec.dHash(img) == fp, s"dHash drifted for id=$id")
+      // the perceptual property: a lossless re-encode through ANOTHER
+      // codec is a byte-different payload with the same fingerprint
+      val viaBmp = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(RealCodec.encodeImage(img, "bmp")))
+      assert(RealCodec.dHash(viaBmp) == fp, "re-encoded copy changed fingerprint")
+    }
+    // sub-grid rasters upsample with repeating indexes — still law-exact
+    // (id=0 above already has w=8 < 9); an empty raster is refused
+    val tiny = RealCodec.renderGray(3L, 2, 2)
+    var tinyFp = 0L
+    for (i <- 0 until 8; j <- 0 until 8) {
+      val g0 = RealCodec.grayAt(3L, i * 2 / 8, j * 2 / 9)
+      val g1 = RealCodec.grayAt(3L, i * 2 / 8, (j + 1) * 2 / 9)
+      if (g1 > g0) tinyFp |= (1L << (i * 8 + j))
+    }
+    assert(RealCodec.dHash(tiny) == tinyFp)
+  }
+
+  test("q_image_dhash census matches the law re-derived in Scala") {
+    val row = RealCodec.imageDHashCensus(spark, sfDir).collect()(0)
+    val ids = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val fps = ids.map { id =>
+      val (w, h) = ((id % 9 + 8).toInt, (id % 7 + 8).toInt)
+      var fp = 0L
+      for (i <- 0 until 8; j <- 0 until 8) {
+        val g0 = RealCodec.grayAt(id, i * h / 8, j * w / 9)
+        val g1 = RealCodec.grayAt(id, i * h / 8, (j + 1) * w / 9)
+        if (g1 > g0) fp |= (1L << (i * 8 + j))
+      }
+      id -> fp
+    }
+    val groups = fps.groupBy(_._2)
+    def pmod(x: Long) = ((x % 1000000007L) + 1000000007L) % 1000000007L
+    assert(row.getLong(0) == ids.length.toLong)
+    assert(row.getLong(1) == groups.size.toLong, "n_kept drifted")
+    assert(row.getLong(2) == (ids.length - groups.size).toLong)
+    assert(row.getLong(3) == groups.values.map(_.length).max.toLong)
+    assert(row.getLong(4) == groups.values.map(_.map(_._1).min).sum)
+    assert(row.getLong(5) == groups.keys.map(pmod).sum)
+  }
+
   // -------------------------------------------------------------- audio
 
   test("WAV encode→parse round-trips the sample law exactly, both tag parities") {
