@@ -96,16 +96,19 @@ object SparkEntry {
     // alone remains behind Multimodal.decodeStub (no JDK video codec).
     Seq(GQuery("q_image_decode",
       graft.operators.RealCodec.imageDecodeStats _,
-      Some(graft.operators.RealCodec.imageDecodeOracle))),
+      Some(graft.operators.RealCodec.imageDecodeOracle), headline = true)),
     Seq(GQuery("q_audio_decode",
       graft.operators.RealCodec.audioDecodeStats _,
       Some(graft.operators.RealCodec.audioDecodeOracle))),
     // dedup extended to the image modality: dHash perceptual fingerprints
     // over REAL decoded pixels, keep-first groups bit-identical to the
     // oracle's law-resampled BIGINT packing (sign bit included)
+    // headline: the real-codec scan is a new hot-path class (JDK codec
+    // in the task loop) — bench-tracked so a codec-path regression moves
+    // a recorded number, same stance as the ANN/recall telemetry
     Seq(GQuery("q_image_dhash",
       graft.operators.RealCodec.imageDHashCensus _,
-      Some(graft.operators.RealCodec.imageDHashOracle))),
+      Some(graft.operators.RealCodec.imageDHashOracle), headline = true)),
     Seq(GQuery("q_frame_sample",
       graft.operators.Multimodal.frameSample _,
       Some("""WITH m AS (

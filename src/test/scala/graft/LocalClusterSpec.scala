@@ -24,10 +24,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * In a normal `sbt test` the single test is CANCELED (assume), not
   * passed — the report shows it didn't run.
   *
-  * The check: 21 headline queries spanning every custom-expression
+  * The check: 22 headline queries spanning every custom-expression
   * family (native tokenize, murmur64, vector dot/L2 kernels, boundary
   * placement, LSH/IVF broadcasts, iterative graph state, the sync-framed
-  * splittable `.kvs` source) plus a synthesized SnapshotStore
+  * splittable `.kvs` source, the JDK-codec-in-closure decode path)
+  * plus a synthesized SnapshotStore
   * commit+read must produce HASH-IDENTICAL results on local-cluster vs
   * in-process local[4].
   * Queries are decimal/integer-exact by oracle design, so partition
@@ -47,7 +48,11 @@ class LocalClusterSpec extends AnyFunSuite {
     "q_dedup_exact", "q_dedup_minhash", "q_knn_brute", "q_ann_ivf",
     "q_ann_lsh_multi", "q_quality_classifier", "q_sessionize_gap",
     "q_pagerank", "q_bm25_topk", "q_grep", "q_sum_values",
-    "q_gensort_checksum", "q_cdc_chunks", "q_binary_export")
+    "q_gensort_checksum", "q_cdc_chunks", "q_binary_export",
+    // r14: the real-codec scan — ImageIO writer/reader instantiated
+    // INSIDE the task closure must initialize its plugin registry on a
+    // real executor JVM, not inherit the driver's
+    "q_image_decode")
 
   private def session(master: String): SparkSession = {
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -122,7 +127,7 @@ class LocalClusterSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
-  test("21 headline queries + a SnapshotStore commit hash-identical " +
+  test("22 headline queries + a SnapshotStore commit hash-identical " +
       "across executor JVMs (local-cluster[2,4,1024] vs local[4])") {
     assume(sys.env.get("SPARK_CLUSTER_CHECK").contains("1"),
       "multi-executor check runs alone: SPARK_CLUSTER_CHECK=1 " +
