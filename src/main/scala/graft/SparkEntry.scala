@@ -109,6 +109,10 @@ object SparkEntry {
     Seq(GQuery("q_image_dhash",
       graft.operators.RealCodec.imageDHashCensus _,
       Some(graft.operators.RealCodec.imageDHashOracle), headline = true)),
+    // the crawl-vs-history serve shape on the perceptual fingerprint
+    Seq(GQuery("q_image_dedup_serve",
+      graft.operators.RealCodec.imageDedupServe _,
+      Some(graft.operators.RealCodec.imageDedupServeOracle))),
     Seq(GQuery("q_frame_sample",
       graft.operators.Multimodal.frameSample _,
       Some("""WITH m AS (

@@ -241,9 +241,14 @@ object RealCodec {
     * per distinct fingerprint, never pixels. A hot fingerprint (boiler-
     * plate logo at drive volume) lands on one reducer as ONE combined
     * row, not a row per copy — map-side partial agg is the guard here. */
-  def imageDHashCensus(spark: SparkSession, dir: String): DataFrame = {
+  /** (media_id, fp) perceptual fingerprints of the documents-driven image
+    * set, each computed from a REAL decoded raster (PNG encode →
+    * cached-reader decode → dHash). The projection this defines IS the
+    * production fingerprint table — serving paths read it persisted, not
+    * re-decoded (same stance as the text-dedup hash column). */
+  private def imageFingerprints(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hashes = graft.core.Tables.documents(spark, dir)
+    graft.core.Tables.documents(spark, dir)
       .select(col("doc_id").as("media_id"),
         (col("doc_id") % 9 + 8).cast("int").as("w"),
         (col("doc_id") % 7 + 8).cast("int").as("h"))
@@ -266,6 +271,10 @@ object RealCodec {
         }
       }
       .toDF("media_id", "fp")
+  }
+
+  def imageDHashCensus(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = imageFingerprints(spark, dir)
     hashes
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n"), min(col("media_id")).as("kept"))
@@ -276,6 +285,59 @@ object RealCodec {
         sum(col("kept")).as("kept_id_sum"),
         sum(pmod(col("fp"), lit(1000000007L))).as("fp_checksum"))
   }
+
+  /** q_image_dedup_serve: the crawl-vs-history serve shape for image
+    * dedup — a new batch (stand-in: media_id ≡ 0 mod 7) checked against
+    * the accumulated corpus by PERCEPTUAL fingerprint, the image twin of
+    * the text pipeline's incremental content-hash dedup. The join
+    * carries only 8-byte fingerprints (never pixels), equi-keyed; at
+    * 100 TB the history side reads the persisted fingerprint table
+    * ([[imageFingerprints]]'s projection) so serve cost is batch-decode
+    * + a hash-column join, ∝ batch not corpus. */
+  def imageDedupServe(spark: SparkSession, dir: String): DataFrame = {
+    val fps = imageFingerprints(spark, dir)
+    val history = fps.filter(col("media_id") % 7 =!= 0)
+      .select(col("fp")).distinct().withColumn("dup", lit(1L))
+    fps.filter(col("media_id") % 7 === 0)
+      .join(history, Seq("fp"), "left")
+      .agg(count(lit(1)).as("n_batch"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dups"),
+        sum(when(col("dup").isNull, col("media_id"))).as("kept_id_sum"),
+        sum(when(col("dup").isNull, pmod(col("fp"), lit(1000000007L))))
+          .as("new_fp_checksum"))
+  }
+
+  /** q_image_dedup_serve oracle: same law-derived fingerprints, same
+    * batch/history split, left join on the BIGINT fingerprint. */
+  val imageDedupServeOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    (doc_id % 9) + 8 AS w, (doc_id % 7) + 8 AS h
+      |  FROM documents),
+      |g AS (
+      |  SELECT media_id, i.i AS i, j.j AS j,
+      |    (((i.i * h) // 8) * 31 + ((j.j * w) // 9) * 17 + media_id) % 256 AS g
+      |  FROM m CROSS JOIN range(8) i(i) CROSS JOIN range(9) j(j)),
+      |b AS (
+      |  SELECT media_id, i, j, g,
+      |    lead(g) OVER (PARTITION BY media_id, i ORDER BY j) AS gn
+      |  FROM g),
+      |fp AS (
+      |  SELECT media_id,
+      |    SUM(CASE WHEN gn > g THEN
+      |      CASE WHEN i*8 + j = 63 THEN (-9223372036854775807 - 1)
+      |           ELSE (1::BIGINT << (i*8 + j)) END
+      |      ELSE 0 END) AS fp
+      |  FROM b WHERE j < 8 GROUP BY media_id),
+      |hist AS (SELECT DISTINCT fp FROM fp WHERE media_id % 7 != 0)
+      |SELECT COUNT(*) AS n_batch,
+      |  CAST(SUM(CASE WHEN hist.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+      |  CAST(SUM(CASE WHEN hist.fp IS NULL THEN media_id END) AS BIGINT) AS kept_id_sum,
+      |  CAST(SUM(CASE WHEN hist.fp IS NULL
+      |    THEN ((f.fp % 1000000007) + 1000000007) % 1000000007 END) AS BIGINT)
+      |    AS new_fp_checksum
+      |FROM fp f LEFT JOIN hist ON hist.fp = f.fp
+      |WHERE f.media_id % 7 = 0""".stripMargin
 
   /** q_image_dhash oracle: the pixel law resampled with the same integer
     * nearest-neighbor index math, gradient bits packed into a BIGINT with

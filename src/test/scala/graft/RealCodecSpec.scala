@@ -150,6 +150,54 @@ class RealCodecSpec extends SparkSpec {
     }).contains("PCM-16 mono"))
   }
 
+  test("WAV parser survives a deterministic byte-flip fuzz sweep") {
+    // every single-byte corruption of a valid payload must either parse
+    // (flips inside PCM data or the tag just change values) or fail with
+    // the parser's own IllegalArgumentException / ByteBuffer bounds
+    // errors — never hang, never array-index crash, never silent zeros
+    val good = RealCodec.encodeWav(77L, 120, 16000)
+    var parsed = 0
+    var refused = 0
+    for (pos <- good.indices; delta <- Seq(1, 128)) {
+      val mutant = good.clone()
+      mutant(pos) = (mutant(pos) + delta).toByte
+      try {
+        val d = RealCodec.decodeWav(77L, mutant)
+        assert(d.n_samples >= 0 && d.sample_rate > 0)
+        parsed += 1
+      } catch {
+        case _: IllegalArgumentException => refused += 1 // require() or BB position
+        case e: java.nio.BufferUnderflowException => refused += 1
+      }
+    }
+    // data-section flips parse (240 bytes of PCM × 2 deltas dominate);
+    // header flips mostly refuse — both behaviors must occur
+    assert(parsed > 400 && refused > 50, s"parsed=$parsed refused=$refused")
+  }
+
+  test("q_image_dedup_serve matches the law re-derived in Scala") {
+    val row = RealCodec.imageDedupServe(spark, sfDir).collect()(0)
+    val ids = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    def fpOf(id: Long): Long = {
+      val (w, h) = ((id % 9 + 8).toInt, (id % 7 + 8).toInt)
+      var fp = 0L
+      for (i <- 0 until 8; j <- 0 until 8) {
+        val g0 = RealCodec.grayAt(id, i * h / 8, j * w / 9)
+        val g1 = RealCodec.grayAt(id, i * h / 8, (j + 1) * w / 9)
+        if (g1 > g0) fp |= (1L << (i * 8 + j))
+      }
+      fp
+    }
+    val hist = ids.filter(_ % 7 != 0).map(fpOf).toSet
+    val batch = ids.filter(_ % 7 == 0).map(id => id -> fpOf(id))
+    def pmod(x: Long) = ((x % 1000000007L) + 1000000007L) % 1000000007L
+    assert(row.getLong(0) == batch.length.toLong)
+    assert(row.getLong(1) == batch.count(b => hist(b._2)).toLong, "n_dups drifted")
+    assert(row.getLong(2) == batch.filterNot(b => hist(b._2)).map(_._1).sum)
+    assert(row.getLong(3) == batch.filterNot(b => hist(b._2)).map(b => pmod(b._2)).sum)
+  }
+
   // ------------------------------------------- end-to-end census queries
 
   test("q_image_decode census matches the law re-derived in Scala") {
