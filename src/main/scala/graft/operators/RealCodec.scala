@@ -339,6 +339,44 @@ object RealCodec {
       |FROM fp f LEFT JOIN hist ON hist.fp = f.fp
       |WHERE f.media_id % 7 = 0""".stripMargin
 
+  /** Streaming media ingest with on-the-fly perceptual dedup: decode +
+    * dHash run INSIDE the stream (stateless partition-local transform —
+    * the same cached-codec loop as the batch path), then keep-first per
+    * fingerprint within the watermark via
+    * `dropDuplicatesWithinWatermark` — the crawl-firehose shape: a
+    * re-crawled or re-encoded copy of an image arriving minutes later is
+    * suppressed before it ever reaches the corpus, and state is bounded
+    * by the watermark horizon, not the corpus. Input: a streaming frame
+    * with (media_id, w, h, ts); output: append-mode (media_id, fp, ts)
+    * of first-seen fingerprints. StreamingMediaSpec pins suppression
+    * across batches and new-fingerprint passage. */
+  def fingerprintStream(media: DataFrame, watermark: String): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("w").cast("int"),
+        col("h").cast("int"), col("ts"))
+      .as[(Long, Int, Int, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        val writer = ImageIO.getImageWritersByFormatName("png").next()
+        val reader = ImageIO.getImageReadersByFormatName("png").next()
+        it.map { case (id, w, h, t) =>
+          val bos = new ByteArrayOutputStream()
+          val ios = ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(renderGray(id, w, h))
+          ios.close()
+          val iis = ImageIO.createImageInputStream(
+            new ByteArrayInputStream(bos.toByteArray))
+          reader.setInput(iis)
+          val img = reader.read(0)
+          iis.close()
+          (id, dHash(img), t)
+        }
+      }
+      .toDF("media_id", "fp", "ts")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
   /** q_image_dhash oracle: the pixel law resampled with the same integer
     * nearest-neighbor index math, gradient bits packed into a BIGINT with
     * the same sign-bit convention, grouped identically. */
