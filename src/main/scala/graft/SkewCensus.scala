@@ -96,9 +96,11 @@ object SkewCensus {
       // pre-distinct vs the final distinct — next to the production-cap
       // run, so a drive can say WHICH layer owns the guarded-vs-plain
       // gap (r13 measured 58.5 vs 32.6 s at 100× and could not).
-      // semAssignedOf is tracked-persisted, so the assignment cost is
-      // paid once in the first leg and the later legs time pure
-      // pair-join machinery.
+      // The later pair legs ride the warm tracked-persist deliberately
+      // (they isolate pair-join machinery); the FIRST leg must not —
+      // the census above already materialized semAssignedOf's persisted
+      // plan, so without a cache release it would time a cache scan and
+      // report the kernel+Lloyd assignment as free.
       if (sys.env.get("SPARK_SEM_PROFILE").contains("1")) {
         val S = graft.queries.Similarity
         def time(label: String)(f: => Long): Unit = {
@@ -106,8 +108,9 @@ object SkewCensus {
           val rows = f
           println(f"[semprofile] $label rows=$rows ${(System.nanoTime() - t0) / 1e9}%.1f s")
         }
+        graft.core.Caches.release()
         val assigned = S.semAssignedOf(spark, dir)
-        time("assigned (kernel argmin ×2 + Lloyd)")(assigned.count())
+        time("assigned (kernel argmin ×2 + Lloyd, cold)")(assigned.count())
         time("forced(20/8) pairs pre-distinct")(
           S.semDroppedRaw(assigned, 0.3, 20L, 8L).count())
         time("forced(20/8) dropped (with distinct)")(

@@ -127,6 +127,46 @@ object RealCodec {
   final case class ImageSpec(media_id: Long, w: Int, h: Int)
   final case class AudioSpec(media_id: Long, rate: Int, n: Int)
 
+  /** The ONE partition-local PNG round-trip all image paths share:
+    * render → encode (real DEFLATE PNG) → decode, with a single cached
+    * writer+reader serving the whole task (the ImageIO facades re-run
+    * the plugin-registry lookup per call — measurable per record,
+    * ruinous at drive volume). Generic in a carried payload so the
+    * streaming path can thread its event time through. */
+  private def pngRoundTrip[T](it: Iterator[(ImageSpec, T)]): Iterator[(Long, BufferedImage, T)] = {
+    val writer = ImageIO.getImageWritersByFormatName("png").next()
+    val reader = ImageIO.getImageReadersByFormatName("png").next()
+    it.map { case (s, t) =>
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(renderGray(s.media_id, s.w, s.h))
+      ios.close()
+      val iis = ImageIO.createImageInputStream(
+        new ByteArrayInputStream(bos.toByteArray))
+      reader.setInput(iis)
+      val img = reader.read(0)
+      iis.close()
+      (s.media_id, img, t)
+    }
+  }
+
+  /** Documents-driven render specs: w in 8..16, h in 8..14 — the bounded
+    * per-row pixel budget every image query inherits. `keep` filters on
+    * media_id BEFORE the opaque decode transform (Catalyst cannot push a
+    * Filter through mapPartitions, so callers that want a subset must
+    * inject the predicate here, where it reaches the parquet scan). */
+  private def imageSpecs(spark: SparkSession, dir: String,
+      keep: org.apache.spark.sql.Column): org.apache.spark.sql.Dataset[ImageSpec] = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 9 + 8).cast("int").as("w"),
+        (col("doc_id") % 7 + 8).cast("int").as("h"))
+      .filter(keep)
+      .as[ImageSpec]
+  }
+
   /** q_image_decode: documents drive (media_id, w, h) specs with w in
     * 8..16, h in 8..14 (bounded pixel budget per row — the per-record
     * cost cap that keeps the scan uniform at any corpus size); each spec
@@ -135,32 +175,11 @@ object RealCodec {
     * census rows. */
   def imageDecodeStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.core.Tables.documents(spark, dir)
-      .select(col("doc_id").as("media_id"),
-        (col("doc_id") % 9 + 8).cast("int").as("w"),
-        (col("doc_id") % 7 + 8).cast("int").as("h"))
-      .as[ImageSpec]
+    imageSpecs(spark, dir, lit(true))
       .mapPartitions { it =>
-        // codec context is genuinely partition-local: ONE PNG writer and
-        // reader serve the whole task (the ImageIO.write/read facades
-        // re-run the plugin-registry lookup per call — measurable per
-        // record, ruinous at 565k+ images); generic sniffing decode
-        // stays available as decodeImage for mixed-format payloads
-        val writer = ImageIO.getImageWritersByFormatName("png").next()
-        val reader = ImageIO.getImageReadersByFormatName("png").next()
-        it.map { s =>
-          val bos = new ByteArrayOutputStream()
-          val ios = ImageIO.createImageOutputStream(bos)
-          writer.setOutput(ios)
-          writer.write(renderGray(s.media_id, s.w, s.h))
-          ios.close()
-          val iis = ImageIO.createImageInputStream(
-            new ByteArrayInputStream(bos.toByteArray))
-          reader.setInput(iis)
-          val img = reader.read(0)
-          iis.close()
+        pngRoundTrip(it.map((_, ()))).map { case (id, img, _) =>
           val d = foldImage(img)
-          ImageStats(s.media_id, d.width, d.height, d.lumSum, d.lumMin, d.lumMax)
+          ImageStats(id, d.width, d.height, d.lumSum, d.lumMin, d.lumMax)
         }
       }
       .toDF()
@@ -243,38 +262,23 @@ object RealCodec {
     * row, not a row per copy — map-side partial agg is the guard here. */
   /** (media_id, fp) perceptual fingerprints of the documents-driven image
     * set, each computed from a REAL decoded raster (PNG encode →
-    * cached-reader decode → dHash). The projection this defines IS the
-    * production fingerprint table — serving paths read it persisted, not
-    * re-decoded (same stance as the text-dedup hash column). */
-  private def imageFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    * cached-reader decode → dHash). `keep` reaches the scan, BELOW the
+    * decode — a subset caller decodes only its subset. The projection
+    * this defines IS the production fingerprint table — serving paths
+    * read it persisted, not re-decoded (same stance as the text-dedup
+    * hash column). */
+  private def imageFingerprints(spark: SparkSession, dir: String,
+      keep: org.apache.spark.sql.Column): DataFrame = {
     import spark.implicits._
-    graft.core.Tables.documents(spark, dir)
-      .select(col("doc_id").as("media_id"),
-        (col("doc_id") % 9 + 8).cast("int").as("w"),
-        (col("doc_id") % 7 + 8).cast("int").as("h"))
-      .as[ImageSpec]
+    imageSpecs(spark, dir, keep)
       .mapPartitions { it =>
-        val writer = ImageIO.getImageWritersByFormatName("png").next()
-        val reader = ImageIO.getImageReadersByFormatName("png").next()
-        it.map { s =>
-          val bos = new ByteArrayOutputStream()
-          val ios = ImageIO.createImageOutputStream(bos)
-          writer.setOutput(ios)
-          writer.write(renderGray(s.media_id, s.w, s.h))
-          ios.close()
-          val iis = ImageIO.createImageInputStream(
-            new ByteArrayInputStream(bos.toByteArray))
-          reader.setInput(iis)
-          val img = reader.read(0)
-          iis.close()
-          (s.media_id, dHash(img))
-        }
+        pngRoundTrip(it.map((_, ()))).map { case (id, img, _) => (id, dHash(img)) }
       }
       .toDF("media_id", "fp")
   }
 
   def imageDHashCensus(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = imageFingerprints(spark, dir)
+    val hashes = imageFingerprints(spark, dir, lit(true))
     hashes
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n"), min(col("media_id")).as("kept"))
@@ -293,12 +297,17 @@ object RealCodec {
     * carries only 8-byte fingerprints (never pixels), equi-keyed; at
     * 100 TB the history side reads the persisted fingerprint table
     * ([[imageFingerprints]]'s projection) so serve cost is batch-decode
-    * + a hash-column join, ∝ batch not corpus. */
+    * + a hash-column join, ∝ batch not corpus.
+    *
+    * The %7 split is injected BELOW the decode (imageFingerprints'
+    * `keep` reaches the parquet scan): each side decodes only its own
+    * subset, one corpus decode total. Filtering the shared frame above
+    * the opaque mapPartitions instead would decode the whole corpus
+    * TWICE — Catalyst cannot push a Filter through mapPartitions. */
   def imageDedupServe(spark: SparkSession, dir: String): DataFrame = {
-    val fps = imageFingerprints(spark, dir)
-    val history = fps.filter(col("media_id") % 7 =!= 0)
+    val history = imageFingerprints(spark, dir, col("media_id") % 7 =!= 0)
       .select(col("fp")).distinct().withColumn("dup", lit(1L))
-    fps.filter(col("media_id") % 7 === 0)
+    imageFingerprints(spark, dir, col("media_id") % 7 === 0)
       .join(history, Seq("fp"), "left")
       .agg(count(lit(1)).as("n_batch"),
         sum(coalesce(col("dup"), lit(0L))).as("n_dups"),
@@ -356,21 +365,8 @@ object RealCodec {
         col("h").cast("int"), col("ts"))
       .as[(Long, Int, Int, java.sql.Timestamp)]
       .mapPartitions { it =>
-        val writer = ImageIO.getImageWritersByFormatName("png").next()
-        val reader = ImageIO.getImageReadersByFormatName("png").next()
-        it.map { case (id, w, h, t) =>
-          val bos = new ByteArrayOutputStream()
-          val ios = ImageIO.createImageOutputStream(bos)
-          writer.setOutput(ios)
-          writer.write(renderGray(id, w, h))
-          ios.close()
-          val iis = ImageIO.createImageInputStream(
-            new ByteArrayInputStream(bos.toByteArray))
-          reader.setInput(iis)
-          val img = reader.read(0)
-          iis.close()
-          (id, dHash(img), t)
-        }
+        pngRoundTrip(it.map { case (id, w, h, t) => (ImageSpec(id, w, h), t) })
+          .map { case (id, img, t) => (id, dHash(img), t) }
       }
       .toDF("media_id", "fp", "ts")
       .withWatermark("ts", watermark)
@@ -480,7 +476,9 @@ object RealCodec {
     while (buf.remaining() >= 8 && dataOff < 0) {
       val id = ascii4()
       val len = buf.getInt
-      require(len >= 0 && buf.position() + len <= bytes.length,
+      // Long arithmetic: a hostile len near Int.MaxValue would wrap
+      // position+len negative and sneak past an Int comparison
+      require(len >= 0 && buf.position().toLong + len <= bytes.length,
         s"decodeWav: chunk '$id' of $len bytes overruns the payload (truncated?)")
       id match {
         case "fmt " =>

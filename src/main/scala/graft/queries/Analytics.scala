@@ -840,6 +840,25 @@ object Analytics {
     // k cheap single-column passes beat one k×-expanded pass at any
     // volume. The approx (HLL) path keeps the true one-pass shape — at
     // 100 TB that is the production dial (Corpus.analyzeTable default).
+    // the k-pass trade above is proven for SCAN inputs (each pass is a
+    // column-pruned file scan); for a DERIVED frame — join/filter/
+    // transform output — k+1 lineage recomputations would dwarf the
+    // Expand this path avoids, so non-scan inputs persist for the
+    // duration (the harness drains via Caches.release, the same
+    // contract every shared-subplan constructor uses)
+    def scanLike(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project => scanLike(pr.child)
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => scanLike(f.child)
+        case other => other.children.isEmpty
+      }
+    // a zero-column census is a caller bug — fail loudly (the exact
+    // path's union and the approx path's empty-array explode would both
+    // otherwise die with opaque analysis errors)
+    require(cols.nonEmpty, "tableStatsOf: no stat columns")
+    val src =
+      if (!exactNdv || scanLike(df.queryExecution.optimizedPlan)) df
+      else graft.core.Caches.tracked(df)
     val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { sp =>
       val c = col(sp.name)
       Seq(
@@ -848,7 +867,7 @@ object Analytics {
         (if (exactNdv) Nil
          else Seq(approx_count_distinct(c).as(s"__nd_${sp.name}")))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = src.agg(aggs.head, aggs.tail: _*)
     if (exactNdv) {
       val unpivoted = array(cols.map { sp =>
         struct(lit(sp.name).as("col_name"),
@@ -861,7 +880,7 @@ object Analytics {
           col("r.n_nulls").as("n_nulls"),
           col("r.min_s").as("min_s"), col("r.max_s").as("max_s"))
       val ndvs = cols.map { sp =>
-        df.agg(countDistinct(col(sp.name)).cast("long").as("n_distinct"))
+        src.agg(countDistinct(col(sp.name)).cast("long").as("n_distinct"))
           .select(lit(sp.name).as("col_name"), col("n_distinct"))
       }.reduce(_.unionByName(_))
       base.join(broadcast(ndvs), Seq("col_name"))

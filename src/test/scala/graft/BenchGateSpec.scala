@@ -103,6 +103,26 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.requireOccTuned(Some((6L, 31.25))).isEmpty)
   }
 
+  test("simhash_tuned drift fails check(); absence fails only requireSimTuned") {
+    // the band is exact (everything in the pipeline is deterministic):
+    // any (bits, n_pairs) off the banked pair is a violation
+    val drifted = BenchGate.check(goodRecall, goodCalib, goodCost, goodNdcg,
+      None, Some((64L, BenchGate.simTunedBaseline._2)))
+    assert(drifted.exists(_.contains("simhash_tuned")), drifted.mkString("; "))
+    val pairDrift = BenchGate.check(goodRecall, goodCalib, goodCost, goodNdcg,
+      None, Some((BenchGate.simTunedBaseline._1, 1L)))
+    assert(pairDrift.exists(_.contains("simhash_tuned")), pairDrift.mkString("; "))
+    // banked pair passes; absent-when-not-claimed passes check()
+    assert(BenchGate.check(goodRecall, goodCalib, goodCost, goodNdcg,
+      None, Some(BenchGate.simTunedBaseline)).isEmpty)
+    assert(BenchGate.check(goodRecall, goodCalib, goodCost, goodNdcg,
+      None, None).isEmpty)
+    // Bench, which PRODUCES the key, must not silently drop it
+    val miss = BenchGate.requireSimTuned(None)
+    assert(miss.exists(_.contains("simhash_tuned missing")))
+    assert(BenchGate.requireSimTuned(Some(BenchGate.simTunedBaseline)).isEmpty)
+  }
+
   test("jsonNum renders NaN/Infinity as null, numbers as themselves") {
     assert(BenchGate.jsonNum(Double.NaN) == "null")
     assert(BenchGate.jsonNum(Double.PositiveInfinity) == "null")

@@ -59,10 +59,13 @@ def main():
     # row order is irrelevant (the compare sorts) and preserving it is
     # what keeps giant intermediate pipelines fully resident in DuckDB
     con.sql("SET preserve_insertion_order=false")
+    # OR REPLACE: a file-backed DUCKDB_DB persists views across runs, so
+    # a retry against the same db file (exactly the OOM-recovery scenario
+    # the knob exists for) must not die on a name collision at startup
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+            con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     # Driver parity: its compare is dtype-aware (pandas hash), so a DuckDB
     # HUGEINT (uncast SUM) vs Spark int64 is a hash failure even when the
