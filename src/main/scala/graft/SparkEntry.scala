@@ -113,6 +113,12 @@ object SparkEntry {
     Seq(GQuery("q_image_dedup_serve",
       graft.operators.RealCodec.imageDedupServe _,
       Some(graft.operators.RealCodec.imageDedupServeOracle))),
+    // NEAR-dup images (0 < Hamming <= 3 on dHash) via the SimHash Manku
+    // banding over DISTINCT fingerprints; the oracle brute-forces the
+    // same pairs, so banding exhaustiveness is oracle-tested
+    Seq(GQuery("q_image_neardup",
+      graft.operators.RealCodec.imageNearDupCensus _,
+      Some(graft.operators.RealCodec.imageNearDupOracle))),
     Seq(GQuery("q_frame_sample",
       graft.operators.Multimodal.frameSample _,
       Some("""WITH m AS (

@@ -290,6 +290,88 @@ object RealCodec {
         sum(pmod(col("fp"), lit(1000000007L))).as("fp_checksum"))
   }
 
+  /** q_image_neardup: NEAR-duplicate images — 0 < Hamming ≤ 3 between
+    * dHash fingerprints — via the engine's one banding scheme: the
+    * 64-bit Manku 3-of-6-block combo keys SimHash uses
+    * ([[graft.queries.TextPipeline.simBlockOff64]]), exhaustive for
+    * Hamming ≤ 3 by pigeonhole (≤3 flipped bits touch ≤3 of 6 blocks, so
+    * some 3-block combo is untouched and the pair shares that key).
+    *
+    * The decisive scale property: the banded join runs over DISTINCT
+    * fingerprints, not images. dHash has ≤ 2⁶⁴ values but this corpus
+    * law admits ≤ 63·256 = 16,128 — and real corpora concentrate far
+    * below image count too — so pair enumeration is bounded by
+    * fingerprint diversity while image-pair VOLUME (n_a·n_b per
+    * fingerprint pair) is recovered arithmetically from group sizes.
+    * Identical-fingerprint pairs (Hamming 0) are exact-dup business —
+    * q_image_dhash's census — and are excluded here. */
+  def imageNearDupCensus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.TextPipeline.{simBlockOff64, simBlockMod64}
+    val groups = imageFingerprints(spark, dir, lit(true))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), min(col("media_id")).as("kept"))
+    val bands = groups.select(col("fp"), col("n"),
+      graft.queries.TextPipeline
+        .simBandKeys("fp", simBlockOff64, simBlockMod64).as("bk"))
+    bands.as("l").join(bands.as("r"),
+        col("l.bk") === col("r.bk") && col("l.fp") < col("r.fp"))
+      .select(col("l.fp").as("fp_a"), col("r.fp").as("fp_b"),
+        col("l.n").as("na"), col("r.n").as("nb"),
+        expr("bit_count(l.fp ^ r.fp)").cast("long").as("hamming"))
+      .groupBy(col("fp_a"), col("fp_b"), col("na"), col("nb"))
+      .agg(min(col("hamming")).as("hamming"))
+      .filter(col("hamming").between(1, 3))
+      .agg(count(lit(1)).as("n_fp_pairs"),
+        sum(col("na") * col("nb")).as("n_image_pairs"),
+        sum(when(col("hamming") === 1, 1L).otherwise(0L)).as("h1"),
+        sum(when(col("hamming") === 2, 1L).otherwise(0L)).as("h2"),
+        sum(when(col("hamming") === 3, 1L).otherwise(0L)).as("h3"),
+        sum(pmod(expr("fp_a ^ fp_b"), lit(1000000007L))).as("xor_checksum"))
+  }
+
+  /** q_image_neardup oracle: brute-force Hamming over the law-derived
+    * DISTINCT fingerprints (diversity-bounded, so n² on fingerprints is
+    * cheap oracle-side), exactly the frame the banded join must equal —
+    * the banding's exhaustiveness is thereby oracle-tested on real
+    * fingerprints, not just argued. */
+  val imageNearDupOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    (doc_id % 9) + 8 AS w, (doc_id % 7) + 8 AS h
+      |  FROM documents),
+      |g AS (
+      |  SELECT media_id, i.i AS i, j.j AS j,
+      |    (((i.i * h) // 8) * 31 + ((j.j * w) // 9) * 17 + media_id) % 256 AS g
+      |  FROM m CROSS JOIN range(8) i(i) CROSS JOIN range(9) j(j)),
+      |b AS (
+      |  SELECT media_id, i, j, g,
+      |    lead(g) OVER (PARTITION BY media_id, i ORDER BY j) AS gn
+      |  FROM g),
+      |fp AS (
+      |  SELECT media_id,
+      |    -- BIGINT, not SUM's HUGEINT: xor on 128-bit two's complement
+      |    -- gives cross-sign pairs 64 phantom upper bits and inflates
+      |    -- their Hamming distance past the <=3 window
+      |    CAST(SUM(CASE WHEN gn > g THEN
+      |      CASE WHEN i*8 + j = 63 THEN (-9223372036854775807 - 1)
+      |           ELSE (1::BIGINT << (i*8 + j)) END
+      |      ELSE 0 END) AS BIGINT) AS fp
+      |  FROM b WHERE j < 8 GROUP BY media_id),
+      |grp AS (SELECT fp, COUNT(*) AS n FROM fp GROUP BY fp),
+      |pairs AS (
+      |  SELECT a.fp AS fp_a, b.fp AS fp_b, a.n AS na, b.n AS nb,
+      |    bit_count(xor(a.fp, b.fp)) AS hamming
+      |  FROM grp a JOIN grp b ON a.fp < b.fp
+      |  WHERE bit_count(xor(a.fp, b.fp)) BETWEEN 1 AND 3)
+      |SELECT COUNT(*) AS n_fp_pairs,
+      |  CAST(SUM(na * nb) AS BIGINT) AS n_image_pairs,
+      |  CAST(SUM(CASE WHEN hamming = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+      |  CAST(SUM(CASE WHEN hamming = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+      |  CAST(SUM(CASE WHEN hamming = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+      |  CAST(SUM(((xor(fp_a, fp_b) % 1000000007) + 1000000007) % 1000000007)
+      |    AS BIGINT) AS xor_checksum
+      |FROM pairs""".stripMargin
+
   /** q_image_dedup_serve: the crawl-vs-history serve shape for image
     * dedup — a new batch (stand-in: media_id ≡ 0 mod 7) checked against
     * the accumulated corpus by PERCEPTUAL fingerprint, the image twin of

@@ -572,11 +572,32 @@ object TextPipeline {
     * saturation (∝ n²/2^w) past any driveable corpus. Same C(6,3) = 20
     * combo enumeration; the pigeonhole exhaustiveness argument is
     * width-independent (≤3 flipped bits touch ≤3 of 6 blocks). */
-  private val simBlockOff64 = Vector(0, 11, 22, 33, 44, 54)
-  private val simBlockMod64 = Vector(2048L, 2048L, 2048L, 2048L, 1024L, 1024L)
-  private val simCombos: Seq[(Int, Seq[Int])] =
+  // private[graft]: RealCodec's image near-dup rides the same 64-bit
+  // Manku tables on dHash fingerprints — one banding scheme engine-wide
+  private[graft] val simBlockOff64 = Vector(0, 11, 22, 33, 44, 54)
+  private[graft] val simBlockMod64 = Vector(2048L, 2048L, 2048L, 2048L, 1024L, 1024L)
+  private[graft] val simCombos: Seq[(Int, Seq[Int])] =
     (0 until 6).combinations(3).toSeq.map(_.toSeq).zipWithIndex
       .map { case (c, i) => (i, c) }
+
+  /** The ONE Manku band-key builder every Hamming-≤3 candidate join uses
+    * (SimHash at both widths; RealCodec's image near-dup on dHash):
+    * explodes a fingerprint column into its 20 3-of-6-block combo keys.
+    * Bitwise AND, not %: the block mods are powers of two, and a signed
+    * % on a NEGATIVE 64-bit fingerprint (bit 63 set) gives a negative
+    * remainder — a cross-sign pair with identical low block bits would
+    * key DIFFERENTLY and be silently missed (caught r14 by
+    * q_image_neardup's brute-force oracle; TextPipelineSpec pins the
+    * exact caught pair). 32-bit fingerprints are nonnegative, where
+    * & == %, so the oracle-pinned 32-bit keys are unchanged. */
+  private[graft] def simBandKeys(fpCol: String,
+      offs: IndexedSeq[Int], mods: IndexedSeq[Long]): org.apache.spark.sql.Column =
+    explode(array(simCombos.map { case (ci, blocks) =>
+      struct(lit(ci).as("c") +: blocks.zipWithIndex.map { case (b, i) =>
+        (expr(s"shiftrightunsigned($fpCol, ${offs(b)})")
+          .bitwiseAND(lit(mods(b) - 1))).as(s"v$i")
+      }: _*)
+    }: _*))
 
   /** SimHash near-dup pairs: candidates share at least one of the 20
     * combinatorial 3-block keys of the 32-bit fingerprint ([[simCombos]]
@@ -603,14 +624,7 @@ object TextPipeline {
     // lazy cache: one fingerprint computation feeding both join sides
     val sig = simhashDocs(docs, width).trackedPersist()
     val bands = sig.select(col("doc_id"), col("simhash"),
-      explode(array(simCombos.map { case (ci, blocks) =>
-        struct(lit(ci).as("c") +: blocks.zipWithIndex.map { case (b, i) =>
-          // logical shift: parity with the arithmetic oracle form at 32
-          // bits (nonnegative), well-defined for the 64-bit sign block
-          (expr(s"shiftrightunsigned(simhash, ${offs(b)})")
-            % mods(b)).as(s"v$i")
-        }: _*)
-      }: _*)).as("bk"))
+      simBandKeys("simhash", offs, mods).as("bk"))
     bands.as("l").join(bands.as("r"),
         col("l.bk") === col("r.bk") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),

@@ -227,6 +227,41 @@ class RealCodecSpec extends SparkSpec {
     assert(rows == expect, "decoded census drifted from the pixel law")
   }
 
+  test("q_image_neardup banded census equals brute force over law fingerprints") {
+    val row = RealCodec.imageNearDupCensus(spark, sfDir).collect()(0)
+    val ids = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    def fpOf(id: Long): Long = {
+      val (w, h) = ((id % 9 + 8).toInt, (id % 7 + 8).toInt)
+      var fp = 0L
+      for (i <- 0 until 8; j <- 0 until 8) {
+        val g0 = RealCodec.grayAt(id, i * h / 8, j * w / 9)
+        val g1 = RealCodec.grayAt(id, i * h / 8, (j + 1) * w / 9)
+        if (g1 > g0) fp |= (1L << (i * 8 + j))
+      }
+      fp
+    }
+    val groups = ids.map(fpOf).groupBy(identity).map { case (fp, g) => fp -> g.length }
+    val fps = groups.keys.toArray
+    // brute force: EVERY distinct-fp pair, not just banded candidates —
+    // a pair the banding missed would show up here as a census drift
+    val pairs = for {
+      ai <- fps.indices; bi <- (ai + 1) until fps.length
+      a = math.min(fps(ai), fps(bi)); b = math.max(fps(ai), fps(bi))
+      hamming = java.lang.Long.bitCount(a ^ b)
+      if hamming >= 1 && hamming <= 3
+    } yield (a, b, hamming)
+    def pmod(x: Long) = ((x % 1000000007L) + 1000000007L) % 1000000007L
+    assert(row.getLong(0) == pairs.length.toLong, "n_fp_pairs drifted")
+    assert(row.getLong(1) == pairs.map { case (a, b, _) =>
+      groups(a).toLong * groups(b) }.sum, "n_image_pairs drifted")
+    assert(row.getLong(2) == pairs.count(_._3 == 1).toLong)
+    assert(row.getLong(3) == pairs.count(_._3 == 2).toLong)
+    assert(row.getLong(4) == pairs.count(_._3 == 3).toLong)
+    assert(row.getLong(5) == pairs.map { case (a, b, _) => pmod(a ^ b) }.sum)
+    assert(pairs.nonEmpty, "fixture must exercise the near-dup path")
+  }
+
   test("q_audio_decode census matches the law re-derived in Scala") {
     val rows = RealCodec.audioDecodeStats(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))

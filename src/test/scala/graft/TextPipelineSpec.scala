@@ -119,6 +119,24 @@ class TextPipelineSpec extends SparkSpec {
     graft.core.Caches.release()
   }
 
+  test("cross-sign fingerprints with shared untouched blocks share a band key") {
+    // the r14 regression: signed % on a NEGATIVE fingerprint returned a
+    // negative block remainder, so this real pair (caught by
+    // q_image_neardup's brute-force oracle: Hamming 3, bits 63/31/15 →
+    // blocks 5/2/1 touched, blocks 0/3/4 untouched) keyed apart and the
+    // banded join missed it. The AND form must key them together.
+    import spark.implicits._
+    val a = -4431314945L
+    val b = 9223372036718460927L
+    assert(java.lang.Long.bitCount(a ^ b) === 3)
+    val fps = Seq(a, b).toDF("fp")
+    val keys = fps.select(col("fp"), TextPipeline.simBandKeys("fp",
+        TextPipeline.simBlockOff64, TextPipeline.simBlockMod64).as("bk"))
+    val shared = keys.as("l").join(keys.as("r"),
+      col("l.bk") === col("r.bk") && col("l.fp") < col("r.fp")).count()
+    assert(shared >= 1, "cross-sign near-dup pair must share a combo key")
+  }
+
   test("64-bit simhash probing is exhaustive for hamming <= 3 " +
       "and the tuned dial rides simBits(n)") {
     // the width axis (Tuning.simBits — 64 past ~105k docs): same
