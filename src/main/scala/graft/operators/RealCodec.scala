@@ -329,13 +329,15 @@ object RealCodec {
         sum(pmod(expr("fp_a ^ fp_b"), lit(1000000007L))).as("xor_checksum"))
   }
 
-  /** q_image_neardup oracle: brute-force Hamming over the law-derived
-    * DISTINCT fingerprints (diversity-bounded, so n² on fingerprints is
-    * cheap oracle-side), exactly the frame the banded join must equal —
-    * the banding's exhaustiveness is thereby oracle-tested on real
-    * fingerprints, not just argued. */
-  val imageNearDupOracle: String =
-    """WITH m AS (
+  /** The law→fingerprint derivation (columns: media_id, fp) shared by
+    * the three fingerprint oracles below via interpolation — the
+    * TextPipeline oracle convention, so the copies cannot drift. BIGINT
+    * cast, not SUM's HUGEINT: xor on 128-bit two's complement gives a
+    * cross-sign pair 64 phantom upper bits and inflates its Hamming
+    * distance past the ≤3 window (the r14 oracle-side twin of the
+    * engine-side signed-% banding bug). */
+  private val fpLawSql: String =
+    """m AS (
       |  SELECT doc_id AS media_id,
       |    (doc_id % 9) + 8 AS w, (doc_id % 7) + 8 AS h
       |  FROM documents),
@@ -349,14 +351,19 @@ object RealCodec {
       |  FROM g),
       |fp AS (
       |  SELECT media_id,
-      |    -- BIGINT, not SUM's HUGEINT: xor on 128-bit two's complement
-      |    -- gives cross-sign pairs 64 phantom upper bits and inflates
-      |    -- their Hamming distance past the <=3 window
       |    CAST(SUM(CASE WHEN gn > g THEN
       |      CASE WHEN i*8 + j = 63 THEN (-9223372036854775807 - 1)
       |           ELSE (1::BIGINT << (i*8 + j)) END
       |      ELSE 0 END) AS BIGINT) AS fp
-      |  FROM b WHERE j < 8 GROUP BY media_id),
+      |  FROM b WHERE j < 8 GROUP BY media_id)""".stripMargin
+
+  /** q_image_neardup oracle: brute-force Hamming over the law-derived
+    * DISTINCT fingerprints (diversity-bounded, so n² on fingerprints is
+    * cheap oracle-side), exactly the frame the banded join must equal —
+    * the banding's exhaustiveness is thereby oracle-tested on real
+    * fingerprints, not just argued. */
+  val imageNearDupOracle: String =
+    s"""WITH $fpLawSql,
       |grp AS (SELECT fp, COUNT(*) AS n FROM fp GROUP BY fp),
       |pairs AS (
       |  SELECT a.fp AS fp_a, b.fp AS fp_b, a.n AS na, b.n AS nb,
@@ -401,25 +408,7 @@ object RealCodec {
   /** q_image_dedup_serve oracle: same law-derived fingerprints, same
     * batch/history split, left join on the BIGINT fingerprint. */
   val imageDedupServeOracle: String =
-    """WITH m AS (
-      |  SELECT doc_id AS media_id,
-      |    (doc_id % 9) + 8 AS w, (doc_id % 7) + 8 AS h
-      |  FROM documents),
-      |g AS (
-      |  SELECT media_id, i.i AS i, j.j AS j,
-      |    (((i.i * h) // 8) * 31 + ((j.j * w) // 9) * 17 + media_id) % 256 AS g
-      |  FROM m CROSS JOIN range(8) i(i) CROSS JOIN range(9) j(j)),
-      |b AS (
-      |  SELECT media_id, i, j, g,
-      |    lead(g) OVER (PARTITION BY media_id, i ORDER BY j) AS gn
-      |  FROM g),
-      |fp AS (
-      |  SELECT media_id,
-      |    SUM(CASE WHEN gn > g THEN
-      |      CASE WHEN i*8 + j = 63 THEN (-9223372036854775807 - 1)
-      |           ELSE (1::BIGINT << (i*8 + j)) END
-      |      ELSE 0 END) AS fp
-      |  FROM b WHERE j < 8 GROUP BY media_id),
+    s"""WITH $fpLawSql,
       |hist AS (SELECT DISTINCT fp FROM fp WHERE media_id % 7 != 0)
       |SELECT COUNT(*) AS n_batch,
       |  CAST(SUM(CASE WHEN hist.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
@@ -440,11 +429,21 @@ object RealCodec {
     * by the watermark horizon, not the corpus. Input: a streaming frame
     * with (media_id, w, h, ts); output: append-mode (media_id, fp, ts)
     * of first-seen fingerprints. StreamingMediaSpec pins suppression
-    * across batches and new-fingerprint passage. */
+    * across batches, new-fingerprint passage, and poison-record
+    * quarantine.
+    *
+    * Malformed specs (null id/ts, non-positive dims) are QUARANTINED by
+    * filter, not decoded: a throw inside the stream's mapPartitions
+    * kills the query, and on restart the source replays the same
+    * micro-batch — one poison record would crash-loop ingest forever.
+    * The batch paths need no such guard (their specs are law-derived,
+    * always valid). */
   def fingerprintStream(media: DataFrame, watermark: String): DataFrame = {
     import media.sparkSession.implicits._
     media.select(col("media_id").cast("long"), col("w").cast("int"),
         col("h").cast("int"), col("ts"))
+      .filter(col("media_id").isNotNull && col("ts").isNotNull &&
+        col("w") > 0 && col("h") > 0)
       .as[(Long, Int, Int, java.sql.Timestamp)]
       .mapPartitions { it =>
         pngRoundTrip(it.map { case (id, w, h, t) => (ImageSpec(id, w, h), t) })
@@ -459,25 +458,7 @@ object RealCodec {
     * nearest-neighbor index math, gradient bits packed into a BIGINT with
     * the same sign-bit convention, grouped identically. */
   val imageDHashOracle: String =
-    """WITH m AS (
-      |  SELECT doc_id AS media_id,
-      |    (doc_id % 9) + 8 AS w, (doc_id % 7) + 8 AS h
-      |  FROM documents),
-      |g AS (
-      |  SELECT media_id, i.i AS i, j.j AS j,
-      |    (((i.i * h) // 8) * 31 + ((j.j * w) // 9) * 17 + media_id) % 256 AS g
-      |  FROM m CROSS JOIN range(8) i(i) CROSS JOIN range(9) j(j)),
-      |b AS (
-      |  SELECT media_id, i, j, g,
-      |    lead(g) OVER (PARTITION BY media_id, i ORDER BY j) AS gn
-      |  FROM g),
-      |fp AS (
-      |  SELECT media_id,
-      |    SUM(CASE WHEN gn > g THEN
-      |      CASE WHEN i*8 + j = 63 THEN (-9223372036854775807 - 1)
-      |           ELSE (1::BIGINT << (i*8 + j)) END
-      |      ELSE 0 END) AS fp
-      |  FROM b WHERE j < 8 GROUP BY media_id),
+    s"""WITH $fpLawSql,
       |grp AS (
       |  SELECT fp, COUNT(*) AS n, MIN(media_id) AS kept
       |  FROM fp GROUP BY fp)
@@ -559,8 +540,12 @@ object RealCodec {
       val id = ascii4()
       val len = buf.getInt
       // Long arithmetic: a hostile len near Int.MaxValue would wrap
-      // position+len negative and sneak past an Int comparison
-      require(len >= 0 && buf.position().toLong + len <= bytes.length,
+      // position+len negative and sneak past an Int comparison. The
+      // guard covers the RIFF pad byte too — skip paths advance by
+      // len + (len & 1), so an odd final chunk flush with the payload
+      // end must fail HERE with the parser's diagnostic, not inside
+      // ByteBuffer.position() with the JDK's opaque one
+      require(len >= 0 && buf.position().toLong + len + (len & 1) <= bytes.length,
         s"decodeWav: chunk '$id' of $len bytes overruns the payload (truncated?)")
       id match {
         case "fmt " =>

@@ -188,16 +188,6 @@ class RealCodecSpec extends SparkSpec {
     val row = RealCodec.imageDedupServe(spark, sfDir).collect()(0)
     val ids = graft.core.Tables.documents(spark, sfDir)
       .select("doc_id").collect().map(_.getLong(0))
-    def fpOf(id: Long): Long = {
-      val (w, h) = ((id % 9 + 8).toInt, (id % 7 + 8).toInt)
-      var fp = 0L
-      for (i <- 0 until 8; j <- 0 until 8) {
-        val g0 = RealCodec.grayAt(id, i * h / 8, j * w / 9)
-        val g1 = RealCodec.grayAt(id, i * h / 8, (j + 1) * w / 9)
-        if (g1 > g0) fp |= (1L << (i * 8 + j))
-      }
-      fp
-    }
     val hist = ids.filter(_ % 7 != 0).map(fpOf).toSet
     val batch = ids.filter(_ % 7 == 0).map(id => id -> fpOf(id))
     def pmod(x: Long) = ((x % 1000000007L) + 1000000007L) % 1000000007L
@@ -227,20 +217,23 @@ class RealCodecSpec extends SparkSpec {
     assert(rows == expect, "decoded census drifted from the pixel law")
   }
 
+  /** The dHash law re-derived arithmetically (the tests' shared truth;
+    * one copy so a law change cannot leave two tests disagreeing). */
+  private def fpOf(id: Long): Long = {
+    val (w, h) = ((id % 9 + 8).toInt, (id % 7 + 8).toInt)
+    var fp = 0L
+    for (i <- 0 until 8; j <- 0 until 8) {
+      val g0 = RealCodec.grayAt(id, i * h / 8, j * w / 9)
+      val g1 = RealCodec.grayAt(id, i * h / 8, (j + 1) * w / 9)
+      if (g1 > g0) fp |= (1L << (i * 8 + j))
+    }
+    fp
+  }
+
   test("q_image_neardup banded census equals brute force over law fingerprints") {
     val row = RealCodec.imageNearDupCensus(spark, sfDir).collect()(0)
     val ids = graft.core.Tables.documents(spark, sfDir)
       .select("doc_id").collect().map(_.getLong(0))
-    def fpOf(id: Long): Long = {
-      val (w, h) = ((id % 9 + 8).toInt, (id % 7 + 8).toInt)
-      var fp = 0L
-      for (i <- 0 until 8; j <- 0 until 8) {
-        val g0 = RealCodec.grayAt(id, i * h / 8, j * w / 9)
-        val g1 = RealCodec.grayAt(id, i * h / 8, (j + 1) * w / 9)
-        if (g1 > g0) fp |= (1L << (i * 8 + j))
-      }
-      fp
-    }
     val groups = ids.map(fpOf).groupBy(identity).map { case (fp, g) => fp -> g.length }
     val fps = groups.keys.toArray
     // brute force: EVERY distinct-fp pair, not just banded candidates —

@@ -59,13 +59,15 @@ def main():
     # row order is irrelevant (the compare sorts) and preserving it is
     # what keeps giant intermediate pipelines fully resident in DuckDB
     con.sql("SET preserve_insertion_order=false")
-    # OR REPLACE: a file-backed DUCKDB_DB persists views across runs, so
-    # a retry against the same db file (exactly the OOM-recovery scenario
-    # the knob exists for) must not die on a name collision at startup
+    # a file-backed DUCKDB_DB persists views across runs: DROP first so a
+    # retry against the same db file (the OOM-recovery scenario the knob
+    # exists for) neither dies on a name collision nor — worse — silently
+    # serves a PREVIOUS run's view for a table absent from this sfdir
     for t in TABLES:
+        con.sql(f"DROP VIEW IF EXISTS {t}")
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
-            con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     # Driver parity: its compare is dtype-aware (pandas hash), so a DuckDB
     # HUGEINT (uncast SUM) vs Spark int64 is a hash failure even when the
