@@ -119,6 +119,11 @@ object SparkEntry {
     Seq(GQuery("q_image_neardup",
       graft.operators.RealCodec.imageNearDupCensus _,
       Some(graft.operators.RealCodec.imageNearDupOracle))),
+    // the audio twin: energy-contour fingerprint from REAL-parsed PCM,
+    // keep-first census like q_image_dhash
+    Seq(GQuery("q_audio_fingerprint",
+      graft.operators.RealCodec.audioFingerprintCensus _,
+      Some(graft.operators.RealCodec.audioFingerprintOracle))),
     Seq(GQuery("q_frame_sample",
       graft.operators.Multimodal.frameSample _,
       Some("""WITH m AS (

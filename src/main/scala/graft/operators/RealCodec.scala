@@ -522,7 +522,11 @@ object RealCodec {
     * stats over the little-endian samples. Loud failure on bad magic,
     * missing/garbled fmt, or a data chunk that overruns the payload
     * (truncated file). */
-  def decodeWav(mediaId: Long, bytes: Array[Byte]): AudioStats = {
+  /** The ONE RIFF chunk walker both audio consumers share (stats fold,
+    * energy fingerprint): verify magic, honor the even-size pad rule,
+    * validate the PCM-16 mono fmt, return the parser positioned at the
+    * data chunk's first sample with (sampleRate, nSamples). */
+  private def walkWav(bytes: Array[Byte]): (ByteBuffer, Int, Int) = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def ascii4(): String = {
       val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
@@ -568,8 +572,12 @@ object RealCodec {
     require(sampleRate > 0, "decodeWav: no fmt chunk before data")
     require(dataOff >= 0, "decodeWav: no data chunk")
     require(dataLen % 2 == 0, s"decodeWav: odd PCM-16 data length $dataLen")
-    val n = dataLen / 2
     buf.position(dataOff)
+    (buf, sampleRate, dataLen / 2)
+  }
+
+  def decodeWav(mediaId: Long, bytes: Array[Byte]): AudioStats = {
+    val (buf, sampleRate, n) = walkWav(bytes)
     var ampSum = 0L
     var ampAbs = 0L
     var ampMin = 65536
@@ -585,6 +593,103 @@ object RealCodec {
     }
     AudioStats(mediaId, sampleRate, n.toLong, ampSum, ampAbs, ampMin, ampMax)
   }
+
+  /** The audio twin of [[dHash]]: a 64-bit energy-contour fingerprint
+    * from REAL-parsed PCM. Samples map to 65 near-equal windows
+    * (window(t) = t·65/n, the same integer nearest-neighbor convention
+    * as dHash's grid; windows can be empty for n < 65 — both sides
+    * treat an empty window as zero energy), per-window energy is the
+    * abs-amplitude sum, and bit k = 1 iff E(k+1) > E(k) — the loudness
+    * CONTOUR, which survives volume scaling and re-encoding the way
+    * dHash's gradients survive resizing. Sign-bit packing mirrored
+    * exactly by the oracle. */
+  def audioFingerprint(bytes: Array[Byte]): Long = {
+    val (buf, _, n) = walkWav(bytes)
+    val energy = new Array[Long](65)
+    var t = 0
+    while (t < n) {
+      energy((t.toLong * 65 / n).toInt) += math.abs(buf.getShort.toInt)
+      t += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 64) {
+      if (energy(k + 1) > energy(k)) fp |= (1L << k)
+      k += 1
+    }
+    fp
+  }
+
+  /** q_audio_fingerprint: perceptual-fingerprint census for the audio
+    * modality — every clip RIFF-encoded, REAL-parsed, energy-contour
+    * fingerprinted, then keep-first per fingerprint exactly like
+    * q_image_dhash. Shuffle carries 8-byte fingerprints + counters,
+    * never samples; near-dup Hamming≤k rides [[graft.queries
+    * .TextPipeline.simBandKeys]] on this column like the image twin. */
+  def audioFingerprintCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 2 === 0, 16000).otherwise(8000)
+          .cast("int").as("rate"),
+        (col("doc_id") % 256 + 64).cast("int").as("n"))
+      .as[AudioSpec]
+      .mapPartitions { it =>
+        it.map(s => (s.media_id,
+          audioFingerprint(encodeWav(s.media_id, s.n, s.rate))))
+      }
+      .toDF("media_id", "fp")
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), min(col("media_id")).as("kept"))
+      .agg(sum(col("n")).as("n_clips"),
+        count(lit(1)).as("n_kept"),
+        (sum(col("n")) - count(lit(1))).as("n_dropped"),
+        max(col("n")).as("max_group"),
+        sum(col("kept")).as("kept_id_sum"),
+        sum(pmod(col("fp"), lit(1000000007L))).as("fp_checksum"))
+  }
+
+  /** q_audio_fingerprint oracle: the sample law re-windowed with the
+    * same t·65/n mapping (empty windows densified to zero via the
+    * range(65) left join — lead() over only the non-empty windows would
+    * compare across gaps), bits packed with the same sign convention. */
+  val audioFingerprintOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, (doc_id % 256) + 64 AS n
+      |  FROM documents),
+      |s AS (
+      |  SELECT media_id, n, t.t AS t,
+      |    ABS(((media_id * 104729 + t.t * 7919) % 65536) - 32768) AS amp
+      |  FROM m CROSS JOIN range(320) t(t)
+      |  WHERE t.t < n),
+      |e0 AS (
+      |  SELECT media_id, (t * 65) // n AS w, SUM(amp) AS e
+      |  FROM s GROUP BY 1, 2),
+      |e AS (
+      |  SELECT m.media_id, w.w AS w, COALESCE(e0.e, 0) AS e
+      |  FROM m CROSS JOIN range(65) w(w)
+      |  LEFT JOIN e0 ON e0.media_id = m.media_id AND e0.w = w.w),
+      |c AS (
+      |  SELECT media_id, w, e,
+      |    lead(e) OVER (PARTITION BY media_id ORDER BY w) AS en
+      |  FROM e),
+      |fp AS (
+      |  SELECT media_id,
+      |    CAST(SUM(CASE WHEN en > e THEN
+      |      CASE WHEN w = 63 THEN (-9223372036854775807 - 1)
+      |           ELSE (1::BIGINT << w) END
+      |      ELSE 0 END) AS BIGINT) AS fp
+      |  FROM c WHERE w < 64 GROUP BY media_id),
+      |grp AS (
+      |  SELECT fp, COUNT(*) AS n, MIN(media_id) AS kept
+      |  FROM fp GROUP BY fp)
+      |SELECT CAST(SUM(n) AS BIGINT) AS n_clips,
+      |  COUNT(*) AS n_kept,
+      |  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dropped,
+      |  CAST(MAX(n) AS BIGINT) AS max_group,
+      |  CAST(SUM(kept) AS BIGINT) AS kept_id_sum,
+      |  CAST(SUM(((fp % 1000000007) + 1000000007) % 1000000007) AS BIGINT) AS fp_checksum
+      |FROM grp""".stripMargin
 
   /** q_audio_decode: documents drive (media_id, rate, n) clip specs
     * (64..319 samples — bounded per-row cost); each spec encodes a real
