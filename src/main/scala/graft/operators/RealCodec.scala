@@ -277,18 +277,23 @@ object RealCodec {
       .toDF("media_id", "fp")
   }
 
-  def imageDHashCensus(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = imageFingerprints(spark, dir, lit(true))
-    hashes
-      .groupBy(col("fp"))
+  /** Keep-first census over a (media_id, fp) fingerprint frame — ONE
+    * body for the image and audio modalities so the two censuses are
+    * provably identical (only the corpus-count alias differs). Shuffle
+    * carries 8-byte fingerprints + counters, never payloads; a hot
+    * fingerprint combines map-side into one row per task. */
+  private def keepFirstCensus(fps: DataFrame, countAlias: String): DataFrame =
+    fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("n"), min(col("media_id")).as("kept"))
-      .agg(sum(col("n")).as("n_images"),
+      .agg(sum(col("n")).as(countAlias),
         count(lit(1)).as("n_kept"),
         (sum(col("n")) - count(lit(1))).as("n_dropped"),
         max(col("n")).as("max_group"),
         sum(col("kept")).as("kept_id_sum"),
         sum(pmod(col("fp"), lit(1000000007L))).as("fp_checksum"))
-  }
+
+  def imageDHashCensus(spark: SparkSession, dir: String): DataFrame =
+    keepFirstCensus(imageFingerprints(spark, dir, lit(true)), "n_images")
 
   /** q_image_neardup: NEAR-duplicate images — 0 < Hamming ≤ 3 between
     * dHash fingerprints — via the engine's one banding scheme: the
@@ -516,16 +521,14 @@ object RealCodec {
       media_id: Long, sample_rate: Int, n_samples: Long,
       amp_sum: Long, amp_abs_sum: Long, amp_min: Int, amp_max: Int)
 
-  /** Parse a RIFF/WAVE payload with a genuine chunk walker: verify the
-    * RIFF/WAVE magic, iterate chunks honoring the even-size pad rule,
-    * require a PCM-16 mono fmt chunk before data, and fold amplitude
-    * stats over the little-endian samples. Loud failure on bad magic,
-    * missing/garbled fmt, or a data chunk that overruns the payload
-    * (truncated file). */
   /** The ONE RIFF chunk walker both audio consumers share (stats fold,
-    * energy fingerprint): verify magic, honor the even-size pad rule,
-    * validate the PCM-16 mono fmt, return the parser positioned at the
-    * data chunk's first sample with (sampleRate, nSamples). */
+    * energy fingerprint): verify the RIFF/WAVE magic, iterate chunks
+    * honoring the even-size pad rule, validate the PCM-16 mono fmt, and
+    * return the parser positioned at the data chunk's first sample with
+    * (sampleRate, nSamples). Loud failure on bad magic, missing/garbled
+    * fmt, or a chunk that overruns the payload (truncated file) — the
+    * diagnostics keep the historical `decodeWav:` prefix both consumers'
+    * callers and the fuzz sweep know. */
   private def walkWav(bytes: Array[Byte]): (ByteBuffer, Int, Int) = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def ascii4(): String = {
@@ -576,6 +579,9 @@ object RealCodec {
     (buf, sampleRate, dataLen / 2)
   }
 
+  /** Decoded-clip amplitude stats: [[walkWav]] positions the parser at
+    * the PCM data, then one pass folds sum/abs-sum/min/max over the
+    * little-endian 16-bit samples. */
   def decodeWav(mediaId: Long, bytes: Array[Byte]): AudioStats = {
     val (buf, sampleRate, n) = walkWav(bytes)
     var ampSum = 0L
@@ -628,7 +634,7 @@ object RealCodec {
     * .TextPipeline.simBandKeys]] on this column like the image twin. */
   def audioFingerprintCensus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.core.Tables.documents(spark, dir)
+    val fps = graft.core.Tables.documents(spark, dir)
       .select(col("doc_id").as("media_id"),
         when(col("doc_id") % 2 === 0, 16000).otherwise(8000)
           .cast("int").as("rate"),
@@ -639,14 +645,7 @@ object RealCodec {
           audioFingerprint(encodeWav(s.media_id, s.n, s.rate))))
       }
       .toDF("media_id", "fp")
-      .groupBy(col("fp"))
-      .agg(count(lit(1)).as("n"), min(col("media_id")).as("kept"))
-      .agg(sum(col("n")).as("n_clips"),
-        count(lit(1)).as("n_kept"),
-        (sum(col("n")) - count(lit(1))).as("n_dropped"),
-        max(col("n")).as("max_group"),
-        sum(col("kept")).as("kept_id_sum"),
-        sum(pmod(col("fp"), lit(1000000007L))).as("fp_checksum"))
+    keepFirstCensus(fps, "n_clips")
   }
 
   /** q_audio_fingerprint oracle: the sample law re-windowed with the

@@ -255,41 +255,34 @@ class RealCodecSpec extends SparkSpec {
     assert(pairs.nonEmpty, "fixture must exercise the near-dup path")
   }
 
+  /** The audio energy-contour law re-derived arithmetically (one copy,
+    * same reasoning as [[fpOf]]). */
+  private def audioLawFp(id: Long): Long = {
+    val n = (id % 256 + 64).toInt
+    val energy = new Array[Long](65)
+    for (t <- 0 until n)
+      energy((t.toLong * 65 / n).toInt) += math.abs(RealCodec.sampleAt(id, t))
+    var fp = 0L
+    for (k <- 0 until 64) if (energy(k + 1) > energy(k)) fp |= (1L << k)
+    fp
+  }
+
   test("audio energy fingerprint matches the law and survives the RIFF round-trip") {
-    def lawFp(id: Long): Long = {
-      val n = (id % 256 + 64).toInt
-      val energy = new Array[Long](65)
-      for (t <- 0 until n)
-        energy((t.toLong * 65 / n).toInt) += math.abs(RealCodec.sampleAt(id, t))
-      var fp = 0L
-      for (k <- 0 until 64) if (energy(k + 1) > energy(k)) fp |= (1L << k)
-      fp
-    }
+    // id=0 has n = 64 < 65 windows, so its 65th window is EMPTY — that
+    // case exercises the zero-energy densification on both sides
     for (id <- Seq(0L, 63L, 64L, 499L, 2_000_000_001L)) {
       val rate = if (id % 2 == 0) 16000 else 8000
       val bytes = RealCodec.encodeWav(id, (id % 256 + 64).toInt, rate)
-      assert(RealCodec.audioFingerprint(bytes) == lawFp(id),
+      assert(RealCodec.audioFingerprint(bytes) == audioLawFp(id),
         s"energy fingerprint drifted for id=$id")
     }
-    // n = 64 < 65 windows: the last window is EMPTY — the zero-energy
-    // densification must agree with the law (id=0 has n=64)
-    assert((0L % 256 + 64) == 64)
   }
 
   test("q_audio_fingerprint census matches the law re-derived in Scala") {
     val row = RealCodec.audioFingerprintCensus(spark, sfDir).collect()(0)
     val ids = graft.core.Tables.documents(spark, sfDir)
       .select("doc_id").collect().map(_.getLong(0))
-    def lawFp(id: Long): Long = {
-      val n = (id % 256 + 64).toInt
-      val energy = new Array[Long](65)
-      for (t <- 0 until n)
-        energy((t.toLong * 65 / n).toInt) += math.abs(RealCodec.sampleAt(id, t))
-      var fp = 0L
-      for (k <- 0 until 64) if (energy(k + 1) > energy(k)) fp |= (1L << k)
-      fp
-    }
-    val groups = ids.map(id => id -> lawFp(id)).groupBy(_._2)
+    val groups = ids.map(id => id -> audioLawFp(id)).groupBy(_._2)
     def pmod(x: Long) = ((x % 1000000007L) + 1000000007L) % 1000000007L
     assert(row.getLong(0) == ids.length.toLong)
     assert(row.getLong(1) == groups.size.toLong)
