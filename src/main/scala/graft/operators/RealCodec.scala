@@ -45,6 +45,13 @@ object RealCodec {
   // Safe to set process-wide from executor threads (idempotent).
   ImageIO.setUseCache(false)
 
+  /** Per-record pixel budget for EXTERNAL specs (the streaming ingest
+    * path): 2^22 px ≈ a 2048×2048 frame, a 4 MB gray raster — far above
+    * any law-derived batch spec, far below the multi-GB allocation a
+    * hostile/corrupt (w, h) would force. Oversized specs are filtered
+    * (quarantined), never decoded. */
+  val MaxStreamPixels: Long = 1L << 22
+
   // ------------------------------------------------------------- images
 
   /** The synthetic pixel law: gray(i, j) of image `mediaId` =
@@ -132,22 +139,41 @@ object RealCodec {
     * writer+reader serving the whole task (the ImageIO facades re-run
     * the plugin-registry lookup per call — measurable per record,
     * ruinous at drive volume). Generic in a carried payload so the
-    * streaming path can thread its event time through. */
+    * streaming path can thread its event time through.
+    *
+    * Resource discipline for long-running executors: the per-record
+    * image streams close in `finally` (an encode/decode throw must not
+    * leak its stream until GC), and the cached writer/reader dispose
+    * when the underlying iterator drains — task threads in a streaming
+    * query live for hours, so codec natives can't wait for GC. A task
+    * KILLED mid-iteration skips the dispose; that residue is one
+    * writer+reader pair reclaimed by GC, not a per-record leak. */
   private def pngRoundTrip[T](it: Iterator[(ImageSpec, T)]): Iterator[(Long, BufferedImage, T)] = {
     val writer = ImageIO.getImageWritersByFormatName("png").next()
     val reader = ImageIO.getImageReadersByFormatName("png").next()
-    it.map { case (s, t) =>
-      val bos = new ByteArrayOutputStream()
-      val ios = ImageIO.createImageOutputStream(bos)
-      writer.setOutput(ios)
-      writer.write(renderGray(s.media_id, s.w, s.h))
-      ios.close()
-      val iis = ImageIO.createImageInputStream(
-        new ByteArrayInputStream(bos.toByteArray))
-      reader.setInput(iis)
-      val img = reader.read(0)
-      iis.close()
-      (s.media_id, img, t)
+    new Iterator[(Long, BufferedImage, T)] {
+      private var disposed = false
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !disposed) { disposed = true; writer.dispose(); reader.dispose() }
+        h
+      }
+      override def next(): (Long, BufferedImage, T) = {
+        val (s, t) = it.next()
+        val bos = new ByteArrayOutputStream()
+        val ios = ImageIO.createImageOutputStream(bos)
+        try {
+          writer.setOutput(ios)
+          writer.write(renderGray(s.media_id, s.w, s.h))
+        } finally ios.close()
+        val iis = ImageIO.createImageInputStream(
+          new ByteArrayInputStream(bos.toByteArray))
+        val img = try {
+          reader.setInput(iis)
+          reader.read(0)
+        } finally iis.close()
+        (s.media_id, img, t)
+      }
     }
   }
 
@@ -310,11 +336,20 @@ object RealCodec {
     * fingerprint pair) is recovered arithmetically from group sizes.
     * Identical-fingerprint pairs (Hamming 0) are exact-dup business —
     * q_image_dhash's census — and are excluded here. */
-  def imageNearDupCensus(spark: SparkSession, dir: String): DataFrame = {
+  def imageNearDupCensus(spark: SparkSession, dir: String): DataFrame =
+    nearDupCensus(imageFingerprints(spark, dir, lit(true)), "n_image_pairs")
+
+  /** ONE near-dup body for the image and audio modalities (the
+    * keep-first-census sharing stance): banded candidate join over
+    * DISTINCT fingerprints, exact Hamming 1..3 on the XOR, pair volume
+    * recovered from group sizes. `pairAlias` names the modality's
+    * payload-pair count column; everything else is provably identical
+    * across modalities because it is the same body. */
+  private def nearDupCensus(fps: DataFrame, pairAlias: String): DataFrame = {
     import graft.queries.TextPipeline.{simBlockOff64, simBlockMod64}
-    val groups = imageFingerprints(spark, dir, lit(true))
+    val groups = fps
       .groupBy(col("fp"))
-      .agg(count(lit(1)).as("n"), min(col("media_id")).as("kept"))
+      .agg(count(lit(1)).as("n"))
     val bands = groups.select(col("fp"), col("n"),
       graft.queries.TextPipeline
         .simBandKeys("fp", simBlockOff64, simBlockMod64).as("bk"))
@@ -327,7 +362,7 @@ object RealCodec {
       .agg(min(col("hamming")).as("hamming"))
       .filter(col("hamming").between(1, 3))
       .agg(count(lit(1)).as("n_fp_pairs"),
-        sum(col("na") * col("nb")).as("n_image_pairs"),
+        sum(col("na") * col("nb")).as(pairAlias),
         sum(when(col("hamming") === 1, 1L).otherwise(0L)).as("h1"),
         sum(when(col("hamming") === 2, 1L).otherwise(0L)).as("h2"),
         sum(when(col("hamming") === 3, 1L).otherwise(0L)).as("h3"),
@@ -437,18 +472,22 @@ object RealCodec {
     * across batches, new-fingerprint passage, and poison-record
     * quarantine.
     *
-    * Malformed specs (null id/ts, non-positive dims) are QUARANTINED by
-    * filter, not decoded: a throw inside the stream's mapPartitions
-    * kills the query, and on restart the source replays the same
-    * micro-batch — one poison record would crash-loop ingest forever.
-    * The batch paths need no such guard (their specs are law-derived,
-    * always valid). */
+    * Malformed specs (null id/ts, non-positive dims, dims past the
+    * [[MaxStreamPixels]] budget) are QUARANTINED by filter, not decoded:
+    * a throw inside the stream's mapPartitions kills the query, and on
+    * restart the source replays the same micro-batch — one poison
+    * record would crash-loop ingest forever. The upper bound matters as
+    * much as the lower: dims are external input here, and a w=h=50000
+    * spec would OOM inside renderGray (a multi-GB raster) — the same
+    * crash-loop by another door. The batch paths need no such guard
+    * (their specs are law-derived, always inside the pixel budget). */
   def fingerprintStream(media: DataFrame, watermark: String): DataFrame = {
     import media.sparkSession.implicits._
     media.select(col("media_id").cast("long"), col("w").cast("int"),
         col("h").cast("int"), col("ts"))
       .filter(col("media_id").isNotNull && col("ts").isNotNull &&
-        col("w") > 0 && col("h") > 0)
+        col("w") > 0 && col("h") > 0 &&
+        col("w").cast("long") * col("h").cast("long") <= MaxStreamPixels)
       .as[(Long, Int, Int, java.sql.Timestamp)]
       .mapPartitions { it =>
         pngRoundTrip(it.map { case (id, w, h, t) => (ImageSpec(id, w, h), t) })
@@ -483,11 +522,15 @@ object RealCodec {
   def sampleAt(mediaId: Long, t: Int): Int =
     ((((mediaId * 104729 + t.toLong * 7919) % 65536) + 65536) % 65536).toInt - 32768
 
-  /** Encode a real RIFF/WAVE file: canonical header, a LIST chunk the
-    * parser must SKIP (with RIFF's odd-size pad byte — "graft:<id>" tags
-    * come in both parities across ids), then the 16-bit LE PCM data
-    * chunk. Byte-identical to what `audiofile`/`soundfile` would emit
-    * for the same samples modulo the tag chunk. */
+  /** Encode a real RIFF/WAVE file: canonical header, a custom 'grft'
+    * tag chunk the parser must SKIP (with RIFF's odd-size pad byte —
+    * "graft:<id>" tags come in both parities across ids), then the
+    * 16-bit LE PCM data chunk. The fmt/data framing matches what
+    * `audiofile`/`soundfile` emit for the same samples; the tag rides a
+    * private chunk id rather than a 'LIST' (a conformant LIST requires
+    * a 4-byte list-type ID plus sub-chunks — a raw tag payload there
+    * would be malformed to strict external decoders, while an unknown
+    * private chunk is exactly what the RIFF skip rule exists for). */
   def encodeWav(mediaId: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
     require(nSamples > 0 && sampleRate > 0,
       s"encodeWav: bad shape n=$nSamples rate=$sampleRate")
@@ -505,7 +548,7 @@ object RealCodec {
       .putInt(sampleRate * 2) // byte rate
       .putShort(2) // block align
       .putShort(16) // bits/sample
-    buf.put("LIST".getBytes("US-ASCII")).putInt(tag.length).put(tag)
+    buf.put("grft".getBytes("US-ASCII")).putInt(tag.length).put(tag)
     if ((tag.length & 1) == 1) buf.put(0.toByte) // RIFF even-size pad
     buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var t = 0
@@ -568,7 +611,7 @@ object RealCodec {
           buf.position(buf.position() + (len - 16) + (len & 1))
         case "data" =>
           dataOff = buf.position(); dataLen = len
-        case _ => // skip unknown chunks (LIST tag etc.), honoring the pad
+        case _ => // skip unknown chunks ('grft' tag etc.), honoring the pad
           buf.position(buf.position() + len + (len & 1))
       }
     }

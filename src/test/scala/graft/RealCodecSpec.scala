@@ -151,7 +151,7 @@ class RealCodecSpec extends SparkSpec {
     // a hostile chunk length near Int.MaxValue must hit the overrun
     // guard, not wrap position+len negative and sneak past it
     val hostile = good.clone()
-    // LIST chunk length field sits at offset 40 (RIFF hdr 12 + fmt 24 + id 4)
+    // 'grft' tag chunk length field sits at offset 40 (RIFF hdr 12 + fmt 24 + id 4)
     hostile(40) = 0xf0.toByte; hostile(41) = 0xff.toByte
     hostile(42) = 0xff.toByte; hostile(43) = 0x7f.toByte
     assert(msg(intercept[IllegalArgumentException] {

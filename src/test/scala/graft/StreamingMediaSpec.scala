@@ -55,15 +55,18 @@ class StreamingMediaSpec extends SparkSpec {
       assert(spark.table("media_fp_test").count() == 2,
         "re-crawled copy within the watermark must not re-emit")
 
-      // batch 3: a POISON record (w=0) rides along with a genuinely new
-      // image — it must be quarantined by the pre-decode filter, not
-      // crash the query (a throw would crash-loop: restart replays the
-      // same micro-batch)
-      input.addData((99L, 0, 10, ts(4)), spec(7L, 4))
+      // batch 3: POISON records ride along with a genuinely new image —
+      // w=0 (the degenerate raster) AND w=h=50000 (a multi-GB raster
+      // that would OOM renderGray, the oversized-spec door). Both must
+      // be quarantined by the pre-decode filter, not crash the query (a
+      // throw would crash-loop: restart replays the same micro-batch)
+      input.addData((99L, 0, 10, ts(4)), (98L, 50000, 50000, ts(4)),
+        spec(7L, 4))
       q.processAllAvailable()
       assert(spark.table("media_fp_test").count() == 3)
       assert(spark.table("media_fp_test")
-        .filter($"media_id" === 99L).count() == 0, "poison record leaked")
+        .filter($"media_id".isin(99L, 98L)).count() == 0,
+        "poison record leaked")
       // and the emitted fingerprints are the decoded-raster truth
       val fps = spark.table("media_fp_test")
         .select("media_id", "fp").collect()
