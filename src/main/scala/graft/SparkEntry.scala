@@ -124,6 +124,17 @@ object SparkEntry {
     Seq(GQuery("q_audio_fingerprint",
       graft.operators.RealCodec.audioFingerprintCensus _,
       Some(graft.operators.RealCodec.audioFingerprintOracle))),
+    // audio near-dup through the SAME banding+census body as images
+    // (nearDupCensus); the oracle brute-forces the audio law, so the
+    // shared body is exhaustiveness-tested per modality
+    Seq(GQuery("q_audio_neardup",
+      graft.operators.RealCodec.audioNearDupCensus _,
+      Some(graft.operators.RealCodec.audioNearDupOracle))),
+    // the audio serve leg riding the persisted-fingerprint-index shape
+    // (DeferredIngest parquet stage, read back — decode work ∝ batch)
+    Seq(GQuery("q_audio_dedup_serve",
+      graft.operators.RealCodec.audioDedupServe _,
+      Some(graft.operators.RealCodec.audioDedupServeOracle))),
     Seq(GQuery("q_frame_sample",
       graft.operators.Multimodal.frameSample _,
       Some("""WITH m AS (

@@ -419,25 +419,58 @@ object RealCodec {
       |    AS BIGINT) AS xor_checksum
       |FROM pairs""".stripMargin
 
+  /** The PERSISTED perceptual-fingerprint index both media serve legs
+    * read their history through: the (media_id, fp) projection is
+    * written to parquet inside a [[graft.plans.DeferredIngest]] stage
+    * (construction job-free — the decode job runs when the serve
+    * executes, like every operator) and READ BACK for serving. This is
+    * the q_ann_lsh_served / q_dedup_incremental contract carried to the
+    * media modalities: the index is an ordinary partitionable table on
+    * storage, so serving pays a parquet scan of 16-byte rows — never a
+    * re-decode of the accumulated corpus — and persistence must not
+    * change a row (the fingerprints are BIGINTs; the parquet round-trip
+    * is lossless, so the serve stays hash-identical to a live build). */
+  private def persistedFingerprints(spark: SparkSession, dir: String,
+      tag: String, build: => DataFrame): DataFrame = {
+    val out = graft.core.Scratch.dir(tag, dir)
+    graft.plans.DeferredIngest(spark, "media_id BIGINT, fp BIGINT") {
+      build.write.mode("overwrite").parquet(out)
+      spark.read.parquet(out).select(col("media_id"), col("fp"))
+    }
+  }
+
   /** q_image_dedup_serve: the crawl-vs-history serve shape for image
     * dedup — a new batch (stand-in: media_id ≡ 0 mod 7) checked against
     * the accumulated corpus by PERCEPTUAL fingerprint, the image twin of
     * the text pipeline's incremental content-hash dedup. The join
-    * carries only 8-byte fingerprints (never pixels), equi-keyed; at
-    * 100 TB the history side reads the persisted fingerprint table
-    * ([[imageFingerprints]]'s projection) so serve cost is batch-decode
-    * + a hash-column join, ∝ batch not corpus.
+    * carries only 8-byte fingerprints (never pixels), equi-keyed; the
+    * history side reads the PERSISTED fingerprint table
+    * ([[persistedFingerprints]] — built once inside the deferred stage,
+    * then an ordinary parquet scan), so serve decode work is ∝ batch,
+    * not corpus: only the batch side runs the codec.
     *
     * The %7 split is injected BELOW the decode (imageFingerprints'
     * `keep` reaches the parquet scan): each side decodes only its own
     * subset, one corpus decode total. Filtering the shared frame above
     * the opaque mapPartitions instead would decode the whole corpus
     * TWICE — Catalyst cannot push a Filter through mapPartitions. */
-  def imageDedupServe(spark: SparkSession, dir: String): DataFrame = {
-    val history = imageFingerprints(spark, dir, col("media_id") % 7 =!= 0)
-      .select(col("fp")).distinct().withColumn("dup", lit(1L))
-    imageFingerprints(spark, dir, col("media_id") % 7 === 0)
-      .join(history, Seq("fp"), "left")
+  def imageDedupServe(spark: SparkSession, dir: String): DataFrame =
+    dedupServe(
+      persistedFingerprints(spark, dir, "imgfpidx",
+        imageFingerprints(spark, dir, col("media_id") % 7 =!= 0)),
+      imageFingerprints(spark, dir, col("media_id") % 7 === 0))
+
+  /** ONE serve body for both modalities (the nearDupCensus sharing
+    * stance): distinct history fingerprints left-joined under the batch,
+    * then the batch census — dup count, surviving ids, new-fingerprint
+    * checksum. History arrives as the persisted (media_id, fp) table;
+    * the distinct() collapses it to the fingerprint SET serving needs
+    * (8 bytes per distinct fingerprint through the join, map-side
+    * combined). */
+  private def dedupServe(history: DataFrame, batch: DataFrame): DataFrame = {
+    val hist = history.select(col("fp")).distinct().withColumn("dup", lit(1L))
+    batch
+      .join(hist, Seq("fp"), "left")
       .agg(count(lit(1)).as("n_batch"),
         sum(coalesce(col("dup"), lit(0L))).as("n_dups"),
         sum(when(col("dup").isNull, col("media_id"))).as("kept_id_sum"),
@@ -669,34 +702,77 @@ object RealCodec {
     fp
   }
 
-  /** q_audio_fingerprint: perceptual-fingerprint census for the audio
-    * modality — every clip RIFF-encoded, REAL-parsed, energy-contour
-    * fingerprinted, then keep-first per fingerprint exactly like
-    * q_image_dhash. Shuffle carries 8-byte fingerprints + counters,
-    * never samples; near-dup Hamming≤k rides [[graft.queries
-    * .TextPipeline.simBandKeys]] on this column like the image twin. */
-  def audioFingerprintCensus(spark: SparkSession, dir: String): DataFrame = {
+  /** Documents-driven audio clip specs: rate 8k/16k by parity, 64..319
+    * samples — the bounded per-row sample budget every audio query
+    * inherits. `keep` reaches the parquet scan BELOW the opaque decode,
+    * exactly like [[imageSpecs]]. */
+  private def audioSpecs(spark: SparkSession, dir: String,
+      keep: org.apache.spark.sql.Column): org.apache.spark.sql.Dataset[AudioSpec] = {
     import spark.implicits._
-    val fps = graft.core.Tables.documents(spark, dir)
+    graft.core.Tables.documents(spark, dir)
       .select(col("doc_id").as("media_id"),
         when(col("doc_id") % 2 === 0, 16000).otherwise(8000)
           .cast("int").as("rate"),
         (col("doc_id") % 256 + 64).cast("int").as("n"))
+      .filter(keep)
       .as[AudioSpec]
+  }
+
+  /** (media_id, fp) energy-contour fingerprints of the documents-driven
+    * clip set, each computed from REAL-parsed PCM (RIFF encode → chunk
+    * walk → contour hash) — the audio twin of [[imageFingerprints]],
+    * and like it the projection IS the production fingerprint table
+    * serving paths persist and read back. */
+  private def audioFingerprints(spark: SparkSession, dir: String,
+      keep: org.apache.spark.sql.Column): DataFrame = {
+    import spark.implicits._
+    audioSpecs(spark, dir, keep)
       .mapPartitions { it =>
         it.map(s => (s.media_id,
           audioFingerprint(encodeWav(s.media_id, s.n, s.rate))))
       }
       .toDF("media_id", "fp")
-    keepFirstCensus(fps, "n_clips")
   }
 
-  /** q_audio_fingerprint oracle: the sample law re-windowed with the
-    * same t·65/n mapping (empty windows densified to zero via the
-    * range(65) left join — lead() over only the non-empty windows would
-    * compare across gaps), bits packed with the same sign convention. */
-  val audioFingerprintOracle: String =
-    """WITH m AS (
+  /** q_audio_fingerprint: perceptual-fingerprint census for the audio
+    * modality — every clip RIFF-encoded, REAL-parsed, energy-contour
+    * fingerprinted, then keep-first per fingerprint exactly like
+    * q_image_dhash. Shuffle carries 8-byte fingerprints + counters,
+    * never samples. */
+  def audioFingerprintCensus(spark: SparkSession, dir: String): DataFrame =
+    keepFirstCensus(audioFingerprints(spark, dir, lit(true)), "n_clips")
+
+  /** q_audio_neardup: NEAR-duplicate clips — 0 < Hamming ≤ 3 between
+    * energy-contour fingerprints — through the engine's ONE banding +
+    * census body ([[nearDupCensus]], shared with q_image_neardup): the
+    * 64-bit Manku 3-of-6-block keys over DISTINCT fingerprints, pair
+    * volume recovered from group sizes. Contour diversity is law-
+    * bounded (the clip law repeats with the sample/window grids), so
+    * the brute-force oracle over distinct fingerprints is cheap while
+    * the banded join is what runs at drive volume. */
+  def audioNearDupCensus(spark: SparkSession, dir: String): DataFrame =
+    nearDupCensus(audioFingerprints(spark, dir, lit(true)), "n_clip_pairs")
+
+  /** q_audio_dedup_serve: the crawl-vs-history serve for the audio
+    * modality, riding the same two shared bodies as the image twin —
+    * history fingerprints PERSISTED to parquet inside the deferred
+    * stage ([[persistedFingerprints]]) and read back, the batch
+    * (media_id ≡ 0 mod 7) decoding only itself below the split. */
+  def audioDedupServe(spark: SparkSession, dir: String): DataFrame =
+    dedupServe(
+      persistedFingerprints(spark, dir, "audfpidx",
+        audioFingerprints(spark, dir, col("media_id") % 7 =!= 0)),
+      audioFingerprints(spark, dir, col("media_id") % 7 === 0))
+
+  /** The sample-law→fingerprint derivation (columns: media_id, fp)
+    * shared by the audio fingerprint oracles via interpolation — the
+    * [[fpLawSql]] convention, so the copies cannot drift. The law is
+    * re-windowed with the same t·65/n mapping (empty windows densified
+    * to zero via the range(65) left join — lead() over only the
+    * non-empty windows would compare across gaps), bits packed with the
+    * same sign convention as dHash. */
+  private val audioFpLawSql: String =
+    """m AS (
       |  SELECT doc_id AS media_id, (doc_id % 256) + 64 AS n
       |  FROM documents),
       |s AS (
@@ -721,7 +797,12 @@ object RealCodec {
       |      CASE WHEN w = 63 THEN (-9223372036854775807 - 1)
       |           ELSE (1::BIGINT << w) END
       |      ELSE 0 END) AS BIGINT) AS fp
-      |  FROM c WHERE w < 64 GROUP BY media_id),
+      |  FROM c WHERE w < 64 GROUP BY media_id)""".stripMargin
+
+  /** q_audio_fingerprint oracle: the shared fingerprint law + the
+    * keep-first census. */
+  val audioFingerprintOracle: String =
+    s"""WITH $audioFpLawSql,
       |grp AS (
       |  SELECT fp, COUNT(*) AS n, MIN(media_id) AS kept
       |  FROM fp GROUP BY fp)
@@ -733,6 +814,42 @@ object RealCodec {
       |  CAST(SUM(((fp % 1000000007) + 1000000007) % 1000000007) AS BIGINT) AS fp_checksum
       |FROM grp""".stripMargin
 
+  /** q_audio_neardup oracle: brute-force Hamming over the law-derived
+    * DISTINCT fingerprints — the [[imageNearDupOracle]] frame on the
+    * audio law, so the shared banding body is oracle-tested per
+    * modality (BIGINT fingerprints before any xor — the HUGEINT
+    * cross-sign trap). */
+  val audioNearDupOracle: String =
+    s"""WITH $audioFpLawSql,
+      |grp AS (SELECT fp, COUNT(*) AS n FROM fp GROUP BY fp),
+      |pairs AS (
+      |  SELECT a.fp AS fp_a, b.fp AS fp_b, a.n AS na, b.n AS nb,
+      |    bit_count(xor(a.fp, b.fp)) AS hamming
+      |  FROM grp a JOIN grp b ON a.fp < b.fp
+      |  WHERE bit_count(xor(a.fp, b.fp)) BETWEEN 1 AND 3)
+      |SELECT COUNT(*) AS n_fp_pairs,
+      |  CAST(SUM(na * nb) AS BIGINT) AS n_clip_pairs,
+      |  CAST(SUM(CASE WHEN hamming = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+      |  CAST(SUM(CASE WHEN hamming = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+      |  CAST(SUM(CASE WHEN hamming = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+      |  CAST(SUM(((xor(fp_a, fp_b) % 1000000007) + 1000000007) % 1000000007)
+      |    AS BIGINT) AS xor_checksum
+      |FROM pairs""".stripMargin
+
+  /** q_audio_dedup_serve oracle: same law-derived fingerprints, same
+    * batch/history split, left join on the BIGINT fingerprint. */
+  val audioDedupServeOracle: String =
+    s"""WITH $audioFpLawSql,
+      |hist AS (SELECT DISTINCT fp FROM fp WHERE media_id % 7 != 0)
+      |SELECT COUNT(*) AS n_batch,
+      |  CAST(SUM(CASE WHEN hist.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+      |  CAST(SUM(CASE WHEN hist.fp IS NULL THEN media_id END) AS BIGINT) AS kept_id_sum,
+      |  CAST(SUM(CASE WHEN hist.fp IS NULL
+      |    THEN ((f.fp % 1000000007) + 1000000007) % 1000000007 END) AS BIGINT)
+      |    AS new_fp_checksum
+      |FROM fp f LEFT JOIN hist ON hist.fp = f.fp
+      |WHERE f.media_id % 7 = 0""".stripMargin
+
   /** q_audio_decode: documents drive (media_id, rate, n) clip specs
     * (64..319 samples — bounded per-row cost); each spec encodes a real
     * RIFF/WAVE payload and REAL-parses it back partition-locally; the
@@ -740,12 +857,7 @@ object RealCodec {
     * (two groups). Shuffles only the census rows. */
   def audioDecodeStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.core.Tables.documents(spark, dir)
-      .select(col("doc_id").as("media_id"),
-        when(col("doc_id") % 2 === 0, 16000).otherwise(8000)
-          .cast("int").as("rate"),
-        (col("doc_id") % 256 + 64).cast("int").as("n"))
-      .as[AudioSpec]
+    audioSpecs(spark, dir, lit(true))
       .mapPartitions { it =>
         it.map(s => decodeWav(s.media_id, encodeWav(s.media_id, s.n, s.rate)))
       }
