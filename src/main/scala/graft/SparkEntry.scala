@@ -135,6 +135,20 @@ object SparkEntry {
     Seq(GQuery("q_audio_dedup_serve",
       graft.operators.RealCodec.audioDedupServe _,
       Some(graft.operators.RealCodec.audioDedupServeOracle))),
+    // REAL video decode (r15): a genuine AVI container (RIFF hdrl/movi/
+    // idx1, fully cross-checked) of uncompressed DIB frames, each frame
+    // re-framed as BMP and decoded through the JDK's actual BMP codec —
+    // no modality is stubbed any more. headline: the container-walk +
+    // per-frame-decode loop is its own hot-path class, bench-tracked
+    // like q_image_decode
+    Seq(GQuery("q_video_decode",
+      graft.operators.VideoCodec.videoDecodeStats _,
+      Some(graft.operators.VideoCodec.videoDecodeOracle), headline = true)),
+    // per-frame perceptual dedup: dHash over REAL-decoded AVI frames,
+    // keep-first census via the shared body (cross-video frame dedup)
+    Seq(GQuery("q_video_dhash",
+      graft.operators.VideoCodec.videoDHashCensus _,
+      Some(graft.operators.VideoCodec.videoDHashOracle))),
     Seq(GQuery("q_frame_sample",
       graft.operators.Multimodal.frameSample _,
       Some("""WITH m AS (

@@ -7,18 +7,22 @@ import org.apache.spark.sql.functions._
   * travel as opaque `binary` columns next to typed metadata, and
   * decode/feature-extract runs as a partition-local typed transform.
   *
-  * Decode status (r14): image and audio decode are REAL — see
-  * [[RealCodec]] (JDK ImageIO PNG/BMP/GIF/JPEG + a RIFF/WAVE PCM parser,
-  * both oracle-checked end-to-end by q_image_decode / q_audio_decode).
-  * Only VIDEO decode remains stubbed here — the JDK has no video codec
-  * and this container ships none — so [[Multimodal.decodeStub]] derives
-  * deterministic fake features from the raw bytes for that modality.
-  * Everything around the stub is real and
-  * what matters at 100 TB: the schema (binary + metadata struct), the
-  * `Dataset[T]` encoder plumbing, partition-local batch processing via
-  * `mapPartitions` (one decoder init per partition, not per record — the
-  * same reason the reference gives map functions `configure`/`teardown`
-  * hooks, `mapreduce/functions/map/MapFunction.h:42`), and size-aware
+  * Decode status (r15): ALL THREE modalities decode for REAL — images
+  * and audio in [[RealCodec]] (JDK ImageIO PNG/BMP/GIF/JPEG + a
+  * RIFF/WAVE PCM parser), video in [[VideoCodec]] (a genuine AVI
+  * container walk around DIB frames decoded through the JDK BMP codec)
+  * — each oracle-checked end-to-end by q_image_decode / q_audio_decode
+  * / q_video_decode. No modality is stubbed any more.
+  * [[Multimodal.decodeStub]] remains ONLY as the codec-agnostic
+  * ingest-edge demo (q_media_features): deterministic fake features
+  * over arbitrary opaque payloads, standing where an external JNI /
+  * `mapInArrow` model would plug in. What this file carries at 100 TB
+  * is the plumbing around any codec: the schema (binary + metadata
+  * struct), the `Dataset[T]` encoder plumbing, partition-local batch
+  * processing via `mapPartitions` (one decoder init per partition, not
+  * per record — the same reason the reference gives map functions
+  * `configure`/`teardown` hooks,
+  * `mapreduce/functions/map/MapFunction.h:42`), and size-aware
   * repartitioning so huge blobs don't skew partitions.
   */
 object Multimodal {

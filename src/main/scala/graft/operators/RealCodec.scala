@@ -103,8 +103,9 @@ object RealCodec {
   }
 
   /** Band-0 stat fold over an already-decoded raster (shared by the
-    * sniffing decode above and the cached-reader query path). */
-  private def foldImage(img: BufferedImage): DecodedImage = {
+    * sniffing decode above, the cached-reader query path, and the
+    * video per-frame fold). */
+  private[operators] def foldImage(img: BufferedImage): DecodedImage = {
     val raster = img.getRaster
     val (w, h) = (img.getWidth, img.getHeight)
     var lumSum = 0L
@@ -308,7 +309,7 @@ object RealCodec {
     * provably identical (only the corpus-count alias differs). Shuffle
     * carries 8-byte fingerprints + counters, never payloads; a hot
     * fingerprint combines map-side into one row per task. */
-  private def keepFirstCensus(fps: DataFrame, countAlias: String): DataFrame =
+  private[operators] def keepFirstCensus(fps: DataFrame, countAlias: String): DataFrame =
     fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("n"), min(col("media_id")).as("kept"))
       .agg(sum(col("n")).as(countAlias),
@@ -345,7 +346,7 @@ object RealCodec {
     * recovered from group sizes. `pairAlias` names the modality's
     * payload-pair count column; everything else is provably identical
     * across modalities because it is the same body. */
-  private def nearDupCensus(fps: DataFrame, pairAlias: String): DataFrame = {
+  private[operators] def nearDupCensus(fps: DataFrame, pairAlias: String): DataFrame = {
     import graft.queries.TextPipeline.{simBlockOff64, simBlockMod64}
     val groups = fps
       .groupBy(col("fp"))
@@ -370,20 +371,21 @@ object RealCodec {
   }
 
   /** The law→fingerprint derivation (columns: media_id, fp) shared by
-    * the three fingerprint oracles below via interpolation — the
-    * TextPipeline oracle convention, so the copies cannot drift. BIGINT
-    * cast, not SUM's HUGEINT: xor on 128-bit two's complement gives a
-    * cross-sign pair 64 phantom upper bits and inflates its Hamming
-    * distance past the ≤3 window (the r14 oracle-side twin of the
-    * engine-side signed-% banding bug). */
-  private val fpLawSql: String =
-    """m AS (
-      |  SELECT doc_id AS media_id,
-      |    (doc_id % 9) + 8 AS w, (doc_id % 7) + 8 AS h
-      |  FROM documents),
+    * the image fingerprint oracles AND the video per-frame oracle via
+    * interpolation — the TextPipeline oracle convention, so the copies
+    * cannot drift. The `m` CTE is the parameter: it must provide
+    * (media_id, seed, w, h), where `seed` is the pixel law's additive
+    * term (the image id for stills; id + 101·frame for video frames) and
+    * `media_id` is the identity the fingerprint is censused under.
+    * BIGINT cast, not SUM's HUGEINT: xor on 128-bit two's complement
+    * gives a cross-sign pair 64 phantom upper bits and inflates its
+    * Hamming distance past the ≤3 window (the r14 oracle-side twin of
+    * the engine-side signed-% banding bug). */
+  private[operators] def fpLawSqlFrom(mCte: String): String =
+    s"""$mCte,
       |g AS (
       |  SELECT media_id, i.i AS i, j.j AS j,
-      |    (((i.i * h) // 8) * 31 + ((j.j * w) // 9) * 17 + media_id) % 256 AS g
+      |    (((i.i * h) // 8) * 31 + ((j.j * w) // 9) * 17 + seed) % 256 AS g
       |  FROM m CROSS JOIN range(8) i(i) CROSS JOIN range(9) j(j)),
       |b AS (
       |  SELECT media_id, i, j, g,
@@ -396,6 +398,13 @@ object RealCodec {
       |           ELSE (1::BIGINT << (i*8 + j)) END
       |      ELSE 0 END) AS BIGINT) AS fp
       |  FROM b WHERE j < 8 GROUP BY media_id)""".stripMargin
+
+  /** [[fpLawSqlFrom]] instantiated at the still-image spec law. */
+  private val fpLawSql: String = fpLawSqlFrom(
+    """m AS (
+      |  SELECT doc_id AS media_id, doc_id AS seed,
+      |    (doc_id % 9) + 8 AS w, (doc_id % 7) + 8 AS h
+      |  FROM documents)""".stripMargin)
 
   /** q_image_neardup oracle: brute-force Hamming over the law-derived
     * DISTINCT fingerprints (diversity-bounded, so n² on fingerprints is

@@ -1,0 +1,480 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** REAL video codec — the last modality leaves the stub: a genuine AVI
+  * container (RIFF framing: hdrl with MainAVIHeader + stream header +
+  * BITMAPINFOHEADER, a movi LIST of per-frame chunks, an idx1 index)
+  * around uncompressed bottom-up 24-bit DIB frames ('00db'), parsed
+  * back chunk-by-chunk and decoded frame-by-frame through the JDK's
+  * actual BMP codec (each DIB re-framed with a BITMAPFILEHEADER and
+  * handed to a cached ImageIO BMP reader). DIB-in-AVI is the lossless
+  * route — MJPEG-in-AVI is the same container walk with JPEG frame
+  * payloads, but JPEG's lossy DCT would break the closed-form oracle;
+  * the container format, the chunk walker, and the per-frame decode
+  * loop are identical either way, so the uncompressed profile puts the
+  * whole video path (not just the plumbing) under oracle test.
+  *
+  * The oracle trick is [[RealCodec]]'s: frame pixels come from a
+  * closed-form law — frame f of video `id` is the still-image gray law
+  * seeded at id + 101·f — the Spark side ENCODES a real AVI, PARSES it
+  * back, DECODES every frame with the real BMP codec, and aggregates
+  * DECODED values; the oracle recomputes the same aggregates
+  * arithmetically. A container defect, an index drift, a stride/pad
+  * slip, or a row-order (bottom-up) mistake shifts a sum and fails the
+  * hash compare.
+  *
+  * Reference anchor: the reference treats record values as opaque bytes
+  * end-to-end (`mapreduce/common/KeyValuePair.h`) and leaves decode to
+  * map functions with `configure`/`teardown` codec-context hooks
+  * (`mapreduce/functions/map/MapFunction.h:42`); here the codec context
+  * is the partition-cached BMP reader, and frames feed normal
+  * relational aggregation.
+  *
+  * Scale posture (100 TB): encode+parse+decode are scan-local (zero
+  * shuffle until the tiny census), per-row work is bounded by the
+  * frame-count × pixel budget the spec law fixes, and the only shuffled
+  * payloads are census counters / 8-byte fingerprints — never pixels.
+  */
+object VideoCodec {
+
+  /** The synthetic frame law: frame `f` of video `mediaId` renders the
+    * still-image gray law ([[RealCodec.grayAt]]) seeded at
+    * mediaId + 101·f — frame seeds within one video never collide with
+    * each other (101·f < 16128 for f ≤ 6) and the per-frame dHash
+    * oracle reuses the still-image derivation verbatim. */
+  def frameSeed(mediaId: Long, f: Int): Long = mediaId + 101L * f
+
+  private def stride(w: Int): Int = ((w * 3 + 3) / 4) * 4
+
+  /** Encode a real AVI file: RIFF('AVI ') { LIST(hdrl){ avih,
+    * LIST(strl){ strh('vids'/'DIB '), strf(BITMAPINFOHEADER 24bpp) } },
+    * LIST(movi){ '00db' DIB frames }, idx1 } — the canonical
+    * uncompressed-video profile (AVIF_HASINDEX set, idx1 offsets
+    * relative to the 'movi' fourcc per the de-facto convention). Frames
+    * are bottom-up BGR rows padded to 4-byte stride, gray replicated
+    * across B=G=R so any decoded band reads the law value. */
+  def encodeAvi(mediaId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames > 0,
+      s"encodeAvi: bad shape ${w}x$h x$nFrames")
+    val st = stride(w)
+    val frameSize = st * h
+    val moviData = 4 + nFrames * (8 + frameSize)
+    val idxData = nFrames * 16
+    val riffLen = 4 + (8 + 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))) +
+      (8 + moviData) + (8 + idxData)
+    val buf = ByteBuffer.allocate(8 + riffLen).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+    fourcc("RIFF"); buf.putInt(riffLen); fourcc("AVI ")
+    // ---- LIST hdrl
+    fourcc("LIST"); buf.putInt(4 + 64 + 124); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(33333) // dwMicroSecPerFrame (~30 fps)
+      .putInt(0) // dwMaxBytesPerSec
+      .putInt(0) // dwPaddingGranularity
+      .putInt(0x10) // dwFlags: AVIF_HASINDEX
+      .putInt(nFrames) // dwTotalFrames
+      .putInt(0) // dwInitialFrames
+      .putInt(1) // dwStreams
+      .putInt(frameSize) // dwSuggestedBufferSize
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+    fourcc("LIST"); buf.putInt(4 + 64 + 48); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    buf.putInt(0) // dwFlags
+      .putShort(0).putShort(0) // wPriority, wLanguage
+      .putInt(0) // dwInitialFrames
+      .putInt(1).putInt(30) // dwScale / dwRate = 30 fps
+      .putInt(0) // dwStart
+      .putInt(nFrames) // dwLength
+      .putInt(frameSize) // dwSuggestedBufferSize
+      .putInt(-1) // dwQuality (default)
+      .putInt(0) // dwSampleSize
+    buf.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40) // biSize
+      .putInt(w).putInt(h) // biHeight > 0: bottom-up
+      .putShort(1).putShort(24) // biPlanes, biBitCount
+      .putInt(0) // biCompression = BI_RGB
+      .putInt(frameSize) // biSizeImage
+      .putInt(0).putInt(0) // pels/meter
+      .putInt(0).putInt(0) // biClrUsed, biClrImportant
+    // ---- LIST movi
+    fourcc("LIST"); buf.putInt(moviData); fourcc("movi")
+    val moviPos = buf.position() - 4 // position OF the 'movi' fourcc
+    val offsets = new Array[Int](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      // offset of this chunk's fourcc relative to the 'movi' fourcc
+      offsets(f) = buf.position() - moviPos
+      fourcc("00db"); buf.putInt(frameSize)
+      val seed = frameSeed(mediaId, f)
+      var i = h - 1 // bottom-up row order
+      while (i >= 0) {
+        var j = 0
+        while (j < w) {
+          val g = RealCodec.grayAt(seed, i, j).toByte
+          buf.put(g).put(g).put(g) // B = G = R = gray
+          j += 1
+        }
+        var pad = st - w * 3
+        while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+        i -= 1
+      }
+      f += 1
+    }
+    // ---- idx1
+    fourcc("idx1"); buf.putInt(idxData)
+    f = 0
+    while (f < nFrames) {
+      fourcc("00db")
+      buf.putInt(0x10) // AVIIF_KEYFRAME (every DIB frame is one)
+        .putInt(offsets(f))
+        .putInt(frameSize)
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** Parsed AVI: decoded dimensions + the raw DIB payload of every
+    * frame, container fully cross-checked. */
+  final case class AviFrames(w: Int, h: Int, frames: IndexedSeq[Array[Byte]])
+
+  /** The AVI chunk walker: verify the RIFF/'AVI ' magic, walk the
+    * top-level chunks honoring RIFF's even-size pad rule with the same
+    * Long-arithmetic overrun guard as [[RealCodec]]'s WAV walker, then
+    * cross-check EVERYTHING the container asserts twice: avih dims ==
+    * strf dims, avih/strh frame counts == movi chunk count == idx1
+    * entry count, idx1 offsets/lengths == the movi positions actually
+    * walked, frame payload == stride·h bytes. Only the uncompressed
+    * profile is accepted ('vids'/'DIB ', 24 bpp, BI_RGB) — anything
+    * else fails loudly, never mis-decodes. */
+  def walkAvi(bytes: Array[Byte]): AviFrames = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def ascii4(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(bytes.length >= 12, s"decodeAvi: ${bytes.length}B is no AVI")
+    require(ascii4() == "RIFF", "decodeAvi: bad RIFF magic")
+    val riffLen = buf.getInt
+    require(riffLen == bytes.length - 8,
+      s"decodeAvi: RIFF length $riffLen != payload ${bytes.length - 8}")
+    require(ascii4() == "AVI ", "decodeAvi: bad AVI form type")
+    var avihFrames = -1
+    var avihW = -1
+    var avihH = -1
+    var strhFrames = -1
+    var strfW = -1
+    var strfH = -1
+    val frames = IndexedSeq.newBuilder[Array[Byte]]
+    var moviFourccPos = -1
+    val moviOffsets = IndexedSeq.newBuilder[(Int, Int)] // (off rel movi, len)
+    var idx: IndexedSeq[(String, Int, Int)] = null
+    def guard(id: String, len: Int): Unit =
+      require(len >= 0 && buf.position().toLong + len + (len & 1) <= bytes.length,
+        s"decodeAvi: chunk '$id' of $len bytes overruns the payload (truncated?)")
+    def skip(len: Int): Unit = { buf.position(buf.position() + len + (len & 1)); () }
+    def parseHdrl(end: Int): Unit = while (buf.position() < end) {
+      val id = ascii4()
+      val len = buf.getInt
+      guard(id, len)
+      id match {
+        case "avih" =>
+          require(len >= 56, s"decodeAvi: avih too short ($len)")
+          val start = buf.position()
+          buf.getInt; buf.getInt; buf.getInt; buf.getInt // usec/bps/pad/flags
+          avihFrames = buf.getInt
+          buf.getInt // initial frames
+          val streams = buf.getInt
+          require(streams == 1, s"decodeAvi: $streams streams, expected 1")
+          buf.getInt // suggested buffer
+          avihW = buf.getInt; avihH = buf.getInt
+          buf.position(start + len + (len & 1))
+        case "LIST" =>
+          val lt = ascii4()
+          require(lt == "strl", s"decodeAvi: unexpected hdrl sub-list '$lt'")
+          parseStrl(buf.position() + len - 4)
+        case _ => skip(len)
+      }
+    }
+    def parseStrl(end: Int): Unit = while (buf.position() < end) {
+      val id = ascii4()
+      val len = buf.getInt
+      guard(id, len)
+      id match {
+        case "strh" =>
+          require(len >= 56, s"decodeAvi: strh too short ($len)")
+          val start = buf.position()
+          val fccType = ascii4()
+          val handler = ascii4()
+          require(fccType == "vids" && handler == "DIB ",
+            s"decodeAvi: only uncompressed video supported " +
+              s"(fccType=$fccType handler=$handler)")
+          buf.getInt; buf.getShort; buf.getShort // flags, prio, lang
+          buf.getInt; buf.getInt; buf.getInt; buf.getInt // init/scale/rate/start
+          strhFrames = buf.getInt
+          buf.position(start + len + (len & 1))
+        case "strf" =>
+          require(len >= 40, s"decodeAvi: strf too short ($len)")
+          val start = buf.position()
+          val biSize = buf.getInt
+          require(biSize >= 40, s"decodeAvi: bad BITMAPINFOHEADER size $biSize")
+          strfW = buf.getInt; strfH = buf.getInt
+          val planes = buf.getShort
+          val bpp = buf.getShort
+          val compression = buf.getInt
+          require(planes == 1 && bpp == 24 && compression == 0,
+            s"decodeAvi: only 24-bit BI_RGB DIB supported " +
+              s"(planes=$planes bpp=$bpp compression=$compression)")
+          require(strfH > 0, "decodeAvi: top-down DIB (negative height) unsupported")
+          buf.position(start + len + (len & 1))
+        case _ => skip(len)
+      }
+    }
+    while (buf.remaining() >= 8) {
+      val id = ascii4()
+      val len = buf.getInt
+      guard(id, len)
+      id match {
+        case "LIST" =>
+          // list data = [here, here + len): the 4-byte list type + chunks
+          val end = buf.position() + len
+          ascii4() match {
+            case "hdrl" => parseHdrl(end)
+            case "movi" =>
+              moviFourccPos = buf.position() - 4
+              while (buf.position() < end) {
+                val cid = ascii4()
+                val clen = buf.getInt
+                guard(cid, clen)
+                if (cid == "00db") {
+                  moviOffsets += ((buf.position() - 8 - moviFourccPos, clen))
+                  val data = new Array[Byte](clen)
+                  buf.get(data)
+                  if ((clen & 1) == 1) buf.get
+                  frames += data
+                } else skip(clen) // non-video chunks ('01wb' audio etc.)
+              }
+            case _ =>
+          }
+          // land exactly past the list + its pad byte, wherever the
+          // sub-parser stopped (a malformed inner chunk cannot smear
+          // into the next top-level chunk)
+          buf.position(end + (len & 1))
+        case "idx1" =>
+          require(len % 16 == 0, s"decodeAvi: idx1 length $len not 16-aligned")
+          idx = IndexedSeq.tabulate(len / 16) { _ =>
+            val ckid = ascii4()
+            buf.getInt // dwFlags
+            val off = buf.getInt
+            val clen = buf.getInt
+            (ckid, off, clen)
+          }
+        case _ => skip(len)
+      }
+    }
+    val fs = frames.result()
+    val offs = moviOffsets.result()
+    require(strfW > 0 && strfH > 0, "decodeAvi: no strf before movi")
+    require(avihW == strfW && avihH == strfH,
+      s"decodeAvi: avih ${avihW}x$avihH != strf ${strfW}x$strfH")
+    require(fs.nonEmpty, "decodeAvi: no movi frames")
+    require(avihFrames == fs.length && strhFrames == fs.length,
+      s"decodeAvi: header frame counts (avih=$avihFrames strh=$strhFrames) " +
+        s"!= ${fs.length} movi chunks")
+    val expect = stride(strfW) * strfH
+    fs.zipWithIndex.foreach { case (fb, i) =>
+      require(fb.length == expect,
+        s"decodeAvi: frame $i is ${fb.length}B, expected $expect (stride·h)")
+    }
+    require(idx != null, "decodeAvi: AVIF_HASINDEX set but no idx1 chunk")
+    require(idx.length == fs.length,
+      s"decodeAvi: idx1 has ${idx.length} entries for ${fs.length} frames")
+    idx.zip(offs).zipWithIndex.foreach { case (((ckid, ioff, ilen), (moff, mlen)), i) =>
+      require(ckid == "00db" && ioff == moff && ilen == mlen,
+        s"decodeAvi: idx1 entry $i ($ckid@$ioff+$ilen) != movi chunk @$moff+$mlen")
+    }
+    AviFrames(strfW, strfH, fs)
+  }
+
+  /** Re-frame one raw DIB payload as a BMP file (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER + bits) — what turns an AVI frame into input the
+    * JDK's real BMP codec accepts. */
+  def frameToBmp(w: Int, h: Int, bits: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(54 + bits.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + bits.length)
+      .putShort(0).putShort(0)
+      .putInt(54) // bfOffBits: file header 14 + info header 40
+    buf.putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24)
+      .putInt(0) // BI_RGB
+      .putInt(bits.length)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    buf.put(bits)
+    buf.array()
+  }
+
+  /** Video render spec (encoder-named so `.as[VideoSpec]` resolves). */
+  final case class VideoSpec(media_id: Long, w: Int, h: Int, nf: Int)
+
+  /** Documents-driven video specs: stills' dims law (w 8..16, h 8..14)
+    * × 2..6 frames — the bounded per-row pixel·frame budget. `keep`
+    * reaches the parquet scan BELOW the opaque decode, the
+    * [[RealCodec]] imageSpecs stance. */
+  private def videoSpecs(spark: SparkSession, dir: String,
+      keep: org.apache.spark.sql.Column): org.apache.spark.sql.Dataset[VideoSpec] = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 9 + 8).cast("int").as("w"),
+        (col("doc_id") % 7 + 8).cast("int").as("h"),
+        (col("doc_id") % 5 + 2).cast("int").as("nf"))
+      .filter(keep)
+      .as[VideoSpec]
+  }
+
+  /** The ONE partition-local AVI round-trip all video paths share:
+    * render+encode a real AVI → parse the container → decode every
+    * frame through a single cached BMP reader (the pngRoundTrip
+    * resource discipline: per-record streams close in finally, the
+    * reader disposes when the task iterator drains). Emits one
+    * (media_id, nf, frameIdx, decoded frame) per frame. */
+  private def aviRoundTrip(it: Iterator[VideoSpec]): Iterator[(Long, Int, Int, BufferedImage)] = {
+    val reader = ImageIO.getImageReadersByFormatName("bmp").next()
+    var disposed = false
+    val out = it.flatMap { s =>
+      val parsed = walkAvi(encodeAvi(s.media_id, s.w, s.h, s.nf))
+      parsed.frames.iterator.zipWithIndex.map { case (bits, f) =>
+        val iis = ImageIO.createImageInputStream(
+          new ByteArrayInputStream(frameToBmp(parsed.w, parsed.h, bits)))
+        val img = try {
+          reader.setInput(iis)
+          reader.read(0)
+        } finally iis.close()
+        (s.media_id, s.nf, f, img)
+      }
+    }
+    new Iterator[(Long, Int, Int, BufferedImage)] {
+      override def hasNext: Boolean = {
+        val h = out.hasNext
+        if (!h && !disposed) { disposed = true; reader.dispose() }
+        h
+      }
+      override def next(): (Long, Int, Int, BufferedImage) = out.next()
+    }
+  }
+
+  /** Per-frame decoded stats (DF row shape for the census query). */
+  final case class FrameStats(
+      media_id: Long, nf: Int, frame_idx: Int, width: Int, height: Int,
+      lum_sum: Long, lum_min: Int, lum_max: Int)
+
+  /** q_video_decode: documents drive (media_id, w, h, nf) specs; each
+    * spec encodes a REAL AVI, parses the container back, decodes every
+    * DIB frame through the JDK BMP codec, and folds band-0 stats per
+    * frame; the census groups by frame count (5 groups). Shuffles only
+    * the census rows — pixels never leave the scan task. */
+  def videoDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoSpecs(spark, dir, lit(true))
+      .mapPartitions { it =>
+        aviRoundTrip(it).map { case (id, nf, f, img) =>
+          val d = RealCodec.foldImage(img)
+          FrameStats(id, nf, f, d.width, d.height, d.lumSum, d.lumMin, d.lumMax)
+        }
+      }
+      .toDF()
+      .groupBy(col("nf").cast("long").as("n_frames_per_video"))
+      .agg(countDistinct(col("media_id")).as("n_videos"),
+        count(lit(1)).as("n_frames"),
+        sum(col("width").cast("long") * col("height")).as("n_pixels"),
+        sum(col("lum_sum")).as("lum_sum"),
+        min(col("lum_min")).cast("long").as("lum_min"),
+        max(col("lum_max")).cast("long").as("lum_max"))
+  }
+
+  /** q_video_decode oracle: the frame law re-summed arithmetically —
+    * the image-decode oracle's grid with the frame axis and the
+    * id + 101·f seed. */
+  val videoDecodeOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    (doc_id % 9) + 8 AS w, (doc_id % 7) + 8 AS h,
+      |    (doc_id % 5) + 2 AS nf
+      |  FROM documents),
+      |fr AS (
+      |  SELECT media_id, w, h, nf, f.f AS f
+      |  FROM m CROSS JOIN range(6) f(f) WHERE f.f < nf),
+      |px AS (
+      |  SELECT media_id, nf, f,
+      |    SUM((i.i*31 + j.j*17 + media_id + 101*f) % 256) AS lum_sum,
+      |    MIN((i.i*31 + j.j*17 + media_id + 101*f) % 256) AS lum_min,
+      |    MAX((i.i*31 + j.j*17 + media_id + 101*f) % 256) AS lum_max,
+      |    w * h AS n_px
+      |  FROM fr CROSS JOIN range(14) i(i) CROSS JOIN range(16) j(j)
+      |  WHERE i.i < h AND j.j < w
+      |  GROUP BY 1, 2, 3, 7)
+      |SELECT nf AS n_frames_per_video, COUNT(DISTINCT media_id) AS n_videos,
+      |  COUNT(*) AS n_frames,
+      |  CAST(SUM(n_px) AS BIGINT) AS n_pixels,
+      |  CAST(SUM(lum_sum) AS BIGINT) AS lum_sum,
+      |  CAST(MIN(lum_min) AS BIGINT) AS lum_min,
+      |  CAST(MAX(lum_max) AS BIGINT) AS lum_max
+      |FROM px GROUP BY 1""".stripMargin
+
+  /** q_video_dhash: perceptual dedup extended to video — every DECODED
+    * frame dHashed ([[RealCodec.dHash]] on the real BMP-decoded
+    * raster), censused keep-first per fingerprint through the shared
+    * [[RealCodec.keepFirstCensus]] body. Frame identity is
+    * media_id·8 + frame_idx (nf ≤ 6 < 8, collision-free), so the
+    * census's keep-first owner is the earliest (video, frame) pair —
+    * the cross-video frame dedup a crawl pipeline runs to catch
+    * re-posted clips sharing frames. Shuffle carries 8-byte
+    * fingerprints + counters, never pixels; near-dup Hamming ≤ 3
+    * extends via the same shared [[RealCodec.nearDupCensus]] banding
+    * the image/audio modalities use. */
+  def videoDHashCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = videoSpecs(spark, dir, lit(true))
+      .mapPartitions { it =>
+        aviRoundTrip(it).map { case (id, _, f, img) =>
+          (id * 8 + f, RealCodec.dHash(img))
+        }
+      }
+      .toDF("media_id", "fp")
+    RealCodec.keepFirstCensus(fps, "n_frames")
+  }
+
+  /** q_video_dhash oracle: the shared still-image fingerprint
+    * derivation ([[RealCodec.fpLawSqlFrom]]) instantiated at the video
+    * frame law — identity media_id·8 + f, seed media_id + 101·f — then
+    * the keep-first census. */
+  val videoDHashOracle: String = {
+    val law = RealCodec.fpLawSqlFrom(
+      """m AS (
+        |  SELECT doc_id * 8 + f.f AS media_id,
+        |    doc_id + 101 * f.f AS seed,
+        |    (doc_id % 9) + 8 AS w, (doc_id % 7) + 8 AS h
+        |  FROM documents CROSS JOIN range(6) f(f)
+        |  WHERE f.f < (doc_id % 5) + 2)""".stripMargin)
+    s"""WITH $law,
+      |grp AS (
+      |  SELECT fp, COUNT(*) AS n, MIN(media_id) AS kept
+      |  FROM fp GROUP BY fp)
+      |SELECT CAST(SUM(n) AS BIGINT) AS n_frames,
+      |  COUNT(*) AS n_kept,
+      |  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dropped,
+      |  CAST(MAX(n) AS BIGINT) AS max_group,
+      |  CAST(SUM(kept) AS BIGINT) AS kept_id_sum,
+      |  CAST(SUM(((fp % 1000000007) + 1000000007) % 1000000007) AS BIGINT) AS fp_checksum
+      |FROM grp""".stripMargin
+  }
+}
