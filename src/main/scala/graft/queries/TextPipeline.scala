@@ -636,16 +636,22 @@ object TextPipeline {
 
   /** The width dial measured end-to-end (the `ann_lsh_tuned` pattern):
     * fingerprint width from [[graft.api.Tuning.simBits]] at the corpus'
-    * own row count, then the full candidate-join + exact-Hamming pair
+    * row count, then the full candidate-join + exact-Hamming pair
     * pipeline at that width. Emits ONE row (bits, n_pairs) — gated in
     * Bench as the simhash_tuned key. At sf0.1 simBits lands on 32, so
     * n_pairs is exactly q_simhash_pairs' row count (the band is exact:
     * everything is deterministic); at the 100× drive the dial crosses
-    * to 64 and the candidate volume drop is the recorded measurement. */
-  def simhashTuned(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val bits = graft.api.Tuning.simBits(docs.count())
-    simhashPairsDocs(docs, bits)
+    * to 64 and the candidate volume drop is the recorded measurement.
+    *
+    * `nDocs` arrives from the caller (Bench hoists ONE shared
+    * column-pruned count it also emits as telemetry) rather than a
+    * per-call `docs.count()` action here — the width picks between two
+    * PLAN SHAPES (32- vs 64-bit block tables), so unlike
+    * ivfSearchSqrtN's ⌈√n⌉ literal it cannot fold into the plan as a
+    * column; hoisting the action is the honest equivalent. */
+  def simhashTuned(s: SparkSession, dir: String, nDocs: Long): DataFrame = {
+    val bits = graft.api.Tuning.simBits(nDocs)
+    simhashPairsDocs(Tables.documents(s, dir), bits)
       .agg(count(lit(1)).as("n_pairs"))
       .select(lit(bits).cast("long").as("bits"), col("n_pairs"))
   }

@@ -166,7 +166,7 @@ class TextPipelineSpec extends SparkSpec {
     assert(graft.api.Tuning.simBits(docs.count()) === 32)
     assert(graft.api.Tuning.simBits(200000L) === 64)
     assert(graft.api.Tuning.simBits(104857L) === 32)
-    val tuned = TextPipeline.simhashTuned(spark, sfDir).head()
+    val tuned = TextPipeline.simhashTuned(spark, sfDir, docs.count()).head()
     assert(tuned.getLong(0) === 32L)
     assert(tuned.getLong(1) === TextPipeline.simhashPairs(spark, sfDir).count())
     graft.core.Caches.release()
