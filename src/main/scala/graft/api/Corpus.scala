@@ -630,20 +630,33 @@ object Corpus {
 
   /** BPE merge-rule training over any (id, text) frame: `rounds`
     * argmax-merge iterations on the corpus vocabulary (words of length
-    * 2–64), returning one row per learned rule — (round, pair,
-    * pair_count, vocab_checksum) — exactly the rule table a tokenizer
-    * trainer checkpoints. Shares the oracle-checked q_bpe_train loop
-    * ([[graft.queries.Tokenizer.bpeTrainRules]]): every round is
-    * vocabulary-sized, never corpus-sized. */
+    * 2–64), returning one row per learned rule — exactly the rule
+    * table a tokenizer trainer checkpoints. Every round is
+    * vocabulary-sized, never corpus-sized.
+    *
+    * `batchSize` is the production dial toward 10k+ merge counts:
+    * batchSize = 1 (default) replays the oracle-checked per-round
+    * argmax loop ([[graft.queries.Tokenizer.bpeTrainRules]]; output
+    * carries a per-round vocab_checksum); batchSize > 1 applies up to
+    * that many top census pairs per pass WHEN provably equivalent to
+    * the sequential replay, falling back to per-round argmax otherwise
+    * ([[graft.queries.Tokenizer.bpeTrainRulesBatched]], the
+    * oracle-checked q_bpe_train_batched path; output carries one
+    * final_checksum — intermediate states deliberately don't exist).
+    * `strict = true` makes a non-independent batch fail loudly instead
+    * of falling back, for callers that must know batching engaged. */
   def bpeMerges(docs: DataFrame, id: String = "doc_id",
-      text: String = "text", rounds: Int = 3): DataFrame =
-    graft.queries.Tokenizer.bpeTrainRules(
-      canon(docs, id, text)
-        .select(explode(tokenize(col("text"))).as("raw"))
-        .filter(length(col("raw")) >= 2 &&
-          length(col("raw")) <= graft.queries.Tokenizer.MaxWordLen)
-        .groupBy(col("raw")).agg(count(lit(1)).as("freq")),
-      rounds)
+      text: String = "text", rounds: Int = 3, batchSize: Int = 1,
+      strict: Boolean = false): DataFrame = {
+    val vocab = canon(docs, id, text)
+      .select(explode(tokenize(col("text"))).as("raw"))
+      .filter(length(col("raw")) >= 2 &&
+        length(col("raw")) <= graft.queries.Tokenizer.MaxWordLen)
+      .groupBy(col("raw")).agg(count(lit(1)).as("freq"))
+    if (batchSize <= 1) graft.queries.Tokenizer.bpeTrainRules(vocab, rounds)
+    else graft.queries.Tokenizer.bpeTrainRulesBatched(
+      vocab, rounds, batchSize, strict)
+  }
 
   /** Cluster-aware leak-free train/val/test assignment for any
     * (id, text) frame: near-dup clusters (guarded MinHash pairs at

@@ -237,6 +237,147 @@ object Tokenizer {
     (rounds.flatMap(_._2), rounds.last._1)
   }
 
+  /** BATCHED merge training — the production dial toward 10k+ merge
+    * vocabularies: instead of one argmax per census pass, take the top
+    * `batchSize` pairs of ONE census and apply them in ONE vocabulary
+    * rewrite — when that is provably equivalent to replaying them as
+    * sequential argmax rounds. Real trainers at production merge counts
+    * batch exactly like this (a census pass per merge is the cost
+    * ceiling; SURVEY §9); the price is an equivalence obligation this
+    * implementation checks rather than assumes:
+    *
+    *   - the batch rules must be pairwise symbol-disjoint INCLUDING
+    *     their merged symbols ({aᵢ, bᵢ, aᵢbᵢ} sets disjoint) — merges
+    *     then commute and leave each other's counts unchanged;
+    *   - 2·maxTouch < min(batch counts), where maxTouch is the census
+    *     max over NON-batch pairs sharing any symbol with the batch:
+    *     a merge can only create pairs like (x, ab) whose count is
+    *     bounded by the old (x, a) count (every new occurrence sits in
+    *     an old "x a b" context) and can only ADD to a pre-existing
+    *     (x, ab) — both touch the batch's symbols, so their post-merge
+    *     count is < 2·maxTouch < every batch count, and no created or
+    *     touched pair can out-rank a later batch rule in the rounds the
+    *     batch replaces. Untouched pairs were already out-ranked by the
+    *     census order (count desc, pair asc — the argmax tie-break).
+    *
+    * A batch that fails the check either falls back to the exact
+    * per-round argmax for that step (default — output is then
+    * bit-identical to [[bpeTrainRules]] by construction) or fails
+    * loudly (`strict = true`, for callers that must know batching
+    * engaged). The census/argmax is read driver-side per batch —
+    * metadata-sized (batchSize rows + one scalar), the
+    * boundary-collection stance, and exactly what production trainers
+    * do each merge; the vocabulary itself never leaves the cluster.
+    *
+    * Output: (round, pair, pair_count, final_checksum) — per-round
+    * rules with their census counts (equal to the sequential counts
+    * whenever rules apply, per the argument above) plus one checksum of
+    * the END vocabulary state; intermediate per-round vocabulary states
+    * deliberately don't exist on the batched path (that is the point),
+    * so the sequential oracle compares the final state. */
+  private[graft] def bpeTrainRulesBatched(vocab: DataFrame, nRounds: Int,
+      batchSize: Int, strict: Boolean): DataFrame = {
+    import graft.core.Caches.TrackedOps
+    require(nRounds > 0 && batchSize > 0,
+      s"rounds/batch must be positive: $nRounds/$batchSize")
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    // seed state identical to bpeLoop's v0 — the fallback branch must be
+    // bit-identical to the sequential trainer
+    var v = vocab
+      .select(col("raw"), concat(lit(" "),
+        array_join(expr("transform(sequence(1, length(raw)), i -> substring(raw, i, 1))"), " "),
+        lit(" ")).as("w"), col("freq"))
+      .trackedPersist()
+    val rules = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    var k = 1
+    var exhausted = false
+    while (k <= nRounds && !exhausted) {
+      val take = math.min(batchSize, nRounds - k + 1)
+      val pc = v.select(col("freq"), split(trim(col("w")), " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> concat_ws(' ', element_at(syms, i), element_at(syms, i + 1)))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+        .trackedPersist()
+      val top = pc.orderBy(col("pair_count").desc, col("pair")).limit(take)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      if (top.isEmpty) exhausted = true
+      else {
+        val applied: Array[(String, Long)] =
+          if (top.length <= 1) top
+          else {
+            // {a, b, ab} per rule: disjointness makes merges commute and
+            // keeps every batch rule's own count unchanged
+            val triples = top.map { case (p, _) =>
+              val cut = p.indexOf(' ')
+              val (a, b) = (p.substring(0, cut), p.substring(cut + 1))
+              Set(a, b, a + b)
+            }
+            val disjoint = triples.indices.forall(i =>
+              (i + 1 until triples.length).forall(j =>
+                (triples(i) intersect triples(j)).isEmpty))
+            val symbols = triples.flatten.toSeq
+            val batchPairs = top.map(_._1).toSeq
+            val maxTouch = pc
+              .filter(!col("pair").isin(batchPairs: _*))
+              .filter(substring_index(col("pair"), " ", 1).isin(symbols: _*) ||
+                substring_index(col("pair"), " ", -1).isin(symbols: _*))
+              .agg(max(col("pair_count"))).head() match {
+                case r if r.isNullAt(0) => 0L
+                case r => r.getLong(0)
+              }
+            val minBatch = top.last._2
+            if (disjoint && 2 * maxTouch < minBatch) top
+            else if (strict) throw new IllegalArgumentException(
+              s"bpeTrainRulesBatched: batch at round $k is not provably " +
+                s"independent (disjoint=$disjoint, maxTouch=$maxTouch, " +
+                s"minBatch=$minBatch) — batched ≢ sequential here; rerun " +
+                "with strict=false to fall back to per-round argmax")
+            else top.take(1)
+          }
+        val mergedW = applied.foldLeft(col("w")) { case (acc, (p, _)) =>
+          // the sequential trainer's 6-pass exhaustion per rule, with
+          // literal Columns (corpus-derived pair text never meets expr())
+          val m = p.replace(" ", "")
+          (1 to 6).foldLeft(acc)((c, _) =>
+            org.apache.spark.sql.functions.replace(
+              c, lit(s" $p "), lit(s" $m ")))
+        }
+        v = v.select(col("raw"), mergedW.as("w"), col("freq")).trackedPersist()
+        applied.zipWithIndex.foreach { case ((p, c), i) =>
+          rules += ((k + i.toLong, p, c))
+        }
+        k += applied.length
+      }
+    }
+    rules.toSeq.toDF("round", "pair", "pair_count")
+      .crossJoin(v.agg(sum(hashMod(col("w"))).as("final_checksum")))
+  }
+
+  /** q_bpe_train_batched: [[bpeTrainRulesBatched]] at rounds = batch =
+    * 3 over the corpus vocabulary, wrapped in a deferred stage (the
+    * trainer reads its census argmaxes driver-side per batch, so the
+    * wrap keeps query CONSTRUCTION job-free — rounds run when the query
+    * executes, like the checkpoint-driven iterative queries). The
+    * oracle replays the three merges SEQUENTIALLY — whichever branch
+    * the independence check takes, the batched output must equal the
+    * sequential replay; on a corpus whose top-3 interacts, that is the
+    * fallback contract under test, and on one that doesn't, the
+    * batched-apply equivalence argument itself. */
+  def bpeTrainBatched(s: SparkSession, dir: String): DataFrame =
+    graft.plans.DeferredIngest(s,
+      "round BIGINT, pair STRING, pair_count BIGINT, final_checksum BIGINT") {
+      bpeTrainRulesBatched(
+        Tables.documents(s, dir)
+          .select(explode(words(col("text"))).as("raw"))
+          .filter(length(col("raw")) >= 2 && length(col("raw")) <= MaxWordLen)
+          .groupBy(col("raw")).agg(count(lit(1)).as("freq")),
+        3, 3, strict = false)
+    }
+
   /** One oracle round: pair census → argmax → vocabulary rewrite. */
   private def bpeRoundSql(k: Int): String = {
     val (p, c, b, vIn, vOut) = (s"p$k", s"c$k", s"b$k", s"v${k - 1}", s"v$k")
@@ -270,6 +411,16 @@ object Tokenizer {
   private val bpeTrainSql =
     s"""$bpeCtes
       |SELECT * FROM k1 UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3""".stripMargin
+
+  /** q_bpe_train_batched oracle: the SAME three sequential rounds, with
+    * the per-round vocabulary checksums replaced by one final-state
+    * checksum (k3's) — the only state the batched path materializes. */
+  private val bpeTrainBatchedSql =
+    s"""$bpeCtes
+      |SELECT round, pair, pair_count,
+      |  (SELECT vocab_checksum FROM k3) AS final_checksum
+      |FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2
+      |      UNION ALL SELECT * FROM k3)""".stripMargin
 
   // ----------------------------------------------- BPE corpus encoding
 
@@ -325,5 +476,6 @@ object Tokenizer {
     GQuery("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
     GQuery("q_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     GQuery("q_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    GQuery("q_bpe_train_batched", bpeTrainBatched, Some(bpeTrainBatchedSql)),
     GQuery("q_fuzzy_match", fuzzyMatch, Some(fuzzyMatchSql)))
 }

@@ -227,4 +227,101 @@ class TokenizerSpec extends SparkSpec {
     // the three learned rules are distinct merges
     assert(got.map(_._2).distinct.size == 3)
   }
+
+  /** Drive the batched trainer on an explicit (raw, freq) vocabulary and
+    * return (rules, final_checksum). */
+  private def runBatched(vocab: Seq[(String, Long)], rounds: Int,
+      batch: Int, strict: Boolean): (Seq[(Long, String, Long)], Long) = {
+    import spark.implicits._
+    val rows = graft.queries.Tokenizer.bpeTrainRulesBatched(
+      vocab.toDF("raw", "freq"), rounds, batch, strict).collect()
+    (rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq,
+      if (rows.isEmpty) 0L else rows.head.getLong(3))
+  }
+
+  private def runSequential(vocab: Seq[(String, Long)],
+      rounds: Int): (Seq[(Long, String, Long)], Long) = {
+    import spark.implicits._
+    val rows = graft.queries.Tokenizer.bpeTrainRules(
+      vocab.toDF("raw", "freq"), rounds).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    (rows.map(t => (t._1, t._2, t._3)).toSeq,
+      if (rows.isEmpty) 0L else rows.last._4)
+  }
+
+  test("batched bpe ≡ sequential when the top rules are independent (strict: no fallback)") {
+    // top-3 pairwise symbol-disjoint, and the only other pair (g h)
+    // touches none of them → maxTouch = 0 → one batched pass of 3
+    val vocab = Seq(("ab", 100L), ("cd", 90L), ("ef", 80L), ("gh", 5L))
+    val (batched, fpB) = runBatched(vocab, 3, 3, strict = true)
+    val (seq, fpS) = runSequential(vocab, 3)
+    assert(batched == seq, s"batched drifted:\n $batched\n $seq")
+    assert(fpB == fpS, "final vocabulary state drifted")
+    assert(batched.map(_._2) == Seq("a b", "c d", "e f"))
+  }
+
+  test("batched bpe falls back when a merge would create a winning pair") {
+    // merging 'a b' CREATES pair (x ab) — count 95, inherited from
+    // (x a) — which sequential round 2 must pick over (c d)=90. Naive
+    // batch-apply of the census top would emit (c d) instead: wrong
+    // rules AND wrong state. The guard catches it: the feeder pair
+    // (x a)=95 rides the census top-3 and shares 'a' with (a b), so
+    // disjointness fails and the batch falls back to per-round argmax;
+    // output must equal the sequential replay exactly — including the
+    // created pair 'x ab' that only exists post-merge.
+    val vocab = Seq(("ab", 100L), ("xab", 95L), ("cd", 90L))
+    val (seq, fpS) = runSequential(vocab, 3)
+    assert(seq(1)._2 == "x ab",
+      s"fixture must make the created pair win round 2, got ${seq(1)}")
+    val (batched, fpB) = runBatched(vocab, 3, 3, strict = false)
+    assert(batched == seq, s"fallback output drifted:\n $batched\n $seq")
+    assert(fpB == fpS)
+    // and strict mode refuses rather than silently sequentializing
+    val e = intercept[IllegalArgumentException] {
+      runBatched(vocab, 3, 3, strict = true)
+    }
+    assert(e.getMessage.contains("not provably independent"))
+  }
+
+  test("batched bpe 2·maxTouch guard is conservative but never wrong") {
+    // top-2 (a b)=160, (c d)=90 ARE disjoint and batching them would
+    // even be correct here (the created (x ab)=60 loses round 2 to
+    // (c d)=90) — but the guard cannot prove it: (x a)=60 touches the
+    // batch and 2·60 > 90, so the batch falls back. Conservatism is
+    // the contract: output equals sequential on BOTH branches; strict
+    // mode surfaces which branch ran.
+    val vocab = Seq(("ab", 100L), ("cd", 90L), ("xab", 60L))
+    val (seq, fpS) = runSequential(vocab, 2)
+    val (batched, fpB) = runBatched(vocab, 2, 2, strict = false)
+    assert(batched == seq && fpB == fpS)
+    assert(intercept[IllegalArgumentException] {
+      runBatched(vocab, 2, 2, strict = true)
+    }.getMessage.contains("maxTouch=60"))
+  }
+
+  test("batched bpe falls back on overlapping top rules (shared symbol)") {
+    // ' a b c ': (a b) and (b c) share 'b' — not disjoint
+    val vocab = Seq(("abc", 100L), ("de", 40L))
+    val (seq, fpS) = runSequential(vocab, 2)
+    val (batched, fpB) = runBatched(vocab, 2, 2, strict = false)
+    assert(batched == seq && fpB == fpS)
+    assert(intercept[IllegalArgumentException] {
+      runBatched(vocab, 2, 2, strict = true)
+    }.getMessage.contains("not provably independent"))
+  }
+
+  test("q_bpe_train_batched over the corpus equals the sequential rules") {
+    val got = graft.queries.Tokenizer.bpeTrainBatched(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val seq = Tokenizer.bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) == seq.map(t => (t._1, t._2, t._3)),
+      s"batched corpus rules drifted:\n $got\n $seq")
+    assert(got.map(_._4).distinct == Seq(seq.last._4),
+      "final checksum must be the sequential round-3 vocabulary state")
+    graft.core.Caches.release()
+  }
 }
