@@ -154,6 +154,14 @@ object SparkEntry {
     Seq(GQuery("q_video_dhash",
       graft.operators.VideoCodec.videoDHashCensus _,
       Some(graft.operators.VideoCodec.videoDHashOracle))),
+    // video near-dup + serve through the SAME shared bodies as the
+    // image/audio twins — per-modality brute-force/split oracles
+    Seq(GQuery("q_video_neardup",
+      graft.operators.VideoCodec.videoNearDupCensus _,
+      Some(graft.operators.VideoCodec.videoNearDupOracle))),
+    Seq(GQuery("q_video_dedup_serve",
+      graft.operators.VideoCodec.videoDedupServe _,
+      Some(graft.operators.VideoCodec.videoDedupServeOracle))),
     Seq(GQuery("q_frame_sample",
       graft.operators.Multimodal.frameSample _,
       Some("""WITH m AS (

@@ -11,10 +11,8 @@ import org.apache.spark.sql.functions._
 /** REAL media codecs over binary columns — the JDK ships them, no native
   * deps: `javax.imageio` decodes PNG/BMP/GIF/JPEG (lossless round-trip
   * for 8-bit gray PNG/BMP), and WAV/RIFF is plain little-endian byte
-  * parsing. This closes the long-standing "decode is a stub" gap for the
-  * image and audio modalities; only VIDEO decode remains behind
-  * [[Multimodal.decodeStub]] (the JDK has no video codec and this
-  * container ships none — documented, unchanged).
+  * parsing. Together with [[VideoCodec]] (AVI container + per-frame BMP
+  * decode, r15) every modality decodes for real — no stub remains.
   *
   * The oracle trick that makes a binary codec DuckDB-checkable: payloads
   * are rendered from a closed-form pixel/sample formula in the row's key,
@@ -439,7 +437,7 @@ object RealCodec {
     * re-decode of the accumulated corpus — and persistence must not
     * change a row (the fingerprints are BIGINTs; the parquet round-trip
     * is lossless, so the serve stays hash-identical to a live build). */
-  private def persistedFingerprints(spark: SparkSession, dir: String,
+  private[operators] def persistedFingerprints(spark: SparkSession, dir: String,
       tag: String, build: => DataFrame): DataFrame = {
     val out = graft.core.Scratch.dir(tag, dir)
     graft.plans.DeferredIngest(spark, "media_id BIGINT, fp BIGINT") {
@@ -476,7 +474,7 @@ object RealCodec {
     * the distinct() collapses it to the fingerprint SET serving needs
     * (8 bytes per distinct fingerprint through the join, map-side
     * combined). */
-  private def dedupServe(history: DataFrame, batch: DataFrame): DataFrame = {
+  private[operators] def dedupServe(history: DataFrame, batch: DataFrame): DataFrame = {
     val hist = history.select(col("fp")).distinct().withColumn("dup", lit(1L))
     batch
       .join(hist, Seq("fp"), "left")

@@ -430,6 +430,24 @@ object VideoCodec {
       |  CAST(MAX(lum_max) AS BIGINT) AS lum_max
       |FROM px GROUP BY 1""".stripMargin
 
+  /** (frame_id, fp) per-frame perceptual fingerprints of the
+    * documents-driven video set — frame identity media_id·8 + frame_idx
+    * — each from a REAL AVI-parse → BMP-decode → dHash chain; the video
+    * twin of the image/audio fingerprint tables, and like them the
+    * projection serving paths persist and read back. `keep` filters on
+    * the VIDEO id and reaches the scan below the opaque decode. */
+  private def videoFingerprints(spark: SparkSession, dir: String,
+      keep: org.apache.spark.sql.Column): DataFrame = {
+    import spark.implicits._
+    videoSpecs(spark, dir, keep)
+      .mapPartitions { it =>
+        aviRoundTrip(it).map { case (id, _, f, img) =>
+          (id * 8 + f, RealCodec.dHash(img))
+        }
+      }
+      .toDF("media_id", "fp")
+  }
+
   /** q_video_dhash: perceptual dedup extended to video — every DECODED
     * frame dHashed ([[RealCodec.dHash]] on the real BMP-decoded
     * raster), censused keep-first per fingerprint through the shared
@@ -441,31 +459,53 @@ object VideoCodec {
     * fingerprints + counters, never pixels; near-dup Hamming ≤ 3
     * extends via the same shared [[RealCodec.nearDupCensus]] banding
     * the image/audio modalities use. */
-  def videoDHashCensus(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val fps = videoSpecs(spark, dir, lit(true))
-      .mapPartitions { it =>
-        aviRoundTrip(it).map { case (id, _, f, img) =>
-          (id * 8 + f, RealCodec.dHash(img))
-        }
-      }
-      .toDF("media_id", "fp")
-    RealCodec.keepFirstCensus(fps, "n_frames")
-  }
+  def videoDHashCensus(spark: SparkSession, dir: String): DataFrame =
+    RealCodec.keepFirstCensus(
+      videoFingerprints(spark, dir, lit(true)), "n_frames")
 
-  /** q_video_dhash oracle: the shared still-image fingerprint
-    * derivation ([[RealCodec.fpLawSqlFrom]]) instantiated at the video
-    * frame law — identity media_id·8 + f, seed media_id + 101·f — then
-    * the keep-first census. */
-  val videoDHashOracle: String = {
-    val law = RealCodec.fpLawSqlFrom(
-      """m AS (
-        |  SELECT doc_id * 8 + f.f AS media_id,
-        |    doc_id + 101 * f.f AS seed,
-        |    (doc_id % 9) + 8 AS w, (doc_id % 7) + 8 AS h
-        |  FROM documents CROSS JOIN range(6) f(f)
-        |  WHERE f.f < (doc_id % 5) + 2)""".stripMargin)
-    s"""WITH $law,
+  /** q_video_neardup: near-duplicate FRAMES across the video corpus —
+    * 0 < Hamming ≤ 3 between per-frame dHashes — through the engine's
+    * ONE banding+census body ([[RealCodec.nearDupCensus]], shared with
+    * the image and audio modalities): banded join over DISTINCT
+    * fingerprints, frame-pair volume recovered from group sizes. The
+    * brute-force oracle re-derives the frame fingerprints from the law
+    * and enumerates pairs exhaustively, so the shared banding is
+    * exhaustiveness-tested on this modality's fingerprint distribution
+    * too. */
+  def videoNearDupCensus(spark: SparkSession, dir: String): DataFrame =
+    RealCodec.nearDupCensus(
+      videoFingerprints(spark, dir, lit(true)), "n_frame_pairs")
+
+  /** q_video_dedup_serve: the crawl-vs-history serve for video — the
+    * batch (video id ≡ 0 mod 7, filtered BELOW the decode) checked
+    * frame-by-frame against the PERSISTED frame-fingerprint index of
+    * the accumulated corpus, riding the same two shared bodies as the
+    * image and audio twins ([[RealCodec.persistedFingerprints]] +
+    * [[RealCodec.dedupServe]]): history decodes once into a parquet
+    * (media_id, fp) table read back for serving, so serve decode work
+    * is ∝ batch frames, and only 8-byte fingerprints cross the join. */
+  def videoDedupServe(spark: SparkSession, dir: String): DataFrame =
+    RealCodec.dedupServe(
+      RealCodec.persistedFingerprints(spark, dir, "vidfpidx",
+        videoFingerprints(spark, dir, col("media_id") % 7 =!= 0)),
+      videoFingerprints(spark, dir, col("media_id") % 7 === 0))
+
+  /** The frame-law→fingerprint derivation (columns: media_id = frame
+    * id, fp) shared by the three video fingerprint oracles — the
+    * still-image derivation ([[RealCodec.fpLawSqlFrom]]) instantiated
+    * at the video law: identity media_id·8 + f, seed media_id + 101·f. */
+  private val videoFpLawSql: String = RealCodec.fpLawSqlFrom(
+    """m AS (
+      |  SELECT doc_id * 8 + f.f AS media_id,
+      |    doc_id + 101 * f.f AS seed,
+      |    (doc_id % 9) + 8 AS w, (doc_id % 7) + 8 AS h
+      |  FROM documents CROSS JOIN range(6) f(f)
+      |  WHERE f.f < (doc_id % 5) + 2)""".stripMargin)
+
+  /** q_video_dhash oracle: the shared frame-law fingerprints, then the
+    * keep-first census. */
+  val videoDHashOracle: String =
+    s"""WITH $videoFpLawSql,
       |grp AS (
       |  SELECT fp, COUNT(*) AS n, MIN(media_id) AS kept
       |  FROM fp GROUP BY fp)
@@ -476,5 +516,41 @@ object VideoCodec {
       |  CAST(SUM(kept) AS BIGINT) AS kept_id_sum,
       |  CAST(SUM(((fp % 1000000007) + 1000000007) % 1000000007) AS BIGINT) AS fp_checksum
       |FROM grp""".stripMargin
-  }
+
+  /** q_video_neardup oracle: brute-force Hamming over the law-derived
+    * DISTINCT frame fingerprints — the imageNearDupOracle frame on the
+    * video law (BIGINT fingerprints before any xor — the HUGEINT
+    * cross-sign trap). */
+  val videoNearDupOracle: String =
+    s"""WITH $videoFpLawSql,
+      |grp AS (SELECT fp, COUNT(*) AS n FROM fp GROUP BY fp),
+      |pairs AS (
+      |  SELECT a.fp AS fp_a, b.fp AS fp_b, a.n AS na, b.n AS nb,
+      |    bit_count(xor(a.fp, b.fp)) AS hamming
+      |  FROM grp a JOIN grp b ON a.fp < b.fp
+      |  WHERE bit_count(xor(a.fp, b.fp)) BETWEEN 1 AND 3)
+      |SELECT COUNT(*) AS n_fp_pairs,
+      |  CAST(SUM(na * nb) AS BIGINT) AS n_frame_pairs,
+      |  CAST(SUM(CASE WHEN hamming = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+      |  CAST(SUM(CASE WHEN hamming = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+      |  CAST(SUM(CASE WHEN hamming = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+      |  CAST(SUM(((xor(fp_a, fp_b) % 1000000007) + 1000000007) % 1000000007)
+      |    AS BIGINT) AS xor_checksum
+      |FROM pairs""".stripMargin
+
+  /** q_video_dedup_serve oracle: same law-derived frame fingerprints;
+    * the batch/history split runs on the VIDEO id (media_id // 8 — the
+    * frame id packs doc_id·8 + f), left join on the BIGINT
+    * fingerprint. */
+  val videoDedupServeOracle: String =
+    s"""WITH $videoFpLawSql,
+      |hist AS (SELECT DISTINCT fp FROM fp WHERE (media_id // 8) % 7 != 0)
+      |SELECT COUNT(*) AS n_batch,
+      |  CAST(SUM(CASE WHEN hist.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+      |  CAST(SUM(CASE WHEN hist.fp IS NULL THEN media_id END) AS BIGINT) AS kept_id_sum,
+      |  CAST(SUM(CASE WHEN hist.fp IS NULL
+      |    THEN ((f.fp % 1000000007) + 1000000007) % 1000000007 END) AS BIGINT)
+      |    AS new_fp_checksum
+      |FROM fp f LEFT JOIN hist ON hist.fp = f.fp
+      |WHERE (f.media_id // 8) % 7 = 0""".stripMargin
 }
