@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
   * around uncompressed bottom-up 24-bit DIB frames ('00db'), parsed
   * back chunk-by-chunk and decoded frame-by-frame through the JDK's
   * actual BMP codec (each DIB re-framed with a BITMAPFILEHEADER and
-  * handed to a cached ImageIO BMP reader). DIB-in-AVI is the lossless
-  * route — MJPEG-in-AVI is the same container walk with JPEG frame
-  * payloads, but JPEG's lossy DCT would break the closed-form oracle;
-  * the container format, the chunk walker, and the per-frame decode
-  * loop are identical either way, so the uncompressed profile puts the
-  * whole video path (not just the plumbing) under oracle test.
+  * handed to a cached ImageIO BMP reader). Both classic AVI video
+  * profiles are implemented: DIB ('00db' uncompressed frames) and
+  * MJPEG ('00dc' standalone-JPEG frames through the JDK's real JPEG
+  * codec) — the same container walk either way, and the walker makes
+  * the stream header, format compression, chunk ids and index agree on
+  * the profile. DIB is the ORACLE profile: lossless, so the
+  * closed-form frame law survives the round-trip exactly and the whole
+  * video path (not just the plumbing) is under oracle test; MJPEG's
+  * lossy DCT is spec-pinned (structure, dims, luma proximity) instead.
   *
   * The oracle trick is [[RealCodec]]'s: frame pixels come from a
   * closed-form law — frame f of video `id` is the still-image gray law
@@ -143,9 +146,71 @@ object VideoCodec {
     buf.array()
   }
 
-  /** Parsed AVI: decoded dimensions + the raw DIB payload of every
-    * frame, container fully cross-checked. */
-  final case class AviFrames(w: Int, h: Int, frames: IndexedSeq[Array[Byte]])
+  /** MJPEG-in-AVI: the SAME container with '00dc' JPEG frame payloads —
+    * stream handler 'MJPG', biCompression FOURCC 'MJPG' — each frame a
+    * standalone baseline JPEG from the JDK's real JPEG writer. JPEG
+    * sizes are data-dependent (odd sizes exercise the movi pad rule the
+    * fixed-stride DIB profile never hits), so the layout is computed
+    * from the encoded frames and idx1 carries the true lengths. Lossy
+    * by design — VideoCodecSpec pins structure, dimensions and luma
+    * proximity; DIB remains the oracle (lossless) profile. */
+  def encodeAviMjpeg(mediaId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames > 0,
+      s"encodeAviMjpeg: bad shape ${w}x$h x$nFrames")
+    val frames = (0 until nFrames).map(f => RealCodec.encodeImage(
+      RealCodec.renderGray(frameSeed(mediaId, f), w, h), "jpg"))
+    val maxFrame = frames.map(_.length).max
+    val moviData = 4 + frames.map(b => 8 + b.length + (b.length & 1)).sum
+    val idxData = nFrames * 16
+    val riffLen = 4 + (8 + 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))) +
+      (8 + moviData) + (8 + idxData)
+    val buf = ByteBuffer.allocate(8 + riffLen).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+    fourcc("RIFF"); buf.putInt(riffLen); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(4 + 64 + 124); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(33333).putInt(0).putInt(0)
+      .putInt(0x10) // AVIF_HASINDEX
+      .putInt(nFrames).putInt(0).putInt(1)
+      .putInt(maxFrame)
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(4 + 64 + 48); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("MJPG")
+    buf.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(30).putInt(0)
+      .putInt(nFrames)
+      .putInt(maxFrame)
+      .putInt(-1).putInt(0)
+    buf.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24)
+    fourcc("MJPG") // biCompression: the codec FOURCC, bytes in order
+    buf.putInt(maxFrame) // biSizeImage: largest compressed frame
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(moviData); fourcc("movi")
+    val moviPos = buf.position() - 4
+    val offsets = new Array[Int](nFrames)
+    frames.zipWithIndex.foreach { case (fb, f) =>
+      offsets(f) = buf.position() - moviPos
+      fourcc("00dc"); buf.putInt(fb.length); buf.put(fb)
+      if ((fb.length & 1) == 1) buf.put(0.toByte) // RIFF pad
+    }
+    fourcc("idx1"); buf.putInt(idxData)
+    frames.zipWithIndex.foreach { case (fb, f) =>
+      fourcc("00dc")
+      buf.putInt(0x10).putInt(offsets(f)).putInt(fb.length)
+    }
+    buf.array()
+  }
+
+  /** Parsed AVI: codec profile ("DIB " lossless / "MJPG" lossy),
+    * decoded dimensions + the raw payload of every frame, container
+    * fully cross-checked. */
+  final case class AviFrames(codec: String, w: Int, h: Int,
+      frames: IndexedSeq[Array[Byte]])
 
   /** The AVI chunk walker: verify the RIFF/'AVI ' magic, walk the
     * top-level chunks honoring RIFF's even-size pad rule with the same
@@ -153,9 +218,12 @@ object VideoCodec {
     * cross-check EVERYTHING the container asserts twice: avih dims ==
     * strf dims, avih/strh frame counts == movi chunk count == idx1
     * entry count, idx1 offsets/lengths == the movi positions actually
-    * walked, frame payload == stride·h bytes. Only the uncompressed
-    * profile is accepted ('vids'/'DIB ', 24 bpp, BI_RGB) — anything
-    * else fails loudly, never mis-decodes. */
+    * walked, DIB frame payload == stride·h bytes, MJPEG frames start
+    * with the JPEG SOI marker. Two profiles are accepted — 'DIB '/
+    * BI_RGB with '00db' frames (lossless, the oracle profile) and
+    * 'MJPG'/FOURCC-'MJPG' with '00dc' JPEG frames — and the stream
+    * header, format header, chunk ids and index must all AGREE on the
+    * profile; anything else fails loudly, never mis-decodes. */
   def walkAvi(bytes: Array[Byte]): AviFrames = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def ascii4(): String = {
@@ -171,9 +239,12 @@ object VideoCodec {
     var avihW = -1
     var avihH = -1
     var strhFrames = -1
+    var strhHandler: String = null
     var strfW = -1
     var strfH = -1
+    var strfCompression = -1
     val frames = IndexedSeq.newBuilder[Array[Byte]]
+    val frameIds = IndexedSeq.newBuilder[String]
     var moviFourccPos = -1
     val moviOffsets = IndexedSeq.newBuilder[(Int, Int)] // (off rel movi, len)
     var idx: IndexedSeq[(String, Int, Int)] = null
@@ -214,9 +285,10 @@ object VideoCodec {
           val start = buf.position()
           val fccType = ascii4()
           val handler = ascii4()
-          require(fccType == "vids" && handler == "DIB ",
-            s"decodeAvi: only uncompressed video supported " +
-              s"(fccType=$fccType handler=$handler)")
+          require(fccType == "vids" && (handler == "DIB " || handler == "MJPG"),
+            s"decodeAvi: unsupported video stream " +
+              s"(fccType=$fccType handler=$handler; DIB /MJPG accepted)")
+          strhHandler = handler
           buf.getInt; buf.getShort; buf.getShort // flags, prio, lang
           buf.getInt; buf.getInt; buf.getInt; buf.getInt // init/scale/rate/start
           strhFrames = buf.getInt
@@ -229,10 +301,9 @@ object VideoCodec {
           strfW = buf.getInt; strfH = buf.getInt
           val planes = buf.getShort
           val bpp = buf.getShort
-          val compression = buf.getInt
-          require(planes == 1 && bpp == 24 && compression == 0,
-            s"decodeAvi: only 24-bit BI_RGB DIB supported " +
-              s"(planes=$planes bpp=$bpp compression=$compression)")
+          strfCompression = buf.getInt
+          require(planes == 1 && bpp == 24,
+            s"decodeAvi: only 24-bit video supported (planes=$planes bpp=$bpp)")
           require(strfH > 0, "decodeAvi: top-down DIB (negative height) unsupported")
           buf.position(start + len + (len & 1))
         case _ => skip(len)
@@ -254,8 +325,9 @@ object VideoCodec {
                 val cid = ascii4()
                 val clen = buf.getInt
                 guard(cid, clen)
-                if (cid == "00db") {
+                if (cid == "00db" || cid == "00dc") {
                   moviOffsets += ((buf.position() - 8 - moviFourccPos, clen))
+                  frameIds += cid
                   val data = new Array[Byte](clen)
                   buf.get(data)
                   if ((clen & 1) == 1) buf.get
@@ -281,27 +353,48 @@ object VideoCodec {
       }
     }
     val fs = frames.result()
+    val fids = frameIds.result()
     val offs = moviOffsets.result()
     require(strfW > 0 && strfH > 0, "decodeAvi: no strf before movi")
+    require(strhHandler != null, "decodeAvi: no strh stream header")
     require(avihW == strfW && avihH == strfH,
       s"decodeAvi: avih ${avihW}x$avihH != strf ${strfW}x$strfH")
     require(fs.nonEmpty, "decodeAvi: no movi frames")
     require(avihFrames == fs.length && strhFrames == fs.length,
       s"decodeAvi: header frame counts (avih=$avihFrames strh=$strhFrames) " +
         s"!= ${fs.length} movi chunks")
-    val expect = stride(strfW) * strfH
-    fs.zipWithIndex.foreach { case (fb, i) =>
-      require(fb.length == expect,
-        s"decodeAvi: frame $i is ${fb.length}B, expected $expect (stride·h)")
+    // profile agreement: stream handler, format compression, and the
+    // chunk ids actually walked must name the same codec
+    val mjpgFourcc = ByteBuffer.wrap("MJPG".getBytes("US-ASCII"))
+      .order(ByteOrder.LITTLE_ENDIAN).getInt
+    val expectCid = if (strhHandler == "DIB ") "00db" else "00dc"
+    require(
+      if (strhHandler == "DIB ") strfCompression == 0
+      else strfCompression == mjpgFourcc,
+      s"decodeAvi: strf compression $strfCompression disagrees with " +
+        s"handler '$strhHandler'")
+    fids.zipWithIndex.foreach { case (cid, i) =>
+      require(cid == expectCid,
+        s"decodeAvi: frame $i chunk '$cid' disagrees with handler '$strhHandler'")
+    }
+    if (strhHandler == "DIB ") {
+      val expect = stride(strfW) * strfH
+      fs.zipWithIndex.foreach { case (fb, i) =>
+        require(fb.length == expect,
+          s"decodeAvi: frame $i is ${fb.length}B, expected $expect (stride·h)")
+      }
+    } else fs.zipWithIndex.foreach { case (fb, i) =>
+      require(fb.length >= 2 && (fb(0) & 0xff) == 0xff && (fb(1) & 0xff) == 0xd8,
+        s"decodeAvi: MJPEG frame $i lacks the JPEG SOI marker")
     }
     require(idx != null, "decodeAvi: AVIF_HASINDEX set but no idx1 chunk")
     require(idx.length == fs.length,
       s"decodeAvi: idx1 has ${idx.length} entries for ${fs.length} frames")
     idx.zip(offs).zipWithIndex.foreach { case (((ckid, ioff, ilen), (moff, mlen)), i) =>
-      require(ckid == "00db" && ioff == moff && ilen == mlen,
+      require(ckid == expectCid && ioff == moff && ilen == mlen,
         s"decodeAvi: idx1 entry $i ($ckid@$ioff+$ilen) != movi chunk @$moff+$mlen")
     }
-    AviFrames(strfW, strfH, fs)
+    AviFrames(strhHandler, strfW, strfH, fs)
   }
 
   /** Re-frame one raw DIB payload as a BMP file (BITMAPFILEHEADER +

@@ -60,6 +60,44 @@ class VideoCodecSpec extends SparkSpec {
     }).contains("idx1 entry"))
   }
 
+  test("MJPEG-in-AVI: same container walk, real JPEG frames, lossy-bounded decode") {
+    val id = 321L
+    val (w, h, nf) = (16, 14, 4)
+    val parsed = VideoCodec.walkAvi(VideoCodec.encodeAviMjpeg(id, w, h, nf))
+    assert(parsed.codec == "MJPG" && parsed.w == w && parsed.h == h &&
+      parsed.frames.length == nf)
+    for (f <- 0 until nf) {
+      val fb = parsed.frames(f)
+      // a genuine standalone JPEG: SOI marker + EOI trailer
+      assert((fb(0) & 0xff) == 0xff && (fb(1) & 0xff) == 0xd8)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      // lossy bound: per-frame mean luma must sit near the law's mean
+      // (DCT ringing moves pixels, not the average)
+      val seed = VideoCodec.frameSeed(id, f)
+      var lawSum = 0L
+      var gotSum = 0L
+      for (i <- 0 until h; j <- 0 until w) {
+        lawSum += RealCodec.grayAt(seed, i, j)
+        gotSum += img.getRaster.getSample(j, i, 0)
+      }
+      val diff = math.abs(lawSum - gotSum).toDouble / (w * h)
+      assert(diff < 8.0, s"frame $f mean luma drifted by $diff")
+    }
+    // profile disagreement is refused: a DIB handler with '00dc' frames
+    // (flip the strh handler fourcc in the MJPEG file) must fail the
+    // agreement check, not mis-decode
+    val bad = VideoCodec.encodeAviMjpeg(id, w, h, nf)
+    val hIdx = {
+      // locate 'MJPG' right after 'vids' in strh
+      val s = new String(bad, "ISO-8859-1")
+      s.indexOf("vids") + 4
+    }
+    "DIB ".getBytes("US-ASCII").copyToArray(bad, hIdx)
+    val e = intercept[IllegalArgumentException] { VideoCodec.walkAvi(bad) }
+    assert(e.getMessage.contains("disagrees with handler"))
+  }
+
   test("AVI parser survives a deterministic byte-flip fuzz sweep") {
     // every single-byte corruption either parses (flips inside pixel
     // data change values, not structure) or fails with the parser's own
