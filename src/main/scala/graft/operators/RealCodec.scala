@@ -50,6 +50,10 @@ object RealCodec {
     * (quarantined), never decoded. */
   val MaxStreamPixels: Long = 1L << 22
 
+  /** The audio twin of [[MaxStreamPixels]]: 2^22 PCM-16 samples ≈ 4.4
+    * minutes at 16 kHz, an 8 MB buffer. */
+  val MaxStreamSamples: Long = 1L << 22
+
   // ------------------------------------------------------------- images
 
   /** The synthetic pixel law: gray(i, j) of image `mediaId` =
@@ -532,6 +536,34 @@ object RealCodec {
       .mapPartitions { it =>
         pngRoundTrip(it.map { case (id, w, h, t) => (ImageSpec(id, w, h), t) })
           .map { case (id, img, t) => (id, dHash(img), t) }
+      }
+      .toDF("media_id", "fp", "ts")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
+  /** The audio twin of [[fingerprintStream]]: encode → REAL RIFF parse
+    * → energy-contour fingerprint inside the stream, then watermarked
+    * keep-first per fingerprint — a re-encoded or re-posted copy of a
+    * clip arriving minutes later is suppressed before reaching the
+    * corpus. Same quarantine stance: null id/ts, non-positive shape,
+    * or a sample count past [[MaxStreamSamples]] (an external spec
+    * driving a multi-GB PCM buffer) is filtered, never decoded — a
+    * throw would crash-loop the replayed micro-batch. Input
+    * (media_id, n, rate, ts); output append-mode (media_id, fp, ts)
+    * of first-seen fingerprints. */
+  def audioFingerprintStream(media: DataFrame, watermark: String): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("n").cast("int"),
+        col("rate").cast("int"), col("ts"))
+      .filter(col("media_id").isNotNull && col("ts").isNotNull &&
+        col("n") > 0 && col("rate") > 0 &&
+        col("n").cast("long") <= MaxStreamSamples)
+      .as[(Long, Int, Int, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        it.map { case (id, n, rate, t) =>
+          (id, audioFingerprint(encodeWav(id, n, rate)), t)
+        }
       }
       .toDF("media_id", "fp", "ts")
       .withWatermark("ts", watermark)

@@ -439,11 +439,13 @@ object VideoCodec {
     * frame through a single cached BMP reader (the pngRoundTrip
     * resource discipline: per-record streams close in finally, the
     * reader disposes when the task iterator drains). Emits one
-    * (media_id, nf, frameIdx, decoded frame) per frame. */
-  private def aviRoundTrip(it: Iterator[VideoSpec]): Iterator[(Long, Int, Int, BufferedImage)] = {
+    * (media_id, nf, frameIdx, decoded frame, carried) per frame —
+    * generic in a carried payload so the streaming path can thread its
+    * event time through, exactly like pngRoundTrip. */
+  private def aviRoundTrip[T](it: Iterator[(VideoSpec, T)]): Iterator[(Long, Int, Int, BufferedImage, T)] = {
     val reader = ImageIO.getImageReadersByFormatName("bmp").next()
     var disposed = false
-    val out = it.flatMap { s =>
+    val out = it.flatMap { case (s, t) =>
       val parsed = walkAvi(encodeAvi(s.media_id, s.w, s.h, s.nf))
       parsed.frames.iterator.zipWithIndex.map { case (bits, f) =>
         val iis = ImageIO.createImageInputStream(
@@ -452,16 +454,16 @@ object VideoCodec {
           reader.setInput(iis)
           reader.read(0)
         } finally iis.close()
-        (s.media_id, s.nf, f, img)
+        (s.media_id, s.nf, f, img, t)
       }
     }
-    new Iterator[(Long, Int, Int, BufferedImage)] {
+    new Iterator[(Long, Int, Int, BufferedImage, T)] {
       override def hasNext: Boolean = {
         val h = out.hasNext
         if (!h && !disposed) { disposed = true; reader.dispose() }
         h
       }
-      override def next(): (Long, Int, Int, BufferedImage) = out.next()
+      override def next(): (Long, Int, Int, BufferedImage, T) = out.next()
     }
   }
 
@@ -479,7 +481,7 @@ object VideoCodec {
     import spark.implicits._
     videoSpecs(spark, dir, lit(true))
       .mapPartitions { it =>
-        aviRoundTrip(it).map { case (id, nf, f, img) =>
+        aviRoundTrip(it.map((_, ()))).map { case (id, nf, f, img, _) =>
           val d = RealCodec.foldImage(img)
           FrameStats(id, nf, f, d.width, d.height, d.lumSum, d.lumMin, d.lumMax)
         }
@@ -534,7 +536,7 @@ object VideoCodec {
     import spark.implicits._
     videoSpecs(spark, dir, keep)
       .mapPartitions { it =>
-        aviRoundTrip(it).map { case (id, _, f, img) =>
+        aviRoundTrip(it.map((_, ()))).map { case (id, _, f, img, _) =>
           (id * 8 + f, RealCodec.dHash(img))
         }
       }
@@ -582,6 +584,37 @@ object VideoCodec {
       RealCodec.persistedFingerprints(spark, dir, "vidfpidx",
         videoFingerprints(spark, dir, col("media_id") % 7 =!= 0)),
       videoFingerprints(spark, dir, col("media_id") % 7 === 0))
+
+  /** The video twin of [[RealCodec.fingerprintStream]]: encode a real
+    * AVI → container walk → per-frame BMP decode → dHash inside the
+    * stream (the cached-codec loop), then watermarked keep-first per
+    * FRAME fingerprint — a re-posted clip sharing frames with one seen
+    * minutes earlier is suppressed frame-by-frame before reaching the
+    * corpus. Quarantine: null id/ts, non-positive shape, or a total
+    * pixel volume (w·h·nf) past [[RealCodec.MaxStreamPixels]] is
+    * filtered, never decoded (external specs; a throw would crash-loop
+    * the replayed micro-batch). Frame identity stays (media_id,
+    * frame_idx) columns — external frame counts aren't bounded by the
+    * batch law's ·8 packing. Input (media_id, w, h, nf, ts); output
+    * append-mode (media_id, frame_idx, fp, ts) of first-seen frame
+    * fingerprints. */
+  def fingerprintStream(media: DataFrame, watermark: String): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("w").cast("int"),
+        col("h").cast("int"), col("nf").cast("int"), col("ts"))
+      .filter(col("media_id").isNotNull && col("ts").isNotNull &&
+        col("w") > 0 && col("h") > 0 && col("nf") > 0 &&
+        col("w").cast("long") * col("h") * col("nf") <= RealCodec.MaxStreamPixels)
+      .as[(Long, Int, Int, Int, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        aviRoundTrip(it.map { case (id, w, h, nf, t) =>
+          (VideoSpec(id, w, h, nf), t)
+        }).map { case (id, _, f, img, t) => (id, f, RealCodec.dHash(img), t) }
+      }
+      .toDF("media_id", "frame_idx", "fp", "ts")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+  }
 
   /** The frame-law→fingerprint derivation (columns: media_id = frame
     * id, fp) shared by the three video fingerprint oracles — the

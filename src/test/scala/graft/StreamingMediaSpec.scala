@@ -74,4 +74,78 @@ class StreamingMediaSpec extends SparkSpec {
       fps.foreach { case (id, fp) => assert(fp == fpOf(id)) }
     } finally q.stop()
   }
+
+  test("audio stream: RIFF parse + contour dedup suppresses dupes, quarantines poison") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // twin law: the sample law runs mod 65536 in media_id, so id and
+    // id + 65536 with the same (n, rate) produce identical PCM
+    val fpOf = (id: Long, n: Int) =>
+      RealCodec.audioFingerprint(RealCodec.encodeWav(id, n, 16000))
+    assert(fpOf(9L, 200) == fpOf(9L + 65536L, 200), "twin ids must collide")
+    assert(fpOf(9L, 200) != fpOf(10L, 200))
+
+    val input = MemoryStream[(Long, Int, Int, Timestamp)]
+    val out = RealCodec.audioFingerprintStream(
+      input.toDF().toDF("media_id", "n", "rate", "ts"), "10 minutes")
+    val q = out.writeStream.format("memory")
+      .queryName("audio_fp_test").outputMode("append").start()
+    try {
+      // minute 1, not 0: Spark's initial watermark is epoch 0, and a
+      // dropDuplicatesWithinWatermark row at exactly event-time 0 is
+      // born expired and silently dropped
+      input.addData((9L, 200, 16000, ts(1)), (10L, 200, 16000, ts(2)))
+      q.processAllAvailable()
+      assert(spark.table("audio_fp_test").count() == 2)
+      // batch 2: a re-encoded twin + two poison records (n=0 and an
+      // oversized n that would allocate a multi-GB PCM buffer)
+      input.addData((9L + 65536L, 200, 16000, ts(3)),
+        (66L, 0, 16000, ts(3)), (67L, Int.MaxValue, 16000, ts(3)))
+      q.processAllAvailable()
+      assert(spark.table("audio_fp_test").count() == 2,
+        "twin must be suppressed, poison quarantined")
+      assert(spark.table("audio_fp_test")
+        .filter($"media_id".isin(66L, 67L)).count() == 0)
+    } finally q.stop()
+  }
+
+  test("video stream: AVI walk + per-frame dedup suppresses shared frames across clips") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Int, Int, Int, Timestamp)]
+    val out = graft.operators.VideoCodec.fingerprintStream(
+      input.toDF().toDF("media_id", "w", "h", "nf", "ts"), "10 minutes")
+    val q = out.writeStream.format("memory")
+      .queryName("video_fp_test").outputMode("append").start()
+    // the law, driver-side: expected per-frame fingerprints (the stream
+    // decodes through AVI+BMP, but DIB is lossless so dHash of the
+    // rendered raster IS the decoded truth)
+    def clipFps(id: Long, w: Int, h: Int, nf: Int): Set[Long] =
+      (0 until nf).map(f => RealCodec.dHash(
+        RealCodec.renderGray(graft.operators.VideoCodec.frameSeed(id, f), w, h))).toSet
+    val fps5 = clipFps(5L, 10, 9, 3)
+    val fps6 = clipFps(6L, 12, 11, 2)
+    assert(clipFps(5L + 16128L, 10, 9, 3) == fps5,
+      "twin clip must share every frame fingerprint")
+    assert((fps6 -- fps5).nonEmpty, "fixture clip 6 must bring new frames")
+    try {
+      input.addData((5L, 10, 9, 3, ts(1))) // minute 1: epoch 0 is born-expired
+      q.processAllAvailable()
+      assert(spark.table("video_fp_test").count() == fps5.size,
+        "one row per distinct frame fingerprint")
+      // a re-post of the whole clip (frame seeds differ by 16128 ≡ 0
+      // mod 256 → every frame a perceptual twin) + a poison record
+      input.addData((5L + 16128L, 10, 9, 3, ts(2)),
+        (77L, 50000, 50000, 4, ts(2))) // poison: w·h·nf over budget
+      q.processAllAvailable()
+      assert(spark.table("video_fp_test").count() == fps5.size,
+        "re-posted clip's frames must all be suppressed")
+      assert(spark.table("video_fp_test")
+        .filter($"media_id" === 77L).count() == 0, "poison leaked")
+      // a genuinely new clip passes exactly its novel fingerprints
+      input.addData((6L, 12, 11, 2, ts(3)))
+      q.processAllAvailable()
+      assert(spark.table("video_fp_test").count() == (fps5 ++ fps6).size)
+    } finally q.stop()
+  }
 }
