@@ -49,6 +49,56 @@ import graft.sources.ThemisKV
   */
 object GraySortBench {
 
+  /** Deterministic gensort-style generation: MD5-derived 10-byte keys +
+    * 90-byte values; in skew mode every 4th record collapses onto one
+    * hot 4-byte prefix (bytes 4..9 still differ, so a global order
+    * exists and boundary cuts must land inside the hot range). ONE
+    * generator for the benchmark main and the weather probe — the probe
+    * must measure the same workload it calibrates. */
+  private def genRecords(spark: SparkSession, n: Long,
+      skew: Boolean): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(n).mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { i =>
+        val d = md.digest(i.toString.getBytes("UTF-8"))
+        val key = JArrays.copyOfRange(d, 0, 10)
+        if (skew && i % 4 == 0) { key(0) = 0; key(1) = 0; key(2) = 0; key(3) = 0 }
+        // value bytes don't affect sort cost; fill from one more digest
+        val value = new Array[Byte](90)
+        val block = md.digest(s"${i}_v".getBytes("UTF-8"))
+        var off = 0
+        while (off < 90) {
+          val take = math.min(16, 90 - off)
+          System.arraycopy(block, 0, value, off, take)
+          off += take
+        }
+        ThemisKV.Rec(key, value)
+      }
+    }.toDF()
+  }
+
+  /** The timed leg both entry points share: fixed-width read →
+    * sample-based range partition → in-partition sort → fixed-width
+    * write. Returns wall seconds. */
+  private def timedSort(spark: SparkSession, inDir: String, outDir: String,
+      cpus: Int): Double = {
+    val t0 = System.nanoTime()
+    val sorted = spark.read.format("graft-fixed")
+      .option("record.length", 100).option("key.length", 10)
+      .load(inDir)
+      .repartitionByRange(cpus, F.col("key"))
+      .sortWithinPartitions(F.col("key"))
+    ThemisKV.writeFixed(sorted, outDir, 100, 10)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def rmrf(p: java.io.File): Unit = {
+    val kids = p.listFiles()
+    if (kids != null) kids.foreach(rmrf)
+    p.delete(); ()
+  }
+
   /** The container-weather probe: a compact 2-IO GraySort (generate →
     * land fixed-width → TIMED read → range partition → sort → write)
     * whose GB/min rate calibrates the host's IO weather for the round.
@@ -59,41 +109,13 @@ object GraySortBench {
     * code — the probe makes that one JSON field). Runs on the caller's
     * session; generation/validation stay untimed like the main. */
   def weatherProbe(spark: SparkSession, gb: Double): Double = {
-    import spark.implicits._
     val n = (gb * 1e9 / 100).toLong
     val cpus = spark.sparkContext.defaultParallelism
     val base = java.nio.file.Files.createTempDirectory("graft_weather").toString
-    def rmrf(p: java.io.File): Unit = {
-      val kids = p.listFiles()
-      if (kids != null) kids.foreach(rmrf)
-      p.delete(); ()
-    }
     try {
-      val gen = spark.range(n).mapPartitions { it =>
-        val md = MessageDigest.getInstance("MD5")
-        it.map { i =>
-          val d = md.digest(i.toString.getBytes("UTF-8"))
-          val key = JArrays.copyOfRange(d, 0, 10)
-          val value = new Array[Byte](90)
-          val block = md.digest(s"${i}_v".getBytes("UTF-8"))
-          var off = 0
-          while (off < 90) {
-            val take = math.min(16, 90 - off)
-            System.arraycopy(block, 0, value, off, take)
-            off += take
-          }
-          ThemisKV.Rec(key, value)
-        }
-      }.toDF()
-      ThemisKV.writeFixed(gen.repartition(cpus), s"$base/in", 100, 10)
-      val t0 = System.nanoTime()
-      val sorted = spark.read.format("graft-fixed")
-        .option("record.length", 100).option("key.length", 10)
-        .load(s"$base/in")
-        .repartitionByRange(cpus, F.col("key"))
-        .sortWithinPartitions(F.col("key"))
-      ThemisKV.writeFixed(sorted, s"$base/out", 100, 10)
-      val secs = (System.nanoTime() - t0) / 1e9
+      ThemisKV.writeFixed(genRecords(spark, n, skew = false)
+        .repartition(cpus), s"$base/in", 100, 10)
+      val secs = timedSort(spark, s"$base/in", s"$base/out", cpus)
       (n * 100.0 / 1e9) / (secs / 60.0)
     } finally rmrf(new java.io.File(base))
   }
@@ -137,47 +159,15 @@ object GraySortBench {
     val outDir = s"$base/out"
     // input+output is 2× the run size on disk — always reclaim it, even
     // when a regime assertion aborts the run mid-way
-    def rmrf(p: java.io.File): Unit = {
-      val kids = p.listFiles()
-      if (kids != null) kids.foreach(rmrf)
-      p.delete(); ()
-    }
     sys.addShutdownHook(rmrf(new java.io.File(base)))
 
     // ---- untimed setup: deterministic gensort-style generation + land
-    val gen = spark.range(n).mapPartitions { it =>
-      val md = MessageDigest.getInstance("MD5")
-      it.map { i =>
-        val d = md.digest(i.toString.getBytes("UTF-8"))
-        val key = JArrays.copyOfRange(d, 0, 10)
-        // skew mode: every 4th record collapses onto one hot 4-byte
-        // prefix; bytes 4..9 still differ, so a global order exists and
-        // boundary cuts must land inside the hot range
-        if (skew && i % 4 == 0) { key(0) = 0; key(1) = 0; key(2) = 0; key(3) = 0 }
-        // value bytes don't affect sort cost; fill from one more digest
-        val value = new Array[Byte](90)
-        val block = md.digest(s"${i}_v".getBytes("UTF-8"))
-        var off = 0
-        while (off < 90) {
-          val take = math.min(16, 90 - off)
-          System.arraycopy(block, 0, value, off, take)
-          off += take
-        }
-        ThemisKV.Rec(key, value)
-      }
-    }.toDF()
-    ThemisKV.writeFixed(gen.repartition(cpus.toInt), inDir, 100, 10)
+    ThemisKV.writeFixed(genRecords(spark, n, skew).repartition(cpus.toInt),
+      inDir, 100, 10)
 
     // ---- timed: read → range partition on key → sort → write
     if (minute) spark.sparkContext.addSparkListener(listener)
-    val t0 = System.nanoTime()
-    val sorted = spark.read.format("graft-fixed")
-      .option("record.length", 100).option("key.length", 10)
-      .load(inDir)
-      .repartitionByRange(cpus.toInt, F.col("key"))
-      .sortWithinPartitions(F.col("key"))
-    ThemisKV.writeFixed(sorted, outDir, 100, 10)
-    val secs = (System.nanoTime() - t0) / 1e9
+    val secs = timedSort(spark, inDir, outDir, cpus.toInt)
 
     // ---- minute mode: settle async listener delivery, then PROVE 1-IO
     if (minute) {

@@ -54,6 +54,11 @@ object RealCodec {
     * minutes at 16 kHz, an 8 MB buffer. */
   val MaxStreamSamples: Long = 1L << 22
 
+  /** Sample-rate ceiling for external audio specs: 1 MHz covers every
+    * real format (studio masters top out at 384 kHz) while keeping the
+    * WAV header's byte-rate field (rate·2) far inside Int. */
+  val MaxStreamRate: Long = 1L << 20
+
   // ------------------------------------------------------------- images
 
   /** The synthetic pixel law: gray(i, j) of image `mediaId` =
@@ -527,11 +532,22 @@ object RealCodec {
     * (their specs are law-derived, always inside the pixel budget). */
   def fingerprintStream(media: DataFrame, watermark: String): DataFrame = {
     import media.sparkSession.implicits._
-    media.select(col("media_id").cast("long"), col("w").cast("int"),
-        col("h").cast("int"), col("ts"))
+    // quarantine BEFORE any narrowing cast, on try_cast'd wide values:
+    // external specs can arrive as BIGINT/DECIMAL, and under ANSI mode
+    // (Spark 4's default) a narrowing cast or an overflowing product
+    // inside the predicate would THROW — the filter itself becoming the
+    // crash-loop. try_cast nulls the unrepresentable; each dim is
+    // bounded before the product so w·h cannot overflow (≤ 2^44); the
+    // int casts below are then provably safe
+    media.select(expr("try_cast(media_id AS BIGINT)").as("media_id"),
+        expr("try_cast(w AS BIGINT)").as("w"),
+        expr("try_cast(h AS BIGINT)").as("h"), col("ts"))
       .filter(col("media_id").isNotNull && col("ts").isNotNull &&
-        col("w") > 0 && col("h") > 0 &&
-        col("w").cast("long") * col("h").cast("long") <= MaxStreamPixels)
+        col("w").between(1, MaxStreamPixels) &&
+        col("h").between(1, MaxStreamPixels) &&
+        col("w") * col("h") <= MaxStreamPixels)
+      .select(col("media_id"), col("w").cast("int").as("w"),
+        col("h").cast("int").as("h"), col("ts"))
       .as[(Long, Int, Int, java.sql.Timestamp)]
       .mapPartitions { it =>
         pngRoundTrip(it.map { case (id, w, h, t) => (ImageSpec(id, w, h), t) })
@@ -554,11 +570,16 @@ object RealCodec {
     * of first-seen fingerprints. */
   def audioFingerprintStream(media: DataFrame, watermark: String): DataFrame = {
     import media.sparkSession.implicits._
-    media.select(col("media_id").cast("long"), col("n").cast("int"),
-        col("rate").cast("int"), col("ts"))
+    // same quarantine-before-narrowing stance as the image stream; the
+    // rate bound keeps encodeWav's byte-rate field (rate·2) inside Int
+    media.select(expr("try_cast(media_id AS BIGINT)").as("media_id"),
+        expr("try_cast(n AS BIGINT)").as("n"),
+        expr("try_cast(rate AS BIGINT)").as("rate"), col("ts"))
       .filter(col("media_id").isNotNull && col("ts").isNotNull &&
-        col("n") > 0 && col("rate") > 0 &&
-        col("n").cast("long") <= MaxStreamSamples)
+        col("n").between(1, MaxStreamSamples) &&
+        col("rate").between(1, MaxStreamRate))
+      .select(col("media_id"), col("n").cast("int").as("n"),
+        col("rate").cast("int").as("rate"), col("ts"))
       .as[(Long, Int, Int, java.sql.Timestamp)]
       .mapPartitions { it =>
         it.map { case (id, n, rate, t) =>

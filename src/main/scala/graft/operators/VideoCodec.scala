@@ -56,6 +56,13 @@ object VideoCodec {
 
   private def stride(w: Int): Int = ((w * 3 + 3) / 4) * 4
 
+  /** Frame-count ceiling for EXTERNAL video specs: the pixel budget
+    * alone misses per-frame overhead (12 B movi + 16 B idx1 container
+    * bytes and one full BMP decode per frame), so a degenerate
+    * 1×1×4M-frame spec would cost minutes of CPU while staying inside
+    * [[RealCodec.MaxStreamPixels]]. 2^12 frames ≈ 2+ minutes at 30 fps. */
+  val MaxStreamFrames: Long = 1L << 12
+
   /** Encode a real AVI file: RIFF('AVI ') { LIST(hdrl){ avih,
     * LIST(strl){ strh('vids'/'DIB '), strf(BITMAPINFOHEADER 24bpp) } },
     * LIST(movi){ '00db' DIB frames }, idx1 } — the canonical
@@ -600,11 +607,27 @@ object VideoCodec {
     * fingerprints. */
   def fingerprintStream(media: DataFrame, watermark: String): DataFrame = {
     import media.sparkSession.implicits._
-    media.select(col("media_id").cast("long"), col("w").cast("int"),
-        col("h").cast("int"), col("nf").cast("int"), col("ts"))
+    // quarantine BEFORE any narrowing cast, on try_cast'd wide values
+    // (the RealCodec stream stance: under ANSI a narrowing cast or an
+    // overflowing product in the predicate would itself crash-loop the
+    // replayed micro-batch). Dims bound individually before the
+    // products, so w·h ≤ 2^44 and w·h·nf ≤ 2^34 — no Long overflow;
+    // nf is ALSO capped on its own: per-frame container + decoder
+    // overhead means a w=h=1, nf=4M spec would cost minutes of CPU
+    // while passing a pixels-only budget
+    media.select(expr("try_cast(media_id AS BIGINT)").as("media_id"),
+        expr("try_cast(w AS BIGINT)").as("w"),
+        expr("try_cast(h AS BIGINT)").as("h"),
+        expr("try_cast(nf AS BIGINT)").as("nf"), col("ts"))
       .filter(col("media_id").isNotNull && col("ts").isNotNull &&
-        col("w") > 0 && col("h") > 0 && col("nf") > 0 &&
-        col("w").cast("long") * col("h") * col("nf") <= RealCodec.MaxStreamPixels)
+        col("w").between(1, RealCodec.MaxStreamPixels) &&
+        col("h").between(1, RealCodec.MaxStreamPixels) &&
+        col("nf").between(1, MaxStreamFrames) &&
+        col("w") * col("h") <= RealCodec.MaxStreamPixels &&
+        col("w") * col("h") * col("nf") <= RealCodec.MaxStreamPixels)
+      .select(col("media_id"), col("w").cast("int").as("w"),
+        col("h").cast("int").as("h"), col("nf").cast("int").as("nf"),
+        col("ts"))
       .as[(Long, Int, Int, Int, java.sql.Timestamp)]
       .mapPartitions { it =>
         aviRoundTrip(it.map { case (id, w, h, nf, t) =>

@@ -100,12 +100,14 @@ class StreamingMediaSpec extends SparkSpec {
       // batch 2: a re-encoded twin + two poison records (n=0 and an
       // oversized n that would allocate a multi-GB PCM buffer)
       input.addData((9L + 65536L, 200, 16000, ts(3)),
-        (66L, 0, 16000, ts(3)), (67L, Int.MaxValue, 16000, ts(3)))
+        (66L, 0, 16000, ts(3)), (67L, Int.MaxValue, 16000, ts(3)),
+        (68L, 100, 2000000000, ts(3))) // rate past MaxStreamRate:
+      // encodeWav's byte-rate field (rate*2) would overflow Int
       q.processAllAvailable()
       assert(spark.table("audio_fp_test").count() == 2,
         "twin must be suppressed, poison quarantined")
       assert(spark.table("audio_fp_test")
-        .filter($"media_id".isin(66L, 67L)).count() == 0)
+        .filter($"media_id".isin(66L, 67L, 68L)).count() == 0)
     } finally q.stop()
   }
 
@@ -136,12 +138,14 @@ class StreamingMediaSpec extends SparkSpec {
       // a re-post of the whole clip (frame seeds differ by 16128 ≡ 0
       // mod 256 → every frame a perceptual twin) + a poison record
       input.addData((5L + 16128L, 10, 9, 3, ts(2)),
-        (77L, 50000, 50000, 4, ts(2))) // poison: w·h·nf over budget
+        (77L, 50000, 50000, 4, ts(2)), // poison: w·h·nf over budget
+        (78L, 1, 1, 50000, ts(2))) // poison: nf bomb — tiny pixels but
+      // 50k container chunks + BMP decodes, caught by the nf cap alone
       q.processAllAvailable()
       assert(spark.table("video_fp_test").count() == fps5.size,
         "re-posted clip's frames must all be suppressed")
       assert(spark.table("video_fp_test")
-        .filter($"media_id" === 77L).count() == 0, "poison leaked")
+        .filter($"media_id".isin(77L, 78L)).count() == 0, "poison leaked")
       // a genuinely new clip passes exactly its novel fingerprints
       input.addData((6L, 12, 11, 2, ts(3)))
       q.processAllAvailable()
