@@ -162,6 +162,11 @@ object SparkEntry {
     Seq(GQuery("q_video_dedup_serve",
       graft.operators.VideoCodec.videoDedupServe _,
       Some(graft.operators.VideoCodec.videoDedupServeOracle))),
+    // temporal continuity: consecutive-frame perceptual distance, the
+    // scene-cut/keyframe primitive before frame sampling
+    Seq(GQuery("q_video_scenes",
+      graft.operators.VideoCodec.videoSceneCensus _,
+      Some(graft.operators.VideoCodec.videoSceneOracle))),
     Seq(GQuery("q_frame_sample",
       graft.operators.Multimodal.frameSample _,
       Some("""WITH m AS (

@@ -687,6 +687,61 @@ object VideoCodec {
       |    AS BIGINT) AS xor_checksum
       |FROM pairs""".stripMargin
 
+  /** q_video_scenes: temporal continuity analysis over REAL decoded
+    * frames — the keyframe/scene-cut primitive a vision-language
+    * training pipeline runs before frame sampling (adjacent frames in
+    * one scene are near-duplicates; sampling every frame wastes the
+    * token budget, sampling across a cut loses the transition). Each
+    * frame's dHash is compared to its successor's (lead over the
+    * frame order within a video), and the census is the DISTRIBUTION
+    * of consecutive-frame Hamming distances — threshold-free, the
+    * q_simhash_calibration stance: a pipeline reads the distribution
+    * and places its scene-cut threshold at the valley, rather than
+    * this operator baking one in. Under the synthetic law the
+    * perceptual gradient shifts only at mod-256 wrap crossings, so the
+    * distances spread over a real multi-valued distribution.
+    *
+    * Scale shape: decode + dHash scan-local; the window partitions by
+    * video id over ≤ nf 8-byte fingerprints per partition (frame count
+    * is bounded per video by the spec law — no hot-window risk), and
+    * the census groups by the ≤ 65 distance values. */
+  def videoSceneCensus(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val fps = videoSpecs(spark, dir, lit(true))
+      .mapPartitions { it =>
+        aviRoundTrip(it.map((_, ()))).map { case (id, _, f, img, _) =>
+          (id, f, RealCodec.dHash(img))
+        }
+      }
+      .toDF("vid", "f", "fp")
+    val w = Window.partitionBy(col("vid")).orderBy(col("f"))
+    fps.withColumn("fpn", lead(col("fp"), 1).over(w))
+      .filter(col("fpn").isNotNull)
+      .select(col("vid"),
+        expr("bit_count(fp ^ fpn)").cast("long").as("hamming"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("vid")).as("n_videos"))
+  }
+
+  /** q_video_scenes oracle: the shared frame-law fingerprints, video id
+    * and frame index unpacked from the frame identity, lead() over the
+    * frame order, Hamming via bit_count on the BIGINT xor, grouped by
+    * distance. */
+  val videoSceneOracle: String =
+    s"""WITH $videoFpLawSql,
+      |fr AS (SELECT media_id // 8 AS vid, media_id % 8 AS f, fp FROM fp),
+      |p AS (SELECT vid, fp,
+      |        lead(fp) OVER (PARTITION BY vid ORDER BY f) AS fpn
+      |      FROM fr),
+      |d AS (SELECT vid, bit_count(xor(fp, fpn)) AS hamming
+      |      FROM p WHERE fpn IS NOT NULL)
+      |SELECT CAST(hamming AS BIGINT) AS hamming,
+      |  COUNT(*) AS n_transitions,
+      |  COUNT(DISTINCT vid) AS n_videos
+      |FROM d GROUP BY 1""".stripMargin
+
   /** q_video_dedup_serve oracle: same law-derived frame fingerprints;
     * the batch/history split runs on the VIDEO id (media_id // 8 — the
     * frame id packs doc_id·8 + f), left join on the BIGINT

@@ -52,7 +52,11 @@ class LocalClusterSpec extends AnyFunSuite {
     // r14: the real-codec scan — ImageIO writer/reader instantiated
     // INSIDE the task closure must initialize its plugin registry on a
     // real executor JVM, not inherit the driver's
-    "q_image_decode")
+    "q_image_decode",
+    // r15: the AVI container codec + per-frame BMP decode, and the
+    // persisted-fingerprint serve (DeferredIngest index built from a
+    // codec scan) — both must survive real cross-JVM execution
+    "q_video_decode", "q_image_dedup_serve")
 
   private def session(master: String): SparkSession = {
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()

@@ -151,6 +151,26 @@ class VideoCodecSpec extends SparkSpec {
     assert(row.getLong(5) == groups.keys.map(pmod).sum)
   }
 
+  test("q_video_scenes distribution matches the law and is nondegenerate") {
+    val rows = graft.operators.VideoCodec.videoSceneCensus(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ids = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val transitions = for {
+      id <- ids.toSeq
+      f <- 0 until (id % 5 + 2).toInt - 1
+    } yield (id, java.lang.Long.bitCount(frameLawFp(id, f) ^ frameLawFp(id, f + 1)).toLong)
+    val byHam = transitions.groupBy(_._2)
+    assert(rows.keySet == byHam.keySet, "distance support drifted")
+    for ((ham, g) <- byHam) {
+      assert(rows(ham) == ((g.size.toLong, g.map(_._1).distinct.size.toLong)),
+        s"distribution drifted at hamming=$ham")
+    }
+    // threshold-free means the distribution must actually spread: a
+    // single-valued support would make the scene dial meaningless
+    assert(rows.size >= 3, s"degenerate distance support: ${rows.keySet}")
+  }
+
   test("q_video_decode census matches the law re-derived in Scala") {
     val rows = VideoCodec.videoDecodeStats(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r).toMap
