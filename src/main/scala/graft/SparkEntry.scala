@@ -100,6 +100,11 @@ object SparkEntry {
     Seq(GQuery("q_audio_decode",
       graft.operators.RealCodec.audioDecodeStats _,
       Some(graft.operators.RealCodec.audioDecodeOracle))),
+    // REAL DSP: linear-interpolation rate normalization (both
+    // directions), integer-exact, re-encoded header under test
+    Seq(GQuery("q_audio_resample",
+      graft.operators.RealCodec.audioResampleStats _,
+      Some(graft.operators.RealCodec.audioResampleOracle))),
     // dedup extended to the image modality: dHash perceptual fingerprints
     // over REAL decoded pixels, keep-first groups bit-identical to the
     // oracle's law-resampled BIGINT packing (sign bit included)

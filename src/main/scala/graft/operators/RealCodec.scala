@@ -625,11 +625,20 @@ object RealCodec {
     * would be malformed to strict external decoders, while an unknown
     * private chunk is exactly what the RIFF skip rule exists for). */
   def encodeWav(mediaId: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
-    require(nSamples > 0 && sampleRate > 0,
-      s"encodeWav: bad shape n=$nSamples rate=$sampleRate")
+    require(nSamples > 0, s"encodeWav: bad shape n=$nSamples")
+    encodeWavSamples(mediaId,
+      Array.tabulate(nSamples)(t => sampleAt(mediaId, t).toShort), sampleRate)
+  }
+
+  /** The RIFF/WAVE writer over explicit samples — [[encodeWav]] feeds
+    * it the law; [[resampleWav]] feeds it interpolated PCM. */
+  private def encodeWavSamples(mediaId: Long, samples: Array[Short],
+      sampleRate: Int): Array[Byte] = {
+    require(samples.nonEmpty && sampleRate > 0,
+      s"encodeWav: bad shape n=${samples.length} rate=$sampleRate")
     val tag = s"graft:$mediaId".getBytes("US-ASCII")
     val tagPadded = tag.length + (tag.length & 1)
-    val dataLen = nSamples * 2
+    val dataLen = samples.length * 2
     val riffLen = 4 + (8 + 16) + (8 + tagPadded) + (8 + dataLen)
     val buf = ByteBuffer.allocate(8 + riffLen).order(ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
@@ -645,11 +654,49 @@ object RealCodec {
     if ((tag.length & 1) == 1) buf.put(0.toByte) // RIFF even-size pad
     buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var t = 0
-    while (t < nSamples) {
-      buf.putShort(sampleAt(mediaId, t).toShort)
+    while (t < samples.length) {
+      buf.putShort(samples(t))
       t += 1
     }
     buf.array()
+  }
+
+  /** Linear-interpolation PCM resampling over a REAL-parsed WAV — the
+    * rate-normalization step an audio training pipeline runs before
+    * featurization (ASR stacks standardize on one rate; a corpus
+    * arrives at many). Parse → interpolate → re-encode, all real:
+    * output sample k sits at source position k·srcRate/outRate and is
+    * the exact integer-weighted average of its two neighbors, computed
+    * in UNSIGNED space (sample + 32768) so the floor division is
+    * unambiguous across engines — the q_audio_resample oracle replays
+    * the identical arithmetic on the sample law. Output length
+    * ⌊(n−1)·outRate/srcRate⌋ + 1 (endpoints preserved: position 0 and
+    * the last exactly-representable source instant). */
+  def resampleWav(mediaId: Long, bytes: Array[Byte], outRate: Int): Array[Byte] = {
+    require(outRate > 0, s"resampleWav: bad rate $outRate")
+    val (buf, srcRate, n) = walkWav(bytes)
+    val src = new Array[Int](n)
+    var t = 0
+    while (t < n) { src(t) = buf.getShort.toInt; t += 1 }
+    val n2 = ((n - 1).toLong * outRate / srcRate).toInt + 1
+    val out = new Array[Short](n2)
+    var k = 0
+    while (k < n2) {
+      val num = k.toLong * srcRate
+      val p = (num / outRate).toInt
+      val rem = num % outRate
+      out(k) =
+        if (rem == 0 || p + 1 >= n) src(p).toShort
+        else {
+          // weighted average on unsigned values: every operand is
+          // nonnegative, so the floor division matches SQL's // exactly
+          val ua = (src(p) + 32768).toLong
+          val ub = (src(p + 1) + 32768).toLong
+          ((ua * (outRate - rem) + ub * rem) / outRate - 32768).toShort
+        }
+      k += 1
+    }
+    encodeWavSamples(mediaId, out, outRate)
   }
 
   /** Decoded-clip census row. */
@@ -930,6 +977,70 @@ object RealCodec {
         min(col("amp_min")).cast("long").as("amp_min"),
         max(col("amp_max")).cast("long").as("amp_max"))
   }
+
+  /** q_audio_resample: rate normalization as a REAL DSP pass — every
+    * clip RIFF-encoded, parsed, linearly resampled to the OTHER rate
+    * (16 kHz clips down to 8 kHz, 8 kHz clips up to 16 kHz — both
+    * directions exercised), re-encoded, then REAL-parsed again and
+    * censused by the DECODED output rate (the re-encoded header is
+    * itself under test). The interpolation arithmetic is integer-exact
+    * (unsigned weighted average), so the oracle replays it on the
+    * sample law value-for-value — a resampler off-by-one, a rounding
+    * drift, or a header slip all shift a sum. Scan-local like every
+    * codec pass; shuffles only the 2-group census. */
+  def audioResampleStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioSpecs(spark, dir, lit(true))
+      .mapPartitions { it =>
+        it.map { s =>
+          val outRate = if (s.rate == 16000) 8000 else 16000
+          decodeWav(s.media_id,
+            resampleWav(s.media_id, encodeWav(s.media_id, s.n, s.rate), outRate))
+        }
+      }
+      .toDF()
+      .groupBy(col("sample_rate").cast("long").as("sample_rate"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("n_samples")).as("n_samples"),
+        sum(col("amp_sum")).as("amp_sum"),
+        sum(col("amp_abs_sum")).as("amp_abs_sum"),
+        min(col("amp_min")).cast("long").as("amp_min"),
+        max(col("amp_max")).cast("long").as("amp_max"))
+  }
+
+  /** q_audio_resample oracle: the law resampled arithmetically. The
+    * 2:1 ratio makes every output either an exact source sample (down:
+    * t = 2k; up even k: t = k/2) or the unsigned midpoint of two
+    * neighbors (up odd k) — the raw law value (id·104729 + t·7919) mod
+    * 65536 IS the unsigned sample, so the midpoint is their floor-mean
+    * re-centered. Output length ⌊(n−1)·R2/R1⌋ + 1 mirrors the
+    * resampler's endpoint convention. */
+  val audioResampleOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS rate,
+      |    (doc_id % 256) + 64 AS n
+      |  FROM documents),
+      |o AS (
+      |  SELECT id, rate, n,
+      |    CASE WHEN rate = 16000 THEN 8000 ELSE 16000 END AS sample_rate,
+      |    CASE WHEN rate = 16000 THEN (n - 1) // 2 + 1 ELSE 2 * n - 1 END AS n2
+      |  FROM m),
+      |s AS (
+      |  SELECT id, sample_rate,
+      |    CASE
+      |      WHEN rate = 16000 THEN ((id*104729 + (2*k.k)*7919) % 65536) - 32768
+      |      WHEN k.k % 2 = 0 THEN ((id*104729 + (k.k // 2)*7919) % 65536) - 32768
+      |      ELSE (((id*104729 + (k.k // 2)*7919) % 65536)
+      |          + ((id*104729 + (k.k // 2 + 1)*7919) % 65536)) // 2 - 32768
+      |    END AS amp
+      |  FROM o CROSS JOIN range(640) k(k) WHERE k.k < n2)
+      |SELECT sample_rate, COUNT(DISTINCT id) AS n_clips, COUNT(*) AS n_samples,
+      |  CAST(SUM(amp) AS BIGINT) AS amp_sum,
+      |  CAST(SUM(ABS(amp)) AS BIGINT) AS amp_abs_sum,
+      |  CAST(MIN(amp) AS BIGINT) AS amp_min,
+      |  CAST(MAX(amp) AS BIGINT) AS amp_max
+      |FROM s GROUP BY 1""".stripMargin
 
   /** q_audio_decode oracle: the sample law re-summed arithmetically. */
   val audioDecodeOracle: String =

@@ -131,6 +131,49 @@ class RealCodecSpec extends SparkSpec {
     }
   }
 
+  test("PCM resample matches a driver replay: 2:1 both ways, identity, 3:1") {
+    def lawSamples(id: Long, n: Int): Array[Int] =
+      Array.tabulate(n)(t => RealCodec.sampleAt(id, t))
+    def resampled(id: Long, n: Int, srcRate: Int, outRate: Int): Array[Int] = {
+      val bytes = RealCodec.resampleWav(id,
+        RealCodec.encodeWav(id, n, srcRate), outRate)
+      val d = RealCodec.decodeWav(id, bytes)
+      assert(d.sample_rate == outRate, "re-encoded header rate drifted")
+      // the encoder writes the data chunk last, so the samples are the
+      // final n_samples·2 bytes — read the VALUES, not just the stats
+      val all = new Array[Int](d.n_samples.toInt)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.position(bytes.length - all.length * 2)
+      var i = 0
+      while (i < all.length) { all(i) = bb.getShort.toInt; i += 1 }
+      all
+    }
+    def reference(src: Array[Int], srcRate: Int, outRate: Int): Array[Int] = {
+      val n2 = ((src.length - 1).toLong * outRate / srcRate).toInt + 1
+      Array.tabulate(n2) { k =>
+        val num = k.toLong * srcRate
+        val p = (num / outRate).toInt
+        val rem = num % outRate
+        if (rem == 0 || p + 1 >= src.length) src(p)
+        else {
+          val ua = (src(p) + 32768).toLong
+          val ub = (src(p + 1) + 32768).toLong
+          ((ua * (outRate - rem) + ub * rem) / outRate - 32768).toInt
+        }
+      }
+    }
+    for (id <- Seq(7L, 8L, 2_000_000_001L)) {
+      val src = lawSamples(id, 100)
+      // identity: same rate in and out must be byte-for-byte the samples
+      assert(resampled(id, 100, 16000, 16000).toSeq == src.toSeq)
+      // 2:1 down, 1:2 up, and a non-dyadic 3:1 down
+      for ((r1, r2) <- Seq((16000, 8000), (8000, 16000), (48000, 16000)))
+        assert(resampled(id, 100, r1, r2).toSeq ==
+          reference(src, r1, r2).toSeq, s"resample drifted at $r1->$r2")
+    }
+  }
+
   test("WAV parser rejects bad magic, truncation, and non-PCM shapes loudly") {
     val good = RealCodec.encodeWav(5L, 100, 16000)
     def msg(e: Throwable) = Option(e.getMessage).getOrElse("")
