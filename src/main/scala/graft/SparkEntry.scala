@@ -105,6 +105,11 @@ object SparkEntry {
     Seq(GQuery("q_audio_resample",
       graft.operators.RealCodec.audioResampleStats _,
       Some(graft.operators.RealCodec.audioResampleOracle))),
+    // REAL raster resize: decode -> nearest-neighbor resample to the
+    // fixed model-input shape -> positional-checksum census
+    Seq(GQuery("q_image_resize",
+      graft.operators.RealCodec.imageResizeStats _,
+      Some(graft.operators.RealCodec.imageResizeOracle))),
     // dedup extended to the image modality: dHash perceptual fingerprints
     // over REAL decoded pixels, keep-first groups bit-identical to the
     // oracle's law-resampled BIGINT packing (sign bit included)

@@ -247,6 +247,99 @@ object RealCodec {
       |  CAST(MAX(lum_max) AS BIGINT) AS lum_max
       |FROM px GROUP BY 1""".stripMargin
 
+  /** REAL raster resize — nearest-neighbor resample of a DECODED image
+    * to `ow`×`oh` (out pixel (i,j) reads source (i·h/oh, j·w/ow), the
+    * same integer index convention as [[dHash]]'s grid) — the thumbnail
+    * / fixed-input-shape step a vision training pipeline runs between
+    * decode and the model. Replaces nothing downstream: the output is
+    * a real raster other codec passes consume. */
+  def resizeImage(img: BufferedImage, ow: Int, oh: Int): BufferedImage = {
+    require(ow > 0 && oh > 0, s"resizeImage: bad dims ${ow}x$oh")
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w > 0 && h > 0, s"resizeImage: empty source ${w}x$h")
+    val out = new BufferedImage(ow, oh, BufferedImage.TYPE_BYTE_GRAY)
+    val src = img.getRaster
+    val dst = out.getRaster
+    var i = 0
+    while (i < oh) {
+      val si = i * h / oh
+      var j = 0
+      while (j < ow) {
+        dst.setSample(j, i, 0, src.getSample(j * w / ow, si, 0))
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** q_image_resize: decode → REAL nearest-neighbor resize to a fixed
+    * 12×10 model-input shape → census of the RESIZED rasters (sums,
+    * extrema, and a positional checksum that pins every pixel to its
+    * coordinate — a transposed or mirrored resize shifts it). The
+    * resize consumes genuinely decoded rasters (PNG round-trip), and
+    * the oracle replays the index math on the pixel law. Scan-local;
+    * shuffles one census row. */
+  def imageResizeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageSpecs(spark, dir, lit(true))
+      .mapPartitions { it =>
+        pngRoundTrip(it.map((_, ()))).map { case (id, img, _) =>
+          val r = resizeImage(img, 12, 10)
+          val raster = r.getRaster
+          var s = 0L
+          var pos = 0L
+          var mn = 256
+          var mx = -1
+          var i = 0
+          while (i < 10) {
+            var j = 0
+            while (j < 12) {
+              val g = raster.getSample(j, i, 0)
+              s += g
+              pos += g.toLong * (i * 12 + j + 1)
+              if (g < mn) mn = g
+              if (g > mx) mx = g
+              j += 1
+            }
+            i += 1
+          }
+          (id, s, pos, mn, mx)
+        }
+      }
+      .toDF("media_id", "lum_sum", "pos_checksum", "lum_min", "lum_max")
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("lum_sum")).as("lum_sum"),
+        sum(pmod(col("pos_checksum"), lit(1000000007L))).as("pos_checksum"),
+        min(col("lum_min")).cast("long").as("lum_min"),
+        max(col("lum_max")).cast("long").as("lum_max"))
+  }
+
+  /** q_image_resize oracle: the pixel law at the resampled indices —
+    * out (i,j) of image id reads law point (i·h/10, j·w/12). */
+  val imageResizeOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    (doc_id % 9) + 8 AS w, (doc_id % 7) + 8 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT media_id,
+      |    (((i.i * h) // 10) * 31 + ((j.j * w) // 12) * 17 + media_id) % 256 AS g,
+      |    i.i * 12 + j.j + 1 AS pos
+      |  FROM m CROSS JOIN range(10) i(i) CROSS JOIN range(12) j(j)),
+      |per AS (
+      |  SELECT media_id, SUM(g) AS lum_sum,
+      |    SUM(g * pos) AS pos_checksum,
+      |    MIN(g) AS lum_min, MAX(g) AS lum_max
+      |  FROM px GROUP BY 1)
+      |SELECT COUNT(*) AS n_images,
+      |  CAST(SUM(lum_sum) AS BIGINT) AS lum_sum,
+      |  CAST(SUM(((pos_checksum % 1000000007) + 1000000007) % 1000000007)
+      |    AS BIGINT) AS pos_checksum,
+      |  CAST(MIN(lum_min) AS BIGINT) AS lum_min,
+      |  CAST(MAX(lum_max) AS BIGINT) AS lum_max
+      |FROM per""".stripMargin
+
   // ------------------------------------------- perceptual-hash image dedup
 
   /** dHash (difference hash) of a DECODED image: nearest-neighbor resample

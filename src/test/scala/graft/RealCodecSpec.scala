@@ -45,6 +45,29 @@ class RealCodecSpec extends SparkSpec {
     assert(d.lumMin >= 0 && d.lumMax <= 255)
   }
 
+  test("raster resize matches the law at the resampled indices, both directions") {
+    for (id <- Seq(3L, 2_200_000_123L); (w, h) <- Seq((8, 14), (16, 8));
+         (ow, oh) <- Seq((12, 10), (4, 4), (20, 20))) {
+      val r = RealCodec.resizeImage(RealCodec.renderGray(id, w, h), ow, oh)
+      assert(r.getWidth == ow && r.getHeight == oh)
+      for (i <- 0 until oh; j <- 0 until ow)
+        assert(r.getRaster.getSample(j, i, 0) ==
+          RealCodec.grayAt(id, i * h / oh, j * w / ow),
+          s"resize drifted id=$id ${w}x$h -> ${ow}x$oh at ($i,$j)")
+    }
+    // the positional checksum is direction-sensitive: a transposed
+    // resize of a non-square raster must not checksum-collide
+    def posSum(img: java.awt.image.BufferedImage): Long = {
+      var s = 0L
+      for (i <- 0 until img.getHeight; j <- 0 until img.getWidth)
+        s += img.getRaster.getSample(j, i, 0).toLong * (i * img.getWidth + j + 1)
+      s
+    }
+    val src = RealCodec.renderGray(11L, 9, 13)
+    assert(posSum(RealCodec.resizeImage(src, 12, 10)) !=
+      posSum(RealCodec.resizeImage(src, 10, 12)))
+  }
+
   test("garbage and truncated image payloads fail loudly") {
     val e1 = intercept[IllegalArgumentException] {
       RealCodec.decodeImage("not an image at all".getBytes("UTF-8"))
