@@ -110,6 +110,11 @@ object SparkEntry {
     Seq(GQuery("q_image_resize",
       graft.operators.RealCodec.imageResizeStats _,
       Some(graft.operators.RealCodec.imageResizeOracle))),
+    // augmentation: flip/rotate coordinate permutations of decoded
+    // rasters; the positional checksum pins pixels to permuted coords
+    Seq(GQuery("q_image_augment",
+      graft.operators.RealCodec.imageAugmentStats _,
+      Some(graft.operators.RealCodec.imageAugmentOracle))),
     // dedup extended to the image modality: dHash perceptual fingerprints
     // over REAL decoded pixels, keep-first groups bit-identical to the
     // oracle's law-resampled BIGINT packing (sign bit included)

@@ -315,6 +315,103 @@ object RealCodec {
         max(col("lum_max")).cast("long").as("lum_max"))
   }
 
+  /** REAL raster augmentation — the flip/rotate family a vision
+    * training pipeline multiplies its corpus with. Index maps (out
+    * (i,j) reads source …): hflip (i, w−1−j); vflip (h−1−i, j); rot180
+    * (h−1−i, w−1−j). All lossless coordinate permutations of the
+    * DECODED raster, so the law oracle replays them exactly. */
+  def augmentImage(img: BufferedImage, kind: String): BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val src = img.getRaster
+    val dst = out.getRaster
+    var i = 0
+    while (i < h) {
+      var j = 0
+      while (j < w) {
+        val g = kind match {
+          case "hflip" => src.getSample(w - 1 - j, i, 0)
+          case "vflip" => src.getSample(j, h - 1 - i, 0)
+          case "rot180" => src.getSample(w - 1 - j, h - 1 - i, 0)
+          case other =>
+            throw new IllegalArgumentException(s"augmentImage: unknown kind '$other'")
+        }
+        dst.setSample(j, i, 0, g)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** q_image_augment: decode → the three flips/rotations per image →
+    * per-variant positional-checksum census. The value sums are
+    * flip-invariant by construction (the same pixels in a different
+    * order), so the POSITIONAL checksum is the load-bearing column:
+    * it proves each variant's pixels landed at the permuted
+    * coordinates, per variant. One decode feeds all variants
+    * (augmentation multiplies examples, not decode cost). */
+  def imageAugmentStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageSpecs(spark, dir, lit(true))
+      .mapPartitions { it =>
+        pngRoundTrip(it.map((_, ()))).flatMap { case (id, img, _) =>
+          Seq("hflip", "vflip", "rot180").map { k =>
+            val a = augmentImage(img, k)
+            val raster = a.getRaster
+            var s = 0L
+            var pos = 0L
+            var i = 0
+            while (i < a.getHeight) {
+              var j = 0
+              while (j < a.getWidth) {
+                val g = raster.getSample(j, i, 0)
+                s += g
+                pos += g.toLong * (i * a.getWidth + j + 1)
+                j += 1
+              }
+              i += 1
+            }
+            (k, id, s, pos)
+          }
+        }
+      }
+      .toDF("variant", "media_id", "lum_sum", "pos_checksum")
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("lum_sum")).as("lum_sum"),
+        sum(pmod(col("pos_checksum"), lit(1000000007L))).as("pos_checksum"))
+  }
+
+  /** q_image_augment oracle: the pixel law at the permuted indices per
+    * variant — one lateral grid, three index maps. */
+  val imageAugmentOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    (doc_id % 9) + 8 AS w, (doc_id % 7) + 8 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT media_id, v.variant,
+      |    (CASE v.variant
+      |       WHEN 'hflip' THEN (i.i*31 + (w-1-j.j)*17 + media_id)
+      |       WHEN 'vflip' THEN ((h-1-i.i)*31 + j.j*17 + media_id)
+      |       ELSE ((h-1-i.i)*31 + (w-1-j.j)*17 + media_id)
+      |     END) % 256 AS g,
+      |    i.i * w + j.j + 1 AS pos
+      |  FROM m
+      |  CROSS JOIN (SELECT unnest(['hflip','vflip','rot180']) AS variant) v
+      |  CROSS JOIN range(14) i(i) CROSS JOIN range(16) j(j)
+      |  WHERE i.i < h AND j.j < w),
+      |per AS (
+      |  SELECT media_id, variant, SUM(g) AS lum_sum,
+      |    SUM(g * pos) AS pos_checksum
+      |  FROM px GROUP BY 1, 2)
+      |SELECT variant, COUNT(*) AS n_images,
+      |  CAST(SUM(lum_sum) AS BIGINT) AS lum_sum,
+      |  CAST(SUM(((pos_checksum % 1000000007) + 1000000007) % 1000000007)
+      |    AS BIGINT) AS pos_checksum
+      |FROM per GROUP BY 1""".stripMargin
+
   /** q_image_resize oracle: the pixel law at the resampled indices —
     * out (i,j) of image id reads law point (i·h/10, j·w/12). */
   val imageResizeOracle: String =

@@ -68,6 +68,26 @@ class RealCodecSpec extends SparkSpec {
       posSum(RealCodec.resizeImage(src, 10, 12)))
   }
 
+  test("augmentation permutes coordinates exactly; double-flip is identity") {
+    val img = RealCodec.renderGray(23L, 11, 9)
+    def px(im: java.awt.image.BufferedImage)(i: Int, j: Int) =
+      im.getRaster.getSample(j, i, 0)
+    val (hf, vf, r2) = (RealCodec.augmentImage(img, "hflip"),
+      RealCodec.augmentImage(img, "vflip"), RealCodec.augmentImage(img, "rot180"))
+    for (i <- 0 until 9; j <- 0 until 11) {
+      assert(px(hf)(i, j) == px(img)(i, 10 - j))
+      assert(px(vf)(i, j) == px(img)(8 - i, j))
+      assert(px(r2)(i, j) == px(img)(8 - i, 10 - j))
+    }
+    // involution: flipping twice restores the original, pixel-exact
+    val back = RealCodec.augmentImage(hf, "hflip")
+    for (i <- 0 until 9; j <- 0 until 11)
+      assert(px(back)(i, j) == px(img)(i, j))
+    assertThrows[IllegalArgumentException] {
+      RealCodec.augmentImage(img, "rot90")
+    }
+  }
+
   test("garbage and truncated image payloads fail loudly") {
     val e1 = intercept[IllegalArgumentException] {
       RealCodec.decodeImage("not an image at all".getBytes("UTF-8"))
