@@ -506,7 +506,7 @@ object RealCodec {
     * provably identical (only the corpus-count alias differs). Shuffle
     * carries 8-byte fingerprints + counters, never payloads; a hot
     * fingerprint combines map-side into one row per task. */
-  private[operators] def keepFirstCensus(fps: DataFrame, countAlias: String): DataFrame =
+  private[graft] def keepFirstCensus(fps: DataFrame, countAlias: String): DataFrame =
     fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("n"), min(col("media_id")).as("kept"))
       .agg(sum(col("n")).as(countAlias),
@@ -543,7 +543,7 @@ object RealCodec {
     * recovered from group sizes. `pairAlias` names the modality's
     * payload-pair count column; everything else is provably identical
     * across modalities because it is the same body. */
-  private[operators] def nearDupCensus(fps: DataFrame, pairAlias: String): DataFrame = {
+  private[graft] def nearDupCensus(fps: DataFrame, pairAlias: String): DataFrame = {
     import graft.queries.TextPipeline.{simBlockOff64, simBlockMod64}
     val groups = fps
       .groupBy(col("fp"))
@@ -673,7 +673,7 @@ object RealCodec {
     * the distinct() collapses it to the fingerprint SET serving needs
     * (8 bytes per distinct fingerprint through the join, map-side
     * combined). */
-  private[operators] def dedupServe(history: DataFrame, batch: DataFrame): DataFrame = {
+  private[graft] def dedupServe(history: DataFrame, batch: DataFrame): DataFrame = {
     val hist = history.select(col("fp")).distinct().withColumn("dup", lit(1L))
     batch
       .join(hist, Seq("fp"), "left")

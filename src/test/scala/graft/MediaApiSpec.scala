@@ -1,0 +1,100 @@
+package graft
+
+import graft.api.Media
+import graft.operators.{RealCodec, VideoCodec}
+
+/** The payload-driven media facade: REAL encoded bytes in (not law
+  * specs), fingerprints out, delegating to the same shared bodies the
+  * oracle queries pin — plus the quarantine contract at the boundary
+  * where external bytes enter (corrupt payloads → NULL fingerprints,
+  * never a job-killing throw). */
+class MediaApiSpec extends SparkSpec {
+
+  private def dims(id: Long) = ((id % 9 + 8).toInt, (id % 7 + 8).toInt)
+
+  private def imagePayload(id: Long, fmt: String): Array[Byte] = {
+    val (w, h) = dims(id)
+    RealCodec.encodeImage(RealCodec.renderGray(id, w, h), fmt)
+  }
+
+  private def lawImageFp(id: Long): Long = {
+    val (w, h) = dims(id)
+    RealCodec.dHash(RealCodec.renderGray(id, w, h))
+  }
+
+  test("image facade: real payloads fingerprint to the law; corrupt rows NULL") {
+    import spark.implicits._
+    val rows = (1L to 20L).map { id =>
+      // format varies per row: the sniffing decode must dispatch
+      (id, imagePayload(id, if (id % 2 == 0) "png" else "bmp"))
+    } :+ ((99L, "not an image".getBytes("UTF-8")))
+    val fps = Media.imageFingerprints(rows.toDF("media_id", "content"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    for (id <- 1L to 20L)
+      assert(fps(id).contains(lawImageFp(id)), s"fp drifted for $id")
+    assert(fps(99L).isEmpty, "corrupt payload must quarantine to NULL")
+    // census excludes the quarantined row and matches a driver replay
+    val census = Media.dedupCensus(
+      Media.imageFingerprints(rows.toDF("media_id", "content"))).head()
+    val groups = (1L to 20L).map(lawImageFp).groupBy(identity)
+    assert(census.getLong(0) == 20L && census.getLong(1) == groups.size.toLong)
+  }
+
+  test("audio facade: RIFF payloads fingerprint to the law; truncation NULLs") {
+    import spark.implicits._
+    def payload(id: Long) = RealCodec.encodeWav(id, (id % 256 + 64).toInt,
+      if (id % 2 == 0) 16000 else 8000)
+    def lawFp(id: Long) = RealCodec.audioFingerprint(payload(id))
+    val rows = (1L to 12L).map(id => (id, payload(id))) :+
+      ((98L, payload(3L).take(40))) // truncated mid-header
+    val fps = Media.audioFingerprints(rows.toDF("media_id", "content"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    for (id <- 1L to 12L) assert(fps(id).contains(lawFp(id)))
+    assert(fps(98L).isEmpty)
+  }
+
+  test("video facade: BOTH container profiles decode per frame; corrupt quarantines") {
+    import spark.implicits._
+    val (w, h, nf) = (10, 9, 3)
+    val rows = Seq(
+      (1L, VideoCodec.encodeAvi(1L, w, h, nf)), // DIB (lossless)
+      (2L, VideoCodec.encodeAviMjpeg(2L, w, h, nf)), // MJPEG (lossy)
+      (97L, Array.fill[Byte](64)(7))) // no RIFF magic
+    val out = Media.videoFrameFingerprints(rows.toDF("media_id", "content"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val dib = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(dib.map(_._2).toSeq == (0 until nf) &&
+      dib.forall { case (_, f, fp) =>
+        fp.contains(RealCodec.dHash(
+          RealCodec.renderGray(VideoCodec.frameSeed(1L, f), w, h)))
+      }, "DIB frames must fingerprint law-exact")
+    val mjpg = out.filter(_._1 == 2L)
+    assert(mjpg.length == nf && mjpg.forall(_._3.nonEmpty),
+      "every MJPEG frame must decode to a fingerprint")
+    assert(out.filter(_._1 == 97L).toSeq == Seq((97L, -1, None)),
+      "corrupt container must yield one quarantine row")
+  }
+
+  test("serve facade: batch-vs-history census matches a driver replay") {
+    import spark.implicits._
+    // history ids 1..10; batch = 3 perceptual twins (id + 16128: same
+    // dims, same pixels) + 2 genuinely new images
+    val hist = Media.imageFingerprints(
+      (1L to 10L).map(id => (id, imagePayload(id, "png")))
+        .toDF("media_id", "content"))
+    val batch = Media.imageFingerprints(
+      (Seq(16131L, 16133L, 16135L) ++ Seq(11L, 12L))
+        .map(id => (id, imagePayload(id, "png"))).toDF("media_id", "content"))
+    val row = Media.serveAgainstHistory(batch, hist).head()
+    val histFps = (1L to 10L).map(lawImageFp).toSet
+    val batchIds = Seq(16131L, 16133L, 16135L, 11L, 12L)
+    val dups = batchIds.count(id => histFps.contains(lawImageFp(id)))
+    assert(dups == 3, s"fixture must make exactly the twins dups, got $dups")
+    assert(row.getLong(0) == batchIds.length.toLong &&
+      row.getLong(1) == dups.toLong,
+      s"serve census drifted: $row")
+  }
+}
