@@ -120,6 +120,26 @@ object Media {
       pairAlias: String = "n_media_pairs"): DataFrame =
     RealCodec.nearDupCensus(fps.filter(col("fp").isNotNull), pairAlias)
 
+  /** Consecutive-frame perceptual-distance distribution over a
+    * [[videoFrameFingerprints]] frame — the q_video_scenes body: the
+    * caller reads the distribution and places its scene-cut threshold
+    * at the valley. Quarantine rows (NULL fp / frame_idx −1) are
+    * excluded; windows partition per video over bounded frame counts. */
+  def frameContinuity(fps: DataFrame,
+      id: String = "media_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vid")).orderBy(col("frame_idx"))
+    fps.filter(col("fp").isNotNull && col("frame_idx") >= 0)
+      .select(col(id).cast("long").as("vid"), col("frame_idx"), col("fp"))
+      .withColumn("fpn", lead(col("fp"), 1).over(w))
+      .filter(col("fpn").isNotNull)
+      .select(col("vid"),
+        expr("bit_count(fp ^ fpn)").cast("long").as("hamming"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("vid")).as("n_videos"))
+  }
+
   /** Crawl-vs-history serve: the batch censused against a history
     * fingerprint table (typically the persisted (id, fp) parquet the
     * extractors produce) — the q_*_dedup_serve body. */

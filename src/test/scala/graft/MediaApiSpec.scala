@@ -78,6 +78,25 @@ class MediaApiSpec extends SparkSpec {
       "corrupt container must yield one quarantine row")
   }
 
+  test("frame continuity facade matches a driver replay over real payloads") {
+    import spark.implicits._
+    val rows = Seq(1L, 2L, 3L).map(id =>
+      (id, VideoCodec.encodeAvi(id, 10, 9, 4))) :+
+      ((97L, Array.fill[Byte](32)(1))) // quarantined container
+    val got = Media.frameContinuity(
+      Media.videoFrameFingerprints(rows.toDF("media_id", "content")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expect = (for {
+      id <- Seq(1L, 2L, 3L)
+      f <- 0 until 3
+    } yield (id, java.lang.Long.bitCount(
+      RealCodec.dHash(RealCodec.renderGray(VideoCodec.frameSeed(id, f), 10, 9)) ^
+        RealCodec.dHash(RealCodec.renderGray(VideoCodec.frameSeed(id, f + 1), 10, 9))).toLong))
+      .groupBy(_._2)
+      .map { case (h, g) => h -> (g.size.toLong, g.map(_._1).distinct.size.toLong) }
+    assert(got == expect, s"continuity drifted:\n $got\n $expect")
+  }
+
   test("serve facade: batch-vs-history census matches a driver replay") {
     import spark.implicits._
     // history ids 1..10; batch = 3 perceptual twins (id + 16128: same
