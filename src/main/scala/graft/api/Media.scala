@@ -32,22 +32,63 @@ import graft.operators.{RealCodec, VideoCodec}
   */
 object Media {
 
+  /** Luminance view of an arbitrary decoded raster, in deterministic
+    * integer arithmetic: already-gray rasters pass through untouched;
+    * everything else (RGB, palette/IndexColorModel — `getRGB` resolves
+    * palette entries to sRGB) converts via the ITU-R 601 integer
+    * weights (299·R + 587·G + 114·B)/1000. dHash reads band 0, which
+    * for a raw multi-band raster would be ONE color channel — or a
+    * palette INDEX for GIFs, where two identical images with permuted
+    * palettes would fingerprint differently — so the facade must hash
+    * luminance, not band 0, for cross-format dedup to hold. Equal
+    * channels (r = g = b = v) map to exactly v, so gray content is
+    * format-invariant. */
+  private def lumaGray(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage =
+    if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+    else {
+      val out = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val dst = out.getRaster
+      var i = 0
+      while (i < img.getHeight) {
+        var j = 0
+        while (j < img.getWidth) {
+          val rgb = img.getRGB(j, i)
+          val y = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          dst.setSample(j, i, 0, y)
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }
+
+  /** Null-safe (id, payload) projection shared by the extractors:
+    * try_cast (never an ANSI throw on a wide/stringy external id
+    * column) and a null-id filter — a row with no identity cannot be
+    * censused, so it is quarantined here rather than crashing the
+    * primitive-Long deserializer downstream. */
+  private def idBytes(media: DataFrame, id: String, bytes: String): DataFrame =
+    media.select(expr(s"try_cast($id AS BIGINT)").as("media_id"),
+        expr(s"try_cast($bytes AS BINARY)").as("content"))
+      .filter(col("media_id").isNotNull)
+
   /** (id, fp) perceptual dHash fingerprints over real image payloads
-    * (any format the JDK sniffs: PNG/BMP/GIF/JPEG). Corrupt or
-    * unrecognized payloads yield fp = NULL. */
+    * (any format the JDK sniffs: PNG/BMP/GIF/JPEG), hashed on the
+    * LUMINANCE view so re-encodes across formats collide. Corrupt or
+    * unrecognized payloads (and null ids) yield fp = NULL / drop. */
   def imageFingerprints(media: DataFrame, id: String = "media_id",
       bytes: String = "content"): DataFrame = {
     import media.sparkSession.implicits._
-    media.select(col(id).cast("long"), col(bytes).cast("binary"))
+    idBytes(media, id, bytes)
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (mid, payload) =>
-          val fp = try {
-            val img = ImageIO.read(new ByteArrayInputStream(payload))
-            if (img == null) None else Some(RealCodec.dHash(img))
-          } catch { case _: Exception => None }
-          (mid, fp)
-        }
+      .map { case (mid, payload) =>
+        val fp = try {
+          val img = ImageIO.read(new ByteArrayInputStream(payload))
+          if (img == null) None else Some(RealCodec.dHash(lumaGray(img)))
+        } catch { case _: Exception => None }
+        (mid, fp)
       }
       .toDF("media_id", "fp")
       .withColumnRenamed("media_id", id)
@@ -58,13 +99,11 @@ object Media {
   def audioFingerprints(media: DataFrame, id: String = "media_id",
       bytes: String = "content"): DataFrame = {
     import media.sparkSession.implicits._
-    media.select(col(id).cast("long"), col(bytes).cast("binary"))
+    idBytes(media, id, bytes)
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (mid, payload) =>
-          (mid, try Some(RealCodec.audioFingerprint(payload))
-            catch { case _: Exception => None })
-        }
+      .map { case (mid, payload) =>
+        (mid, try Some(RealCodec.audioFingerprint(payload))
+          catch { case _: Exception => None })
       }
       .toDF("media_id", "fp")
       .withColumnRenamed("media_id", id)
@@ -72,32 +111,48 @@ object Media {
 
   /** (id, frame_idx, fp) per-frame dHash fingerprints over real AVI
     * payloads — BOTH container profiles decode (DIB frames re-framed
-    * through the JDK BMP codec; MJPEG frames are standalone JPEGs). A
-    * corrupt container yields one (id, -1, NULL) quarantine row; a
-    * frame the codec rejects yields (id, frame_idx, NULL). */
+    * through ONE cached BMP reader per partition — the aviRoundTrip
+    * discipline, not a per-frame plugin-registry scan; MJPEG frames
+    * are standalone JPEGs through the sniffing decode), hashed on the
+    * luminance view. A corrupt container yields one (id, -1, NULL)
+    * quarantine row; a frame the codec rejects yields
+    * (id, frame_idx, NULL). */
   def videoFrameFingerprints(media: DataFrame, id: String = "media_id",
       bytes: String = "content"): DataFrame = {
     import media.sparkSession.implicits._
-    media.select(col(id).cast("long"), col(bytes).cast("binary"))
+    idBytes(media, id, bytes)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.flatMap { case (mid, payload) =>
+        val bmpReader = ImageIO.getImageReadersByFormatName("bmp").next()
+        var disposed = false
+        val out = it.flatMap { case (mid, payload) =>
           try {
             val parsed = VideoCodec.walkAvi(payload)
             parsed.frames.iterator.zipWithIndex.map { case (bits, f) =>
-              val imgBytes =
-                if (parsed.codec == "DIB ")
-                  VideoCodec.frameToBmp(parsed.w, parsed.h, bits)
-                else bits // MJPEG: the chunk IS a standalone JPEG
               val fp = try {
-                val img = ImageIO.read(new ByteArrayInputStream(imgBytes))
-                if (img == null) None else Some(RealCodec.dHash(img))
+                val img =
+                  if (parsed.codec == "DIB ") {
+                    val iis = ImageIO.createImageInputStream(
+                      new ByteArrayInputStream(
+                        VideoCodec.frameToBmp(parsed.w, parsed.h, bits)))
+                    try { bmpReader.setInput(iis); bmpReader.read(0) }
+                    finally iis.close()
+                  } else ImageIO.read(new ByteArrayInputStream(bits))
+                if (img == null) None else Some(RealCodec.dHash(lumaGray(img)))
               } catch { case _: Exception => None }
               (mid, f, fp)
             }.toSeq
           } catch {
             case _: Exception => Seq((mid, -1, Option.empty[Long]))
           }
+        }
+        new Iterator[(Long, Int, Option[Long])] {
+          override def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h && !disposed) { disposed = true; bmpReader.dispose() }
+            h
+          }
+          override def next(): (Long, Int, Option[Long]) = out.next()
         }
       }
       .toDF("media_id", "frame_idx", "fp")
@@ -129,10 +184,17 @@ object Media {
       id: String = "media_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("vid")).orderBy(col("frame_idx"))
-    fps.filter(col("fp").isNotNull && col("frame_idx") >= 0)
+    // lead over ALL frames (quarantined ones included), THEN drop any
+    // pair touching a NULL fingerprint or non-adjacent indices: a
+    // filter-first would bridge across an undecodable frame and count
+    // frames 0 and 2 as a "consecutive" transition, planting a phantom
+    // large-distance entry right where the caller reads the cut valley
+    fps.filter(col("frame_idx") >= 0)
       .select(col(id).cast("long").as("vid"), col("frame_idx"), col("fp"))
       .withColumn("fpn", lead(col("fp"), 1).over(w))
-      .filter(col("fpn").isNotNull)
+      .withColumn("fin", lead(col("frame_idx"), 1).over(w))
+      .filter(col("fp").isNotNull && col("fpn").isNotNull &&
+        col("fin") === col("frame_idx") + 1)
       .select(col("vid"),
         expr("bit_count(fp ^ fpn)").cast("long").as("hamming"))
       .groupBy(col("hamming"))

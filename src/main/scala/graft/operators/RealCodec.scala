@@ -865,6 +865,10 @@ object RealCodec {
   def resampleWav(mediaId: Long, bytes: Array[Byte], outRate: Int): Array[Byte] = {
     require(outRate > 0, s"resampleWav: bad rate $outRate")
     val (buf, srcRate, n) = walkWav(bytes)
+    // walkWav accepts a well-formed empty data chunk; resampling it
+    // would truncate (n-1)·R2/R1 toward zero and index into an empty
+    // array — fail with the codec family's loud diagnostic instead
+    require(n > 0, "resampleWav: empty PCM data (no samples to resample)")
     val src = new Array[Int](n)
     var t = 0
     while (t < n) { src(t) = buf.getShort.toInt; t += 1 }

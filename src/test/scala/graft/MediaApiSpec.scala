@@ -25,8 +25,10 @@ class MediaApiSpec extends SparkSpec {
   test("image facade: real payloads fingerprint to the law; corrupt rows NULL") {
     import spark.implicits._
     val rows = (1L to 20L).map { id =>
-      // format varies per row: the sniffing decode must dispatch
-      (id, imagePayload(id, if (id % 2 == 0) "png" else "bmp"))
+      // format varies per row: the sniffing decode must dispatch, and
+      // GIF exercises the palette path — dHash on the raw band 0 would
+      // hash palette INDICES; the luminance view restores the pixels
+      (id, imagePayload(id, Seq("png", "bmp", "gif")((id % 3).toInt)))
     } :+ ((99L, "not an image".getBytes("UTF-8")))
     val fps = Media.imageFingerprints(rows.toDF("media_id", "content"))
       .collect().map(r => r.getLong(0) ->
@@ -95,6 +97,41 @@ class MediaApiSpec extends SparkSpec {
       .groupBy(_._2)
       .map { case (h, g) => h -> (g.size.toLong, g.map(_._1).distinct.size.toLong) }
     assert(got == expect, s"continuity drifted:\n $got\n $expect")
+  }
+
+  test("cross-format dedup: the same pixels as PNG and GIF collide") {
+    import spark.implicits._
+    // id and id+16128 share pixels (the twin law); encode one as PNG,
+    // the twin as GIF — the palette indirection must not split them
+    val rows = Seq((1L, imagePayload(5L, "png")),
+      (2L, imagePayload(5L + 16128L, "gif")))
+    val fps = Media.imageFingerprints(rows.toDF("media_id", "content"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L), "cross-format twins must fingerprint equal")
+  }
+
+  test("null ids are quarantined, not a job-killing deserializer crash") {
+    import spark.implicits._
+    val rows = Seq((java.lang.Long.valueOf(4L), imagePayload(4L, "png")),
+      (null.asInstanceOf[java.lang.Long], imagePayload(5L, "png")))
+    val out = Media.imageFingerprints(rows.toDF("media_id", "content"))
+      .collect()
+    assert(out.length == 1 && out(0).getLong(0) == 4L,
+      "the null-id row must drop; the valid row must survive")
+  }
+
+  test("frame continuity never bridges across a quarantined frame") {
+    import spark.implicits._
+    // hand-built fingerprint frame: video 1 has frames 0,1,2 but frame
+    // 1 failed decode (NULL fp) — the 0↔2 pair must NOT appear as a
+    // transition (it would be a phantom large-distance entry)
+    val fps = Seq((1L, 0, Some(0L)), (1L, 1, Option.empty[Long]),
+        (1L, 2, Some(3L)), (2L, 0, Some(0L)), (2L, 1, Some(1L)))
+      .toDF("media_id", "frame_idx", "fp")
+    val got = Media.frameContinuity(fps).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only video 2's genuine adjacent pair (hamming 1) survives
+    assert(got == Map(1L -> 1L), s"bridged or dropped wrongly: $got")
   }
 
   test("serve facade: batch-vs-history census matches a driver replay") {
