@@ -110,6 +110,11 @@ object SparkEntry {
     Seq(GQuery("q_image_resize",
       graft.operators.RealCodec.imageResizeStats _,
       Some(graft.operators.RealCodec.imageResizeOracle))),
+    // blur/sharpness filter dial: variance-of-Laplacian over decoded
+    // rasters, integer-exact stencil sums
+    Seq(GQuery("q_image_sharpness",
+      graft.operators.RealCodec.imageSharpnessStats _,
+      Some(graft.operators.RealCodec.imageSharpnessOracle))),
     // augmentation: flip/rotate coordinate permutations of decoded
     // rasters; the positional checksum pins pixels to permuted coords
     Seq(GQuery("q_image_augment",

@@ -315,6 +315,87 @@ object RealCodec {
         max(col("lum_max")).cast("long").as("lum_max"))
   }
 
+  /** Laplacian sharpness fold over a DECODED raster — the classic
+    * variance-of-Laplacian blur detector vision corpora filter on
+    * (a defocused/resized-up image has a flat Laplacian; sharp detail
+    * has a heavy-tailed one). Interior pixels only (the 4-neighbor
+    * stencil); returns (n_px, lap_sum, lap_sq_sum) — integer-exact, so
+    * the variance any caller derives is reproducible bit-for-bit. */
+  def laplacianStats(img: BufferedImage): (Long, Long, Long) = {
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    var n = 0L
+    var s = 0L
+    var sq = 0L
+    var i = 1
+    while (i < h - 1) {
+      var j = 1
+      while (j < w - 1) {
+        val lap = 4 * raster.getSample(j, i, 0) -
+          raster.getSample(j, i - 1, 0) - raster.getSample(j, i + 1, 0) -
+          raster.getSample(j - 1, i, 0) - raster.getSample(j + 1, i, 0)
+        n += 1
+        s += lap
+        sq += lap.toLong * lap
+        j += 1
+      }
+      i += 1
+    }
+    (n, s, sq)
+  }
+
+  /** q_image_sharpness: decode → Laplacian fold per image → global
+    * census with per-image extrema (the blur-filter dial reads the
+    * per-image lap_sq distribution; min/max bound it exactly). All
+    * integer sums — a codec drift, a stencil slip, or an off-by-one on
+    * the interior bounds shifts a sum. Scan-local; one census row
+    * shuffles. */
+  def imageSharpnessStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageSpecs(spark, dir, lit(true))
+      .mapPartitions { it =>
+        pngRoundTrip(it.map((_, ()))).map { case (id, img, _) =>
+          val (n, s, sq) = laplacianStats(img)
+          (id, n, s, sq)
+        }
+      }
+      .toDF("media_id", "n_px", "lap_sum", "lap_sq")
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("n_px")).as("n_lap_px"),
+        sum(col("lap_sum")).as("lap_sum"),
+        sum(col("lap_sq")).as("lap_sq_sum"),
+        min(col("lap_sq")).as("min_img_sq"),
+        max(col("lap_sq")).as("max_img_sq"))
+  }
+
+  /** q_image_sharpness oracle: the 4-neighbor stencil evaluated on the
+    * pixel law directly — five law evaluations per interior pixel. */
+  val imageSharpnessOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    (doc_id % 9) + 8 AS w, (doc_id % 7) + 8 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT media_id,
+      |    4*((i.i*31 + j.j*17 + media_id) % 256)
+      |    - (((i.i-1)*31 + j.j*17 + media_id) % 256)
+      |    - (((i.i+1)*31 + j.j*17 + media_id) % 256)
+      |    - ((i.i*31 + (j.j-1)*17 + media_id) % 256)
+      |    - ((i.i*31 + (j.j+1)*17 + media_id) % 256) AS lap
+      |  FROM m CROSS JOIN range(1, 13) i(i) CROSS JOIN range(1, 15) j(j)
+      |  WHERE i.i < h - 1 AND j.j < w - 1),
+      |per AS (
+      |  SELECT media_id, COUNT(*) AS n_px,
+      |    SUM(lap) AS lap_sum, SUM(lap * lap) AS lap_sq
+      |  FROM px GROUP BY 1)
+      |SELECT COUNT(*) AS n_images,
+      |  CAST(SUM(n_px) AS BIGINT) AS n_lap_px,
+      |  CAST(SUM(lap_sum) AS BIGINT) AS lap_sum,
+      |  CAST(SUM(lap_sq) AS BIGINT) AS lap_sq_sum,
+      |  CAST(MIN(lap_sq) AS BIGINT) AS min_img_sq,
+      |  CAST(MAX(lap_sq) AS BIGINT) AS max_img_sq
+      |FROM per""".stripMargin
+
   /** REAL raster augmentation — the flip/rotate family a vision
     * training pipeline multiplies its corpus with. Index maps (out
     * (i,j) reads source …): hflip (i, w−1−j); vflip (h−1−i, j); rot180

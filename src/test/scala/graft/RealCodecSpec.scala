@@ -68,6 +68,26 @@ class RealCodecSpec extends SparkSpec {
       posSum(RealCodec.resizeImage(src, 10, 12)))
   }
 
+  test("laplacian sharpness: stencil matches a driver replay; flat field is zero") {
+    for (id <- Seq(6L, 2_200_000_123L); (w, h) <- Seq((8, 8), (16, 14))) {
+      val (n, s, sq) = RealCodec.laplacianStats(RealCodec.renderGray(id, w, h))
+      var en = 0L; var es = 0L; var esq = 0L
+      for (i <- 1 until h - 1; j <- 1 until w - 1) {
+        val lap = 4 * RealCodec.grayAt(id, i, j) -
+          RealCodec.grayAt(id, i - 1, j) - RealCodec.grayAt(id, i + 1, j) -
+          RealCodec.grayAt(id, i, j - 1) - RealCodec.grayAt(id, i, j + 1)
+        en += 1; es += lap; esq += lap.toLong * lap
+      }
+      assert((n, s, sq) == ((en, es, esq)), s"stencil drifted id=$id ${w}x$h")
+    }
+    // a perfectly flat (maximally blurred) raster has zero Laplacian
+    // energy — the blur-detector's anchor case
+    val flat = new java.awt.image.BufferedImage(10, 10,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (i <- 0 until 10; j <- 0 until 10) flat.getRaster.setSample(j, i, 0, 128)
+    assert(RealCodec.laplacianStats(flat) == ((64L, 0L, 0L)))
+  }
+
   test("augmentation permutes coordinates exactly; double-flip is identity") {
     val img = RealCodec.renderGray(23L, 11, 9)
     def px(im: java.awt.image.BufferedImage)(i: Int, j: Int) =
