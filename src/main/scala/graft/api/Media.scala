@@ -159,6 +159,31 @@ object Media {
       .withColumnRenamed("media_id", id)
   }
 
+  /** Per-payload Laplacian sharpness over real image bytes — the
+    * blur-filter dial ([[graft.operators.RealCodec.laplacianStats]],
+    * the q_image_sharpness body) on the luminance view: (id, n_px,
+    * lap_sum, lap_sq), NULLs for corrupt payloads. A caller filters on
+    * the per-image variance (lap_sq·n − lap_sum²)/n² it derives from
+    * the exact integer sums. */
+  def imageSharpness(media: DataFrame, id: String = "media_id",
+      bytes: String = "content"): DataFrame = {
+    import media.sparkSession.implicits._
+    idBytes(media, id, bytes)
+      .as[(Long, Array[Byte])]
+      .map { case (mid, payload) =>
+        try {
+          val img = ImageIO.read(new ByteArrayInputStream(payload))
+          if (img == null) (mid, None, None, None)
+          else {
+            val (n, s, sq) = RealCodec.laplacianStats(lumaGray(img))
+            (mid, Some(n), Some(s), Some(sq))
+          }
+        } catch { case _: Exception => (mid, None, None, None) }
+      }
+      .toDF("media_id", "n_px", "lap_sum", "lap_sq")
+      .withColumnRenamed("media_id", id)
+  }
+
   /** Keep-first dedup census over a fingerprint frame from any of the
     * extractors above — the q_image_dhash/q_audio_fingerprint body;
     * NULL (quarantined) fingerprints are excluded before grouping. */

@@ -134,6 +134,22 @@ class MediaApiSpec extends SparkSpec {
     assert(got == Map(1L -> 1L), s"bridged or dropped wrongly: $got")
   }
 
+  test("sharpness facade: real payloads fold the stencil; corrupt rows NULL") {
+    import spark.implicits._
+    val rows = Seq((1L, imagePayload(1L, "png")),
+      (2L, imagePayload(2L, "gif")), (96L, Array.fill[Byte](16)(3)))
+    val got = Media.imageSharpness(rows.toDF("media_id", "content"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(1), r.getLong(2), r.getLong(3)))))
+      .toMap
+    for (id <- Seq(1L, 2L)) {
+      val (w, h) = dims(id)
+      val expect = RealCodec.laplacianStats(RealCodec.renderGray(id, w, h))
+      assert(got(id).contains(expect), s"stencil drifted for $id")
+    }
+    assert(got(96L).isEmpty, "corrupt payload must quarantine to NULLs")
+  }
+
   test("serve facade: batch-vs-history census matches a driver replay") {
     import spark.implicits._
     // history ids 1..10; batch = 3 perceptual twins (id + 16128: same
