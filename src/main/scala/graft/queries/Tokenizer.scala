@@ -249,6 +249,14 @@ object Tokenizer {
     *   - the batch rules must be pairwise symbol-disjoint INCLUDING
     *     their merged symbols ({aᵢ, bᵢ, aᵢbᵢ} sets disjoint) — merges
     *     then commute and leave each other's counts unchanged;
+    *   - no batch rule may be SELF-ADJACENT (a = b): merging 'a a'
+    *     creates pairs ('aa','aa') and ('aa','a') whose counts are
+    *     bounded only by the batch pair's OWN count — which the
+    *     maxTouch census below deliberately excludes — so a created
+    *     pair can out-rank every later batch rule while maxTouch reads
+    *     0 (vocab {aaaa:100, bc:10}: sequential round 2 picks
+    *     ('aa aa',100), a naive batch would emit ('b c',10)). Such a
+    *     batch is never provably independent here; it falls back;
     *   - 2·maxTouch < min(batch counts), where maxTouch is the census
     *     max over NON-batch pairs sharing any symbol with the batch:
     *     a merge can only create pairs like (x, ab) whose count is
@@ -275,11 +283,23 @@ object Tokenizer {
     * the END vocabulary state; intermediate per-round vocabulary states
     * deliberately don't exist on the batched path (that is the point),
     * so the sequential oracle compares the final state. */
+  /** Driver-side telemetry of the most recent [[bpeTrainRulesBatched]]
+    * run: (census passes, passes that applied a full batch, passes that
+    * fell back to one rule, rules learned). Reset at the start of each
+    * run; the production-drive ritual (BENCH_LOCAL) reads it to report
+    * how often batching actually engaged. Not meaningful under two
+    * concurrently-running trainers (none exist). */
+  final case class BpeBatchStats(censusPasses: Int, batchedPasses: Int,
+    fallbackPasses: Int, rulesLearned: Int)
+  @volatile private var bpeStats = BpeBatchStats(0, 0, 0, 0)
+  def lastBpeBatchStats: BpeBatchStats = bpeStats
+
   private[graft] def bpeTrainRulesBatched(vocab: DataFrame, nRounds: Int,
       batchSize: Int, strict: Boolean): DataFrame = {
     import graft.core.Caches.TrackedOps
     require(nRounds > 0 && batchSize > 0,
       s"rounds/batch must be positive: $nRounds/$batchSize")
+    bpeStats = BpeBatchStats(0, 0, 0, 0)
     val spark = vocab.sparkSession
     import spark.implicits._
     // seed state identical to bpeLoop's v0 — the fallback branch must be
@@ -319,6 +339,14 @@ object Tokenizer {
             val disjoint = triples.indices.forall(i =>
               (i + 1 until triples.length).forall(j =>
                 (triples(i) intersect triples(j)).isEmpty))
+            // a self-adjacent rule ('a a') creates pairs whose counts
+            // are bounded by the rule's OWN count — invisible to the
+            // non-batch maxTouch census — so it is never provably
+            // independent inside a batch (scaladoc above)
+            val selfAdjacent = top.exists { case (p, _) =>
+              val cut = p.indexOf(' ')
+              p.substring(0, cut) == p.substring(cut + 1)
+            }
             val symbols = triples.flatten.toSeq
             val batchPairs = top.map(_._1).toSeq
             val maxTouch = pc
@@ -330,10 +358,11 @@ object Tokenizer {
                 case r => r.getLong(0)
               }
             val minBatch = top.last._2
-            if (disjoint && 2 * maxTouch < minBatch) top
+            if (disjoint && !selfAdjacent && 2 * maxTouch < minBatch) top
             else if (strict) throw new IllegalArgumentException(
               s"bpeTrainRulesBatched: batch at round $k is not provably " +
-                s"independent (disjoint=$disjoint, maxTouch=$maxTouch, " +
+                s"independent (disjoint=$disjoint, " +
+                s"selfAdjacent=$selfAdjacent, maxTouch=$maxTouch, " +
                 s"minBatch=$minBatch) — batched ≢ sequential here; rerun " +
                 "with strict=false to fall back to per-round argmax")
             else top.take(1)
@@ -350,6 +379,11 @@ object Tokenizer {
         applied.zipWithIndex.foreach { case ((p, c), i) =>
           rules += ((k + i.toLong, p, c))
         }
+        bpeStats = BpeBatchStats(bpeStats.censusPasses + 1,
+          bpeStats.batchedPasses + (if (applied.length > 1) 1 else 0),
+          bpeStats.fallbackPasses +
+            (if (take > 1 && applied.length == 1) 1 else 0),
+          bpeStats.rulesLearned + applied.length)
         k += applied.length
       }
     }

@@ -300,6 +300,27 @@ class TokenizerSpec extends SparkSpec {
     }.getMessage.contains("maxTouch=60"))
   }
 
+  test("batched bpe treats self-adjacent rules as not provably independent") {
+    // the r15-ADVICE counterexample: vocab {aaaa:100, bc:10} has top-2
+    // census ('a a')=300, ('b c')=10 — pairwise DISJOINT with
+    // maxTouch=0, so the pre-fix check certified the batch — yet
+    // merging the self-adjacent 'a a' creates ('aa','aa')=100 which
+    // sequential round 2 must pick over ('b c')=10. Created-pair counts
+    // of a self-merge are bounded by the batch pair's OWN count, which
+    // maxTouch excludes; the guard must refuse such batches outright.
+    val vocab = Seq(("aaaa", 100L), ("bc", 10L))
+    val (seq, fpS) = runSequential(vocab, 2)
+    assert(seq(1)._2 == "aa aa",
+      s"fixture must make the created self-pair win round 2, got ${seq(1)}")
+    val (batched, fpB) = runBatched(vocab, 2, 2, strict = false)
+    assert(batched == seq, s"self-adjacent batch drifted:\n $batched\n $seq")
+    assert(fpB == fpS, "final vocabulary state drifted")
+    // strict mode refuses loudly, naming the reason
+    assert(intercept[IllegalArgumentException] {
+      runBatched(vocab, 2, 2, strict = true)
+    }.getMessage.contains("selfAdjacent=true"))
+  }
+
   test("batched bpe falls back on overlapping top rules (shared symbol)") {
     // ' a b c ': (a b) and (b c) share 'b' — not disjoint
     val vocab = Seq(("abc", 100L), ("de", 40L))
