@@ -594,7 +594,10 @@ object RealCodec {
         count(lit(1)).as("n_kept"),
         (sum(col("n")) - count(lit(1))).as("n_dropped"),
         max(col("n")).as("max_group"),
-        sum(col("kept")).as("kept_id_sum"),
+        // pmod-folded like fp_checksum: api/Media feeds this body
+        // ARBITRARY external ids — a corpus keyed by hashed 63-bit ids
+        // would overflow a raw Long sum within rows (ANSI throw)
+        sum(pmod(col("kept"), lit(1000000007L))).as("kept_id_sum"),
         sum(pmod(col("fp"), lit(1000000007L))).as("fp_checksum"))
 
   def imageDHashCensus(spark: SparkSession, dir: String): DataFrame =
@@ -760,7 +763,10 @@ object RealCodec {
       .join(hist, Seq("fp"), "left")
       .agg(count(lit(1)).as("n_batch"),
         sum(coalesce(col("dup"), lit(0L))).as("n_dups"),
-        sum(when(col("dup").isNull, col("media_id"))).as("kept_id_sum"),
+        // pmod-folded (the keepFirstCensus stance): external 63-bit ids
+        // through api/Media.serveAgainstHistory must not overflow
+        sum(when(col("dup").isNull, pmod(col("media_id"), lit(1000000007L))))
+          .as("kept_id_sum"),
         sum(when(col("dup").isNull, pmod(col("fp"), lit(1000000007L))))
           .as("new_fp_checksum"))
   }
@@ -772,7 +778,9 @@ object RealCodec {
       |hist AS (SELECT DISTINCT fp FROM fp WHERE media_id % 7 != 0)
       |SELECT COUNT(*) AS n_batch,
       |  CAST(SUM(CASE WHEN hist.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
-      |  CAST(SUM(CASE WHEN hist.fp IS NULL THEN media_id END) AS BIGINT) AS kept_id_sum,
+      |  CAST(SUM(CASE WHEN hist.fp IS NULL
+      |    THEN ((media_id % 1000000007) + 1000000007) % 1000000007 END)
+      |    AS BIGINT) AS kept_id_sum,
       |  CAST(SUM(CASE WHEN hist.fp IS NULL
       |    THEN ((f.fp % 1000000007) + 1000000007) % 1000000007 END) AS BIGINT)
       |    AS new_fp_checksum
@@ -874,7 +882,7 @@ object RealCodec {
       |  COUNT(*) AS n_kept,
       |  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dropped,
       |  CAST(MAX(n) AS BIGINT) AS max_group,
-      |  CAST(SUM(kept) AS BIGINT) AS kept_id_sum,
+      |  CAST(SUM(((kept % 1000000007) + 1000000007) % 1000000007) AS BIGINT) AS kept_id_sum,
       |  CAST(SUM(((fp % 1000000007) + 1000000007) % 1000000007) AS BIGINT) AS fp_checksum
       |FROM grp""".stripMargin
 
@@ -1192,7 +1200,7 @@ object RealCodec {
       |  COUNT(*) AS n_kept,
       |  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dropped,
       |  CAST(MAX(n) AS BIGINT) AS max_group,
-      |  CAST(SUM(kept) AS BIGINT) AS kept_id_sum,
+      |  CAST(SUM(((kept % 1000000007) + 1000000007) % 1000000007) AS BIGINT) AS kept_id_sum,
       |  CAST(SUM(((fp % 1000000007) + 1000000007) % 1000000007) AS BIGINT) AS fp_checksum
       |FROM grp""".stripMargin
 
@@ -1225,7 +1233,9 @@ object RealCodec {
       |hist AS (SELECT DISTINCT fp FROM fp WHERE media_id % 7 != 0)
       |SELECT COUNT(*) AS n_batch,
       |  CAST(SUM(CASE WHEN hist.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
-      |  CAST(SUM(CASE WHEN hist.fp IS NULL THEN media_id END) AS BIGINT) AS kept_id_sum,
+      |  CAST(SUM(CASE WHEN hist.fp IS NULL
+      |    THEN ((media_id % 1000000007) + 1000000007) % 1000000007 END)
+      |    AS BIGINT) AS kept_id_sum,
       |  CAST(SUM(CASE WHEN hist.fp IS NULL
       |    THEN ((f.fp % 1000000007) + 1000000007) % 1000000007 END) AS BIGINT)
       |    AS new_fp_checksum

@@ -662,7 +662,7 @@ object VideoCodec {
       |  COUNT(*) AS n_kept,
       |  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dropped,
       |  CAST(MAX(n) AS BIGINT) AS max_group,
-      |  CAST(SUM(kept) AS BIGINT) AS kept_id_sum,
+      |  CAST(SUM(((kept % 1000000007) + 1000000007) % 1000000007) AS BIGINT) AS kept_id_sum,
       |  CAST(SUM(((fp % 1000000007) + 1000000007) % 1000000007) AS BIGINT) AS fp_checksum
       |FROM grp""".stripMargin
 
@@ -751,7 +751,9 @@ object VideoCodec {
       |hist AS (SELECT DISTINCT fp FROM fp WHERE (media_id // 8) % 7 != 0)
       |SELECT COUNT(*) AS n_batch,
       |  CAST(SUM(CASE WHEN hist.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
-      |  CAST(SUM(CASE WHEN hist.fp IS NULL THEN media_id END) AS BIGINT) AS kept_id_sum,
+      |  CAST(SUM(CASE WHEN hist.fp IS NULL
+      |    THEN ((media_id % 1000000007) + 1000000007) % 1000000007 END)
+      |    AS BIGINT) AS kept_id_sum,
       |  CAST(SUM(CASE WHEN hist.fp IS NULL
       |    THEN ((f.fp % 1000000007) + 1000000007) % 1000000007 END) AS BIGINT)
       |    AS new_fp_checksum
