@@ -59,6 +59,17 @@ object Bench {
           None
       }
     val weatherJson = weather.map(BenchGate.jsonNum(_, 2)).getOrElse("null")
+    // machine-readable weather verdict (r15 ask): the healthy band for
+    // this container class — BENCH_LOCAL's banked probe readings run
+    // 15.5–20 with the shared-VM GraySort scale drifting to 27 — plus
+    // an explicit ok flag, so a BENCH_rN.json taken in a degraded
+    // window (r15: probe 1.23, total 2x) is self-labeled non-comparable
+    // with zero forensics. The per-pass sweep totals below are the
+    // corroborating triplet.
+    val (weatherLo, weatherHi) = (15.0, 27.0)
+    val weatherOk: Option[Boolean] =
+      weather.map(w => w >= weatherLo && w <= weatherHi)
+    val weatherOkJson = weatherOk.map(_.toString).getOrElse("null")
 
     // one tiny warmup pass so JIT/codegen/classloading doesn't land on the
     // first measured query
@@ -80,6 +91,13 @@ object Bench {
     // "already cached" log spam.
     val passes = sys.env.get("SPARK_BENCH_PASSES").map(_.toInt).getOrElse(3)
     require(passes >= 1, s"SPARK_BENCH_PASSES must be >= 1, got $passes")
+    // per-pass sweep totals — pass i's sum across all queries. Three
+    // same-code totals from one run are the BENCH_LOCAL triplet pattern
+    // in miniature: when the weather verdict reads degraded, their
+    // spread shows whether the whole window was bad or one pass hit a
+    // transient (failed passes contribute nothing and are named in
+    // `failed`).
+    val passTotals = Array.fill(passes)(0.0)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       // seconds the LAST pass spent in DeferredIngest bodies — the write
@@ -88,13 +106,14 @@ object Bench {
       // (their total includes this); 0 for everything else. Gate ignores
       // it.
       var constructionS = 0.0
-      val times = (1 to passes).flatMap { _ =>
+      val times = (1 to passes).flatMap { pi =>
         graft.plans.DeferredIngest.resetBodyNanos()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
           constructionS = graft.plans.DeferredIngest.bodySeconds()
+          passTotals(pi - 1) += dt
           Some(dt)
         } catch {
           case e: Throwable =>
@@ -273,9 +292,14 @@ object Bench {
       .collect { case (k, _, c) if c > 0.0 =>
         "\"" + k + "\":" + BenchGate.jsonNum(math.rint(c * 1e4) / 1e4) }
       .mkString("{", ",", "}")
+    val passTotalsJson = passTotals
+      .map(t => BenchGate.jsonNum(math.rint(t * 1e4) / 1e4))
+      .mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":${
       BenchGate.jsonNum(math.rint(total * 1e4) / 1e4)
-    },"unit":"sec","passes":$passes,"weather_gbmin":$weatherJson,"n_docs":$nDocs,"queries":$qs,"failed":$failedJson,"construction":$constructionJson,"recall":$recallJson,"minhash_calibration":$calibJson,"lsh_occupancy":$occJson,"lsh_occupancy_tuned":$occTunedJson,"ivf_cost":$ivfCostJson,"ndcg":$ndcgJson,"simhash_tuned":$simTunedJson,"gate":$gateJson,"sf":"$sfDir"}"""
+    },"unit":"sec","passes":$passes,"weather_gbmin":$weatherJson,"weather_band":[${
+      BenchGate.jsonNum(weatherLo)},${BenchGate.jsonNum(weatherHi)
+    }],"weather_ok":$weatherOkJson,"pass_totals":$passTotalsJson,"n_docs":$nDocs,"queries":$qs,"failed":$failedJson,"construction":$constructionJson,"recall":$recallJson,"minhash_calibration":$calibJson,"lsh_occupancy":$occJson,"lsh_occupancy_tuned":$occTunedJson,"ivf_cost":$ivfCostJson,"ndcg":$ndcgJson,"simhash_tuned":$simTunedJson,"gate":$gateJson,"sf":"$sfDir"}"""
     // durable artifact FIRST: r10's stdout line was truncated by the
     // driver's capture buffer, losing the round's headline total — the
     // file survives verbatim whatever happens to stdout
@@ -295,7 +319,7 @@ object Bench {
     // the per-query/telemetry detail lives verbatim in `queries_file`.
     val compact = s"""{"metric":"total","value":${
       BenchGate.jsonNum(math.rint(total * 1e4) / 1e4)
-    },"unit":"sec","passes":$passes,"weather_gbmin":$weatherJson,"n_queries":${
+    },"unit":"sec","passes":$passes,"weather_gbmin":$weatherJson,"weather_ok":$weatherOkJson,"pass_totals":$passTotalsJson,"n_queries":${
       results.count(_._2.isDefined)},"failed":$failedJson,"gate":$gateJson,"queries_file":"$outPath","sf":"$sfDir"}"""
     println(compact)
     spark.stop()

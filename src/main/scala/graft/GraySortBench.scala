@@ -110,7 +110,11 @@ object GraySortBench {
     * session; generation/validation stay untimed like the main. */
   def weatherProbe(spark: SparkSession, gb: Double): Double = {
     val n = (gb * 1e9 / 100).toLong
-    val cpus = spark.sparkContext.defaultParallelism
+    // the SAME dial as the GraySort main below (SPARK_GRAFT_CPUS,
+    // default 32): the rate calibrates against the BENCH_LOCAL band,
+    // so it must be measured at the band's parallelism, not whatever
+    // the caller's session happens to default to
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val base = java.nio.file.Files.createTempDirectory("graft_weather").toString
     try {
       ThemisKV.writeFixed(genRecords(spark, n, skew = false)
