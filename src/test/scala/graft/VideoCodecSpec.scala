@@ -98,11 +98,12 @@ class VideoCodecSpec extends SparkSpec {
     assert(e.getMessage.contains("disagrees with handler"))
   }
 
-  test("AVI parser survives a deterministic byte-flip fuzz sweep") {
-    // every single-byte corruption either parses (flips inside pixel
-    // data change values, not structure) or fails with the parser's own
-    // diagnostics / buffer bounds — never hangs, never a silent zero
-    val good = VideoCodec.encodeAvi(5L, 9, 8, 2)
+  /** parse-or-refuse-never-hang over every single-byte corruption of a
+    * container: flips inside pixel/JPEG data may still parse (values
+    * change, structure doesn't); everything else must fail with the
+    * parser's own diagnostics or buffer bounds — never hang, never a
+    * silent zero-frame success. */
+  private def fuzzSweep(good: Array[Byte], label: String): Unit = {
     var parsed = 0
     var refused = 0
     for (pos <- good.indices; delta <- Seq(1, 128)) {
@@ -118,7 +119,20 @@ class VideoCodecSpec extends SparkSpec {
         case _: IndexOutOfBoundsException => refused += 1
       }
     }
-    assert(parsed > 0 && refused > 0, s"sweep degenerate: $parsed/$refused")
+    assert(parsed > 0 && refused > 0, s"$label sweep degenerate: $parsed/$refused")
+  }
+
+  test("AVI parser survives a deterministic byte-flip fuzz sweep") {
+    fuzzSweep(VideoCodec.encodeAvi(5L, 9, 8, 2), "DIB")
+  }
+
+  test("MJPEG profile survives the byte-flip fuzz sweep") {
+    // the second profile adds the odd-size movi pad rule and the JPEG
+    // byte-stream boundary (SOI magic check per '00dc' chunk) to the
+    // attack surface; same parse-or-refuse contract, same harness. The
+    // MJPEG encoder's frames are data-dependent odd lengths, so pad
+    // bytes genuinely appear in the sweep's index space.
+    fuzzSweep(VideoCodec.encodeAviMjpeg(5L, 9, 8, 2), "MJPG")
   }
 
   /** The per-frame dHash law re-derived arithmetically (one copy — the
