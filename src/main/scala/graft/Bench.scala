@@ -260,6 +260,23 @@ object Bench {
       case Some((bits, n)) => s"""{"bits":$bits,"n_pairs":$n}"""
       case None => "{}"
     }
+    // streaming-throughput telemetry, untimed: rows/s of the in-stream
+    // decode+dedup surface and the pure watermarked-dedup surface,
+    // driven from MemoryStreams in 4 micro-batch cycles (StreamBench).
+    // Ungated this round (the weather probe's first-round stance): the
+    // value is the recorded trend line. SPARK_BENCH_STREAMING=0 skips
+    // for focused profiling loops.
+    val streamingMap: Map[String, Double] =
+      if (sys.env.getOrElse("SPARK_BENCH_STREAMING", "1") == "0") Map.empty
+      else try StreamBench.summary(spark, math.max(nDocs, 0L))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] streaming telemetry failed: ${e.getMessage}")
+          Map.empty[String, Double]
+      }
+    val streamingJson = streamingMap.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + BenchGate.jsonNum(v, 1) }
+      .mkString("{", ",", "}")
     // the round-over-round telemetry gate: recall/calibration are corpus
     // statistics, so the r07 baseline only applies on the driver's bench
     // corpus (sf0.1); SPARK_BENCH_GATE=0 is the experimentation escape
@@ -299,7 +316,7 @@ object Bench {
       BenchGate.jsonNum(math.rint(total * 1e4) / 1e4)
     },"unit":"sec","passes":$passes,"weather_gbmin":$weatherJson,"weather_band":[${
       BenchGate.jsonNum(weatherLo)},${BenchGate.jsonNum(weatherHi)
-    }],"weather_ok":$weatherOkJson,"pass_totals":$passTotalsJson,"n_docs":$nDocs,"queries":$qs,"failed":$failedJson,"construction":$constructionJson,"recall":$recallJson,"minhash_calibration":$calibJson,"lsh_occupancy":$occJson,"lsh_occupancy_tuned":$occTunedJson,"ivf_cost":$ivfCostJson,"ndcg":$ndcgJson,"simhash_tuned":$simTunedJson,"gate":$gateJson,"sf":"$sfDir"}"""
+    }],"weather_ok":$weatherOkJson,"pass_totals":$passTotalsJson,"n_docs":$nDocs,"queries":$qs,"failed":$failedJson,"construction":$constructionJson,"recall":$recallJson,"minhash_calibration":$calibJson,"lsh_occupancy":$occJson,"lsh_occupancy_tuned":$occTunedJson,"ivf_cost":$ivfCostJson,"ndcg":$ndcgJson,"simhash_tuned":$simTunedJson,"streaming":$streamingJson,"gate":$gateJson,"sf":"$sfDir"}"""
     // durable artifact FIRST: r10's stdout line was truncated by the
     // driver's capture buffer, losing the round's headline total — the
     // file survives verbatim whatever happens to stdout

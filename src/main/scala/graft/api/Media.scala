@@ -43,7 +43,7 @@ object Media {
     * luminance, not band 0, for cross-format dedup to hold. Equal
     * channels (r = g = b = v) map to exactly v, so gray content is
     * format-invariant. */
-  private def lumaGray(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage =
+  private[graft] def lumaGray(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage =
     if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
     else {
       val out = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
@@ -117,6 +117,58 @@ object Media {
         } finally r.dispose()
       }
     } finally iis.close()
+  }
+
+  /** Byte-balanced repartition of a file frame — the post-filter
+    * rebalancer for payload-skewed corpora (one 4K video next to ten
+    * thousand thumbnails). Spark's binaryFile scan already bin-packs
+    * FILES into partitions by size (maxPartitionBytes/openCostInBytes —
+    * the byte-weighted stance of the reference's BoundaryScanner.cc:
+    * 39-179), so the scan itself rarely needs this; the straggler
+    * reappears after a selective FILTER un-balances what the scan
+    * packed. Scheme: rank files by size descending on a METADATA-only
+    * projection (path + size — binaryFile prunes `content` for it),
+    * assign rank mod parts (the LPT greedy: each partition receives
+    * every parts-th file by size order), broadcast the tiny (path,
+    * part) map back, and exchange payloads ONCE on the assigned key.
+    * The rank window is a single-partition sort of metadata — the
+    * Boundaries driver-side stance — never of payload bytes; at
+    * extreme file counts swap the broadcast for a shuffle join, the
+    * assignment stays the same. */
+  def sizeBalanced(files: DataFrame, parts: Int, path: String = "path",
+      size: String = "length"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(parts > 0, s"parts must be positive: $parts")
+    // repartition(parts, key) HASHES the key — two rank classes can
+    // collide into one bucket and leave another empty, which at the
+    // 100k-file drive put three 3 MB giants in one partition (3× the
+    // fair share). Pre-image each class through Spark's own bucket
+    // function (pmod(Murmur3Hash(seed 42), parts) — HashPartitioning's
+    // partitionIdExpression for a LongType key): probe(i) is a Long
+    // whose bucket is exactly i, so class i lands in partition i and
+    // the LPT balance survives the exchange. run()'s balance require
+    // re-proves this placement every drive.
+    val probes: Array[Long] = {
+      val out = Array.fill(parts)(-1L)
+      var found = 0
+      var v = 0L
+      while (found < parts) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+        val b = ((h % parts) + parts) % parts
+        if (out(b) < 0) { out(b) = v; found += 1 }
+        v += 1
+      }
+      out
+    }
+    val ranked = files.select(col(path).as("__p"), col(size).as("__len"))
+      .withColumn("__part",
+        element_at(lit(probes), (pmod(row_number().over(
+          Window.orderBy(col("__len").desc, col("__p"))) - 1, lit(parts))
+          + 1).cast("int")))
+      .drop("__len")
+    files.join(broadcast(ranked), col(path) === col("__p"))
+      .repartition(parts, col("__part"))
+      .drop("__p", "__part")
   }
 
   /** (id, fp) perceptual dHash fingerprints over real image payloads

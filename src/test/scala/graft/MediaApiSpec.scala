@@ -243,6 +243,29 @@ class MediaApiSpec extends SparkSpec {
       s"bombed MJPEG frames must quarantine to NULL fps: ${vout.toSeq}")
   }
 
+  test("sizeBalanced places rank classes in distinct partitions (no hash collision)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    // 8 giants + 64 smalls over 8 parts: the LPT assignment is exact
+    // only if class i really lands in partition i — a raw
+    // repartition(key) HASHES the key and collides classes (the bug the
+    // 100k drive caught), putting two giants in one partition
+    val rows = (0 until 8).map(i => (s"g$i", 1000000L)) ++
+      (0 until 64).map(i => (s"s$i", 100L))
+    val placed = graft.api.Media.sizeBalanced(
+        rows.toDF("path", "length"), 8)
+      .select(spark_partition_id().as("pid"), col("path"), col("length"))
+      .collect()
+    val giantsPerPart = placed.filter(_.getLong(2) == 1000000L)
+      .groupBy(_.getInt(0)).view.mapValues(_.length).toMap
+    assert(giantsPerPart.size == 8 && giantsPerPart.values.forall(_ == 1),
+      s"each partition must hold exactly one giant: $giantsPerPart")
+    val bytes = placed.groupBy(_.getInt(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bytes.values.max <= 1000000L + 800L + 100L,
+      s"byte balance drifted: $bytes")
+  }
+
   test("serve facade: batch-vs-history census matches a driver replay") {
     import spark.implicits._
     // history ids 1..10; batch = 3 perceptual twins (id + 16128: same

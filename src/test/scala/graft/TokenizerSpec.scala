@@ -332,6 +332,30 @@ class TokenizerSpec extends SparkSpec {
     }.getMessage.contains("not provably independent"))
   }
 
+  test("multi-batch chaining with a mid-run fallback ≡ sequential") {
+    // 6 rounds at batch 2 force THREE state handoffs across batches,
+    // with the middle batch engineered to fall back: census 2's top-2
+    // (e f)/(f g) share 'f', so rounds 1-2 batch-apply, round 3 falls
+    // back to one rule, rounds 4-5 batch-apply again off the
+    // handed-over vocabulary state, round 6 is a take-1 tail. The
+    // output must equal the sequential replay across every handoff —
+    // the state the batched path carries between batches is the only
+    // vocabulary there is.
+    val vocab = Seq(("ab", 100L), ("cd", 90L), ("efg", 40L), ("hi", 30L),
+      ("jk", 28L), ("lm", 5L))
+    val (seq, fpS) = runSequential(vocab, 6)
+    assert(seq.map(_._2) == Seq("a b", "c d", "e f", "ef g", "h i", "j k"),
+      s"fixture census order drifted: $seq")
+    val (batched, fpB) = runBatched(vocab, 6, 2, strict = false)
+    assert(batched == seq, s"chained output drifted:\n $batched\n $seq")
+    assert(fpB == fpS, "final vocabulary state drifted across handoffs")
+    // telemetry pins WHICH branches ran: 4 census passes = batch,
+    // fallback, batch, take-1 tail; 6 rules total
+    assert(graft.queries.Tokenizer.lastBpeBatchStats ==
+      graft.queries.Tokenizer.BpeBatchStats(4, 2, 1, 6),
+      s"branch telemetry drifted: ${graft.queries.Tokenizer.lastBpeBatchStats}")
+  }
+
   test("q_bpe_train_batched over the corpus equals the sequential rules") {
     val got = graft.queries.Tokenizer.bpeTrainBatched(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
