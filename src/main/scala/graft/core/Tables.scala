@@ -51,6 +51,30 @@ object Tables {
       .parquet(s"$dir/$name.parquet")
   }
 
+  private val tableBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** On-disk bytes of `$dir/<name>.parquet` — the size signal the
+    * adaptive loop widths ([[LoopWidth.forBytes]]) derive from. Pure
+    * driver-side file listing through the Hadoop FS API (works on any
+    * scheme, no Spark job — construction stays job-free), cached per
+    * path: the testdata tables are immutable for a process lifetime and
+    * Bench re-constructs each query 3×. A missing path sizes as 0 (the
+    * scan itself will fail loudly later if it matters). */
+  def tableBytes(spark: SparkSession, dir: String, name: String): Long = {
+    val p = s"$dir/$name.parquet"
+    tableBytesCache.computeIfAbsent(p, { path =>
+      try {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(conf)
+        val st = fs.getFileStatus(hp)
+        if (st.isFile) st.getLen
+        else graft.sources.HadoopIO.listFiles(path, conf).map(_.getLen).sum
+      } catch { case _: java.io.FileNotFoundException => 0L }
+    })
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

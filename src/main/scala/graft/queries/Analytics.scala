@@ -220,12 +220,17 @@ object Analytics {
     * Output is the per-hop discovery census (hop 0 = seeds). */
   def bfsHops(s: SparkSession, dir: String): DataFrame = {
     // corpus-proportional distinct at session width, outside the scope;
-    // the explicit narrow repartition pins the cached loop distribution
+    // the explicit narrow repartition pins the cached loop distribution.
+    // Loop width is size-adaptive (anchor-table bytes, clamped to the
+    // session width — LoopWidth.forBytes): the fixed 8 it replaces was
+    // over-wide for bench-scale frontiers and under-wide at 100 TB.
+    val w = graft.core.LoopWidth.forBytes(Tables.events(s, dir),
+      Tables.tableBytes(s, dir, "events"))
     val edges = Tables.events(s, dir)
       .select(col("user_id").as("src"), (col("event_id") % 500).as("dst"))
-      .distinct().repartition(8, col("src")).persist()
+      .distinct().repartition(w, col("src")).persist()
     edges.count() // materialize now, at session width
-    try graft.core.LoopWidth.scoped(edges) { bfsHopsLoop(edges) }
+    try graft.core.LoopWidth.scoped(edges, w) { bfsHopsLoop(edges) }
     finally edges.unpersist()
   }
 
@@ -281,13 +286,16 @@ object Analytics {
     * LoopWidth), per round ONE edge↔distance join + min-aggregation over
     * candidate rows; rounds needed = shortest-path hop radius. */
   def sssp(s: SparkSession, dir: String): DataFrame = {
+    // size-adaptive loop width, same derivation as [[bfsHops]]
+    val w = graft.core.LoopWidth.forBytes(Tables.events(s, dir),
+      Tables.tableBytes(s, dir, "events"))
     val edges = Tables.events(s, dir)
       .select(col("user_id").as("src"), (col("event_id") % 500).as("dst"),
         (col("event_id") % 9 + 1).as("w"))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
-      .repartition(8, col("src")).persist()
+      .repartition(w, col("src")).persist()
     edges.count() // materialize at session width
-    try graft.core.LoopWidth.scoped(edges) { ssspLoop(edges) }
+    try graft.core.LoopWidth.scoped(edges, w) { ssspLoop(edges) }
     finally edges.unpersist()
   }
 

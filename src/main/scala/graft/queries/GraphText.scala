@@ -333,7 +333,12 @@ object GraphText {
         (col("event_id") % 4000 + 4000).as("b"))
       .distinct()
       .localCheckpoint(eager = true)
-    graft.core.LoopWidth.scoped(e0) { kcoreLoop(e0, KCore, KCoreRounds) }
+    // size-adaptive peel width (anchor bytes, session-width clamp) —
+    // replaces the fixed 8 with the same rule the other loops derive
+    graft.core.LoopWidth.scoped(e0, graft.core.LoopWidth.forBytes(e0,
+      Tables.tableBytes(s, dir, "events"))) {
+      kcoreLoop(e0, KCore, KCoreRounds)
+    }
   }
 
   /** k-core on a HEAVY-TAILED graph — the multi-round peel exercise the
@@ -366,7 +371,11 @@ object GraphText {
 
   def kcorePowerlaw(s: SparkSession, dir: String): DataFrame = {
     val e0 = powerlawEdges(s, dir).localCheckpoint(eager = true)
-    graft.core.LoopWidth.scoped(e0) {
+    // the generator inflates `part` rows ~hundredfold (outdeg explode),
+    // so the anchor-bytes rule uses a smaller per-partition target to
+    // account for the fan-out; still session-width-clamped at scale
+    graft.core.LoopWidth.scoped(e0, graft.core.LoopWidth.forBytes(e0,
+      Tables.tableBytes(s, dir, "part"), bytesPerPartition = 256L << 10)) {
       kcoreLoop(e0, KCorePowerlawK, KCorePowerlawRounds)
     }
   }

@@ -53,9 +53,24 @@ object Iterative {
       count(lit(1)).over(Window.partitionBy(col("src"))))
   }
 
+  /** Iteration width for the rank/edge state, derived from the anchor
+    * table's bytes and clamped to the session width
+    * ([[graft.core.LoopWidth.forBytes]]): the graph is a distinct
+    * projection of lineitem, so at bench scale (MBs of anchor) the
+    * rounds run a few partitions wide instead of paying the full
+    * session width's per-task fixed costs per round, while at 100 TB
+    * the byte term exceeds the clamp and the rounds keep today's
+    * session-width plan. The edge materialization sits INSIDE the scope
+    * deliberately — its window exchange is what pins the cached edge
+    * layout every round joins against, so it must plan at the loop
+    * width or each round would re-exchange the edges. */
+  private def pagerankWidth(s: SparkSession, dir: String,
+      edges: DataFrame): Int =
+    graft.core.LoopWidth.forBytes(edges, Tables.tableBytes(s, dir, "lineitem"))
+
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     val edgesD = edgesWithDegree(s, dir).persist()
-    try {
+    try graft.core.LoopWidth.scoped(edgesD, pagerankWidth(s, dir, edgesD)) {
       var ranks = edgesD.select(col("src").as("node")).distinct()
         .select(col("node"), lit(1000000L).as("rank"))
       for (_ <- 1 to 3) {
@@ -88,7 +103,7 @@ object Iterative {
   def pagerankDouble(s: SparkSession, dir: String,
       iters: Int = 3, checkpointEvery: Int = 3): DataFrame = {
     val edgesD = edgesWithDegree(s, dir).persist()
-    try {
+    try graft.core.LoopWidth.scoped(edgesD, pagerankWidth(s, dir, edgesD)) {
       var ranks = edgesD.select(col("src").as("node")).distinct()
         .select(col("node"), lit(1.0).as("rank"))
       for (i <- 1 to iters) {
@@ -124,7 +139,7 @@ object Iterative {
     * runs. */
   def pagerankDoubleMass(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     val edgesD = edgesWithDegree(s, dir).persist()
-    try {
+    try graft.core.LoopWidth.scoped(edgesD, pagerankWidth(s, dir, edgesD)) {
       var ranks = edgesD.select(col("src").as("node")).distinct()
         .select(col("node"), lit(1.0).as("rank"))
       val census = (1 to iters).map { i =>

@@ -1066,30 +1066,38 @@ object TextPipeline {
   private[graft] def hashMinComponents(
       nodes: DataFrame, pairs: DataFrame, iters: Int): DataFrame = {
     val edges = dupEdges(pairs)
-    try graft.core.LoopWidth.scoped(nodes, DupLoopWidth) {
+    // scope at the edges' own layout width so per-round joins reuse the
+    // cached hash partitioning instead of re-exchanging the edge list
+    try graft.core.LoopWidth.scoped(nodes, edges.rdd.getNumPartitions) {
       hashMinComponentsLoop(nodes, edges, iters)
     } finally edges.unpersist()
   }
 
-  /** Width for the component ROUNDS — the label/edge state is duplicate-
-    * graph-sized; see [[graft.core.LoopWidth]]. */
-  private val DupLoopWidth = 8
-
-  /** Symmetrized dup-graph edge list, hash-partitioned on src at the
-    * LOOP width and MATERIALIZED before the width scope is entered: the
-    * corpus-proportional upstream (MinHash bands, signature pair agg)
-    * must plan at the session width — only the derived edge list and the
-    * label rounds are narrow. Symmetrization is ONE explode pass: a
-    * union of two projections would evaluate that upstream twice
-    * (DataFrames share no common subplans). Caller unpersists. */
+  /** Symmetrized dup-graph edge list, hash-partitioned on src at a
+    * SIZE-ADAPTIVE loop width and MATERIALIZED before the width scope is
+    * entered: the corpus-proportional upstream (MinHash bands, signature
+    * pair agg) must plan at the session width — only the derived edge
+    * list and the label rounds are narrow. Symmetrization is ONE explode
+    * pass: a union of two projections would evaluate that upstream twice
+    * (DataFrames share no common subplans). The width derives from the
+    * edge COUNT the materialization already pays
+    * ([[graft.core.LoopWidth.forRows]], session-width-clamped at scale —
+    * replaces the fixed 8): the raw list is cached once at its upstream
+    * layout, counted, and the narrow re-hash then reads that cache, so
+    * the extra step costs one metadata-sized job, not a recompute.
+    * Caller unpersists (the raw cache is dropped here). */
   private def dupEdges(pairs: DataFrame): DataFrame = {
-    val edges = pairs
+    val raw = pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .repartition(DupLoopWidth, col("src")).persist()
-    edges.count() // materialize now, at session width
+      .persist()
+    val n = raw.count() // materialize now, at session width
+    val w = graft.core.LoopWidth.forRows(raw, n)
+    val edges = raw.repartition(w, col("src")).persist()
+    edges.count() // re-layout narrow off the raw cache
+    raw.unpersist(blocking = false)
     edges
   }
 
@@ -1145,7 +1153,7 @@ object TextPipeline {
   private[graft] def pointerDoublingComponents(
       nodes: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = dupEdges(pairs)
-    try graft.core.LoopWidth.scoped(nodes, DupLoopWidth) {
+    try graft.core.LoopWidth.scoped(nodes, edges.rdd.getNumPartitions) {
       pointerDoublingComponentsLoop(nodes, edges, maxIters)
     } finally edges.unpersist()
   }
@@ -1206,7 +1214,7 @@ object TextPipeline {
   private[graft] def starComponents(
       nodes: DataFrame, pairs: DataFrame, maxIters: Int = 30): DataFrame = {
     val edges = dupEdges(pairs)
-    try graft.core.LoopWidth.scoped(nodes, DupLoopWidth) {
+    try graft.core.LoopWidth.scoped(nodes, edges.rdd.getNumPartitions) {
       starComponentsLoop(nodes, edges, maxIters)
     } finally edges.unpersist()
   }
