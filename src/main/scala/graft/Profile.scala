@@ -73,10 +73,47 @@ object Profile {
       }
       rows.clear()
       record = true
+      // the noop write runs its own QueryExecution; grab the executed one
+      @volatile var lastQe: org.apache.spark.sql.execution.QueryExecution = null
+      val qeListener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+          lastQe = qe
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(qeListener)
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val df = fn(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       record = false
+      Thread.sleep(200)
+      spark.listenerManager.unregister(qeListener)
+      // operator-level attribution: walk the EXECUTED plan (AQE-final,
+      // metrics populated) and print every node whose duration/time
+      // metric is non-trivial
+      if (sys.env.get("SPARK_PROFILE_PLAN").contains("1")) {
+        def walk(p: org.apache.spark.sql.execution.SparkPlan, d: Int): Unit = {
+          val interesting = p.metrics.filter { case (k, m) =>
+            (k.toLowerCase.contains("time") || k.toLowerCase.contains("duration") ||
+              k == "numOutputRows") && m.value > 0 }
+          println("  " * d + s"[plan] ${p.nodeName} " + interesting.map {
+            case (k, m) => s"$k=${m.value}" }.mkString(" "))
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              walk(a.executedPlan, d + 1)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              walk(q.plan, d + 1)
+            case r: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+              walk(r.relation.cachedPlan, d + 1)
+            case _ => p.children.foreach(walk(_, d + 1))
+          }
+        }
+        walk(Option(lastQe).map(_.executedPlan)
+          .getOrElse(df.queryExecution.executedPlan), 0)
+      }
       graft.core.Caches.release()
       // listener bus is async; give it a beat before reading
       Thread.sleep(300)

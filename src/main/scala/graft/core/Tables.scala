@@ -186,4 +186,20 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** [[documents]] widened for a CPU-heavy kernel (tokenize / n-gram
+    * explode / hashing) sitting directly above the scan: a sub-split-size
+    * table scans as ONE task and the kernel inherits that width, so the
+    * whole query serializes on one core. [[Widen.forKernel]] adds one
+    * round-robin exchange of the (pruned) scan columns ONLY while the
+    * scan is narrower than the byte-derived kernel width — at production
+    * scale the scan is already wide and the plan is unchanged. Filters
+    * applied above still push through the repartition to the scan. */
+  def documentsWide(spark: SparkSession, dir: String): DataFrame =
+    Widen.forKernel(documents(spark, dir), tableBytes(spark, dir, "documents"))
+
+  /** [[embeddings]] widened for vector kernels (dot / L2 / cell-argmin)
+    * — same rationale as [[documentsWide]]. */
+  def embeddingsWide(spark: SparkSession, dir: String): DataFrame =
+    Widen.forKernel(embeddings(spark, dir), tableBytes(spark, dir, "embeddings"))
 }

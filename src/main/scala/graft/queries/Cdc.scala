@@ -67,7 +67,7 @@ object Cdc {
     * invariant, oracle-checked), and an order-free hash checksum pinning
     * chunk CONTENT, not just counts. */
   def cdcCensus(s: SparkSession, dir: String): DataFrame =
-    chunkRows(Tables.documents(s, dir).select("doc_id", "source", "text"))
+    chunkRows(Tables.documentsWide(s, dir).select("doc_id", "source", "text"))
       .groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_chunks"),

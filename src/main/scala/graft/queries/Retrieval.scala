@@ -38,7 +38,7 @@ object Retrieval {
     * corpora to ~10¹³ tokens with tf ≤ 10⁴; past that, divide L and dl
     * by a common 2^k first (the ratio dl/avgdl is what matters). */
   def bm25TopK(s: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(s, dir)
+    val tf = Tables.documentsWide(s, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))

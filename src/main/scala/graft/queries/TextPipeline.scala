@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{Caches, GQuery, Tables}
+import graft.core.{Caches, GQuery, Tables, Widen}
 import graft.core.Caches.TrackedOps
 import Qdsl._
 
@@ -1726,7 +1726,7 @@ object TextPipeline {
     * exchange when the recurring-key table outgrows broadcast, which is
     * exactly when the straggler would bite. */
   def substringDedup(s: SparkSession, dir: String): DataFrame =
-    substringDedupDocs(Tables.documents(s, dir),
+    substringDedupDocs(Tables.documentsWide(s, dir),
       spanDupStats(_, Seq("lang"), oracleCap = Some(4095)))
 
   /** [[substringDedup]] through the hot-window guard
@@ -1734,7 +1734,7 @@ object TextPipeline {
     * plan; registered against the SAME oracle SQL so the driver itself
     * pins the equivalence every round. */
   def substringDedupGuarded(s: SparkSession, dir: String): DataFrame =
-    substringDedupDocs(Tables.documents(s, dir),
+    substringDedupDocs(Tables.documentsWide(s, dir),
       spanDupStatsGuarded(_, Seq("lang"), oracleCap = Some(4095)))
 
   /** Per-document recurring-span stats over a tokenized projection `d`
@@ -1986,7 +1986,7 @@ object TextPipeline {
     * broadcast), not model-retrain cost. Everything integer-exact so
     * the oracle is bit-stable. */
   def corpusDrift(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsWide(s, dir)
     val tDf = docs.agg(expr("MAX(doc_id)*4 DIV 5").as("t"))
     driftCensusTagged(driftTag(
       docs.crossJoin(broadcast(tDf)), col("lang"),
@@ -2051,7 +2051,7 @@ object TextPipeline {
     * only exchange is the languages-sized census. Integer weights make
     * the logit exact, so keep/drop never flips on float order. */
   def qualityClassifier(s: SparkSession, dir: String): DataFrame =
-    qualityClassifierDocs(Tables.documents(s, dir))
+    qualityClassifierDocs(Tables.documentsWide(s, dir))
 
   private[graft] def qualityClassifierDocs(docs: DataFrame): DataFrame =
     docs
@@ -2784,9 +2784,12 @@ object TextPipeline {
   def curate(s: SparkSession, dir: String): DataFrame = {
     // lazily cached: the tokenize+hash60 projection feeds the dedup agg,
     // the contamination explode AND the flag join — uncached, all three
-    // re-tokenize the corpus
-    val docs = Tables.documents(s, dir)
-      .filter(col("doc_id") % 101 =!= 0) // the eval set is not corpus
+    // re-tokenize the corpus. The scan is widened BELOW the tokenize so
+    // the kernel (and the cached layout every downstream explode rides)
+    // is parallel even when the table is a single scan split (guide §2).
+    val docBytes = Tables.tableBytes(s, dir, "documents")
+    val docs = Widen.forKernel(Tables.documents(s, dir)
+        .filter(col("doc_id") % 101 =!= 0), docBytes) // the eval set is not corpus
       .select(col("doc_id"), col("lang"), words(col("text")).as("w"),
         hash60(col("text")).as("h"))
       .withColumn("n_tok", size(col("w")).cast("long"))
@@ -2795,8 +2798,8 @@ object TextPipeline {
     // keep-first exact dedup among quality survivors
     val first = docs.filter(col("q"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
-    val evalDocs = Tables.documents(s, dir)
-      .filter(col("doc_id") % 101 === 0)
+    val evalDocs = Widen.forKernel(Tables.documents(s, dir)
+        .filter(col("doc_id") % 101 === 0), docBytes / 64)
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 8)
     val evalGrams = evalDocs.select(explode(grams8("w")).as("g")).distinct()
