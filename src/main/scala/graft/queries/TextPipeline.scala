@@ -133,7 +133,11 @@ object TextPipeline {
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > cap)
       .select(col("bk"))
+    // the self-join references `guarded` twice (l/r) — uncached, the
+    // whole bands+hot-census subtree plans (and the sig cache is locked)
+    // once PER SIDE; one lazy cache computes it once per action
     val guarded = bands.join(hotBuckets, Seq("bk"), "left_anti")
+      .trackedPersist()
     val nMatch = minhashAB.indices.map(i =>
       when(col(s"l.sig.m$i") === col(s"r.sig.m$i"), 1).otherwise(0))
       .reduce(_ + _).cast("long")
@@ -744,7 +748,10 @@ object TextPipeline {
   /** [[verifiedPairs]] over an explicit corpus (the generic form
     * `api.Corpus` exposes — any (doc_id, text) frame works). */
   private[graft] def verifiedPairsDocs(docs: DataFrame, cap: Int): DataFrame = {
+    // referenced twice (a/b verification sides) — cache or the corpus
+    // re-tokenizes once per side
     val d = docs.select(col("doc_id"), array_distinct(ws).as("w"))
+      .trackedPersist()
     val cand = dedupMinhashDocs(docs, cap)
       .select(col("doc_a"), col("doc_b"))
     cand
