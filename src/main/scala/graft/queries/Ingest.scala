@@ -37,12 +37,17 @@ object Ingest {
       "o_orderstatus STRING, o_totalprice DECIMAL(12,2), o_date STRING, " +
       "o_orderpriority STRING"
     graft.plans.DeferredIngest(s, csvDdl) {
-      Tables.orders(s, dir)
+      // widen BELOW the projection so the CSV encode (date_format +
+      // decimal rendering, the CPU of this leg) runs at the derived
+      // width instead of 1-wide before a fixed repartition(4); the
+      // width tracks input bytes (clamped to session cores), so file
+      // count stays sensible at any scale
+      graft.core.Widen.forKernel(Tables.orders(s, dir),
+          Tables.tableBytes(s, dir, "orders"), bytesPerPartition = 128L << 10)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           dec(col("o_totalprice")).as("o_totalprice"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
           col("o_orderpriority"))
-        .repartition(4)
         .write.mode("overwrite").option("header", "true").csv(out)
       s.read.option("header", "true")
         .schema(StructType.fromDDL(csvDdl))
@@ -83,12 +88,13 @@ object Ingest {
       "o_orderstatus STRING, o_totalprice DECIMAL(12,2), o_date DATE, " +
       "o_orderpriority STRING"
     graft.plans.DeferredIngest(s, ddl) {
-      Tables.orders(s, dir)
+      // same widen-below-projection stance as the CSV leg
+      graft.core.Widen.forKernel(Tables.orders(s, dir),
+          Tables.tableBytes(s, dir, "orders"), bytesPerPartition = 128L << 10)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           dec(col("o_totalprice")).as("o_totalprice"),
           col("o_orderdate").cast("date").as("o_date"),
           col("o_orderpriority"))
-        .repartition(4)
         .write.mode("overwrite").orc(out)
       s.read.schema(StructType.fromDDL(ddl)).orc(out)
     }
@@ -375,6 +381,11 @@ object Ingest {
     graft.plans.DeferredIngest(s,
       "o_orderpriority STRING, l_orderkey BIGINT, l_quantity DOUBLE, " +
         "l_extendedprice DOUBLE, l_discount DOUBLE") {
+      // numBuckets measured, not assumed: 32 (the session width) was
+      // A/B'd at sf0.1 and LOST (1.69 s -> 2.08 s) — the wider bucketed
+      // write (numBuckets files per write task) costs more than the
+      // extra join width returns at this volume; production picks
+      // buckets from data volume at layout time, not per query
       bucketedJoinFrames(s, dir, liPath, ordPath, numBuckets = 8)
     }
       .groupBy(col("o_orderpriority"))
