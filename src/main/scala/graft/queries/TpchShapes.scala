@@ -390,9 +390,13 @@ object TpchShapes {
       .select("o_orderkey", "o_orderdate")
     val l = Tables.lineitem(s, dir)
       .select("l_orderkey", "l_suppkey", "l_shipdate")
+    // referenced twice (the semi-join's probe side AND the anti-join's
+    // build side) — uncached, the lineitem-x-orders late join runs once
+    // per reference
     val late = l.join(oF, col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + day90)
       .select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls"))
+      .trackedPersist()
     val others = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
     val lateOthers = late.select(col("lo").as("o3"), col("ls").as("s3"))
     val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name")
