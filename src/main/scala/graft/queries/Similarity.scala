@@ -787,16 +787,21 @@ object Similarity {
       .select(col("vec_id"), col("cell"), residual.as("r"))
     val subIdx = posexplode(expr(
       s"transform(sequence(0, ${PQ_M - 1}), m -> slice(r, m * $PQ_SUB + 1, $PQ_SUB))"))
+    // referenced twice (codebook filter + encode join) — cache so the
+    // assign+residual+subvector chain runs once per action
     val sv = assigned.select(col("vec_id"), col("cell"), subIdx)
       .select(col("vec_id"), col("cell"), col("pos").as("m"), col("col").as("vm"))
+      .trackedPersist()
     val cb = sv.filter(col("vec_id") < PQ_K)
       .select(col("m").as("cm"), col("vec_id").as("cid"), col("vm").as("cv"))
-    val wCode = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("dist"), col("cid"))
+    // encode argmin via struct-MIN (partial-aggregable, no per-(vec, m)
+    // window sort of the n·M·K distance rows) — ties break on cid
+    // exactly like the row_number(ORDER BY dist, cid) = 1 form it
+    // replaces (the engine-wide argmin discipline)
     val codes = sv.join(broadcast(cb), col("m") === col("cm"))
-      .select(col("vec_id"), col("cell"), col("m"), col("cid"), pqD2.as("dist"))
-      .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"), col("m"), col("cid").as("code"))
+      .groupBy(col("vec_id"), col("cell"), col("m"))
+      .agg(min(struct(pqD2.as("dist"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("cell"), col("m"), col("best.cid").as("code"))
     // per probed cell, the query's residual against THAT center — a
     // top-2 window over the 20-query side only
     val qsv = all.filter(col("vec_id") < 20).join(broadcast(cc))
