@@ -416,13 +416,13 @@ object Similarity {
   /** (vec_id, m, code) nibble codes — the compressed index (spec surface). */
   private[graft] def pqCodesVecs(all: DataFrame): DataFrame = {
     val sv = pqSub(all)
-    val wCode = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("dist"), col("cid"))
+    // struct-MIN argmin (partial-aggregable; ties on cid) — identical
+    // to the row_number(ORDER BY dist, cid) = 1 form it replaces
     sv.join(broadcast(pqCodebook(sv)), col("m") === col("cm"))
       .select(col("vec_id"), col("m"), col("cid"), pqD2.as("dist"))
-      .withColumn("rn", row_number().over(wCode))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("cid").as("code"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cid").as("code"))
   }
 
   private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
@@ -446,12 +446,11 @@ object Similarity {
       .join(broadcast(base.orderBy(col("vid")).limit(PQ_K)
         .select(col("vid").as("pivot"))), col("vec_id") === col("pivot"))
       .select(col("m").as("cm"), col("vec_id").as("cid"), col("vm").as("cv"))
-    val wCode = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("dist"), col("cid"))
     val codes = sv.join(broadcast(cb), col("m") === col("cm"))
       .select(col("vec_id"), col("m"), col("cid"), pqD2.as("dist"))
-      .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("cid").as("code"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cid").as("code"))
     val lut = subs(queries, "q_id")
       .join(broadcast(cb), col("m") === col("cm"))
       .select(col("q_id"), col("m").as("lm"), col("cid").as("lcid"),
@@ -574,13 +573,11 @@ object Similarity {
     * frame is computed ONCE and shared by re-encoding and the query LUT. */
   def annPqTrained(s: SparkSession, dir: String): DataFrame = {
     val sv = Caches.tracked(pqSub(vecs(s, dir)))
-    val wCode = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("dist"), col("cid"))
     val codes0 = sv.join(broadcast(pqCodebook(sv)), col("m") === col("cm"))
       .select(col("vec_id"), col("m"), col("cid"), pqD2.as("dist"))
-      .withColumn("rn", row_number().over(wCode))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("cid").as("code"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cid").as("code"))
     val cb1 = sv.join(codes0, Seq("vec_id", "m"))
       .select(col("m"), col("code"), posexplode(col("vm")))
       .groupBy(col("m"), col("code"), col("pos"))
@@ -592,9 +589,10 @@ object Similarity {
     val dists1 = Caches.tracked(
       sv.join(broadcast(cb1), col("m") === col("cm"))
         .select(col("vec_id"), col("m"), col("cid"), pqD2.as("dist")))
-    val codes1 = dists1.withColumn("rn", row_number().over(wCode))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("cid").as("code"))
+    val codes1 = dists1
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cid").as("code"))
     val lut = dists1.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("m").as("lm"),
         col("cid").as("lcid"), col("dist").as("lutd"))
