@@ -2005,13 +2005,18 @@ object Similarity {
     val hotCells = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__cn"))
       .filter(col("__cn") > cap)
       .select(col("cell").as("__hc"), col("__cn"))
-    val cold = assigned.join(broadcast(hotCells.select(col("__hc"))),
-      col("cell") === col("__hc"), "left_anti")
-    val hot = assigned.join(broadcast(hotCells), col("cell") === col("__hc"))
-      .withColumn("__b",
-        ceil(col("__cn").cast("double") / lit(blockRows.toDouble)).cast("long"))
-      .withColumn("__blk", pmod(xxhash64(col("vec_id")), col("__b")))
-      .drop("__hc", "__cn")
+    // each leg is SELF-JOINED below — uncached, the anti/inner join
+    // over the assigned cache plans once per side (and the assigned
+    // cache's consumers serialize behind its block-compute lock)
+    val cold = Caches.tracked(
+      assigned.join(broadcast(hotCells.select(col("__hc"))),
+        col("cell") === col("__hc"), "left_anti"))
+    val hot = Caches.tracked(
+      assigned.join(broadcast(hotCells), col("cell") === col("__hc"))
+        .withColumn("__b",
+          ceil(col("__cn").cast("double") / lit(blockRows.toDouble)).cast("long"))
+        .withColumn("__blk", pmod(xxhash64(col("vec_id")), col("__b")))
+        .drop("__hc", "__cn"))
     def sim = cosine(dot(col("a.v"), col("b.v")),
       col("a.n2"), col("b.n2")) >= minCos
     val coldPairs = cold.as("a").join(cold.as("b"),
