@@ -197,7 +197,11 @@ object TextPipeline {
   }
 
   private[graft] def minhashIndex(docs: DataFrame, cap: Int): DataFrame = {
-    val rows = bandRowsOf(docs)
+    // referenced twice (hot census + anti-join) — uncached, the sig
+    // build under the band explode runs once per reference (measured as
+    // two lock-serialized ~640 ms stages in the q_dedup_incremental
+    // index construction)
+    val rows = Caches.tracked(bandRowsOf(docs))
     val hotKeys = rows.groupBy(col("band"), col("x"), col("y"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > cap)
