@@ -780,14 +780,20 @@ object Vectors {
   def semDedup(vectors: DataFrame, k: Int = 0, tau: Double = 0.3,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val base = canon(vectors, id, vec).trackedPersist()
-    val d2 = graft.functions.GraftL2(col("v"), col("cv"))
-    val wAssign = Window.partitionBy(col("vid")).orderBy(col("dist"), col("cid"))
-    def argmin(centers: DataFrame): DataFrame =
-      base.join(broadcast(centers))
-        .select(col("vid"), col("v"), col("n2"), col("cid"), d2.as("dist"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vid"), col("v"), col("n2"), col("cid").as("cell"))
+    // scan-local argmin on the fused kernel (the nearestAssign shape the
+    // engine uses on every other assignment path): the join+window form
+    // this replaces materialized the n*k distance frame and sorted it
+    // per vid - the exact O(n*k)-row plan the r13 drive banned. Tie
+    // semantics identical (min (dist, cid); VectorKernelSpec parity).
+    def argmin(centers: DataFrame): DataFrame = {
+      val carr = centers.agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list(
+          struct(col("cid"), col("cv")))).as("cs"))
+      base.crossJoin(broadcast(carr))
+        .withColumn("cell",
+          graft.functions.GraftNearestCell(col("v"), col("cs")))
+        .select(col("vid"), col("v"), col("n2"), col("cell"))
+    }
     val assigned = (if (k > 0) {
       val seedIds = base.select(col("vid")).orderBy(col("vid")).limit(k)
       val c = base.join(seedIds.withColumnRenamed("vid", "svid"),
