@@ -385,26 +385,55 @@ object GraphText {
 
   private def kcoreLoop(e0: DataFrame, k: Long, rounds: Int): DataFrame = {
     var edges = e0
-    def census(round: Int, e: org.apache.spark.sql.DataFrame) =
-      e.select(explode(array(col("a"), col("b"))).as("v"))
-        .agg(countDistinct(col("v")).as("n_nodes"),
-          (count(lit(1)) / 2).cast("long").as("n_edges"),
-          coalesce(sum_distinct(col("v")), lit(0L)).as("node_id_sum"))
-        .select(lit(round.toLong).as("round"), col("n_nodes"),
-          col("n_edges"), col("node_id_sum"))
-    var out = census(0, edges)
+    // round-tagged views of the per-round CHECKPOINTED edge frames; the
+    // census over all rounds is computed at the end as ONE grouped
+    // aggregation instead of one distinct-aggregate plan per round —
+    // r17 profiling showed the final action spending ~2.5 s in ~27
+    // census stages (9 rounds × 3 stages of countDistinct/sum_distinct
+    // plans over width-1 frames); the fused census is 2 exchanges total
+    val tagged = scala.collection.mutable.ArrayBuffer(
+      edges.select(lit(0L).as("round"), col("a"), col("b")))
     for (r <- 1 to rounds) {
-      val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
-        .groupBy(col("v")).agg(count(lit(1)).as("dg"))
-      val keep = deg.filter(col("dg") >= k).select(col("v"))
+      // peel in WINDOW form (r17, §2.4): each edge contributes one row
+      // per endpoint, a whole-partition window count over the endpoint
+      // IS that endpoint's degree, and the edge survives iff the MIN of
+      // its two rows' degrees clears k — two exchanges per round
+      // (endpoint hash for the window, (a,b) hash for the min-agg)
+      // instead of the degree-agg + two-semi-join form's four. Edge
+      // sets per round are unchanged (keep ⟺ deg(a) ≥ k ∧ deg(b) ≥ k ⟺
+      // min ≥ k), so the oracle-pinned trajectory is identical.
+      val wV = org.apache.spark.sql.expressions.Window.partitionBy(col("v"))
       edges = edges
-        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"),
+          explode(array(col("a"), col("b"))).as("v"))
+        .withColumn("dg", count(lit(1)).over(wV))
+        .groupBy(col("a"), col("b")).agg(min(col("dg")).as("mdg"))
+        .filter(col("mdg") >= k)
         .select(col("a"), col("b"))
         .localCheckpoint(eager = true)
-      out = out.union(census(r, edges))
+      tagged += edges.select(lit(r.toLong).as("round"), col("a"), col("b"))
     }
-    out
+    // per-round census as one two-level aggregation: distinct endpoints
+    // per (round, v) group, then per-round node count / id sum / edge
+    // count (each round's rows are 2·edges, so SUM(cnt) DIV 2 is exact).
+    // Rounds peeled to empty vanish from the grouped frame — the
+    // rounds-range left join reinstates them as explicit zero rows, the
+    // same shape the per-round empty-frame agg used to emit.
+    val grouped = tagged.reduce(_.unionByName(_))
+      .select(col("round"), explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("round"), col("v")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("round"))
+      .agg(count(lit(1)).as("n_nodes"),
+        expr("SUM(cnt) DIV 2").as("n_edges"),
+        sum(col("v")).as("node_id_sum"))
+    val zeros = e0.sparkSession.range(0, rounds + 1L)
+      .select(col("id").as("round"), lit(0L).as("n_nodes"),
+        lit(0L).as("n_edges"), lit(0L).as("node_id_sum"))
+    grouped.unionByName(zeros)
+      .groupBy(col("round"))
+      .agg(sum(col("n_nodes")).as("n_nodes"),
+        sum(col("n_edges")).as("n_edges"),
+        sum(col("node_id_sum")).as("node_id_sum"))
   }
 
   /** The peel-trajectory oracle, shared by both k-core variants: one

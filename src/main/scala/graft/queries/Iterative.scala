@@ -33,24 +33,37 @@ object Iterative {
     * `PageRankMapFunction.cc:8-43`/`PageRankReduceFunction.cc:6-64`, but
     * as a real join. The edge list (with out-degree pre-joined) is cached
     * across iterations. */
-  /** The part↔supplier bipartite edge list with out-degrees pre-joined —
-    * the shared graph both PageRank variants iterate over. */
-  private def edgesWithDegree(s: SparkSession, dir: String): DataFrame = {
+  /** The part↔supplier bipartite edge list (src-hash layout, 2 columns)
+    * plus its node-sized out-degree side table — the shared graph all
+    * PageRank variants iterate over. r16 carried the degree ON the edge
+    * rows via a whole-partition window; r17 profiling showed that window
+    * paying a 1.2M-row sort at edge-build time (10.3 s task time at
+    * sf0.1) and fattening every per-iteration edge read by a third. The
+    * degree is a function of src alone, so it lives in a node-sized
+    * table instead: the degree agg runs ON the cached src-hash layout
+    * (no exchange — groupBy(src) is satisfied by the repartition), and
+    * each iteration attaches rank DIV d on the NODE side before the
+    * edge join (per-edge value is identical — it never depended on the
+    * edge). Symmetrize with ONE explode pass (a union of two
+    * projections would run the scan+distinct subtree twice — DataFrames
+    * share no common subplans). Caller materializes `edges` inside the
+    * loop-width scope and unpersists both. */
+  private def edgesAndDegrees(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val base = Tables.lineitem(s, dir)
       .select(col("l_partkey"), col("l_suppkey")).distinct()
-    // symmetrize with ONE explode pass (a union of two projections would
-    // run the scan+distinct subtree twice — DataFrames share no common
-    // subplans), then attach out-degree with a whole-partition window:
-    // the window's hash exchange on src IS the distribution the cached
-    // edge list needs for the per-iteration joins, so degree + layout
-    // cost one shuffle total (vs degree-agg + join + repartition = 3)
     val edges = base.select(explode(array(
         struct((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst")),
         struct((col("l_suppkey") * 2 + 1).as("src"), (col("l_partkey") * 2).as("dst"))))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    edges.withColumn("d",
-      count(lit(1)).over(Window.partitionBy(col("src"))))
+      .repartition(col("src"))
+      .persist()
+    val degrees = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("d"))
+      .select(col("src").as("node"), col("d"))
+      .persist()
+    (edges, degrees)
   }
 
   /** Iteration width for the rank/edge state, derived from the anchor
@@ -69,10 +82,11 @@ object Iterative {
     graft.core.LoopWidth.forBytes(edges, Tables.tableBytes(s, dir, "lineitem"))
 
   def pagerank(s: SparkSession, dir: String): DataFrame = {
-    val edgesD = edgesWithDegree(s, dir).persist()
+    val (edgesD, degrees) = edgesAndDegrees(s, dir)
     try graft.core.LoopWidth.scoped(edgesD, pagerankWidth(s, dir, edgesD)) {
-      var ranks = edgesD.select(col("src").as("node")).distinct()
-        .select(col("node"), lit(1000000L).as("rank"))
+      // seed straight off the degree table — it IS distinct(src), and it
+      // arrives already src-hash-partitioned from the cached layout
+      var ranks = degrees.select(col("node"), lit(1000000L).as("rank"))
       for (_ <- 1 to 3) {
         // Three fixed iterations chain lazily into one job over the cached
         // edge list. For long/unbounded iteration counts, checkpoint every
@@ -81,15 +95,21 @@ object Iterative {
         // extra job boundaries.
         // shuffled-hash join, building on the node-state side: avoids
         // re-sorting the cached edge list every iteration (SMJ would),
-        // and unlike a broadcast stays valid when node state is huge
-        ranks = edgesD.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+        // and unlike a broadcast stays valid when node state is huge.
+        // rank DIV d attaches on the node side (degrees ⋈ ranks, both
+        // node-sized and co-partitioned) before the edge join.
+        val contribs = degrees
+          .join(ranks.hint("shuffle_hash"), Seq("node"))
+          .select(col("node"), expr("rank DIV d").as("c"))
+        ranks = edgesD.join(contribs.hint("shuffle_hash"),
+            col("src") === col("node"))
           .groupBy(col("dst"))
-          .agg(sum(expr("rank DIV d")).as("contrib"))
+          .agg(sum(col("c")).as("contrib"))
           .select(col("dst").as("node"),
             expr("150000 + (850000 * contrib) DIV 1000000").as("rank"))
       }
       ranks.localCheckpoint(eager = true)
-    } finally edgesD.unpersist()
+    } finally { edgesD.unpersist(); degrees.unpersist() }
   }
 
   /** Production PageRank: double-precision ranks (the scaled-integer form
@@ -102,21 +122,24 @@ object Iterative {
     * asserts rank-order agreement with the integer-exact form. */
   def pagerankDouble(s: SparkSession, dir: String,
       iters: Int = 3, checkpointEvery: Int = 3): DataFrame = {
-    val edgesD = edgesWithDegree(s, dir).persist()
+    val (edgesD, degrees) = edgesAndDegrees(s, dir)
     try graft.core.LoopWidth.scoped(edgesD, pagerankWidth(s, dir, edgesD)) {
-      var ranks = edgesD.select(col("src").as("node")).distinct()
-        .select(col("node"), lit(1.0).as("rank"))
+      var ranks = degrees.select(col("node"), lit(1.0).as("rank"))
       for (i <- 1 to iters) {
-        ranks = edgesD.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+        val contribs = degrees
+          .join(ranks.hint("shuffle_hash"), Seq("node"))
+          .select(col("node"), (col("rank") / col("d")).as("c"))
+        ranks = edgesD.join(contribs.hint("shuffle_hash"),
+            col("src") === col("node"))
           .groupBy(col("dst"))
-          .agg(sum(col("rank") / col("d")).as("contrib"))
+          .agg(sum(col("c")).as("contrib"))
           .select(col("dst").as("node"),
             (lit(0.15) + lit(0.85) * col("contrib")).as("rank"))
         if (i % checkpointEvery == 0 && i < iters)
           ranks = ranks.localCheckpoint(eager = true)
       }
       ranks.localCheckpoint(eager = true)
-    } finally edgesD.unpersist()
+    } finally { edgesD.unpersist(); degrees.unpersist() }
   }
 
   /** Conserved-mass census of the double-precision PageRank — the
@@ -138,14 +161,17 @@ object Iterative {
     * checkpoint every round — which is also what cuts lineage for long
     * runs. */
   def pagerankDoubleMass(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
-    val edgesD = edgesWithDegree(s, dir).persist()
+    val (edgesD, degrees) = edgesAndDegrees(s, dir)
     try graft.core.LoopWidth.scoped(edgesD, pagerankWidth(s, dir, edgesD)) {
-      var ranks = edgesD.select(col("src").as("node")).distinct()
-        .select(col("node"), lit(1.0).as("rank"))
+      var ranks = degrees.select(col("node"), lit(1.0).as("rank"))
       val census = (1 to iters).map { i =>
-        ranks = edgesD.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+        val contribs = degrees
+          .join(ranks.hint("shuffle_hash"), Seq("node"))
+          .select(col("node"), (col("rank") / col("d")).as("c"))
+        ranks = edgesD.join(contribs.hint("shuffle_hash"),
+            col("src") === col("node"))
           .groupBy(col("dst"))
-          .agg(sum(col("rank") / col("d")).as("contrib"))
+          .agg(sum(col("c")).as("contrib"))
           .select(col("dst").as("node"),
             (lit(0.15) + lit(0.85) * col("contrib")).as("rank"))
           .localCheckpoint(eager = true)
@@ -154,7 +180,7 @@ object Iterative {
           .select(lit(i.toLong).as("iter"), col("n_nodes"), col("mass_milli"))
       }
       census.reduce(_.unionByName(_))
-    } finally edgesD.unpersist()
+    } finally { edgesD.unpersist(); degrees.unpersist() }
   }
 
   private val pagerankDoubleMassSql = {

@@ -184,8 +184,15 @@ object TextPipeline {
     * corpus scan, the thing the index exists to avoid). */
   /** UNGUARDED flat band rows (band, x, y, doc_id, m0..m7) of a doc
     * frame — the raw material both index legs share. */
-  private def bandRowsOf(docs: DataFrame): DataFrame = {
-    val sig = minhashSig(docs).trackedPersist()
+  private def bandRowsOf(docs: DataFrame): DataFrame =
+    bandRowsOfSig(minhashSig(docs).trackedPersist())
+
+  /** The band explode alone, over an already-built signature frame —
+    * split out (r17) so [[dedupIncremental]] can derive BOTH its index
+    * leg and its serve leg from one shared sig cache (per-doc signatures
+    * are slice-independent, so sig(docs).filter(pred) ≡ sig(docs where
+    * pred) exactly). */
+  private def bandRowsOfSig(sig: DataFrame): DataFrame = {
     val bandKeys = array((0 until 4).map(i => struct(lit(i).as("band"),
       col(s"m${2 * i}").as("x"), col(s"m${2 * i + 1}").as("y"))): _*)
     sig.select(
@@ -196,12 +203,15 @@ object TextPipeline {
         +: minhashAB.indices.map(i => col(s"m$i")): _*)
   }
 
-  private[graft] def minhashIndex(docs: DataFrame, cap: Int): DataFrame = {
-    // referenced twice (hot census + anti-join) — uncached, the sig
-    // build under the band explode runs once per reference (measured as
-    // two lock-serialized ~640 ms stages in the q_dedup_incremental
-    // index construction)
-    val rows = Caches.tracked(bandRowsOf(docs))
+  private[graft] def minhashIndex(docs: DataFrame, cap: Int): DataFrame =
+    minhashIndexRows(Caches.tracked(bandRowsOf(docs)), cap)
+
+  /** Hot-bucket-guarded index over a band-rows frame the CALLER already
+    * tracked-persisted — `rows` is referenced twice (hot census +
+    * anti-join); uncached, the sig build under the band explode runs
+    * once per reference (measured as two lock-serialized ~640 ms stages
+    * in the q_dedup_incremental index construction). */
+  private def minhashIndexRows(rows: DataFrame, cap: Int): DataFrame = {
     val hotKeys = rows.groupBy(col("band"), col("x"), col("y"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > cap)
@@ -285,16 +295,24 @@ object TextPipeline {
     val out = graft.core.Scratch.dir("mhidx", dir)
     val idxSchema = "band INT, x BIGINT, y BIGINT, doc_id BIGINT, " +
       minhashAB.indices.map(i => s"m$i BIGINT").mkString(", ")
+    // ONE sig build over the full corpus, shared by the index leg and
+    // the serve leg (r17): signatures are per-doc, so slicing the sig
+    // table at t is exactly sig-of-the-slice — previously each leg ran
+    // its own 1-wide tokenize+shingle pass over its slice of the same
+    // scan (258 ms + 124 ms profiled at sf0.1)
+    val sig = minhashSig(docs).trackedPersist()
     val idx = graft.plans.DeferredIngest(s, idxSchema) {
-      val hist = docs.crossJoin(broadcast(tDf))
-        .filter(col("doc_id") < col("t")).drop("t")
-      minhashIndex(hist, LshBucketCap).write.mode("overwrite").parquet(out)
+      val histRows = Caches.tracked(bandRowsOfSig(
+        sig.crossJoin(broadcast(tDf)).filter(col("doc_id") < col("t"))
+          .drop("t")))
+      minhashIndexRows(histRows, LshBucketCap)
+        .write.mode("overwrite").parquet(out)
       s.read.parquet(out).select(col("band") +: col("x") +: col("y")
         +: col("doc_id") +: minhashAB.indices.map(i => col(s"m$i")): _*)
     }
-    val batch = docs.crossJoin(broadcast(tDf))
+    val batchSig = sig.crossJoin(broadcast(tDf))
       .filter(col("doc_id") >= col("t")).drop("t")
-    serveAgainstIndex(idx, batch)
+    serveAgainstIndexSig(idx, batchSig)
   }
 
   /** The serve leg alone: near-dup candidates of `batch` docs against a
@@ -304,10 +322,17 @@ object TextPipeline {
     * facade, including its foreachBatch streaming use) share one code
     * path — the semDedup-drift lesson. */
   private[graft] def serveAgainstIndex(idx: DataFrame,
-      batch: DataFrame): DataFrame = {
+      batch: DataFrame): DataFrame =
+    serveAgainstIndexSig(idx, minhashSig(batch))
+
+  /** [[serveAgainstIndex]] from an already-built batch signature frame
+    * (r17 split, so [[dedupIncremental]] can feed its shared sig cache
+    * here instead of paying a second tokenize pass). */
+  private def serveAgainstIndexSig(idx: DataFrame,
+      batchSig: DataFrame): DataFrame = {
     val bandKeys = array((0 until 4).map(i => struct(lit(i).as("band"),
       col(s"m${2 * i}").as("x"), col(s"m${2 * i + 1}").as("y"))): _*)
-    val bandsNew = minhashSig(batch).select(col("doc_id").as("doc_b"),
+    val bandsNew = batchSig.select(col("doc_id").as("doc_b"),
       struct(minhashAB.indices.map(i => col(s"m$i")): _*).as("sig"),
       explode(bandKeys).as("bk"))
     val nMatch = minhashAB.indices.map(i =>
@@ -1136,7 +1161,10 @@ object TextPipeline {
       for (_ <- 1 to iters) {
         // min neighbor label, shuffle-hash-joined on the small label side
         // (same reasoning as the PageRank iteration: SMJ would re-sort the
-        // cached edges every round)
+        // cached edges every round). A union-form carry (labels ∪ contrib
+        // → one MIN agg, saving the second join) was A/B'd in r17 and
+        // LOST (1.81 → 2.10 s same-window at sf0.1) — the join form
+        // stays.
         val nbrMin = edges.join(labels.hint("shuffle_hash"),
             col("src") === col("doc_id"))
           .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
@@ -1185,6 +1213,12 @@ object TextPipeline {
             col("src") === col("doc_id"))
           .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
         val jump = labels.select(col("doc_id").as("j_id"), col("lbl").as("j_lbl"))
+        // the convergence sum rides the checkpoint action via observe()
+        // (localCheckpoint runs under withAction, so the CollectMetrics
+        // listener fires) instead of a separate per-round agg job — one
+        // action per round, not two. sum() over zero rows is NULL — an
+        // empty node set is already converged, not a crash.
+        val obs = org.apache.spark.sql.Observation(s"pd_probe_$iters")
         val next = labels
           .join(nbrMin, col("doc_id") === col("dst"), "left")
           .join(jump, col("lbl") === col("j_id"), "left")
@@ -1192,11 +1226,10 @@ object TextPipeline {
             least(col("lbl"),
               coalesce(col("nlbl"), col("lbl")),
               coalesce(col("j_lbl"), col("lbl"))).as("lbl"))
+          .observe(obs, coalesce(
+            org.apache.spark.sql.functions.sum(col("lbl")), lit(0L)).as("s"))
           .localCheckpoint(eager = true)
-        // sum() over zero rows is NULL — an empty node set is already
-        // converged, not a crash
-        val sum = Option(next.agg(org.apache.spark.sql.functions.sum(col("lbl")))
-          .head().getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L)
+        val sum = obs.get.apply("s").asInstanceOf[Long]
         labels = next
         iters += 1
         if (sum == last) iters = maxIters // fixpoint: no label moved
@@ -1246,35 +1279,51 @@ object TextPipeline {
     var iters = 0
     var converged = false
     while (iters < maxIters && !converged) {
+      // One FUSED action per round (was three: e1 checkpoint, e2
+      // checkpoint, probe agg — at derived loop widths the round cost is
+      // per-stage fixed overhead, so action and exchange count IS the
+      // runtime; r17 A/B at sf0.1: 2.23 s → ~1.1 s for the headline).
+      // Both star ops become whole-partition window minima — one
+      // exchange each instead of groupBy-agg + re-hang join — and
+      // large-star's output feeds small-star LAZILY: in window form it
+      // is referenced exactly once, so nothing re-executes without the
+      // intermediate checkpoint. Its `distinct` is dropped too:
+      // sym.filter(v > u) emits exactly one row per canonical edge
+      // (rows never duplicate, only their (m, v) VALUES can — min is
+      // duplicate-insensitive and e2's distinct collapses the values),
+      // so the round's edge SETS are exactly the classic alternation's
+      // (validated round-by-round against the 3-action form at sf0.1:
+      // identical per-round counts and signatures, identical census).
+      //
       // LARGE-STAR over symmetric neighborhoods: v > u re-hangs onto
-      // m(u); m(u) ≤ u < v keeps the output canonical and loop-free
+      // m(u) = min(Γ(u) ∪ {u}); m(u) ≤ u < v keeps the output canonical
+      // and loop-free.
       val sym = e.select(explode(array(
           struct(col("a").as("u"), col("b").as("v")),
           struct(col("b").as("u"), col("a").as("v")))).as("x"))
         .select(col("x.u").as("u"), col("x.v").as("v"))
-      val mL = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      // small-star reads e1 twice (min agg + re-hang join) — materialize
-      // so the large-star subtree doesn't execute twice per round (the
-      // same double-reference rule as the hash-min label rounds)
-      val e1 = sym.filter(col("v") > col("u"))
-        .join(mL.hint("shuffle_hash"), "u")
+      val wU = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+      val e1 = sym
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .filter(col("v") > col("u"))
         .select(col("m").as("a"), col("v").as("b"))
-        .distinct()
-        .localCheckpoint(eager = true)
       // SMALL-STAR over canonical pairs, grouped at the LARGER endpoint:
       // its strictly-smaller neighbors (and itself) re-hang onto the
-      // minimum one; m < every emitted partner, canonical again
-      val mS = e1.groupBy(col("b")).agg(min(col("a")).as("m"))
-      val e2 = e1.join(mS.hint("shuffle_hash"), "b")
-        .filter(col("a") =!= col("m"))
-        .select(col("m").as("a"), col("a").as("b"))
-        .union(mS.select(col("m").as("a"), col("b")))
+      // minimum one; m < every emitted partner, canonical again. Exactly
+      // one row per b-partition has a == m (m is that partition's min),
+      // so the per-b center edge (m, b) is emitted from that row and the
+      // others emit their (m, a) re-hang — one pair per row, no explode.
+      val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+      val e2 = e1
+        .withColumn("m", min(col("a")).over(wB))
+        .select(when(col("a") === col("m"),
+            struct(col("m").as("a"), col("b").as("b")))
+          .otherwise(struct(col("m").as("a"), col("a").as("b"))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
         .distinct()
-        .localCheckpoint(eager = true)
-      e = e2
-      iters += 1
-      // fixpoint probe: one tiny agg per round. A (count, checksum)
+      // fixpoint probe, folded into the checkpoint action via observe()
+      // (localCheckpoint runs under withAction, so the CollectMetrics
+      // listener fires — no separate probe job). A (count, checksum)
       // collision could only stop EARLY on a non-fixpoint — the census
       // oracle (exact transitive closure) would catch that; rounds only
       // rewrite monotonically toward stars, they never oscillate. BOTH
@@ -1284,10 +1333,14 @@ object TextPipeline {
       // drive overflowed the unbounded a*1000003+b sum under ANSI at
       // 2.1e9 doc_ids); ≡ (a*1000003+b) mod M by modular arithmetic
       val M = lit(1000000007L)
-      val row = e.agg(count(lit(1)),
-        coalesce(sum(pmod(pmod(col("a"), M) * 1000003L + pmod(col("b"), M),
-          M)), lit(0L))).head()
-      val sig = (row.getLong(0), row.getLong(1))
+      val obs = org.apache.spark.sql.Observation(s"star_probe_$iters")
+      e = e2.observe(obs, count(lit(1)).as("n"),
+          coalesce(sum(pmod(pmod(col("a"), M) * 1000003L + pmod(col("b"), M),
+            M)), lit(0L)).as("sig"))
+        .localCheckpoint(eager = true)
+      iters += 1
+      val m = obs.get
+      val sig = (m("n").asInstanceOf[Long], m("sig").asInstanceOf[Long])
       if (sig == last || sig._1 == 0L) converged = true
       else last = sig
     }
